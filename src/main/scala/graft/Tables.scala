@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md §A).
+  *
+  * Parquet carries its own schema, so no inference pass happens (unlike the
+  * reference's schema-on-read JSON scans, /root/reference/etl.py:64). Loaders
+  * are thin on purpose: Catalyst's column pruning + filter pushdown reach the
+  * scan only when the read is a plain declarative `spark.read.parquet`.
+  *
+  * Scale posture: a single parquet file per table here; at 100 TB the same
+  * call reads a partitioned directory tree and nothing else changes — all
+  * downstream operators are written against the schema, not the layout.
+  */
+object Tables {
+  private def p(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = p(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = p(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = p(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = p(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = p(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = p(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = p(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; `nanosAsLong` maps it to LongType and we rebuild a (micro-
+    * truncated) timestamp column ourselves. DuckDB reads the same file at full
+    * nanos, so oracle queries must only compare second-or-coarser derivations.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    p(s, d, "events")
+      .withColumn("ts", timestamp_micros((org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      withClue(name) { assert(df.count() > 0, s"$name returned 0 rows") }
+    }
+  }
+
+  test("every query key with an oracle exists in queries") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
+  }
+
+  test("q01 groups are the 6 returnflag/linestatus combos with positive counts") {
+    val rows = relational.CoreQueries.q01PricingSummary(spark, sf).collect()
+    assert(rows.length >= 3)
+    assert(rows.forall(_.getAs[Long]("count_order") > 0))
+  }
+
+  test("q07 row_number restarts per customer and is capped at 3") {
+    val rows = relational.CoreQueries.q07WindowRownum(spark, sf).collect()
+    val byCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    byCust.foreach { case (_, rs) =>
+      val rns = rs.map(_.getAs[Long]("rn")).sorted
+      assert(rns.head == 1L)
+      assert(rns.last <= 3L)
+      assert(rns.distinct.length == rns.length)
+    }
+  }
+
+  test("q04 left join keeps all order statuses; matched <= rows") {
+    val rows = relational.CoreQueries.q04LeftJoinCounts(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("o_orderstatus")).toSet == Set("P", "O", "F"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_rows"))
+    }
+  }
+
+  test("q06 distinct is idempotent (dedup of dedup = dedup)") {
+    val d1 = relational.CoreQueries.q06Distinct(spark, sf)
+    assert(d1.count() == d1.dropDuplicates().count())
+  }
+}
