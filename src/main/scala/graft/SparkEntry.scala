@@ -13,6 +13,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (relational.CoreQueries.queries, relational.CoreQueries.oracles),
+      (relational.EventQueries.queries, relational.EventQueries.oracles),
+      (text.TextQueries.queries, text.TextQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

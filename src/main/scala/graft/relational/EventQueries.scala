@@ -1,0 +1,93 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Semi-structured + time-window surface over the `events` table:
+  * JSON extraction (SURVEY §2.9 extension), tumbling-window aggregation and
+  * sessionization — the batch twins of the Structured Streaming operators in
+  * graft.streaming (same `session_window`/`window` expressions run in both
+  * modes, which is exactly Spark's unified-batch/streaming contract).
+  */
+object EventQueries {
+
+  /** JSON field extraction + group-agg (events.props is a JSON string).
+    * `get_json_object` is a codegen'd Catalyst expression — no UDF, no
+    * second pass; at scale this is map-side work folded into the scan.
+    */
+  def q11EventsJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  /** Tumbling 1-hour window aggregation (batch twin of the streaming
+    * windowed agg). Rendered as a string at second precision so the oracle
+    * compares across Spark-micros vs DuckDB-nanos timestamps.
+    */
+  def q12EventsHourly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(date_trunc("hour", $"ts").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select(
+        date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"hour_start", $"event_type")
+  }
+
+  /** Sessionization: 30-minute-gap session windows per user via Spark's
+    * `session_window` (one shuffle on user_id, then in-partition merge —
+    * scales linearly in events; state is bounded by the gap). The DuckDB
+    * oracle is the classic gaps-and-islands rewrite, proving semantic
+    * equivalence of the two formulations.
+    */
+  def q24Sessionization(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(session_window($"ts", "30 minutes").as("sw"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sum_value"))
+      .select(
+        $"user_id",
+        date_format($"sw.start", "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"sess_start")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_events_json" -> (q11EventsJson _),
+    "q12_events_hourly" -> (q12EventsHourly _),
+    "q24_sessionization" -> (q24Sessionization _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q11_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        | max(CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q24_sessionization" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), y AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM x
+        |)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, sess_start""".stripMargin,
+  )
+}

@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis surface over the `documents` table (BASELINE north star:
+  * language-ID, quality scoring, token counting, fingerprinting). All
+  * map-side Catalyst expressions — at 100 TB these are embarrassingly
+  * parallel scans with no shuffle except the final aggregates.
+  */
+object TextQueries {
+
+  /** Token counting two ways: whitespace and BPE-ish regex pre-tokenizer. */
+  def q13DocTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+        $"doc_id",
+        size(tokens($"text")).cast("long").as("n_tokens"),
+        tokenCountRegex($"text").as("n_tokens_re"),
+        $"n_chars",
+        length($"text").cast("long").as("text_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: mean word length + stopword ratio. */
+  def q14DocQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+        $"doc_id",
+        avgWordLen($"text").as("avg_word_len"),
+        stopwordRatio($"text").as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprinting (md5 of normalized text). */
+  def q15DocFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Exact dedup via fingerprint: per-lang doc count vs distinct-content
+    * count. The distinct runs on the 32-byte fingerprint, not the text —
+    * at 100 TB the shuffle carries hashes, never documents.
+    */
+  def q16DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fingerprint($"text")).as("n_unique"))
+      .orderBy($"lang")
+  }
+
+  /** Language-ID heuristic (char-bigram profiles, argmax). Output is the
+    * prediction per doc plus agreement with the labeled lang.
+    */
+  def q17LangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", langId($"text").as("pred_lang"), $"lang")
+      .withColumn("agree", ($"pred_lang" === $"lang").cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_doc_tokens" -> (q13DocTokens _),
+    "q14_doc_quality" -> (q14DocQuality _),
+    "q15_doc_fingerprint" -> (q15DocFingerprint _),
+    "q16_dedup_exact" -> (q16DedupExact _),
+    "q17_langid" -> (q17LangId _),
+  )
+
+  private val langCase: String = {
+    // mirrors TextFunctions.langId: argmax, ties broken en > de > es > fr
+    val score = Map(
+      "en" -> "len(regexp_extract_all(lower(text), 'th|he|in|er|an'))",
+      "de" -> "len(regexp_extract_all(lower(text), 'ch|ei|ie|un|de'))",
+      "es" -> "len(regexp_extract_all(lower(text), 'la|os|ar|es|el'))",
+      "fr" -> "len(regexp_extract_all(lower(text), 'le|en|nt|ou|re'))",
+    )
+    s"""CASE
+       | WHEN ${score("en")} >= ${score("de")} AND ${score("en")} >= ${score("es")} AND ${score("en")} >= ${score("fr")} THEN 'en'
+       | WHEN ${score("de")} >= ${score("es")} AND ${score("de")} >= ${score("fr")} THEN 'de'
+       | WHEN ${score("es")} >= ${score("fr")} THEN 'es'
+       | ELSE 'fr' END""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q13_doc_tokens" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS n_tokens_re,
+        | n_chars, length(text) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q14_doc_quality" ->
+      """SELECT doc_id,
+        | round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_word_len,
+        | round(CAST(len(list_filter(string_split(text, ' '),
+        |   w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_doc_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    "q16_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT md5(lower(text))) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q17_langid" ->
+      s"""SELECT doc_id, $langCase AS pred_lang, lang,
+         | CAST($langCase = lang AS BIGINT) AS agree
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
