@@ -15,6 +15,8 @@ object SparkEntry {
       (relational.CoreQueries.queries, relational.CoreQueries.oracles),
       (relational.EventQueries.queries, relational.EventQueries.oracles),
       (text.TextQueries.queries, text.TextQueries.oracles),
+      (text.DedupQueries.queries, text.DedupQueries.oracles),
+      (vector.VectorQueries.queries, vector.VectorQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -28,12 +28,16 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; `nanosAsLong` maps it to LongType and we rebuild a (micro-
-    * truncated) timestamp column ourselves. DuckDB reads the same file at full
-    * nanos, so oracle queries must only compare second-or-coarser derivations.
+    * rejects; `spark.sql.legacy.parquet.nanosAsLong` maps it to LongType and we
+    * rebuild a (micro-truncated) timestamp column ourselves. That conf is set
+    * in the session builders (Verify/Bench/test session — session config
+    * belongs at session construction, not inside a loader); DuckDB reads the
+    * same file at full nanos, so oracle queries must only compare
+    * second-or-coarser derivations.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench builders)")
     import org.apache.spark.sql.functions._
     p(s, d, "events")
       .withColumn("ts", timestamp_micros((org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))

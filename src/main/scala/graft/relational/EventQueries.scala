@@ -65,9 +65,11 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // sum(BIGINT) is HUGEINT in DuckDB → float64 through the driver's pandas
+    // path; cast back to BIGINT so it hashes equal to Spark's LongType sum.
     "q11_events_json" ->
       """SELECT event_type, count(*) AS n,
-        | sum(CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         | max(CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q12_events_hourly" ->

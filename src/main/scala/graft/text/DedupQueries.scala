@@ -1,0 +1,213 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Near-duplicate detection over `documents` — the training-data-pipeline
+  * dedup menu beyond exact dedup (q16): MinHash-LSH (q20), SimHash (q26),
+  * and n-gram-Jaccard probe search (q28).
+  *
+  * Scale design shared by q20/q26: the candidate step NEVER compares all
+  * pairs. Documents are reduced map-side to small sketches (128 minhashes /
+  * one 60-bit simhash), sketches are banded, and candidates come from an
+  * equi-join on the band key — the shuffle carries sketches, not documents,
+  * and the join cost is proportional to real collisions. Only verified
+  * candidates ever load their shingle sets again.
+  *
+  * Everything is codegen'd Catalyst built-ins (no UDFs): shingling via
+  * `transform(sequence…)`, minhash via `array_min(transform(…, xxhash64))`,
+  * simhash bit-votes via `filter`+`size`.
+  */
+object DedupQueries {
+
+  val ShingleK = 3
+  val NumHashes = 128   // q20 signature length
+  val Bands = 32        // 32 bands × 4 rows: P(miss | J≥0.87) < 1e-11
+  val RowsPerBand = 4
+  val JaccardThreshold = 0.6
+
+  /** doc_id + distinct word-k-shingle set (order irrelevant downstream). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", array_distinct(shingles(tokens($"text"), ShingleK)).as("sh"))
+  }
+
+  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified.
+    *
+    * signature[j] = min over shingles of xxhash64(shingle, j) — one pass,
+    * map-side. Bands of 4 hashes are re-hashed to a band key; candidates are
+    * pairs sharing ≥1 band key; each candidate is then verified with the
+    * EXACT Jaccard of its shingle sets, so false positives cannot leak into
+    * the result. With J≥0.87 for every true near-dup in this corpus and
+    * 32×4 banding, recall is 1 − (1−0.87⁴)³² ≈ 1 − 1e-11 — which is why the
+    * oracle can be the exact all-pairs Jaccard (cited sketch: Broder '97 /
+    * MMDS ch.3; LSH banding as in Spark MLlib's MinHashLSH, re-expressed as
+    * pure Catalyst expressions).
+    */
+  def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleSets(s, dir)
+    val sig = sh.select($"doc_id",
+      transform(sequence(lit(0), lit(NumHashes - 1)),
+        j => array_min(transform($"sh", t => xxhash64(t, j)))).as("sig"))
+    val banded = sig.select($"doc_id",
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(slice($"sig", b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
+      .select($"doc_id", $"pos".as("band"), $"col".as("band_key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .distinct()
+    cand
+      .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+      .select($"id_a", $"id_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+          size(array_union($"sh_a", $"sh_b"))).as("j"))
+      .filter($"j" >= JaccardThreshold)
+      .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Portable 60-bit hash both engines compute identically: the first 15 hex
+    * chars of md5. (xxhash64 is faster and used where the oracle does not
+    * need to reproduce the hash, e.g. q20's bands; SimHash bits ARE the
+    * result, so q26 pays the md5 for verifiability.)
+    */
+  private def h60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  val SimhashBits = 60
+  val SimhashBands = 4          // 4 × 15 bits; hamming ≤ 3 ⇒ ≥1 band equal
+  val HammingThreshold = 3
+
+  private def simhash(hv: Column): Column =
+    (0 until SimhashBits).map { b =>
+      when(size(filter(hv, x => shiftright(x, b) % 2 === 1)) * 2 > size(hv),
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs (Charikar '02): 60-bit fingerprint from
+    * per-bit majority votes over shingle hashes; candidates from 15-bit
+    * band collisions (pigeonhole: hamming ≤ 3 over 4 bands forces ≥1 equal
+    * band, so recall at the threshold is exactly 1 and the oracle is the
+    * all-pairs hamming join); verified on the full fingerprint.
+    */
+  def q26DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = shingleSets(s, dir)
+      .select($"doc_id", transform($"sh", t => h60(t)).as("hv"))
+      .select($"doc_id", simhash($"hv").as("simhash"))
+    val banded = fp.select($"doc_id", $"simhash",
+      posexplode(array((0 until SimhashBands).map(i =>
+        shiftright($"simhash", 15 * i).bitwiseAND(lit(0x7fffL))): _*)))
+      .select($"doc_id", $"simhash", $"pos".as("band"), $"col".as("band_key"))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= HammingThreshold)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Character-trigram Jaccard probe search: for each probe doc
+    * (doc_id % 50 == 0) the most-similar other document. Probes broadcast;
+    * one pass over the corpus; per-probe top-1 via window (probe count is
+    * tiny and fixed, so the window shuffle is bounded by corpus × probes —
+    * the menu's exactness baseline next to q20/q26's sketches).
+    */
+  def q28NgramJaccardProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.documents(s, dir).select($"doc_id",
+      array_distinct(expr(
+        "transform(sequence(1, greatest(length(lower(text))-2, 1)), i -> substr(lower(text), i, 3))"
+      )).as("grams"))
+    val probes = g.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("probe_id"), $"grams".as("p_grams"))
+    val scored = g.join(broadcast(probes), $"doc_id" =!= $"probe_id")
+      .select($"probe_id", $"doc_id",
+        (size(array_intersect($"p_grams", $"grams")).cast("double") /
+          size(array_union($"p_grams", $"grams"))).as("j"))
+    val w = Window.partitionBy($"probe_id").orderBy($"j".desc, $"doc_id")
+    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"probe_id", $"doc_id".as("best_id"), round($"j", 4).as("jaccard"))
+      .orderBy($"probe_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_dedup_minhash" -> (q20DedupMinhash _),
+    "q26_dedup_simhash" -> (q26DedupSimhash _),
+    "q28_ngram_jaccard_probe" -> (q28NgramJaccardProbe _),
+  )
+
+  // Shared SQL fragment: distinct word-3-shingles per doc. DuckDB list
+  // slicing is 1-based inclusive (t[i:i+2] = 3 tokens) and truncates past
+  // the end, so the greatest() guard degrades to the whole-text shingle
+  // exactly like TextFunctions.shingles' size<k branch.
+  private val shingleCte =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${ShingleK - 1}], ' ') AS s
+       |  FROM toks, UNNEST(range(1, greatest(len(t) - ${ShingleK - 1}, 1) + 1)) AS u(i)
+       |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Exact all-pairs Jaccard ≥ threshold — valid as the oracle because the
+    // Spark side verifies candidates exactly (no false positives) and the
+    // banding miss probability at the corpus's J-range is < 1e-11.
+    "q20_dedup_minhash" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+         |WHERE c * 1.0 / (na.n + nb.n - c) >= $JaccardThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q26_dedup_simhash" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hv FROM sh),
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN 2 * sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE 0 END) > count(*)
+         |         THEN (1::BIGINT << b) ELSE 0::BIGINT END AS bitv
+         |  FROM h, UNNEST(range(0, $SimhashBits)) AS u(b) GROUP BY doc_id, b
+         |),
+         |fp AS (SELECT doc_id, CAST(sum(bitv) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q28_ngram_jaccard_probe" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct(
+        |    list_transform(range(1, greatest(length(lower(text)) - 2, 1) + 1),
+        |                   i -> substr(lower(text), i, 3))) AS grams
+        |  FROM documents
+        |), probes AS (
+        |  SELECT doc_id AS probe_id, grams AS p_grams FROM g WHERE doc_id % 50 = 0
+        |), scored AS (
+        |  SELECT probe_id, doc_id,
+        |    CAST(len(list_intersect(p_grams, grams)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(p_grams, grams))) AS j
+        |  FROM probes, g WHERE doc_id != probe_id
+        |), ranked AS (
+        |  SELECT probe_id, doc_id, j,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY j DESC, doc_id) AS rn
+        |  FROM scored
+        |)
+        |SELECT probe_id, doc_id AS best_id, round(j, 4) AS jaccard
+        |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+  )
+}

@@ -1,0 +1,169 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.TopKByScore
+
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * the BASELINE north-star pillar. Three tiers, smallest to largest honest
+  * scale:
+  *
+  *  - q27: brute-force all-pairs top-N — the exactness baseline. Quadratic
+  *    by design; the thing the other two tiers exist to avoid.
+  *  - q18: top-k neighbors for a small probe set — probes broadcast, one
+  *    pass over the vectors, partial top-k aggregation (TopKByScore) so the
+  *    shuffle carries k rows per partition per probe, never the corpus.
+  *  - q19: LSH-bucketed ANN — deterministic comparator-plane signature →
+  *    equi-join on bucket → within-bucket ranking. The candidate join is a
+  *    hash join on the bucket key: no all-pairs term anywhere, which is the
+  *    shape that survives 100 TB. (Production would use random-hyperplane
+  *    signatures with multiple tables; comparator planes are used here so
+  *    the DuckDB oracle can reproduce the bucketing bit-for-bit — float
+  *    comparisons are exact across engines, dot products are not.)
+  *
+  * All vector math is VectorFunctions (codegen'd higher-order functions, no
+  * UDFs); norms are computed once per row before any join, never per pair.
+  */
+object VectorQueries {
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+
+  private def cosine(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
+    cosinePrenormed(dot(aEmb, bEmb), aNrm, bNrm)
+
+  /** Top-5 cosine neighbors for each probe vector (vec_id % 100 == 0).
+    * Probes are broadcast (tiny side), candidates stream past them in one
+    * map-side pass; TopKByScore reduces each partition to ≤5 pairs per probe
+    * before the only shuffle. Rank ties broken by vec_id — deterministic.
+    */
+  def q18KnnTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val probes = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
+    val topk = udaf(TopKByScore(5))
+    e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
+      .groupBy($"probe_id")
+      .agg(topk($"sim", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select(
+        $"probe_id",
+        ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"),
+        round($"col._1", 4).as("sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** Comparator-plane LSH bucket: bit i set iff v[a_i] > v[b_i] for fixed,
+    * well-spread index pairs (a 6-bit winner-take-all-style signature →
+    * 64 buckets). Deterministic and exactly reproducible in SQL. At larger
+    * corpora the bit count grows with log2(n / target_bucket_size).
+    */
+  private val ComparatorPlanes: Seq[(Int, Int)] =
+    Seq((1, 33), (6, 38), (11, 43), (16, 48), (21, 53), (26, 58)) // 1-indexed
+
+  private def lshBucket(emb: Column): Column =
+    ComparatorPlanes.zipWithIndex.map { case ((a, b), i) =>
+      when(element_at(emb, a) > element_at(emb, b), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via LSH buckets: nearest in-bucket neighbor per vector. The
+    * candidate set is built by an equi-join on the bucket key (shuffle
+    * partitions by bucket — each holds ~n/64 vectors), then a per-vector
+    * row_number picks the best. No pair of vectors in different buckets is
+    * ever scored: this is the not-all-pairs design the scale bar demands.
+    */
+  def q19AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+      .withColumn("bucket", lshBucket($"embedding"))
+    val pairs = e.as("a").join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
+      .select(
+        $"a.vec_id".as("vec_id"), $"a.bucket".as("bucket"), $"b.vec_id".as("nn_id"),
+        cosine($"a.embedding", $"b.embedding", $"a.nrm", $"b.nrm").as("sim"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"nn_id")
+    pairs.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"bucket", $"nn_id", round($"sim", 4).as("sim"))
+      .orderBy($"vec_id")
+  }
+
+  /** Brute-force global top-20 most-similar pairs — the exact baseline the
+    * bucketed variants approximate. Quadratic on purpose (n·(n−1)/2 scored
+    * pairs via a broadcast nested-loop join) and fused into
+    * TakeOrderedAndProject, so nothing but 20 rows survives the scan.
+    */
+  def q27CosineTopPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select(
+        $"a.vec_id".as("id_a"), $"b.vec_id".as("id_b"),
+        cosine($"a.embedding", $"b.embedding", $"a.nrm", $"b.nrm").as("sim"))
+      .orderBy($"sim".desc, $"id_a", $"id_b")
+      .limit(20)
+      .select($"id_a", $"id_b", round($"sim", 4).as("sim"))
+      .orderBy($"sim".desc, $"id_a", $"id_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_knn_topk" -> (q18KnnTopk _),
+    "q19_ann_lsh" -> (q19AnnLsh _),
+    "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
+  )
+
+  // All oracle arithmetic is forced to DOUBLE[] so DuckDB accumulates in
+  // double like Spark's cast-then-fold — float accumulation would drift
+  // past the round(…, 4) guard.
+  private val dotD = "list_dot_product(CAST(%s AS DOUBLE[]), CAST(%s AS DOUBLE[]))"
+  private def cosSql(a: String, b: String): String =
+    s"${dotD.format(a, b)} / (sqrt(${dotD.format(a, a)}) * sqrt(${dotD.format(b, b)}))"
+
+  private val bucketSql: String =
+    ComparatorPlanes.zipWithIndex.map { case ((a, b), i) =>
+      s"(CASE WHEN embedding[$a] > embedding[$b] THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q18_knn_topk" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id % 100 = 0
+         |), scored AS (
+         |  SELECT probe_id, vec_id, ${cosSql("p_emb", "embedding")} AS sim
+         |  FROM probes, embeddings WHERE vec_id != probe_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q19_ann_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS nn_id,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+         |), ranked AS (
+         |  SELECT vec_id, bucket, nn_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
+         |  FROM pairs
+         |)
+         |SELECT vec_id, bucket, nn_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q27_cosine_top_pairs" ->
+      s"""SELECT id_a, id_b, round(sim, 4) AS sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.embedding", "b.embedding")} AS sim
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |  ORDER BY sim DESC, id_a, id_b LIMIT 20
+         |)""".stripMargin,
+  )
+}

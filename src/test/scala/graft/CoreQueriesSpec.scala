@@ -9,6 +9,7 @@ object SparkTestSession {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
@@ -33,10 +34,21 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
-  test("q01 groups are the 6 returnflag/linestatus combos with positive counts") {
+  test("q01 groups are exactly the returnflag/linestatus combos present in lineitem") {
     val rows = relational.CoreQueries.q01PricingSummary(spark, sf).collect()
-    assert(rows.length >= 3)
+    val got = rows.map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))).toSet
+    val expected = Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <=
+        org.apache.spark.sql.functions.lit("1998-09-02").cast("timestamp"))
+      .select("l_returnflag", "l_linestatus").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expected)
     assert(rows.forall(_.getAs[Long]("count_order") > 0))
+    // counts over groups must sum to the filtered row count (partition-safe agg)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total == Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_shipdate") <=
+        org.apache.spark.sql.functions.lit("1998-09-02").cast("timestamp")).count())
   }
 
   test("q07 row_number restarts per customer and is capped at 3") {
