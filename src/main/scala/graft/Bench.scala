@@ -12,6 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: JVM/codegen/parquet-reader init otherwise lands on
+    // whichever query happens to run first (~4s of noise on its number).
+    SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,339 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the per-row kernels that dominate the
+  * vector/dedup queries.
+  *
+  * Why these exist: Spark's higher-order functions (`transform`, `zip_with`,
+  * `aggregate`) evaluate their lambda INTERPRETED, one expression-tree walk
+  * per array element. A 64-dim dot product via `zip_with`+`aggregate` costs
+  * ~128 interpreted evals per pair; a 128-hash minhash signature via nested
+  * `transform` costs ~13k per document. BENCH r02 measured the damage:
+  * q20 374 s, q28 44 s, q27 15 s at sf0.1. Each expression here replaces an
+  * interpreted lambda pipeline with one tight JVM loop per row (measured
+  * ~50-200x on those queries), which is the difference between a usable and
+  * an unusable operator at 100 TB.
+  *
+  * They are deliberately thin: deterministic, null-propagating scalar
+  * kernels with no state, registered per-query via ColumnBridge.column.
+  * (CodegenFallback is acceptable here: whole-stage codegen still inlines
+  * the call site, and the per-row loop body dwarfs the call overhead.)
+  */
+object NativeKernels {
+
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+
+  /** checkInputDataTypes helper (ExpectsInputTypes is private[sql] in
+    * Spark 4, so kernels validate against concrete DataTypes directly).
+    */
+  private[expressions] def checkTypes(
+      name: String, actual: Seq[DataType], expected: Seq[DataType]): TypeCheckResult =
+    if (actual.zip(expected).forall { case (a, e) => DataType.equalsIgnoreNullability(a, e) }) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name expects ${expected.mkString(", ")}, got ${actual.mkString(", ")}")
+
+  /** Σ aᵢ·bᵢ over two float-array columns, accumulated in double —
+    * bit-identical to DuckDB's list_dot_product over DOUBLE[] casts
+    * (sequential left-to-right fold in both engines).
+    */
+  def dotF(a: Column, b: Column): Column =
+    c(DotProductFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Distinct word k-shingles of a space-separated text, sorted (binary
+    * UTF8 order) so downstream set ops can two-pointer merge. Matches
+    * TextFunctions.shingles ∘ array_distinct up to order, including the
+    * "fewer than k tokens → whole text" degenerate case.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    c(WordShingles(ColumnBridge.expression(text), k))
+
+  /** Distinct char n-grams of a string, sorted. */
+  def charNgrams(text: Column, n: Int): Column =
+    c(CharNgrams(ColumnBridge.expression(text), n))
+
+  /** |A∩B| / |A∪B| of two SORTED distinct string arrays (two-pointer merge,
+    * no allocation). Inputs MUST come from wordShingles/charNgrams.
+    */
+  def jaccardSorted(a: Column, b: Column): Column =
+    c(JaccardSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Sorted distinct xxhash64 values of the char n-grams — the cheap-compare
+    * representation for Jaccard at volume: merging long arrays costs a
+    * primitive compare per step vs a byte-wise UTF8String compare. 64-bit
+    * collisions perturb a Jaccard count with probability ~2⁻⁶⁴ per in-doc
+    * gram pair (≪ the round(…,4) guard at any realistic corpus).
+    */
+  def charNgramHashes(text: Column, n: Int): Column =
+    c(CharNgramHashes(ColumnBridge.expression(text), n))
+
+  /** |A∩B| / |A∪B| of two SORTED distinct long arrays. */
+  def jaccardSortedLong(a: Column, b: Column): Column =
+    c(JaccardSortedLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** k-element MinHash signature: sig[j] = min over shingles of
+    * xxhash64(shingle, seed=j). Order- and duplicate-insensitive.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    c(MinHashSignature(ColumnBridge.expression(shingles), k))
+
+  /** 60-bit SimHash over DISTINCT shingle strings, using the md5-prefix
+    * hash h60(s) = int(md5hex(s)[0:15], 16) — reproducible bit-for-bit in
+    * the DuckDB oracle (q26). Input must already be distinct.
+    */
+  def simhash60(shingles: Column): Column =
+    c(SimHash60(ColumnBridge.expression(shingles)))
+}
+
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("dotF", Seq(left.dataType, right.dataType),
+      Seq(ArrayType(FloatType), ArrayType(FloatType)))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("wordShingles", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  /** Literal single-space split, limit −1 semantics (keeps empty tokens,
+    * incl. trailing) — exactly `split(text, " ", -1)`. Splitting on the
+    * space BYTE is exact for UTF-8: 0x20 cannot occur inside a multibyte
+    * sequence.
+    */
+  private def splitOnSpace(s: UTF8String): Array[UTF8String] = {
+    val bytes = s.getBytes
+    var parts = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) parts += 1; i += 1 }
+    val out = new Array[UTF8String](parts)
+    var start = 0
+    var p = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' '.toByte) {
+        out(p) = UTF8String.fromBytes(bytes, start, i - start)
+        p += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = splitOnSpace(input.asInstanceOf[UTF8String])
+    val out =
+      if (toks.length < k) Array(UTF8String.concatWs(UTF8String.fromString(" "), toks: _*))
+      else {
+        val a = new Array[UTF8String](toks.length - k + 1)
+        val sep = UTF8String.fromString(" ")
+        var i = 0
+        while (i < a.length) {
+          a(i) = UTF8String.concatWs(sep, toks.slice(i, i + k): _*)
+          i += 1
+        }
+        a
+      }
+    val distinct = out.distinct
+    java.util.Arrays.sort(distinct.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(distinct.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("charNgrams", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val count = math.max(len - n + 1, 1)
+    val a = new Array[UTF8String](count)
+    var i = 0
+    while (i < count) { a(i) = s.substring(i, math.min(i + n, len)); i += 1 }
+    val distinct = a.distinct
+    java.util.Arrays.sort(distinct.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(distinct.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("charNgramHashes", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val count = math.max(len - n + 1, 1)
+    val h = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      h(i) = XXH64.hashUTF8String(s.substring(i, math.min(i + n, len)), 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(h)
+    // dedupe in place on the sorted array
+    var w = 0
+    i = 0
+    while (i < count) {
+      if (w == 0 || h(i) != h(w - 1)) { h(w) = h(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(h, w))
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class JaccardSortedLong(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("jaccardSortedLong", Seq(left.dataType, right.dataType),
+      Seq(ArrayType(LongType), ArrayType(LongType)))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("jaccardSorted", Seq(left.dataType, right.dataType),
+      Seq(ArrayType(StringType), ArrayType(StringType)))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("minhashSignature", Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashUTF8String(s, j.toLong)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("simhash60", Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = LongType
+
+  @transient private lazy val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of md5 as a long == the high 60 bits of the first
+    * 8 digest bytes — identical to Spark's conv(substring(md5(s),1,15),16,10)
+    * and DuckDB's CAST('0x'||substr(md5(s),1,15) AS BIGINT).
+    */
+  private def h60(s: UTF8String): Long = {
+    val d = md5.get()
+    d.reset()
+    val digest = d.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = h60(arr.getUTF8String(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}

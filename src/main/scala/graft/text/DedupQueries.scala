@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextFunctions._
+import graft.expressions.NativeKernels._
 
 /** Near-duplicate detection over `documents` — the training-data-pipeline
   * dedup menu beyond exact dedup (q16): MinHash-LSH (q20), SimHash (q26),
@@ -29,11 +29,16 @@ object DedupQueries {
   val RowsPerBand = 4
   val JaccardThreshold = 0.6
 
-  /** doc_id + distinct word-k-shingle set (order irrelevant downstream). */
+  /** doc_id + sorted distinct word-k-shingle set. WordShingles is the
+    * native kernel; TextFunctions.shingles (the `transform(sequence…)`
+    * composition) is its executable specification — NativeKernelsSpec
+    * asserts they agree; the kernel is ~100× faster (interpreted lambdas
+    * vs one loop, see graft.expressions.NativeKernels).
+    */
   private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", array_distinct(shingles(tokens($"text"), ShingleK)).as("sh"))
+      .select($"doc_id", wordShingles($"text", ShingleK).as("sh"))
   }
 
   /** MinHash-LSH near-dup pairs, exact-Jaccard-verified.
@@ -51,9 +56,7 @@ object DedupQueries {
   def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sh = shingleSets(s, dir)
-    val sig = sh.select($"doc_id",
-      transform(sequence(lit(0), lit(NumHashes - 1)),
-        j => array_min(transform($"sh", t => xxhash64(t, j)))).as("sig"))
+    val sig = sh.select($"doc_id", minhashSignature($"sh", NumHashes).as("sig"))
     val banded = sig.select($"doc_id",
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => xxhash64(slice($"sig", b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
@@ -66,42 +69,31 @@ object DedupQueries {
     cand
       .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
       .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
-      .select($"id_a", $"id_b",
-        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
-          size(array_union($"sh_a", $"sh_b"))).as("j"))
+      .select($"id_a", $"id_b", jaccardSorted($"sh_a", $"sh_b").as("j"))
       .filter($"j" >= JaccardThreshold)
       .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Portable 60-bit hash both engines compute identically: the first 15 hex
-    * chars of md5. (xxhash64 is faster and used where the oracle does not
-    * need to reproduce the hash, e.g. q20's bands; SimHash bits ARE the
-    * result, so q26 pays the md5 for verifiability.)
-    */
-  private def h60(s: Column): Column = conv(substring(md5(s), 1, 15), 16, 10).cast("long")
-
   val SimhashBits = 60
   val SimhashBands = 4          // 4 × 15 bits; hamming ≤ 3 ⇒ ≥1 band equal
   val HammingThreshold = 3
-
-  private def simhash(hv: Column): Column =
-    (0 until SimhashBits).map { b =>
-      when(size(filter(hv, x => shiftright(x, b) % 2 === 1)) * 2 > size(hv),
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
 
   /** SimHash near-dup pairs (Charikar '02): 60-bit fingerprint from
     * per-bit majority votes over shingle hashes; candidates from 15-bit
     * band collisions (pigeonhole: hamming ≤ 3 over 4 bands forces ≥1 equal
     * band, so recall at the threshold is exactly 1 and the oracle is the
     * all-pairs hamming join); verified on the full fingerprint.
+    *
+    * The per-shingle hash is the md5-prefix h60 — portable, so the DuckDB
+    * oracle reproduces the fingerprint bit-for-bit. (SimHash bits ARE the
+    * result, unlike q20's minhash internals, so q26 pays md5 for
+    * verifiability; SimHash60 computes votes natively in one pass.)
     */
   def q26DedupSimhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val fp = shingleSets(s, dir)
-      .select($"doc_id", transform($"sh", t => h60(t)).as("hv"))
-      .select($"doc_id", simhash($"hv").as("simhash"))
+      .select($"doc_id", simhash60($"sh").as("simhash"))
     val banded = fp.select($"doc_id", $"simhash",
       posexplode(array((0 until SimhashBands).map(i =>
         shiftright($"simhash", 15 * i).bitwiseAND(lit(0x7fffL))): _*)))
@@ -124,16 +116,15 @@ object DedupQueries {
     */
   def q28NgramJaccardProbe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val g = Tables.documents(s, dir).select($"doc_id",
-      array_distinct(expr(
-        "transform(sequence(1, greatest(length(lower(text))-2, 1)), i -> substr(lower(text), i, 3))"
-      )).as("grams"))
+    // grams travel as sorted distinct xxhash64 longs: the 500k-pair merge
+    // then costs primitive compares (measured 10× over UTF8String grams);
+    // Jaccard over hashes == Jaccard over grams up to ~2⁻⁶⁴ collisions.
+    val g = Tables.documents(s, dir)
+      .select($"doc_id", charNgramHashes(lower($"text"), 3).as("grams"))
     val probes = g.filter($"doc_id" % 50 === 0)
       .select($"doc_id".as("probe_id"), $"grams".as("p_grams"))
     val scored = g.join(broadcast(probes), $"doc_id" =!= $"probe_id")
-      .select($"probe_id", $"doc_id",
-        (size(array_intersect($"p_grams", $"grams")).cast("double") /
-          size(array_union($"p_grams", $"grams"))).as("j"))
+      .select($"probe_id", $"doc_id", jaccardSortedLong($"p_grams", $"grams").as("j"))
     val w = Window.partitionBy($"probe_id").orderBy($"j".desc, $"doc_id")
     scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"probe_id", $"doc_id".as("best_id"), round($"j", 4).as("jaccard"))

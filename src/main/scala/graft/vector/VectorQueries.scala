@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.VectorFunctions._
+import graft.expressions.NativeKernels.dotF
+import graft.functions.VectorFunctions.cosinePrenormed
 import graft.operators.TopKByScore
 
 /** Similarity search over the `embeddings` table (64-dim float vectors) —
@@ -29,11 +30,16 @@ import graft.operators.TopKByScore
   */
 object VectorQueries {
 
+  // dotF is the native DotProductFloat kernel: VectorFunctions.dot (the
+  // zip_with+aggregate formulation) is semantically identical but evaluates
+  // its lambdas interpreted — ~128 expression-tree walks per pair. The
+  // kernel is one tight loop; NativeKernelsSpec asserts their equivalence.
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    df.select(col("vec_id"), col("embedding"),
+      sqrt(dotF(col("embedding"), col("embedding"))).as("nrm"))
 
   private def cosine(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
-    cosinePrenormed(dot(aEmb, bEmb), aNrm, bNrm)
+    cosinePrenormed(dotF(aEmb, bEmb), aNrm, bNrm)
 
   /** Top-5 cosine neighbors for each probe vector (vec_id % 100 == 0).
     * Probes are broadcast (tiny side), candidates stream past them in one

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.NativeKernels._
+import graft.functions.{TextFunctions, VectorFunctions}
+
+/** The native kernels (graft.expressions) each replace an equivalent
+  * composition of Spark built-ins that evaluates interpreted. The built-in
+  * form is the executable specification; these tests assert kernel ≡ spec
+  * on the real documents/embeddings testdata, so a kernel change that
+  * drifts from the declarative semantics fails here before it can reach an
+  * oracle mismatch.
+  */
+class NativeKernelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("wordShingles == sorted distinct of TextFunctions.shingles∘tokens") {
+    import spark.implicits._
+    val bad = Tables.documents(spark, sf)
+      .select(
+        wordShingles($"text", 3).as("native"),
+        array_sort(array_distinct(TextFunctions.shingles(TextFunctions.tokens($"text"), 3))).as("spec"))
+      .filter(not($"native" <=> $"spec"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("wordShingles degenerate cases: fewer tokens than k, empty tokens kept") {
+    import spark.implicits._
+    val df = Seq("one two", "a", "", "x  y").toDF("text") // double space → empty token
+    val bad = df.select(
+        wordShingles($"text", 3).as("native"),
+        array_sort(array_distinct(TextFunctions.shingles(TextFunctions.tokens($"text"), 3))).as("spec"))
+      .filter(not($"native" <=> $"spec")).count()
+    assert(bad == 0)
+  }
+
+  test("charNgrams == sorted distinct of the transform/substr composition") {
+    import spark.implicits._
+    val spec = array_sort(array_distinct(expr(
+      "transform(sequence(1, greatest(length(lower(text))-2, 1)), i -> substr(lower(text), i, 3))")))
+    val bad = Tables.documents(spark, sf)
+      .select(charNgrams(lower($"text"), 3).as("native"), spec.as("spec"))
+      .filter(not($"native" <=> $"spec")).count()
+    assert(bad == 0)
+  }
+
+  test("dotF == VectorFunctions.dot (zip_with+aggregate spec) on embeddings") {
+    import spark.implicits._
+    val bad = Tables.embeddings(spark, sf)
+      .select(
+        dotF($"embedding", $"embedding").as("native"),
+        VectorFunctions.dot($"embedding", $"embedding").as("spec"))
+      .filter(abs($"native" - $"spec") > 1e-12).count()
+    assert(bad == 0)
+  }
+
+  test("jaccardSorted == size(intersect)/size(union) on shingle sets") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select($"doc_id", wordShingles($"text", 3).as("sh"))
+    val pairs = docs.as("a").join(docs.as("b"), $"a.doc_id" % 17 === $"b.doc_id" % 17 && $"a.doc_id" < $"b.doc_id")
+      .select(
+        jaccardSorted($"a.sh", $"b.sh").as("native"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size(array_union($"a.sh", $"b.sh"))).as("spec"))
+    assert(pairs.filter(abs($"native" - $"spec") > 1e-15).count() == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("charNgramHashes Jaccard == charNgrams Jaccard (hash representation is lossless here)") {
+    import spark.implicits._
+    val g = Tables.documents(spark, sf).select($"doc_id",
+      charNgrams(lower($"text"), 3).as("grams"),
+      charNgramHashes(lower($"text"), 3).as("hashes"))
+    val pairs = g.as("a").join(g.as("b"), $"a.doc_id" % 13 === $"b.doc_id" % 13 && $"a.doc_id" < $"b.doc_id")
+      .select(
+        jaccardSorted($"a.grams", $"b.grams").as("s"),
+        jaccardSortedLong($"a.hashes", $"b.hashes").as("h"))
+    assert(pairs.filter($"s" =!= $"h").count() == 0)
+    assert(pairs.count() > 0)
+  }
+
+  test("simhash60 h60 matches conv(substring(md5(s),1,15),16,10)") {
+    import spark.implicits._
+    // single-shingle doc: simhash == h60 of that shingle (every vote is the bit itself)
+    val df = Seq("alpha", "beta gamma", "zzz").toDF("s")
+    val bad = df.select(
+        simhash60(array($"s")).as("native"),
+        conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("spec"))
+      .filter($"native" =!= $"spec").count()
+    assert(bad == 0)
+  }
+
+  test("minhashSignature is permutation- and duplicate-invariant") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("c", "a", "b", "a")),
+      (Seq("x y", "z"), Seq("z", "x y", "z"))
+    ).toDF("s1", "s2")
+    val bad = df.select(
+        minhashSignature($"s1", 32).as("m1"),
+        minhashSignature($"s2", 32).as("m2"))
+      .filter(not($"m1" <=> $"m2")).count()
+    assert(bad == 0)
+  }
+}
