@@ -17,6 +17,7 @@ object SparkEntry {
       (text.TextQueries.queries, text.TextQueries.oracles),
       (text.DedupQueries.queries, text.DedupQueries.oracles),
       (vector.VectorQueries.queries, vector.VectorQueries.oracles),
+      (etl.EtlQueries.queries, etl.EtlQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

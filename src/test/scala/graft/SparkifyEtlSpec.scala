@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.{SparkifyEtl, SparkifyQueries}
+
+/** End-to-end golden tests of the Sparkify pipeline over the checked-in
+  * JSON fixture (src/test/resources/sparkify — FIXTURES.md §B). The fixture
+  * is designed so the reference's four analytic queries (README.md:111–276)
+  * have exact hand-computed answers, including its edge cases: empty/null
+  * keys, duplicate song records, the multi-artist same-title note
+  * (README.md:109), a mid-log level change, unmatched plays → null FKs,
+  * a month-boundary (row_number restart), and sub-second timestamps
+  * (second-truncation semantics).
+  */
+class SparkifyEtlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  lazy val fixture: String =
+    getClass.getResource("/sparkify").getPath
+  lazy val outDir: String = {
+    val d = Files.createTempDirectory("sparkify_out").toString
+    SparkifyEtl.runAll(spark, fixture, d)
+    d
+  }
+  private def table(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
+
+  test("songs: empty-string and null song_id dropped, duplicates collapsed, hive layout") {
+    val songs = table("songs")
+    val ids = songs.select("song_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("SOHEY1", "SOHEY2", "SOLUN1", "SOYOU1"))
+    assert(new java.io.File(s"$outDir/songs/year=1990/artist_id=ARDY1").isDirectory)
+  }
+
+  test("artists: kept even when song_id was empty/null; deduplicated") {
+    val ids = table("artists").select("artist_id").collect().map(_.getString(0)).sorted
+    assert(ids.toSeq == Seq("ARDY1", "ARLUN1", "ARNUL1", "ARUSH1", "ARUSH2", "ARXX1"))
+  }
+
+  test("users: empty userId dropped; level change yields two rows for one user") {
+    val users = table("users")
+    assert(users.count() == 4)
+    val tegan = users.where(users("user_id") === "80").collect()
+    assert(tegan.map(_.getAs[String]("level")).sorted.toSeq == Seq("free", "paid"))
+    assert(users.where(users("user_id") === "").count() == 0)
+  }
+
+  test("time: one row per songplay event (not deduped — reference quirk); second truncation") {
+    import spark.implicits._
+    val time = table("time")
+    assert(time.count() == 11) // 11 NextSong events incl. the empty-user one
+    // Kate's two plays 900ms apart truncate to the same second
+    val kateSecond = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1542268800L))
+    assert(time.where($"start_time" === kateSecond).count() == 2)
+    // weekday is the intended 'E' capability, not the reference's 'F' bug
+    val wd = time.select("weekday").distinct().collect().map(_.getString(0)).toSet
+    assert(wd.subsetOf(Set("Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun")))
+  }
+
+  test("songplays: unmatched plays keep null FKs; ids restart per (year,month) and are dense") {
+    import spark.implicits._
+    val sp = table("songplays")
+    assert(sp.count() == 11)
+    assert(sp.where($"song_id".isNull).count() == 2) // Garage Demo + Winter Tune
+    val perMonth = sp.groupBy($"year", $"month")
+      .agg(org.apache.spark.sql.functions.countDistinct($"songplay_id").as("d"),
+        org.apache.spark.sql.functions.max($"songplay_id").as("mx"),
+        org.apache.spark.sql.functions.count($"songplay_id").as("n"))
+      .collect()
+    assert(perMonth.length == 2) // Nov + Dec 2018
+    perMonth.foreach { r =>
+      assert(r.getAs[Long]("d") == r.getAs[Long]("n"))
+      assert(r.getAs[Int]("mx").toLong == r.getAs[Long]("n"))
+    }
+  }
+
+  test("golden: top songs (README.md:111–147 shape)") {
+    val rows = SparkifyQueries.topSongs(table("songplays"), table("songs"), table("artists"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("You're The One", "Dwight Yoakam", 7L),
+      ("Hey Daddy (Daddy's Home)", "Usher", 2L)))
+  }
+
+  test("golden: top users (README.md:153–188 shape; level change merges to one row)") {
+    val rows = SparkifyQueries.topUsers(table("songplays"), table("users"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("49", "Chloe Cuevas", 6L),
+      ("97", "Kate Harrell", 2L),
+      ("80", "Tegan Levine", 2L)))
+  }
+
+  test("golden: top user id is 49 (README.md:194–227)") {
+    val rows = SparkifyQueries.topUserId(table("songplays"), table("users")).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("49"))
+  }
+
+  test("golden: top sessions for user 49 (README.md:233–276 shape, unpadded dates)") {
+    val rows = SparkifyQueries
+      .topSessionsForUser(table("songplays"), table("users"), table("songs"), "49")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1041L, "2018-11-29", "Chloe Cuevas", 3L),
+      (1079L, "2018-11-30", "Chloe Cuevas", 1L),
+      (2001L, "2018-12-1", "Chloe Cuevas", 1L)))
+  }
+}
