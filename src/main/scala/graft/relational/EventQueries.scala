@@ -6,9 +6,10 @@ import graft.Tables
 
 /** Semi-structured + time-window surface over the `events` table:
   * JSON extraction (SURVEY §2.9 extension), tumbling-window aggregation and
-  * sessionization — the batch twins of the Structured Streaming operators in
-  * graft.streaming (same `session_window`/`window` expressions run in both
-  * modes, which is exactly Spark's unified-batch/streaming contract).
+  * sessionization — the oracle-verified batch twins of
+  * [[graft.streaming.StreamingOps]] (same `session_window`/`window`
+  * expressions run in both modes — Spark's unified batch/streaming
+  * contract; StreamingSpec asserts the equivalence on this table).
   */
 object EventQueries {
 
@@ -58,10 +59,26 @@ object EventQueries {
       .orderBy($"user_id", $"sess_start")
   }
 
+  /** The EXACT streaming expression (StreamingOps.hourlyTypeCounts — the
+    * `window()` form, not q12's date_trunc) run in batch mode against the
+    * DuckDB oracle: with StreamingSpec's batch≡stream equivalence this
+    * transitively oracle-verifies the streaming operator itself.
+    */
+  def q29StreamHourlyTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.StreamingOps.hourlyTypeCounts(
+        Tables.events(s, dir).select($"ts", $"user_id", $"event_type", $"value"))
+      .select(
+        date_format($"window_start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_events_json" -> (q11EventsJson _),
     "q12_events_hourly" -> (q12EventsHourly _),
     "q24_sessionization" -> (q24Sessionization _),
+    "q29_stream_hourly_twin" -> (q29StreamHourlyTwin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -76,6 +93,10 @@ object EventQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q29_stream_hourly_twin" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q24_sessionization" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface (SURVEY §2.10 extension): windowed
+  * aggregation, sessionization, and watermark-based late-data handling.
+  *
+  * Each transform is a plain `DataFrame => DataFrame` over an event table
+  * with (ts: timestamp, user_id: long, event_type: string, value: double)
+  * — Spark's unified batch/streaming contract means the SAME function runs
+  * in both modes: applied to a batch DataFrame it is a grouped aggregate;
+  * applied to `readStream` output it is an incremental stateful operator.
+  * StreamingSpec asserts batch/stream equivalence on identical input, and
+  * EventQueries' q12/q24 are the oracle-verified batch twins of these
+  * shapes.
+  *
+  * Scale/state posture: hourly windows keep one state row per (window,
+  * type) — bounded by the watermark horizon; session windows keep one
+  * in-flight session per user, merged on arrival and evicted once the
+  * watermark passes the gap. State never grows with total stream length,
+  * only with concurrent activity — the property that matters on an
+  * unbounded 100 TB/day stream.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour (window_start, event_type) counts + value sums. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** 30-minute-gap sessions per user (same expression as batch q24). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("sw.start").as("sess_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Late-data policy: events older than `delay` behind the max seen ts are
+    * dropped and their windows finalized (append-mode emission).
+    */
+  def withLateDataDrop(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** The streaming deployment shape: watermark then windowed aggregation —
+    * in append mode a window emits exactly once, when the watermark passes
+    * its end.
+    */
+  def hourlyTypeCountsStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    hourlyTypeCounts(withLateDataDrop(events, delay))
+
+  def userSessionsStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    userSessions(withLateDataDrop(events, delay))
+}

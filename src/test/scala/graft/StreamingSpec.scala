@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Batch/stream equivalence for graft.streaming (SURVEY §5: session
+  * windows have no DuckDB twin, so the oracle is the batch run of the SAME
+  * transform — Spark's unified-semantics contract, checked here on the
+  * real events testdata; the batch shapes themselves are DuckDB-verified
+  * as q12/q24).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def eventData(): Seq[Ev] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def runCompleteStream(data: Seq[Ev], transform: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val source = MemoryStream[Ev](implicitly[org.apache.spark.sql.Encoder[Ev]], spark.sqlContext)
+    // two batches: state must merge results across micro-batches
+    val (b1, b2) = data.splitAt(data.length / 2)
+    val q = transform(source.toDF())
+      .writeStream.format("memory").queryName("sink_" + System.nanoTime())
+      .outputMode(OutputMode.Complete()).start()
+    source.addData(b1)
+    q.processAllAvailable()
+    source.addData(b2)
+    q.processAllAvailable()
+    val out = spark.table(q.name)
+    q.stop()
+    out
+  }
+
+  test("hourly window agg: streaming (2 micro-batches, complete mode) == batch") {
+    import spark.implicits._
+    val data = eventData()
+    val batch = StreamingOps.hourlyTypeCounts(data.toDF())
+    val stream = runCompleteStream(data, StreamingOps.hourlyTypeCounts)
+    assert(sortedRows(stream) == sortedRows(batch))
+    assert(batch.count() > 0)
+  }
+
+  test("session windows: streaming (2 micro-batches, complete mode) == batch") {
+    import spark.implicits._
+    val data = eventData()
+    val batch = StreamingOps.userSessions(data.toDF())
+    val stream = runCompleteStream(data, StreamingOps.userSessions)
+    assert(sortedRows(stream) == sortedRows(batch))
+    assert(batch.count() > 0)
+  }
+
+  test("watermark append mode: windows emit once closed; late events are dropped") {
+    import spark.implicits._
+    def ev(min: Int, v: Double) = Ev(Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(min * 60L)), 1L, "a", v)
+
+    val source = MemoryStream[Ev](implicitly[org.apache.spark.sql.Encoder[Ev]], spark.sqlContext)
+    val q = StreamingOps.hourlyTypeCountsStream(source.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("wm_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+
+    source.addData(ev(0, 1.0), ev(30, 2.0)) // hour-0 window open
+    q.processAllAvailable()
+    assert(spark.table(q.name).count() == 0) // nothing closed yet
+
+    source.addData(ev(75, 4.0)) // watermark → 75-10=65min: hour-0 closes
+    q.processAllAvailable()
+    val closed = spark.table(q.name).as[(Timestamp, String, Long, Double)].collect()
+    assert(closed.length == 1)
+    assert(closed.head._3 == 2L && closed.head._4 == 3.0)
+
+    source.addData(ev(5, 100.0)) // late: behind the watermark, must be dropped
+    source.addData(ev(130, 8.0)) // watermark → 120min: hour-1 closes WITHOUT the late row
+    q.processAllAvailable()
+    val rows = spark.table(q.name).as[(Timestamp, String, Long, Double)].collect()
+      .sortBy(_._1.getTime)
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(1)._3 == 1L && rows(1)._4 == 4.0) // only the 75-min event; late 100.0 absent
+  }
+}
