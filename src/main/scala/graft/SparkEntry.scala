@@ -18,6 +18,7 @@ object SparkEntry {
       (text.DedupQueries.queries, text.DedupQueries.oracles),
       (vector.VectorQueries.queries, vector.VectorQueries.oracles),
       (etl.EtlQueries.queries, etl.EtlQueries.oracles),
+      (media.MediaQueries.queries, media.MediaQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,77 @@
+package graft.media
+
+import org.apache.spark.sql.Dataset
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, processed per-partition — the shape a training-data pipeline
+  * uses for image/audio/video columns at 100 TB.
+  *
+  * The decode bodies are STUBS — this environment ships no image/audio
+  * codecs, so `decodeFrames`/`sampleFrames` compute a deterministic fake
+  * (hash-derived dimensions) where a real deployment would call the codec.
+  * Everything AROUND the stub is real and tested (MediaSpec): the typed
+  * record/row schemas, the `mapPartitions` batch iteration (one codec
+  * context per partition, not per row — the pattern that amortizes
+  * expensive decoder init), partition-count preservation, and determinism.
+  * Swapping in a real codec changes only the marked lines.
+  *
+  * mapPartitions is SURVEY §2 policy case (d): genuine per-partition
+  * imperative logic (a codec loop with per-partition init) that neither
+  * built-ins nor a scalar Expression express.
+  */
+object MediaFunctions {
+
+  /** A multimodal record: opaque payload + source-side metadata. */
+  case class MediaRecord(id: Long, payload: Array[Byte], format: String)
+
+  /** Decoded per-item features (dimensions, derived stats, content hash). */
+  case class DecodedFrame(id: Long, width: Int, height: Int, n_pixels: Long, checksum: Long)
+
+  /** Sampled "frames" of a pretend video payload. */
+  case class SampledFrame(id: Long, frame_idx: Int, offset: Long, frame_checksum: Long)
+
+  private def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = math.max(from, 0)
+    val end = math.min(until, bytes.length)
+    while (i < end) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Decode payloads to per-item features. One "codec context" per
+    * partition (the `it =>` scope), streamed row-by-row — no partition-wide
+    * materialization, so executor memory is bounded by one payload.
+    */
+  def decodeFrames(records: Dataset[MediaRecord]): Dataset[DecodedFrame] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // real pipeline: codec init here, once per partition
+      it.map { r =>
+        val h = fnv64(r.payload, 0, r.payload.length)
+        // STUB decode: dimensions derived from the content hash — a real
+        // codec would parse the payload header instead (only these 2 lines
+        // change).
+        val width = 16 + ((h & 0xff).toInt)
+        val height = 16 + (((h >> 8) & 0xff).toInt)
+        DecodedFrame(r.id, width, height, width.toLong * height, h)
+      }
+    }
+  }
+
+  /** Sample every `stride`-th fixed-size block of the payload as a "frame"
+    * — the frame-sampling access pattern (seek + bounded read per sample)
+    * over an opaque video column.
+    */
+  def sampleFrames(records: Dataset[MediaRecord], frameSize: Int, stride: Int): Dataset[SampledFrame] = {
+    import records.sparkSession.implicits._
+    require(frameSize > 0 && stride > 0)
+    records.flatMap { r =>
+      val nFrames = math.max(r.payload.length / (frameSize * stride), 0)
+      (0 until nFrames).map { i =>
+        val off = i.toLong * frameSize * stride
+        // STUB frame decode: checksum of the sampled block
+        SampledFrame(r.id, i, off, fnv64(r.payload, off.toInt, off.toInt + frameSize))
+      }
+    }
+  }
+}

@@ -185,6 +185,45 @@ object CoreQueries {
       .orderBy($"tag")
   }
 
+  /** INNER compound-key join (J3 literal: the README.md:158–160
+    * `sp_user_id = u_user_id AND sp_level = u_level` shape — q05 is the
+    * left-outer variant). Dim derived, thinned, broadcast.
+    */
+  def q22InnerCompoundJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val dim = docs.groupBy($"lang", $"source")
+      .agg(min($"doc_id").as("rep_id"))
+      .filter($"rep_id" % 2 === 0)
+      .select($"lang".as("d_lang"), $"source".as("d_source"), $"rep_id")
+    docs.join(broadcast(dim),
+        docs("lang") === dim("d_lang") && docs("source") === dim("d_source"), "inner")
+      .groupBy($"rep_id")
+      .agg(count(lit(1)).as("n_docs"), countDistinct($"doc_id").as("n_unique"))
+      .orderBy($"rep_id")
+  }
+
+  /** The reference's dimension-cleaning idiom (P1+P3, etl.py:68–71,
+    * 131–137): null-drop on a key subset plus the empty-string key filter.
+    * Nulls/empties are manufactured deterministically from doc_id since the
+    * testdata key columns are dense — the operators under test are
+    * `na.drop("any", subset)` and `=!= ""` exactly as the reference chains
+    * them.
+    */
+  def q25NaDrop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("k",
+        when($"doc_id" % 7 === 0, lit(null).cast("string"))
+          .when($"doc_id" % 11 === 0, lit(""))
+          .otherwise($"source"))
+      .na.drop("any", Seq("k"))
+      .filter($"k" =!= "")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), countDistinct($"lang").as("n_langs"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -196,6 +235,8 @@ object CoreQueries {
     "q08_scalar_subquery" -> (q08ScalarSubquery _),
     "q09_time_dims" -> (q09TimeDims _),
     "q10_setops" -> (q10SetOps _),
+    "q22_inner_compound_join" -> (q22InnerCompoundJoin _),
+    "q25_na_drop" -> (q25NaDrop _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -256,6 +297,22 @@ object CoreQueries {
         | dayofmonth(o_orderdate) AS dom, hour(o_orderdate) AS hr,
         | week(o_orderdate) AS wk, dayofweek(o_orderdate) + 1 AS wd
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q22_inner_compound_join" ->
+      """WITH dim AS (
+        |  SELECT lang, source, min(doc_id) AS rep_id FROM documents GROUP BY lang, source
+        |), dim2 AS (SELECT * FROM dim WHERE rep_id % 2 = 0)
+        |SELECT rep_id, count(*) AS n_docs, count(DISTINCT d.doc_id) AS n_unique
+        |FROM documents d JOIN dim2 ON d.lang = dim2.lang AND d.source = dim2.source
+        |GROUP BY rep_id ORDER BY rep_id""".stripMargin,
+    "q25_na_drop" ->
+      """WITH x AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 THEN NULL
+        |              WHEN doc_id % 11 = 0 THEN ''
+        |              ELSE source END AS k, lang
+        |  FROM documents
+        |)
+        |SELECT k, count(*) AS n, count(DISTINCT lang) AS n_langs
+        |FROM x WHERE k IS NOT NULL AND k != '' GROUP BY k ORDER BY k""".stripMargin,
     "q10_setops" ->
       """SELECT tag, n FROM (
         | SELECT 'all_keys' AS tag, count(*) AS n FROM

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.media.MediaFunctions
+import graft.media.MediaFunctions.MediaRecord
+
+/** The multimodal plumbing around the stubbed decode: typed schemas,
+  * per-partition batch iteration, partition preservation, determinism —
+  * everything that stays when a real codec replaces the stub.
+  */
+class MediaSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def records() = {
+    import spark.implicits._
+    Tables.documents(spark, sf)
+      .selectExpr("doc_id as id", "cast(text as binary) as payload", "'text/plain' as format")
+      .as[MediaRecord]
+  }
+
+  test("decodeFrames: one output per record, stable schema, deterministic") {
+    val recs = records()
+    val d1 = MediaFunctions.decodeFrames(recs)
+    assert(d1.count() == recs.count())
+    assert(d1.schema.fieldNames.toSeq ==
+      Seq("id", "width", "height", "n_pixels", "checksum"))
+    val a = d1.collect().sortBy(_.id).map(_.checksum).toSeq
+    val b = MediaFunctions.decodeFrames(recs).collect().sortBy(_.id).map(_.checksum).toSeq
+    assert(a == b)
+    assert(d1.collect().forall(f => f.n_pixels == f.width.toLong * f.height))
+  }
+
+  test("decodeFrames: narrow transformation — partitioning preserved, no added shuffle") {
+    def exchanges(plan: String): Int = "Exchange".r.findAllIn(plan).length
+    val recs = records().repartition(6)
+    val decoded = MediaFunctions.decodeFrames(recs)
+    assert(decoded.rdd.getNumPartitions == 6)
+    // the only Exchange is the repartition(6) above — decode adds none
+    assert(exchanges(decoded.queryExecution.executedPlan.toString) ==
+      exchanges(recs.queryExecution.executedPlan.toString))
+  }
+
+  test("sampleFrames: offsets stride correctly and stay in payload bounds") {
+    import spark.implicits._
+    val sampled = MediaFunctions.sampleFrames(records(), frameSize = 16, stride = 4)
+    val byId = sampled.collect().groupBy(_.id)
+    assert(byId.nonEmpty)
+    val lens = records().collect().map(r => r.id -> r.payload.length).toMap
+    byId.foreach { case (id, frames) =>
+      val idxs = frames.map(_.frame_idx).sorted
+      assert(idxs.toSeq == (0 until frames.length).toSeq)
+      frames.foreach { f =>
+        assert(f.offset == f.frame_idx.toLong * 16 * 4)
+        assert(f.offset + 16 <= lens(id))
+      }
+    }
+  }
+}
