@@ -13,6 +13,7 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (relational.CoreQueries.queries, relational.CoreQueries.oracles),
+      (relational.AdvancedQueries.queries, relational.AdvancedQueries.oracles),
       (relational.EventQueries.queries, relational.EventQueries.oracles),
       (text.TextQueries.queries, text.TextQueries.oracles),
       (text.DedupQueries.queries, text.DedupQueries.oracles),

@@ -1,0 +1,141 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Analytics beyond the reference's literal surface (SURVEY §2.5/§2.8
+  * "absent in the reference, free in Spark" tier): multi-level aggregation
+  * (rollup), pivot, semi/anti joins, and an as-of join in its scalable
+  * formulation. Each has an exact DuckDB oracle.
+  */
+object AdvancedQueries {
+
+  /** ROLLUP over (returnflag, linestatus): per-group, per-flag subtotal and
+    * grand total in one pass — planned as a single Expand + hash aggregate,
+    * so the shuffle carries (groups × 3) pre-aggregated rows only.
+    * Subtotal nulls are rendered '(all)' for cross-engine stability.
+    */
+  def q30Rollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"n", $"sum_qty")
+      .orderBy($"rf", $"ls")
+  }
+
+  /** Pivot: linestatus rows × returnflag columns. The value list is pinned
+    * (TPC-H domain A/N/R) — with an explicit list Spark skips the extra
+    * distinct-values job and the plan is one partial+final aggregate.
+    */
+  def q31Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .orderBy($"l_linestatus")
+  }
+
+  /** Left-semi and left-anti joins (EXISTS / NOT EXISTS): customers with
+    * and without orders, per market segment. Semi/anti never materialize
+    * right-side columns — the build side carries only the key.
+    */
+  def q32SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val ordKeys = Tables.orders(s, dir).select($"o_custkey")
+    def tag(t: String, df: DataFrame): DataFrame =
+      df.groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+        .select(lit(t).as("tag"), $"c_mktsegment", $"n")
+    tag("with_orders", cust.join(ordKeys, $"c_custkey" === $"o_custkey", "left_semi"))
+      .unionByName(
+        tag("no_orders", cust.join(ordKeys, $"c_custkey" === $"o_custkey", "left_anti")))
+      .orderBy($"tag", $"c_mktsegment")
+  }
+
+  /** As-of join: for each `error` event, the same user's most recent
+    * `purchase` at or before it (second precision; null if none).
+    *
+    * Formulated the way it scales: tag and UNION the two sides, shuffle
+    * ONCE on user_id, sort within partition by (ts, side), and carry the
+    * last non-null purchase ts forward with `last(ignoreNulls)` over an
+    * unbounded-preceding frame. No range join, no per-row probe: cost is
+    * one shuffle + one in-partition sort regardless of how many purchases
+    * precede each event. (A 1000-executor cluster handles skewed users via
+    * AQE; state per row is one timestamp.) Purchases sort before events at
+    * an equal second, matching the oracle's `<=`. Oracle: DuckDB's native
+    * ASOF LEFT JOIN.
+    */
+  def q33AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", date_trunc("second", $"ts").as("ts_s"), $"event_id", $"event_type")
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts_s", $"event_id", lit(null).cast("timestamp").as("p_ts"),
+        lit(1).as("side"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_s").distinct()
+      .select($"user_id", $"ts_s", lit(null).cast("long").as("event_id"), $"ts_s".as("p_ts"),
+        lit(0).as("side"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_s", $"side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    errors.unionByName(purchases)
+      .withColumn("last_p", last($"p_ts", ignoreNulls = true).over(w))
+      .filter($"side" === 1)
+      .select($"event_id", $"user_id",
+        date_format($"last_p", "yyyy-MM-dd HH:mm:ss").as("last_purchase"))
+      .orderBy($"event_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_rollup" -> (q30Rollup _),
+    "q31_pivot" -> (q31Pivot _),
+    "q32_semi_anti" -> (q32SemiAnti _),
+    "q33_asof_join" -> (q33AsofJoin _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        | coalesce(l_linestatus, '(all)') AS ls,
+        | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "q31_pivot" ->
+      """SELECT l_linestatus,
+        | count(*) FILTER (l_returnflag = 'A') AS "A",
+        | count(*) FILTER (l_returnflag = 'N') AS "N",
+        | count(*) FILTER (l_returnflag = 'R') AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q32_semi_anti" ->
+      """SELECT 'with_orders' AS tag, c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |UNION ALL
+        |SELECT 'no_orders', c_mktsegment, count(*)
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY tag, c_mktsegment""".stripMargin,
+    "q33_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type FROM events
+        |), err AS (
+        |  SELECT user_id, ts_s, event_id FROM ev WHERE event_type = 'error'
+        |), p AS (
+        |  SELECT DISTINCT user_id, ts_s AS p_ts FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS last_purchase
+        |FROM err e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND p.p_ts <= e.ts_s
+        |ORDER BY e.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.NativeKernels._
+
+/** Property-based operator laws (SURVEY §5): generated inputs through the
+  * same operators the registered queries use. The generators cover the
+  * degenerate shapes fixed testdata cannot: empty lists, single tokens,
+  * all-identical rows, fully-null key columns.
+  *
+  * scalacheck generators are driven directly with fixed seeds (the
+  * scalatest-scalacheck bridge isn't in the offline artifact cache):
+  * deterministic, and each Spark job is one generated case, so case count
+  * is kept deliberately small.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong), retries = 100))
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  test("dedup idempotence and size law: |distinct(xs ++ xs)| == |distinct(xs)|") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(0, 20)), 6).foreach { xs =>
+      val d = (xs ++ xs).toDF("v").dropDuplicates()
+      assert(d.count() == xs.distinct.length.toLong)
+      assert(d.dropDuplicates().count() == d.count())
+    }
+  }
+
+  test("left-outer join null propagation: every left row survives; unmatched rows null out") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(0L, 15L)), Gen.listOf(Gen.chooseNum(0L, 15L)))
+    samples(gen, 6).foreach { case (left, right) =>
+      val l = left.toDF("k")
+      val r = right.distinct.toDF("rk").withColumn("tag", lit("hit"))
+      val j = l.join(r, $"k" === $"rk", "left_outer")
+      assert(j.count() == left.length.toLong)
+      assert(j.filter($"tag".isNull).count() == left.count(k => !right.contains(k)).toLong)
+      assert(j.filter($"tag".isNotNull && $"k" =!= $"rk").count() == 0)
+    }
+  }
+
+  test("window row_number uniqueness and density within each partition key") {
+    import spark.implicits._
+    val gen = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)))
+    samples(gen, 6).foreach { rows =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"g").orderBy($"v", $"uid")
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i) }
+        .toDF("g", "v", "uid")
+        .withColumn("rn", row_number().over(w))
+      df.collect().groupBy(_.getAs[Int]("g")).foreach { case (_, rs) =>
+        assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length))
+      }
+    }
+  }
+
+  test("jaccard laws on generated texts: range, reflexivity, symmetry, spec equality") {
+    import spark.implicits._
+    val pairs = samples(Gen.zip(text, text), 12)
+    val df = pairs.toDF("a", "b").select(
+      jaccardSorted(wordShingles($"a", 3), wordShingles($"b", 3)).as("jab"),
+      jaccardSorted(wordShingles($"b", 3), wordShingles($"a", 3)).as("jba"),
+      jaccardSorted(wordShingles($"a", 3), wordShingles($"a", 3)).as("jaa"),
+      (size(array_intersect(wordShingles($"a", 3), wordShingles($"b", 3))).cast("double") /
+        size(array_union(wordShingles($"a", 3), wordShingles($"b", 3)))).as("spec"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Double]("jaa") == 1.0)
+      assert(r.getAs[Double]("jab") == r.getAs[Double]("jba"))
+      assert(r.getAs[Double]("jab") >= 0.0 && r.getAs[Double]("jab") <= 1.0)
+      assert(r.getAs[Double]("jab") == r.getAs[Double]("spec"))
+    }
+  }
+
+  test("minhash signatures are order-invariant (the property LSH banding relies on)") {
+    import spark.implicits._
+    val texts = samples(text.suchThat(_.nonEmpty), 12)
+    val df = texts.toDF("a").select(
+      minhashSignature(wordShingles($"a", 3), 64).as("m1"),
+      minhashSignature(reverse(wordShingles($"a", 3)), 64).as("m2"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("na.drop subset: drops exactly the null-keyed rows, keeps other-column nulls") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(Gen.option(Gen.chooseNum(0, 9))), 6).foreach { keys =>
+      val schema = StructType(Seq(
+        StructField("k", IntegerType, nullable = true),
+        StructField("other", StringType, nullable = true)))
+      val rows = keys.map(k => Row(k.orNull, null))
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      assert(df.na.drop("any", Seq("k")).count() == keys.count(_.isDefined).toLong)
+    }
+  }
+}
