@@ -39,7 +39,10 @@ object Tables {
     require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench builders)")
     import org.apache.spark.sql.functions._
+    // `ts div 1000` — integer division. `/` would widen the ns long to
+    // double (53-bit mantissa, ulp ≈ 256 at 1.7e18) and round the microsecond
+    // by ±1: invisible at second granularity, wrong at millisecond (q34).
     p(s, d, "events")
-      .withColumn("ts", timestamp_micros((org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

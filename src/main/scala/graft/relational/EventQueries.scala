@@ -74,7 +74,26 @@ object EventQueries {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Epoch-ms ⇄ timestamp conversions (F1–F3 literal): the reference's
+    * Python-UDF path (etl.py:144–153) as native expressions, both exact
+    * (`timestamp_millis`) and bug-compatible second-truncated
+    * (`timestamp_seconds(floor(ms/1000))`), round-tripped through epoch ms
+    * and verified against DuckDB's epoch_ms/to_timestamp.
+    */
+  def q34EpochRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_id", unix_millis($"ts").as("ms"))
+      .select(
+        $"event_id", $"ms",
+        date_format(timestamp_millis($"ms"), "yyyy-MM-dd HH:mm:ss.SSS").as("ts_exact"),
+        date_format(timestamp_seconds(floor($"ms" / 1000).cast("long")), "yyyy-MM-dd HH:mm:ss")
+          .as("ts_truncated"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_epoch_roundtrip" -> (q34EpochRoundtrip _),
     "q11_events_json" -> (q11EventsJson _),
     "q12_events_hourly" -> (q12EventsHourly _),
     "q24_sessionization" -> (q24Sessionization _),
@@ -82,6 +101,11 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_epoch_roundtrip" ->
+      """SELECT event_id, epoch_ms(ts) AS ms,
+        | strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d %H:%M:%S.%g') AS ts_exact,
+        | strftime(to_timestamp(epoch_ms(ts) // 1000), '%Y-%m-%d %H:%M:%S') AS ts_truncated
+        |FROM events ORDER BY event_id""".stripMargin,
     // sum(BIGINT) is HUGEINT in DuckDB → float64 through the driver's pandas
     // path; cast back to BIGINT so it hashes equal to Spark's LongType sum.
     "q11_events_json" ->

@@ -67,7 +67,28 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Top-5 terms per language by document frequency: the Generator surface
+    * (`explode` over the token array — SURVEY Phase 4's "explode word
+    * counts"). explode → per-(lang, token) distinct-doc counts → per-lang
+    * top-k. At scale the explode is map-side; the aggregate is partial+
+    * final on (lang, token); WindowGroupLimit caps the per-lang ranking.
+    */
+  def q36TopTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"lang").orderBy($"df".desc, $"token")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(tokens($"text")).as("token"))
+      .groupBy($"lang", $"token")
+      .agg(countDistinct($"doc_id").as("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .select($"lang", $"rn".cast("long").as("rn"), $"token", $"df")
+      .orderBy($"lang", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_top_terms" -> (q36TopTerms _),
     "q13_doc_tokens" -> (q13DocTokens _),
     "q14_doc_quality" -> (q14DocQuality _),
     "q15_doc_fingerprint" -> (q15DocFingerprint _),
@@ -91,6 +112,17 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q36_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+        |), df AS (
+        |  SELECT lang, token, count(DISTINCT doc_id) AS df FROM toks GROUP BY lang, token
+        |), ranked AS (
+        |  SELECT lang, token, df,
+        |    row_number() OVER (PARTITION BY lang ORDER BY df DESC, token) AS rn
+        |  FROM df
+        |)
+        |SELECT lang, rn, token, df FROM ranked WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "q13_doc_tokens" ->
       """SELECT doc_id,
         | len(string_split(text, ' ')) AS n_tokens,

@@ -118,10 +118,33 @@ object VectorQueries {
       .orderBy($"sim".desc, $"id_a", $"id_b")
   }
 
+  /** IVF-style coarse quantization: assign every vector to its
+    * nearest-centroid cell (centroids = the vec_id < 8 vectors, broadcast —
+    * a deterministic stand-in for trained centroids; swapping in k-means
+    * output changes only the centroid DataFrame). The assignment is one
+    * broadcast pass (8 dot products per row, no shuffle); the emitted cell
+    * id is what restricts a later search to candidate cells — the IVF scale
+    * path next to q19's LSH.
+    */
+  def q35IvfAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val centroids = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cell")
+    e.join(broadcast(centroids), $"vec_id" =!= $"cell")
+      .select($"vec_id",
+        $"cell", cosine($"embedding", $"c_emb", $"nrm", $"c_nrm").as("cos"))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"vec_id", $"cell", round($"cos", 4).as("cos"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_knn_topk" -> (q18KnnTopk _),
     "q19_ann_lsh" -> (q19AnnLsh _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
+    "q35_ivf_assign" -> (q35IvfAssign _),
   )
 
   // All oracle arithmetic is forced to DOUBLE[] so DuckDB accumulates in
@@ -163,6 +186,19 @@ object VectorQueries {
          |  FROM pairs
          |)
          |SELECT vec_id, bucket, nn_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q35_ivf_assign" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+         |), scored AS (
+         |  SELECT e.vec_id, c.cell, ${cosSql("e.embedding", "c.c_emb")} AS cos
+         |  FROM embeddings e, c WHERE e.vec_id != c.cell
+         |), ranked AS (
+         |  SELECT vec_id, cell, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+         |  FROM scored
+         |)
+         |SELECT vec_id, cell, round(cos, 4) AS cos
          |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q27_cosine_top_pairs" ->
       s"""SELECT id_a, id_b, round(sim, 4) AS sim FROM (

@@ -75,6 +75,15 @@ class SparkifyEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("case-insensitive column resolution (P6): col(\"useragent\") resolves userAgent like etl.py:187") {
+    import org.apache.spark.sql.functions.col
+    val events = SparkifyEtl.songplayEvents(SparkifyEtl.readLogData(spark, fixture))
+    // the reference writes the wrong case and relies on spark.sql.caseSensitive=false
+    val resolved = events.select(col("useragent"), col("USERID")).collect()
+    assert(resolved.nonEmpty)
+    assert(resolved.forall(r => Option(r.getString(0)).forall(_.contains("Mozilla"))))
+  }
+
   test("golden: top songs (README.md:111–147 shape)") {
     val rows = SparkifyQueries.topSongs(table("songplays"), table("songs"), table("artists"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
