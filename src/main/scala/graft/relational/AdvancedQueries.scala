@@ -93,7 +93,28 @@ object AdvancedQueries {
       .orderBy($"event_id")
   }
 
+  /** Approximate distinct counting (HLL++): the sketch tier a 100 TB engine
+    * aggregates cardinalities with — mergeable, fixed-size state instead of
+    * a distinct shuffle. Sketch estimates are engine-specific, so there is
+    * no DuckDB oracle (driver records a rows-only check); instead the query
+    * is SELF-validating: it carries the exact count and the relative error
+    * next to the estimate, and AdvancedSpec bounds the error (<5%, well
+    * above the configured 1% rsd).
+    */
+  def q37ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", rsd = 0.01).as("approx_d"),
+        countDistinct($"l_partkey").as("exact_d"))
+      .select($"l_returnflag", $"approx_d", $"exact_d",
+        round(abs($"approx_d" - $"exact_d").cast("double") / $"exact_d", 4).as("rel_err"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_approx_distinct" -> (q37ApproxDistinct _),
     "q30_rollup" -> (q30Rollup _),
     "q31_pivot" -> (q31Pivot _),
     "q32_semi_anti" -> (q32SemiAnti _),

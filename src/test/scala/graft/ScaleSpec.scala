@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Salting
+
+/** Physical-layout and skew behaviors that only matter at cluster scale,
+  * proven at test scale through the plan and file-level evidence:
+  * bucketed co-located joins (no exchange), partition pruning (fewer files
+  * read), salting equivalences (skew rewrites are result-identical).
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables co-locate the join: sort-merge join with no shuffle exchange") {
+    import spark.implicits._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      // a fresh JVM's in-memory catalog forgets the tables but the
+      // warehouse files survive — clear them or saveAsTable refuses
+      Seq("b_orders", "b_lineitem").foreach { t =>
+        val dir = new java.io.File(s"target/spark-warehouse/$t")
+        if (dir.exists()) {
+          java.nio.file.Files.walk(dir.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => p.toFile.delete())
+        }
+      }
+      Tables.orders(spark, sf)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+      Tables.lineitem(spark, sf)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), $"o_orderkey" === $"l_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // same rows as the plain join
+      val plain = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf), $"o_orderkey" === $"l_orderkey")
+      assert(j.count() == plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
+  test("hive-partitioned layout prunes: a year filter reads only that year's files") {
+    import spark.implicits._
+    val out = "target/tmp/prune_orders"
+    Tables.orders(spark, sf)
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val all = spark.read.parquet(out)
+    val pruned = all.filter($"o_year" === 1995)
+    val allFiles = all.inputFiles.length
+    val prunedFiles = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.totalNumberOfFiles.toInt
+    assert(prunedFiles < allFiles, s"pruned=$prunedFiles all=$allFiles")
+    assert(pruned.count() ==
+      Tables.orders(spark, sf).filter(year($"o_orderdate") === 1995).count())
+  }
+
+  test("salting rewrites are result-identical on skewed data (90% hot key)") {
+    import spark.implicits._
+    val skewed = (1 to 9000).map(i => ("hot", i % 500)) ++
+      (1 to 1000).map(i => (s"k${i % 50}", i))
+    val df = skewed.toDF("key", "value")
+
+    val d1 = Salting.skewResistantDistinctCount(df, "key", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val d2 = df.groupBy($"key").agg(countDistinct($"value")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(d1 == d2)
+
+    val s1 = Salting.saltedSum(df, "key", col("value"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val s2 = df.groupBy($"key").agg(sum($"value").as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s1 == s2)
+
+    val dim = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("key", "tag")
+    val j1 = Salting.saltedJoin(df, dim, "key", 8)
+      .groupBy($"tag").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val j2 = df.join(dim, "key")
+      .groupBy($"tag").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(j1 == j2)
+  }
+
+  test("q37 approx_count_distinct stays within 5% of exact (1% rsd configured)") {
+    val rows = relational.AdvancedQueries.q37ApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.05, s"row $r")
+    }
+  }
+}
