@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions._
+
+/** SparkSessionExtensions provider: registers the native kernels as SQL
+  * functions, so `spark.sql` users get the same surface as the DataFrame
+  * API (`SELECT minhash_signature(word_shingles(text, 3), 128) ...`).
+  *
+  * Wire-up:
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // in-process
+  *   // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  *
+  * This is the supported public extension point (no registry internals
+  * touched); GraftExtensionsSpec drives each function through spark.sql.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_f"),
+      info("dot_f", "dot_f(a, b) - double dot product of two float arrays"),
+      (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, k) - sorted distinct word k-shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), intLit(args(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(text, n) - sorted distinct char n-grams"),
+      (args: Seq[Expression]) => CharNgrams(args(0), intLit(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("char_ngram_hashes"),
+      info("char_ngram_hashes", "char_ngram_hashes(text, n) - sorted distinct xxhash64 of char n-grams"),
+      (args: Seq[Expression]) => CharNgramHashes(args(0), intLit(args(1), "n"))))
+    ext.injectFunction((FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted", "jaccard_sorted(a, b) - Jaccard of two sorted distinct string arrays"),
+      (args: Seq[Expression]) => JaccardSorted(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("jaccard_sorted_long"),
+      info("jaccard_sorted_long", "jaccard_sorted_long(a, b) - Jaccard of two sorted distinct long arrays"),
+      (args: Seq[Expression]) => JaccardSortedLong(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(shingles, k) - k-element MinHash signature"),
+      (args: Seq[Expression]) => MinHashSignature(args(0), intLit(args(1), "k"))))
+    ext.injectFunction((FunctionIdentifier("simhash60"),
+      info("simhash60", "simhash60(shingles) - 60-bit SimHash over distinct shingles"),
+      (args: Seq[Expression]) => SimHash60(args(0))))
+  }
+}

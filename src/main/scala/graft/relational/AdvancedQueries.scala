@@ -113,7 +113,25 @@ object AdvancedQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Exact percentiles (sort-based `percentile`, linear interpolation) —
+    * deterministic here because l_quantity is integral-valued, so the
+    * interpolated points are exact in double in both engines. At 100 TB the
+    * approx_percentile sketch replaces this; the exact form is the
+    * verification baseline.
+    */
+  def q39Quantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        percentile($"l_quantity", lit(0.5)).as("median"),
+        percentile($"l_quantity", lit(0.9)).as("p90"),
+        round(avg($"l_quantity"), 4).as("mean"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_quantiles" -> (q39Quantiles _),
     "q37_approx_distinct" -> (q37ApproxDistinct _),
     "q30_rollup" -> (q30Rollup _),
     "q31_pivot" -> (q31Pivot _),
@@ -122,6 +140,12 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_quantiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median,
+        | quantile_cont(l_quantity, 0.9) AS p90,
+        | round(avg(l_quantity), 4) AS mean
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q30_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
         | coalesce(l_linestatus, '(all)') AS ls,

@@ -87,7 +87,34 @@ object TextQueries {
       .orderBy($"lang", $"rn")
   }
 
+  /** TF-IDF: top-3 scored terms per probe document. Term frequencies and
+    * document frequencies are separate aggregates joined on token (a
+    * shuffle join — the vocabulary is corpus-sized, never broadcast at
+    * scale); the corpus size N arrives as a broadcast 1-row cross join, not
+    * a collected scalar.
+    */
+  def q38Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select($"doc_id", explode(tokens($"text")).as("token"))
+    val tf = toks.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tfidf".desc, $"token")
+    tf.filter($"doc_id" % 25 === 0)
+      .join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select($"doc_id", $"token",
+        ($"tf" * log($"n_docs".cast("double") / $"df")).as("tfidf"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"rn".cast("long").as("rn"), $"token", round($"tfidf", 4).as("tfidf"))
+      .orderBy($"doc_id", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_tfidf" -> (q38Tfidf _),
     "q36_top_terms" -> (q36TopTerms _),
     "q13_doc_tokens" -> (q13DocTokens _),
     "q14_doc_quality" -> (q14DocQuality _),
@@ -112,6 +139,26 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q38_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, count(*) AS df FROM tf GROUP BY token
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |  WHERE tf.doc_id % 25 = 0
+        |), ranked AS (
+        |  SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        |  FROM scored
+        |)
+        |SELECT doc_id, rn, token, round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q36_top_terms" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents

@@ -12,6 +12,7 @@ object SparkTestSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir", "target/spark-warehouse")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
     .getOrCreate()
 }
 

@@ -64,6 +64,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("dropDuplicatesWithinWatermark: re-delivered events dedupe inside the horizon") {
+    import spark.implicits._
+    def ev(min: Int, v: Double) = Ev(Timestamp.from(
+      java.time.Instant.parse("2024-03-01T00:00:00Z").plusSeconds(min * 60L)), 7L, "dup", v)
+
+    val source = MemoryStream[Ev](implicitly[org.apache.spark.sql.Encoder[Ev]], spark.sqlContext)
+    val q = source.toDF()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ddw_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+
+    source.addData(ev(0, 1.0), ev(1, 2.0))
+    q.processAllAvailable()
+    source.addData(ev(2, 1.0)) // re-delivery of value 1.0 within the horizon
+    q.processAllAvailable()
+    val vals = spark.table(q.name).as[Ev].collect().map(_.value).sorted.toSeq
+    q.stop()
+    assert(vals == Seq(1.0, 2.0)) // duplicate suppressed
+  }
+
   test("watermark append mode: windows emit once closed; late events are dropped") {
     import spark.implicits._
     def ev(min: Int, v: Double) = Ev(Timestamp.from(
