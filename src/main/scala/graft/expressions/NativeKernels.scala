@@ -3,10 +3,9 @@ package graft.expressions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -22,13 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform` costs ~13k per document. BENCH r02 measured the damage:
   * q20 374 s, q28 44 s, q27 15 s at sf0.1. Each expression here replaces an
   * interpreted lambda pipeline with one tight JVM loop per row (measured
-  * ~50-200x on those queries), which is the difference between a usable and
-  * an unusable operator at 100 TB.
+  * ~50-200× on those queries) — the difference between a usable and an
+  * unusable operator at 100 TB.
   *
-  * They are deliberately thin: deterministic, null-propagating scalar
-  * kernels with no state, registered per-query via ColumnBridge.column.
-  * (CodegenFallback is acceptable here: whole-stage codegen still inlines
-  * the call site, and the per-row loop body dwarfs the call overhead.)
+  * Each expression implements REAL `doGenCode`: whole-stage codegen emits a
+  * static call into [[KernelOps]] (null checks handled by
+  * defineCodeGen), so the kernels sit inside the generated loop like any
+  * built-in — no CodegenFallback row re-evaluation, no interpreted subtree.
+  * The interpreted path (`nullSafeEval`) delegates to the SAME KernelOps
+  * body, so both paths cannot drift.
   */
 object NativeKernels {
 
@@ -95,31 +96,21 @@ object NativeKernels {
     c(SimHash60(ColumnBridge.expression(shingles)))
 }
 
-case class DotProductFloat(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    NativeKernels.checkTypes("dotF", Seq(left.dataType, right.dataType),
-      Seq(ArrayType(FloatType), ArrayType(FloatType)))
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+/** The kernel bodies, static-callable from generated Java
+  * (`graft.expressions.KernelOps.dotF(a, b)` — Scala object static
+  * forwarders). One tight loop per row; shared by the interpreted and
+  * codegen paths.
+  */
+object KernelOps {
+
+  def dotF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
 
-case class WordShingles(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 1)
-  override def checkInputDataTypes(): TypeCheckResult =
-    NativeKernels.checkTypes("wordShingles", Seq(child.dataType), Seq(StringType))
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
   /** Literal single-space split, limit −1 semantics (keeps empty tokens,
     * incl. trailing) — exactly `split(text, " ", -1)`. Splitting on the
     * space BYTE is exact for UTF-8: 0x20 cannot occur inside a multibyte
@@ -145,13 +136,19 @@ case class WordShingles(child: Expression, k: Int)
     out
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = splitOnSpace(input.asInstanceOf[UTF8String])
+  private def sortedDistinct(a: Array[UTF8String]): GenericArrayData = {
+    val distinct = a.distinct
+    java.util.Arrays.sort(distinct.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(distinct.asInstanceOf[Array[Any]])
+  }
+
+  def wordShingles(s: UTF8String, k: Int): ArrayData = {
+    val toks = splitOnSpace(s)
+    val sep = UTF8String.fromString(" ")
     val out =
-      if (toks.length < k) Array(UTF8String.concatWs(UTF8String.fromString(" "), toks: _*))
+      if (toks.length < k) Array(UTF8String.concatWs(sep, toks: _*))
       else {
         val a = new Array[UTF8String](toks.length - k + 1)
-        val sep = UTF8String.fromString(" ")
         var i = 0
         while (i < a.length) {
           a(i) = UTF8String.concatWs(sep, toks.slice(i, i + k): _*)
@@ -159,41 +156,19 @@ case class WordShingles(child: Expression, k: Int)
         }
         a
       }
-    val distinct = out.distinct
-    java.util.Arrays.sort(distinct.asInstanceOf[Array[AnyRef]])
-    new GenericArrayData(distinct.asInstanceOf[Array[Any]])
+    sortedDistinct(out)
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
-}
 
-case class CharNgrams(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n >= 1)
-  override def checkInputDataTypes(): TypeCheckResult =
-    NativeKernels.checkTypes("charNgrams", Seq(child.dataType), Seq(StringType))
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  def charNgrams(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
     val count = math.max(len - n + 1, 1)
     val a = new Array[UTF8String](count)
     var i = 0
     while (i < count) { a(i) = s.substring(i, math.min(i + n, len)); i += 1 }
-    val distinct = a.distinct
-    java.util.Arrays.sort(distinct.asInstanceOf[Array[AnyRef]])
-    new GenericArrayData(distinct.asInstanceOf[Array[Any]])
+    sortedDistinct(a)
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
-}
 
-case class CharNgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n >= 1)
-  override def checkInputDataTypes(): TypeCheckResult =
-    NativeKernels.checkTypes("charNgramHashes", Seq(child.dataType), Seq(StringType))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  def charNgramHashes(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
     val count = math.max(len - n + 1, 1)
     val h = new Array[Long](count)
@@ -212,18 +187,22 @@ case class CharNgramHashes(child: Expression, n: Int)
     }
     new GenericArrayData(java.util.Arrays.copyOf(h, w))
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
-}
 
-case class JaccardSortedLong(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    NativeKernels.checkTypes("jaccardSortedLong", Seq(left.dataType, right.dataType),
-      Seq(ArrayType(LongType), ArrayType(LongType)))
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 1.0 else inter.toDouble / union.toDouble
+  }
+
+  def jaccardSortedLong(x: ArrayData, y: ArrayData): Double = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -237,43 +216,8 @@ case class JaccardSortedLong(left: Expression, right: Expression)
     val union = nx + ny - inter
     if (union == 0) 1.0 else inter.toDouble / union.toDouble
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
 
-case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    NativeKernels.checkTypes("jaccardSorted", Seq(left.dataType, right.dataType),
-      Seq(ArrayType(StringType), ArrayType(StringType)))
-  override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val nx = x.numElements()
-    val ny = y.numElements()
-    var i = 0; var j = 0; var inter = 0
-    while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { inter += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
-    }
-    val union = nx + ny - inter
-    if (union == 0) 1.0 else inter.toDouble / union.toDouble
-  }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
-
-case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 1)
-  override def checkInputDataTypes(): TypeCheckResult =
-    NativeKernels.checkTypes("minhashSignature", Seq(child.dataType), Seq(ArrayType(StringType)))
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -289,16 +233,8 @@ case class MinHashSignature(child: Expression, k: Int)
     }
     new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
-}
 
-case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    NativeKernels.checkTypes("simhash60", Seq(child.dataType), Seq(ArrayType(StringType)))
-  override def dataType: DataType = LongType
-
-  @transient private lazy val md5 = new ThreadLocal[MessageDigest] {
+  private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
@@ -316,8 +252,7 @@ case class SimHash60(child: Expression)
     v >>> 4
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def simhash60(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](60)
     var i = 0
@@ -335,5 +270,102 @@ case class SimHash60(child: Expression)
     while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+}
+
+case class DotProductFloat(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("dotF", Seq(left.dataType, right.dataType),
+      Seq(ArrayType(FloatType), ArrayType(FloatType)))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KernelOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.KernelOps.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("wordShingles", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.wordShingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.wordShingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("charNgrams", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.charNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.charNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("charNgramHashes", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.charNgramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.charNgramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("jaccardSorted", Seq(left.dataType, right.dataType),
+      Seq(ArrayType(StringType), ArrayType(StringType)))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KernelOps.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.KernelOps.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class JaccardSortedLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("jaccardSortedLong", Seq(left.dataType, right.dataType),
+      Seq(ArrayType(LongType), ArrayType(LongType)))
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KernelOps.jaccardSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.KernelOps.jaccardSortedLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("minhashSignature", Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.minhashSignature(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.minhashSignature($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("simhash60", Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.simhash60(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.simhash60($c)")
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }

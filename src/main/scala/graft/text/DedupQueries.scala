@@ -119,8 +119,17 @@ object DedupQueries {
     // grams travel as sorted distinct xxhash64 longs: the 500k-pair merge
     // then costs primitive compares (measured 10× over UTF8String grams);
     // Jaccard over hashes == Jaccard over grams up to ~2⁻⁶⁴ collisions.
+    //
+    // The repartition below is load-bearing: without a materialization
+    // boundary, whole-stage codegen fuses this projection into the
+    // nested-loop probe join's inner loop and recomputes charNgramHashes
+    // once per PAIR (~n_probes×) instead of once per document — measured
+    // 5 s → 123 s at sf0.1. One small shuffle of (doc_id, grams) pins the
+    // per-document evaluation; at cluster scale it also spreads the probe
+    // sweep evenly.
     val g = Tables.documents(s, dir)
       .select($"doc_id", charNgramHashes(lower($"text"), 3).as("grams"))
+      .repartition($"doc_id")
     val probes = g.filter($"doc_id" % 50 === 0)
       .select($"doc_id".as("probe_id"), $"grams".as("p_grams"))
     val scored = g.join(broadcast(probes), $"doc_id" =!= $"probe_id")
@@ -131,7 +140,36 @@ object DedupQueries {
       .orderBy($"probe_id")
   }
 
+  /** Capstone corpus-cleaning pipeline — the flagship LLM-training-data
+    * use case, composing the pillars end-to-end:
+    *   1. quality gate: ≥ 20 tokens (TextFunctions length signal);
+    *   2. language gate: char-bigram lang-ID must agree with the label;
+    *   3. near-dup removal: q20's MinHash-LSH pairs, keep the smaller
+    *      doc_id of each verified pair (deterministic survivor rule),
+    *      dropped via LEFT ANTI join — no collect, no IN-list.
+    * Output: surviving corpus stats per language. Every stage is the same
+    * code path its standalone query verifies (q13/q17/q20), so the oracle
+    * only has to restate the composition.
+    */
+  def q40CorpusClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{langId, tokens}
+    val docs = Tables.documents(s, dir)
+    val dropIds = q20DedupMinhash(s, dir)
+      .select($"id_b".as("doc_id")).distinct()
+    docs
+      .filter(size(tokens($"text")) >= 20)
+      .filter(langId($"text") === $"lang")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg($"n_chars"), 2).as("avg_chars"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_corpus_clean" -> (q40CorpusClean _),
     "q20_dedup_minhash" -> (q20DedupMinhash _),
     "q26_dedup_simhash" -> (q26DedupSimhash _),
     "q28_ngram_jaccard_probe" -> (q28NgramJaccardProbe _),
@@ -149,6 +187,24 @@ object DedupQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q40_corpus_clean" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), drops AS (
+         |  SELECT DISTINCT id_b AS doc_id FROM inter
+         |  JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+         |  WHERE c * 1.0 / (na.n + nb.n - c) >= $JaccardThreshold
+         |)
+         |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
+         |FROM documents d
+         |WHERE len(string_split(text, ' ')) >= 20
+         |  AND (${graft.text.TextQueries.langCase.replace("\n", " ")}) = lang
+         |  AND NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Exact all-pairs Jaccard ≥ threshold — valid as the oracle because the
     // Spark side verifies candidates exactly (no false positives) and the
     // banding miss probability at the corpus's J-range is < 1e-11.

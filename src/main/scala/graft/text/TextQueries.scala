@@ -123,7 +123,7 @@ object TextQueries {
     "q17_langid" -> (q17LangId _),
   )
 
-  private val langCase: String = {
+  private[graft] val langCase: String = {
     // mirrors TextFunctions.langId: argmax, ties broken en > de > es > fr
     val score = Map(
       "en" -> "len(regexp_extract_all(lower(text), 'th|he|in|er|an'))",
