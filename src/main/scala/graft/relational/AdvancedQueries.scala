@@ -130,7 +130,57 @@ object AdvancedQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Analytic-window breadth beyond the reference's lone row_number (W1):
+    * lag/lead, rank/dense_rank, and a running sum over an explicit
+    * rows-frame — one exchange on the partition key, one in-partition
+    * sort, all functions evaluated in a single WindowExec pass.
+    */
+  def q42WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byDate = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    val byPrice = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_custkey" % 10 === 0)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        round($"o_totalprice", 2).as("price"),
+        round(lag($"o_totalprice", 1).over(byDate), 2).as("prev_price"),
+        round(lead($"o_totalprice", 1).over(byDate), 2).as("next_price"),
+        rank().over(byPrice).cast("long").as("price_rank"),
+        dense_rank().over(byPrice).cast("long").as("price_dense_rank"),
+        round(sum($"o_totalprice")
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** String-function breadth (F6-family beyond the reference's concat):
+    * pad/trim/replace/regexp/extract/position — all codegen'd built-ins,
+    * map-side only.
+    */
+  def q43StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_partkey" % 20 === 0)
+      .select(
+        $"p_partkey",
+        lpad($"p_brand", 12, "*").as("brand_lpad"),
+        rpad($"p_brand", 12, "#").as("brand_rpad"),
+        trim(lit(" pad "), lit(" ")).as("trimmed"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+        substring($"p_name", 1, 8).as("name_prefix"),
+        instr($"p_type", "BRASS").cast("long").as("brass_pos"),
+        reverse($"p_brand").as("brand_rev"),
+        repeat(lit("ab"), 3).as("repeated"),
+        length($"p_name").cast("long").as("name_len"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_window_suite" -> (q42WindowSuite _),
+    "q43_string_funcs" -> (q43StringFuncs _),
     "q39_quantiles" -> (q39Quantiles _),
     "q37_approx_distinct" -> (q37ApproxDistinct _),
     "q30_rollup" -> (q30Rollup _),
@@ -140,6 +190,31 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q42_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(o_totalprice, 2) AS price,
+        | round(lag(o_totalprice, 1) OVER w_date, 2) AS prev_price,
+        | round(lead(o_totalprice, 1) OVER w_date, 2) AS next_price,
+        | rank() OVER w_price AS price_rank,
+        | dense_rank() OVER w_price AS price_dense_rank,
+        | round(sum(o_totalprice) OVER (w_date ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW
+        | w_date AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | w_price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q43_string_funcs" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS brand_lpad,
+        | rpad(p_brand, 12, '#') AS brand_rpad,
+        | trim(' pad ', ' ') AS trimmed,
+        | regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        | substr(p_name, 1, 8) AS name_prefix,
+        | instr(p_type, 'BRASS') AS brass_pos,
+        | reverse(p_brand) AS brand_rev,
+        | repeat('ab', 3) AS repeated,
+        | length(p_name) AS name_len
+        |FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""".stripMargin,
     "q39_quantiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS median,

@@ -92,7 +92,28 @@ object EventQueries {
       .orderBy($"event_id")
   }
 
+  /** Semi-structured parsing with a declared shape: `from_json` into
+    * MapType (vs q11's path extraction) then `explode` of the map —
+    * key-level aggregation without knowing the keys up front. The JSON
+    * parse is one codegen'd expression; pushdown still prunes `events` to
+    * (props) only.
+    */
+  def q41FromJsonMap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables.events(s, dir)
+      .select(explode(from_json($"props", MapType(StringType, LongType))).as(Seq("key", "value")))
+      .groupBy($"key")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"value").as("sum_v"),
+        min($"value").as("min_v"),
+        max($"value").as("max_v"))
+      .orderBy($"key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_from_json_map" -> (q41FromJsonMap _),
     "q34_epoch_roundtrip" -> (q34EpochRoundtrip _),
     "q11_events_json" -> (q11EventsJson _),
     "q12_events_hourly" -> (q12EventsHourly _),
@@ -101,6 +122,15 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_from_json_map" ->
+      """WITH kv AS (
+        |  SELECT unnest(json_keys(props)) AS key, props FROM events
+        |), v AS (
+        |  SELECT key, CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS value FROM kv
+        |)
+        |SELECT key, count(*) AS n, CAST(sum(value) AS BIGINT) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM v GROUP BY key ORDER BY key""".stripMargin,
     "q34_epoch_roundtrip" ->
       """SELECT event_id, epoch_ms(ts) AS ms,
         | strftime(make_timestamp(epoch_ms(ts) * 1000), '%Y-%m-%d %H:%M:%S.%g') AS ts_exact,
