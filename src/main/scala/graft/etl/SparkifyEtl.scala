@@ -98,6 +98,18 @@ object SparkifyEtl {
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("start_time", timestamp_seconds(floor(col("ts") / 1000)))
 
+  /** The reference's literal conversion path (F2+F3): epoch ms → formatted
+    * STRING → `to_timestamp` (etl.py:144–153 routes through
+    * `'%Y-%m-%d %H:%M:%S'` text). Kept as the bug-compatible alternative;
+    * SparkifyEtlSpec asserts it is row-identical to [[withEventTime]], so
+    * the direct form is used everywhere else.
+    */
+  def withEventTimeViaString(events: DataFrame): DataFrame =
+    events.withColumn("start_time",
+      to_timestamp(
+        date_format(timestamp_seconds(floor(col("ts") / 1000)), "yyyy-MM-dd HH:mm:ss"),
+        "yyyy-MM-dd HH:mm:ss"))
+
   /** time(start_time, hour, day, week, month, year, weekday) —
     * etl.py:156–164. NOT deduplicated (reference quirk: start_time is the
     * diagram's PK but holds duplicates). Weekday uses 'E' (intended), not

@@ -75,6 +75,15 @@ class SparkifyEtlSpec extends AnyFunSuite {
     }
   }
 
+  test("F3: the string-route to_timestamp path equals the direct timestamp_seconds path") {
+    import spark.implicits._
+    val events = SparkifyEtl.songplayEvents(SparkifyEtl.readLogData(spark, fixture))
+    val direct = SparkifyEtl.withEventTime(events).select($"ts", $"start_time")
+    val viaString = SparkifyEtl.withEventTimeViaString(events).select($"ts", $"start_time")
+    assert(direct.exceptAll(viaString).count() == 0)
+    assert(viaString.exceptAll(direct).count() == 0)
+  }
+
   test("case-insensitive column resolution (P6): col(\"useragent\") resolves userAgent like etl.py:187") {
     import org.apache.spark.sql.functions.col
     val events = SparkifyEtl.songplayEvents(SparkifyEtl.readLogData(spark, fixture))
