@@ -65,6 +65,35 @@ class ScaleSpec extends AnyFunSuite {
       Tables.orders(spark, sf).filter(year($"o_orderdate") === 1995).count())
   }
 
+  test("runtime bloom filter: a selective dim filter injects might_contain on the fact scan") {
+    import spark.implicits._
+    val prev = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // test-scale data is far below the production 10GB application-side
+      // threshold — drop it to observe the injection
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join, where the filter pays off
+      val li = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf).filter($"o_totalprice" > 400000)
+      val j = li.join(sel, $"l_orderkey" === $"o_orderkey").groupBy($"o_orderstatus").count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${opt.take(2000)}")
+      // and the filtered join still returns the right rows
+      val expected = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf).filter($"o_totalprice" > 400000),
+          $"l_orderkey" === $"o_orderkey").count()
+      assert(j.agg(org.apache.spark.sql.functions.sum($"count")).collect()(0).getLong(0) == expected)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("salting rewrites are result-identical on skewed data (90% hot key)") {
     import spark.implicits._
     val skewed = (1 to 9000).map(i => ("hot", i % 500)) ++
