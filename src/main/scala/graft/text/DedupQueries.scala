@@ -57,10 +57,16 @@ object DedupQueries {
     import s.implicits._
     val sh = shingleSets(s, dir)
     val sig = sh.select($"doc_id", minhashSignature($"sh", NumHashes).as("sig"))
+    // repartition on the band key so BOTH self-join sides are the identical
+    // canonical Exchange: ReuseExchange then computes the (expensive)
+    // minhash signatures ONCE and the join reads the second side from the
+    // reused shuffle output. Without it one side broadcasts and the whole
+    // signature pipeline runs twice (measured ~35% of q20).
     val banded = sig.select($"doc_id",
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => xxhash64(slice($"sig", b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
       .select($"doc_id", $"pos".as("band"), $"col".as("band_key"))
+      .repartition($"band", $"band_key")
     val cand = banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
