@@ -20,9 +20,14 @@ object EtlQueries {
   def q21EtlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = s"/root/repo/target/tmp/etl_roundtrip_${math.abs(dir.hashCode)}"
+    // repartition on the partition columns → one file per (year, month)
+    // dir instead of one per (task × dir): fewer, bigger files — the
+    // layout a downstream reader wants (and measurably faster to write
+    // and re-read here).
     Tables.orders(s, dir)
       .withColumn("o_year", year($"o_orderdate"))
       .withColumn("o_month", month($"o_orderdate"))
+      .repartition($"o_year", $"o_month")
       .write.mode("overwrite").partitionBy("o_year", "o_month").parquet(out)
     s.read.parquet(out)
       .groupBy($"o_year".cast("long").as("o_year"), $"o_month".cast("long").as("o_month"))

@@ -42,6 +42,42 @@ object AdvancedQueries {
       .orderBy($"l_linestatus")
   }
 
+  /** CUBE over (returnflag, linestatus): all 2² grouping combinations in
+    * one Expand + hash aggregate (completes the multi-level family next to
+    * q30's ROLLUP). grouping_id disambiguates genuine nulls from subtotal
+    * rows.
+    */
+  def q44Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("rf"),
+        coalesce($"l_linestatus", lit("(all)")).as("ls"),
+        $"gid", $"n", $"sum_price")
+      .orderBy($"gid", $"rf", $"ls")
+  }
+
+  /** Higher-order array functions as a user-facing surface (filter /
+    * transform / aggregate over token arrays) — appropriate OUTSIDE hot
+    * per-row kernels (see NativeKernels for why the hot paths are native):
+    * here each lambda runs once per document, not per pair.
+    */
+  def q45ArrayHof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id",
+        split($"text", " ", -1).as("toks"))
+      .select($"doc_id",
+        size(filter($"toks", t => length(t) > 4)).cast("long").as("n_long_tokens"),
+        aggregate($"toks", lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+        concat_ws("|", slice(transform($"toks", t => upper(t)), 1, 3)).as("first3_upper"))
+      .orderBy($"doc_id")
+  }
+
   /** Left-semi and left-anti joins (EXISTS / NOT EXISTS): customers with
     * and without orders, per market segment. Semi/anti never materialize
     * right-side columns — the build side carries only the key.
@@ -181,6 +217,8 @@ object AdvancedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_window_suite" -> (q42WindowSuite _),
     "q43_string_funcs" -> (q43StringFuncs _),
+    "q44_cube" -> (q44Cube _),
+    "q45_array_hof" -> (q45ArrayHof _),
     "q39_quantiles" -> (q39Quantiles _),
     "q37_approx_distinct" -> (q37ApproxDistinct _),
     "q30_rollup" -> (q30Rollup _),
@@ -190,6 +228,20 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        | coalesce(l_linestatus, '(all)') AS ls,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    "q45_array_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 10 = 0)
+        |SELECT doc_id,
+        | CAST(len(list_filter(toks, x -> length(x) > 4)) AS BIGINT) AS n_long_tokens,
+        | CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS total_chars,
+        | array_to_string(list_transform(toks, x -> upper(x))[1:3], '|') AS first3_upper
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q42_window_suite" ->
       """SELECT o_custkey, o_orderkey,
         | round(o_totalprice, 2) AS price,
