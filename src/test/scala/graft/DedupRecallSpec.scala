@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.NativeKernels._
+import graft.operators.TopKByScore
+
+/** Direct evidence for the dedup-recall claims and custom-aggregator laws
+  * that the oracle hash-compare can only test indirectly.
+  */
+class DedupRecallSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q20 MinHash-LSH finds EVERY pair the exact all-pairs Jaccard finds (recall = 1 here)") {
+    import spark.implicits._
+    // ground truth: brute-force exact Jaccard over all pairs
+    val sh = Tables.documents(spark, sf)
+      .select($"doc_id", wordShingles($"text", text.DedupQueries.ShingleK).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        jaccardSorted($"a.sh", $"b.sh").as("j"))
+      .filter($"j" >= text.DedupQueries.JaccardThreshold)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = text.DedupQueries.q20DedupMinhash(spark, sf)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+    assert(found == truth,
+      s"missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+  }
+
+  test("TopKByScore laws: reduce/merge give the same top-k as a full sort, any split") {
+    val agg = TopKByScore(3)
+    val data = Seq(5.0 -> 1L, 3.0 -> 2L, 5.0 -> 0L, 9.0 -> 7L, 1.0 -> 9L,
+      9.0 -> 3L, 2.0 -> 4L, 7.0 -> 5L)
+    val expected = data.sortBy(t => (-t._1, t._2)).take(3)
+    // single reduce chain
+    val all = data.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(all) == expected)
+    // every 2-way split, merged in both orders
+    for (i <- 0 to data.length) {
+      val (l, r) = data.splitAt(i)
+      val bl = l.foldLeft(agg.zero)(agg.reduce)
+      val br = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bl, br)) == expected)
+      assert(agg.finish(agg.merge(br, bl)) == expected)
+    }
+  }
+
+  test("kernel type checks reject wrong input types at analysis time") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("n", "s")
+    val bad = Seq(
+      () => df.select(dotF($"s", $"s")).collect(),
+      () => df.select(wordShingles($"n", 3)).collect(),
+      () => df.select(jaccardSortedLong($"s", $"s")).collect(),
+      () => df.select(simhash60($"n")).collect())
+    bad.foreach { f =>
+      val e = intercept[Exception](f())
+      assert(e.getMessage.contains("expects") || e.getMessage.contains("DATATYPE_MISMATCH"),
+        s"unexpected error: ${e.getMessage.take(200)}")
+    }
+  }
+}
