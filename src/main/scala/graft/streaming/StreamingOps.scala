@@ -1,7 +1,14 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Typed event record for the stateful operators. */
+case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Running per-user totals emitted by [[StreamingOps.runningUserTotals]]. */
+case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Structured Streaming surface (SURVEY §2.10 extension): windowed
   * aggregation, sessionization, and watermark-based late-data handling.
@@ -58,4 +65,25 @@ object StreamingOps {
 
   def userSessionsStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
     userSessions(withLateDataDrop(events, delay))
+
+  /** Custom arbitrary state (`mapGroupsWithState`, update mode): running
+    * per-user event count + value sum. The state per key is two numbers —
+    * fixed-size regardless of stream length, the property that keeps a
+    * 100 TB/day stream's state store bounded by |active users|. In batch
+    * mode the same function runs as a grouped map over each key's full
+    * history (Spark's unified contract again); StreamingSpec asserts the
+    * stream's final emissions equal the batch aggregate.
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[(Long, Double)]) =>
+          var (n, s) = state.getOption.getOrElse((0L, 0.0))
+          it.foreach { e => n += 1; s += e.value }
+          state.update((n, s))
+          UserTotals(uid, n, s)
+      }
+  }
 }

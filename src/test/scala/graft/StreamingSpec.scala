@@ -64,6 +64,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("mapGroupsWithState running totals: final stream emissions == batch aggregate") {
+    import spark.implicits._
+    import graft.streaming.{Event, UserTotals}
+    val data = eventData().map(e => Event(e.ts, e.user_id, e.event_type, e.value))
+
+    val source = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark.sqlContext)
+    val q = StreamingOps.runningUserTotals(source.toDS())
+      .writeStream.format("memory").queryName("state_" + System.nanoTime())
+      .outputMode(OutputMode.Update()).start()
+    val (b1, b2) = data.splitAt(data.length / 2)
+    source.addData(b1); q.processAllAvailable()
+    source.addData(b2); q.processAllAvailable()
+    // update mode: several emissions per user; totals are monotone, so the
+    // final state per user is the max-n row
+    val streamed = spark.table(q.name).as[UserTotals].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    q.stop()
+
+    val batch = data.groupBy(_.user_id).map { case (u, evs) =>
+      u -> ((evs.size.toLong, evs.map(_.value).sum))
+    }
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, t) =>
+      val (n, sumV) = batch(u)
+      assert(t.n_events == n)
+      assert(math.abs(t.sum_value - sumV) < 1e-6) // fp accumulation order differs
+    }
+  }
+
   test("dropDuplicatesWithinWatermark: re-delivered events dedupe inside the horizon") {
     import spark.implicits._
     def ev(min: Int, v: Double) = Ev(Timestamp.from(
