@@ -37,8 +37,44 @@ object EtlQueries {
       .orderBy($"o_year", $"o_month")
   }
 
+  /** CSV sink + schema-pinned re-read (header on, explicit schema back in —
+    * text formats carry no types, so the re-read pins them; timestamps
+    * round-trip through an explicit format). The aggregate proves value
+    * fidelity across the text serialization.
+    */
+  def q47CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val out = s"/root/repo/target/tmp/csv_roundtrip_${math.abs(dir.hashCode)}"
+    Tables.customer(s, dir)
+      .write.mode("overwrite").option("header", "true").csv(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.option("header", "true").schema(schema).csv(out)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** ORC sink + re-read — the other columnar format a lake migration
+    * encounters; schema travels with the file like parquet.
+    */
+  def q48OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"/root/repo/target/tmp/orc_roundtrip_${math.abs(dir.hashCode)}"
+    Tables.supplier(s, dir).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy($"s_nationkey".cast("long").as("s_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum($"s_acctbal"), 2).as("total_bal"))
+      .orderBy($"s_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_etl_roundtrip" -> (q21EtlRoundtrip _),
+    "q47_csv_roundtrip" -> (q47CsvRoundtrip _),
+    "q48_orc_roundtrip" -> (q48OrcRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -46,5 +82,12 @@ object EtlQueries {
       """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY 1, 2 ORDER BY o_year, o_month""".stripMargin,
+    "q47_csv_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q48_orc_roundtrip" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+        | round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
   )
 }
