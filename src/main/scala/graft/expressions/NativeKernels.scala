@@ -94,6 +94,14 @@ object NativeKernels {
     */
   def simhash60(shingles: Column): Column =
     c(SimHash60(ColumnBridge.expression(shingles)))
+
+  /** Winnowing fingerprints (the MOSS scheme, Schleimer et al. '03):
+    * rolling polynomial hash (base 256, mod 2³¹) over k-codepoint windows,
+    * then the min of each w-hash window; sorted distinct selected hashes.
+    * Pure integer arithmetic, so the DuckDB oracle reproduces every value.
+    */
+  def rollingFingerprints(text: Column, k: Int, w: Int): Column =
+    c(RollingFingerprints(ColumnBridge.expression(text), k, w))
 }
 
 /** The kernel bodies, static-callable from generated Java
@@ -234,6 +242,62 @@ object KernelOps {
     new GenericArrayData(mins)
   }
 
+  /** Winnowing: rolling polynomial hashes over k-codepoint windows
+    * (h·B + c, mod 2³¹ via mask), then per-w-window minima, sorted
+    * distinct. Matches the direct per-window polynomial the oracle
+    * computes (rolling vs direct evaluation of the same polynomial).
+    * Texts shorter than k yield the single hash of the whole text.
+    */
+  def rollingFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val Mask = (1L << 31) - 1
+    val hashes: Array[Long] =
+      if (n < k) {
+        var h = 0L
+        var i = 0
+        while (i < n) { h = ((h << 8) + str.charAt(i).toLong) & Mask; i += 1 }
+        Array(h)
+      } else {
+        val out = new Array[Long](n - k + 1)
+        // B^(k-1) mod 2^31 for the roll-out term
+        var topPow = 1L
+        var p = 0
+        while (p < k - 1) { topPow = (topPow << 8) & Mask; p += 1 }
+        var h = 0L
+        var i = 0
+        while (i < k) { h = ((h << 8) + str.charAt(i).toLong) & Mask; i += 1 }
+        out(0) = h
+        i = k
+        while (i < n) {
+          h = (((h - (str.charAt(i - k).toLong * topPow & Mask)) & Mask) << 8) & Mask
+          h = (h + str.charAt(i).toLong) & Mask
+          out(i - k + 1) = h
+          i += 1
+        }
+        out
+      }
+    val nStarts = math.max(hashes.length - w + 1, 1)
+    val fps = new Array[Long](nStarts)
+    var t = 0
+    while (t < nStarts) {
+      var m = Long.MaxValue
+      var j = t
+      val end = math.min(t + w, hashes.length)
+      while (j < end) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      fps(t) = m
+      t += 1
+    }
+    java.util.Arrays.sort(fps)
+    var wr = 0
+    t = 0
+    while (t < nStarts) {
+      if (wr == 0 || fps(t) != fps(wr - 1)) { fps(wr) = fps(t); wr += 1 }
+      t += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(fps, wr))
+  }
+
   private val md5 = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
@@ -356,6 +420,18 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
     KernelOps.minhashSignature(input.asInstanceOf[ArrayData], k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.minhashSignature($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class RollingFingerprints(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("rollingFingerprints", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.rollingFingerprints(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.rollingFingerprints($c, $k, $w)")
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

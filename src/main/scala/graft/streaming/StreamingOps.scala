@@ -66,6 +66,31 @@ object StreamingOps {
   def userSessionsStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
     userSessions(withLateDataDrop(events, delay))
 
+  /** `flatMapGroupsWithState` (append mode): emit one milestone row each
+    * time a user's cumulative event count crosses a multiple of `n` — the
+    * 0-to-many-outputs-per-group shape that `mapGroupsWithState` cannot
+    * express. State per key is one counter.
+    */
+  def eventMilestones(events: Dataset[Event], n: Int): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    require(n > 0)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Long]) =>
+          var c = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          it.foreach { _ =>
+            c += 1
+            if (c % n == 0) out += ((uid, c))
+          }
+          state.update(c)
+          out.iterator
+      }
+  }
+
   /** Custom arbitrary state (`mapGroupsWithState`, update mode): running
     * per-user event count + value sum. The state per key is two numbers —
     * fixed-size regardless of stream length, the property that keeps a

@@ -113,7 +113,28 @@ object TextQueries {
       .orderBy($"doc_id", $"rn")
   }
 
+  /** Winnowing fingerprints (Schleimer et al. '03 — the MOSS local
+    * fingerprinting scheme; the brief's "rolling hash" pillar): rolling
+    * polynomial hash over 4-codepoint windows, min of each 8-hash window,
+    * distinct selected prints. Guarantees any shared substring ≥ k+w−1
+    * chars contributes a shared fingerprint — the content-defined
+    * complement to q15's whole-document md5. Pure integer arithmetic, so
+    * the oracle recomputes every value exactly.
+    */
+  def q49Winnowing(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expressions.NativeKernels.rollingFingerprints
+    Tables.documents(s, dir)
+      .select($"doc_id", rollingFingerprints($"text", 4, 8).as("fps"))
+      .select($"doc_id",
+        size($"fps").cast("long").as("n_fps"),
+        element_at($"fps", 1).as("min_fp"),
+        element_at($"fps", -1).as("max_fp"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_winnowing" -> (q49Winnowing _),
     "q38_tfidf" -> (q38Tfidf _),
     "q36_top_terms" -> (q36TopTerms _),
     "q13_doc_tokens" -> (q13DocTokens _),
@@ -139,6 +160,27 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // direct per-window polynomial == the kernel's rolling evaluation of
+    // the same polynomial mod 2^31 (documents are ASCII: ord == byte)
+    "q49_winnowing" ->
+      """WITH h AS (
+        |  SELECT doc_id, i,
+        |    CAST(list_sum(list_transform(range(0, 4),
+        |      j -> ord(substr(text, CAST(i + j AS INTEGER), 1)) * CAST(pow(256, 3 - j) AS BIGINT)))
+        |      % 2147483648 AS BIGINT) AS hv
+        |  FROM documents, UNNEST(range(1, length(text) - 4 + 2)) AS u(i)
+        |), nh AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
+        |wmin AS (
+        |  SELECT doc_id, i,
+        |    min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                  ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS f
+        |  FROM h
+        |), valid AS (
+        |  SELECT w.doc_id, f FROM wmin w JOIN nh ON w.doc_id = nh.doc_id
+        |  WHERE w.i <= greatest(nh.n - 7, 1)
+        |)
+        |SELECT doc_id, count(DISTINCT f) AS n_fps, min(f) AS min_fp, max(f) AS max_fp
+        |FROM valid GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q38_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents

@@ -93,6 +93,27 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("flatMapGroupsWithState milestones: exactly floor(count/n) emissions per user") {
+    import spark.implicits._
+    import graft.streaming.Event
+    val data = eventData().map(e => Event(e.ts, e.user_id, e.event_type, e.value))
+    val source = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark.sqlContext)
+    val q = StreamingOps.eventMilestones(source.toDS(), 3)
+      .writeStream.format("memory").queryName("ms_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+    val (b1, b2) = data.splitAt(data.length / 2)
+    source.addData(b1); q.processAllAvailable()
+    source.addData(b2); q.processAllAvailable()
+    val got = spark.table(q.name).as[(Long, Long)].collect().groupBy(_._1)
+    q.stop()
+    val counts = data.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    counts.filter(_._2 >= 3).foreach { case (u, c) =>
+      val ms = got.getOrElse(u, Array.empty).map(_._2).sorted.toSeq
+      assert(ms == (3L to c by 3L).toSeq, s"user $u count $c got $ms")
+    }
+    assert(got.keySet.subsetOf(counts.filter(_._2 >= 3).keySet))
+  }
+
   test("dropDuplicatesWithinWatermark: re-delivered events dedupe inside the horizon") {
     import spark.implicits._
     def ev(min: Int, v: Double) = Ev(Timestamp.from(
