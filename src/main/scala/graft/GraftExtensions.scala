@@ -54,5 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(shingles) - 60-bit SimHash over distinct shingles"),
       (args: Seq[Expression]) => SimHash60(args(0))))
+    ext.injectFunction((FunctionIdentifier("rolling_fingerprints"),
+      info("rolling_fingerprints", "rolling_fingerprints(text, k, w) - winnowing fingerprint set"),
+      (args: Seq[Expression]) =>
+        RollingFingerprints(args(0), intLit(args(1), "k"), intLit(args(2), "w"))))
   }
 }

@@ -25,7 +25,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  jaccard_sorted(word_shingles('a b c', 2), word_shingles('a b c', 2)) AS j,
         |  jaccard_sorted_long(char_ngram_hashes('abcd', 3), char_ngram_hashes('abcd', 3)) AS jl,
         |  size(minhash_signature(word_shingles('a b c d', 3), 16)) AS mh,
-        |  simhash60(array('alpha')) AS sh
+        |  simhash60(array('alpha')) AS sh,
+        |  rolling_fingerprints('the quick brown fox jumps over the lazy dog', 4, 8) AS rf
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getSeq[String](row.fieldIndex("ws")) == Seq("a b c", "b c d"))
@@ -37,6 +38,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val expected = spark2.sql(
       "SELECT cast(conv(substring(md5('alpha'), 1, 15), 16, 10) as bigint) AS h").collect()(0).getLong(0)
     assert(row.getAs[Long]("sh") == expected)
+    // winnowing guarantees at least one fingerprint for any text >= k+w-1 chars
+    assert(row.getSeq[Long](row.fieldIndex("rf")).nonEmpty)
   }
 
   test("SQL form matches the DataFrame form on real data") {

