@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash60"),
       info("simhash60", "simhash60(shingles) - 60-bit SimHash over distinct shingles"),
       (args: Seq[Expression]) => SimHash60(args(0))))
+    ext.injectFunction((FunctionIdentifier("feature_hash_vector"),
+      info("feature_hash_vector", "feature_hash_vector(shingles, dims) - signed feature-hashed float vector"),
+      (args: Seq[Expression]) => FeatureHashVector(args(0), intLit(args(1), "dims"))))
     ext.injectFunction((FunctionIdentifier("rolling_fingerprints"),
       info("rolling_fingerprints", "rolling_fingerprints(text, k, w) - winnowing fingerprint set"),
       (args: Seq[Expression]) =>

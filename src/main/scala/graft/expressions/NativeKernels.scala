@@ -102,6 +102,16 @@ object NativeKernels {
     */
   def rollingFingerprints(text: Column, k: Int, w: Int): Column =
     c(RollingFingerprints(ColumnBridge.expression(text), k, w))
+
+  /** Signed feature hashing (Weinberger et al. '09): each DISTINCT shingle
+    * s lands in dimension h60(s) % dims with sign ± from bit 59 of h60(s).
+    * Emits a dense float vector whose entries are small exact integers, so
+    * double-accumulated dot products and norms are bit-identical across
+    * engines — the document-embedding input for cosine near-dup (q50).
+    * dims must be ≤ 2⁵⁹ so the sign bit is independent of the bucket bits.
+    */
+  def featureHashVector(shingles: Column, dims: Int): Column =
+    c(FeatureHashVector(ColumnBridge.expression(shingles), dims))
 }
 
 /** The kernel bodies, static-callable from generated Java
@@ -316,6 +326,20 @@ object KernelOps {
     v >>> 4
   }
 
+  def featureHashVector(arr: ArrayData, dims: Int): ArrayData = {
+    val n = arr.numElements()
+    val v = new Array[Float](dims)
+    var i = 0
+    while (i < n) {
+      val h = h60(arr.getUTF8String(i))
+      val j = (h % dims).toInt             // h60 ≥ 0, so % is the bucket
+      val sgn = if (((h >> 59) & 1L) == 1L) 1.0f else -1.0f
+      v(j) += sgn                           // counts ≪ 2²⁴ → exact in float
+      i += 1
+    }
+    new GenericArrayData(v)
+  }
+
   def simhash60(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](60)
@@ -432,6 +456,18 @@ case class RollingFingerprints(child: Expression, k: Int, w: Int) extends UnaryE
     KernelOps.rollingFingerprints(input.asInstanceOf[UTF8String], k, w)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.rollingFingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class FeatureHashVector(child: Expression, dims: Int) extends UnaryExpression {
+  require(dims >= 1 && dims <= (1 << 20))
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("featureHashVector", Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.featureHashVector(input.asInstanceOf[ArrayData], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.featureHashVector($c, $dims)")
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 

@@ -8,7 +8,7 @@ import graft.expressions.NativeKernels._
 
 /** Near-duplicate detection over `documents` — the training-data-pipeline
   * dedup menu beyond exact dedup (q16): MinHash-LSH (q20), SimHash (q26),
-  * and n-gram-Jaccard probe search (q28).
+  * n-gram-Jaccard probe search (q28), and embedding-cosine (q50).
   *
   * Scale design shared by q20/q26: the candidate step NEVER compares all
   * pairs. Documents are reduced map-side to small sketches (128 minhashes /
@@ -53,31 +53,78 @@ object DedupQueries {
     * MMDS ch.3; LSH banding as in Spark MLlib's MinHashLSH, re-expressed as
     * pure Catalyst expressions).
     */
-  def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** Band-collision candidate pairs (id_a < id_b) from minhash signatures —
+    * the shared not-all-pairs candidate generator for q20 and q50.
+    *
+    * The repartition on the band key makes BOTH self-join sides the
+    * identical canonical Exchange: ReuseExchange then computes the
+    * (expensive) minhash signatures ONCE and the join reads the second side
+    * from the reused shuffle output. Without it one side broadcasts and the
+    * whole signature pipeline runs twice (measured ~35% of q20).
+    */
+  private def candidatePairs(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
-    val sh = shingleSets(s, dir)
     val sig = sh.select($"doc_id", minhashSignature($"sh", NumHashes).as("sig"))
-    // repartition on the band key so BOTH self-join sides are the identical
-    // canonical Exchange: ReuseExchange then computes the (expensive)
-    // minhash signatures ONCE and the join reads the second side from the
-    // reused shuffle output. Without it one side broadcasts and the whole
-    // signature pipeline runs twice (measured ~35% of q20).
     val banded = sig.select($"doc_id",
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => xxhash64(slice($"sig", b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
       .select($"doc_id", $"pos".as("band"), $"col".as("band_key"))
       .repartition($"band", $"band_key")
-    val cand = banded.as("a").join(banded.as("b"),
+    banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .distinct()
-    cand
+  }
+
+  def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleSets(s, dir)
+    candidatePairs(s, sh)
       .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
       .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
       .select($"id_a", $"id_b", jaccardSorted($"sh_a", $"sh_b").as("j"))
       .filter($"j" >= JaccardThreshold)
       .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val EmbeddingDims = 64
+  val CosineThreshold = 0.9
+
+  /** Embedding-cosine near-dup — the fifth dedup method next to exact
+    * (q16), MinHash-LSH (q20), SimHash (q26) and n-gram Jaccard (q28).
+    *
+    * Each document is embedded by signed feature hashing of its shingle set
+    * (FeatureHashVector, map-side, one pass); near-dups are pairs whose
+    * embeddings have cosine ≥ 0.9. Candidates come from the SAME MinHash
+    * banding as q20 — embeddings are only ever compared within band
+    * collisions, never all-pairs. The exact-Jaccard gate is kept alongside
+    * the cosine gate because the banding recall guarantee is stated in
+    * Jaccard terms (J ≥ 0.6 ⇒ candidate with P > 1 − 1e-11); on any corpus
+    * the registered result is exactly {pairs : J ≥ 0.6 ∧ cos ≥ 0.9}, which
+    * is what the oracle restates.
+    *
+    * Every arithmetic step is exact-integer-in-double (±1 bucket sums,
+    * integer-valued dot products), so Spark and DuckDB agree bit-for-bit
+    * before the round(…,4) display guard.
+    */
+  def q50DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleSets(s, dir)
+    val emb = sh
+      .withColumn("emb", featureHashVector($"sh", EmbeddingDims))
+      .withColumn("nrm", sqrt(dotF($"emb", $"emb")))
+    candidatePairs(s, sh)
+      .join(emb.select($"doc_id".as("id_a"), $"sh".as("sh_a"),
+        $"emb".as("emb_a"), $"nrm".as("nrm_a")), "id_a")
+      .join(emb.select($"doc_id".as("id_b"), $"sh".as("sh_b"),
+        $"emb".as("emb_b"), $"nrm".as("nrm_b")), "id_b")
+      .select($"id_a", $"id_b",
+        jaccardSorted($"sh_a", $"sh_b").as("j"),
+        (dotF($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")).as("cos"))
+      .filter($"j" >= JaccardThreshold && $"cos" >= CosineThreshold)
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -179,6 +226,7 @@ object DedupQueries {
     "q20_dedup_minhash" -> (q20DedupMinhash _),
     "q26_dedup_simhash" -> (q26DedupSimhash _),
     "q28_ngram_jaccard_probe" -> (q28NgramJaccardProbe _),
+    "q50_dedup_embedding" -> (q50DedupEmbedding _),
   )
 
   // Shared SQL fragment: distinct word-3-shingles per doc. DuckDB list
@@ -242,6 +290,40 @@ object DedupQueries {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= $HammingThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+    // Exact restatement: all pairs with J ≥ 0.6 (candidate recall argument
+    // as in q20) whose feature-hashed embeddings have cosine ≥ 0.9. The
+    // per-dim sums and dot products are integer-valued, so double math is
+    // exact in both engines.
+    "q50_dedup_embedding" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), jp AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+         |  WHERE c * 1.0 / (na.n + nb.n - c) >= $JaccardThreshold
+         |), h AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hv FROM sh
+         |), vsum AS (
+         |  SELECT doc_id, hv % $EmbeddingDims AS dim,
+         |    sum(CASE WHEN (hv >> 59) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+         |  FROM h GROUP BY 1, 2
+         |), nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM vsum GROUP BY doc_id),
+         |dots AS (
+         |  SELECT p.id_a, p.id_b, sum(a.v * b.v) AS dot
+         |  FROM jp p
+         |  JOIN vsum a ON a.doc_id = p.id_a
+         |  JOIN vsum b ON b.doc_id = p.id_b AND b.dim = a.dim
+         |  GROUP BY 1, 2
+         |)
+         |SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
+         |  SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cos
+         |  FROM dots d
+         |  JOIN nrm na ON d.id_a = na.doc_id JOIN nrm nb ON d.id_b = nb.doc_id
+         |) WHERE cos >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
     "q28_ngram_jaccard_probe" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(

@@ -26,7 +26,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  jaccard_sorted_long(char_ngram_hashes('abcd', 3), char_ngram_hashes('abcd', 3)) AS jl,
         |  size(minhash_signature(word_shingles('a b c d', 3), 16)) AS mh,
         |  simhash60(array('alpha')) AS sh,
-        |  rolling_fingerprints('the quick brown fox jumps over the lazy dog', 4, 8) AS rf
+        |  rolling_fingerprints('the quick brown fox jumps over the lazy dog', 4, 8) AS rf,
+        |  feature_hash_vector(word_shingles('a b c d', 3), 64) AS fv
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getSeq[String](row.fieldIndex("ws")) == Seq("a b c", "b c d"))
@@ -40,6 +41,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("sh") == expected)
     // winnowing guarantees at least one fingerprint for any text >= k+w-1 chars
     assert(row.getSeq[Long](row.fieldIndex("rf")).nonEmpty)
+    // two distinct shingles, each contributing ±1 to one of 64 dims
+    val fv = row.getSeq[Float](row.fieldIndex("fv"))
+    assert(fv.length == 64 && fv.map(math.abs).sum <= 2.0f && fv.exists(_ != 0.0f))
   }
 
   test("SQL form matches the DataFrame form on real data") {

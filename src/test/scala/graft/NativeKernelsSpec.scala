@@ -119,6 +119,28 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
+  test("featureHashVector == explode + conv(md5) signed-bucket spec") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+      .select($"doc_id", wordShingles($"text", 3).as("sh"))
+    val kernel = docs
+      .select($"doc_id", posexplode(featureHashVector($"sh", 64)))
+      .select($"doc_id", $"pos".cast("int").as("dim"), $"col".cast("double").as("kv"))
+    // the spec path: the same h60 via built-ins, per-dim signed sums
+    val spec = docs.select($"doc_id", explode($"sh").as("s"))
+      .select($"doc_id", conv(substring(md5($"s"), 1, 15), 16, 10).cast("long").as("h"))
+      .groupBy($"doc_id", ($"h" % 64).cast("int").as("dim"))
+      .agg(sum(when(shiftright($"h", 59).bitwiseAND(lit(1L)) === 1, 1.0).otherwise(-1.0)).as("sv"))
+    val bad = kernel.join(spec, Seq("doc_id", "dim"), "left")
+      .filter(abs($"kv" - coalesce($"sv", lit(0.0))) > 1e-9)
+      .count()
+    assert(bad == 0)
+    // and dims absent from the spec must be zero in the kernel vector
+    val nonzero = kernel.filter($"kv" =!= 0.0).count()
+    val specDims = spec.filter($"sv" =!= 0.0).count()
+    assert(nonzero == specDims)
+  }
+
   test("minhashSignature is permutation- and duplicate-invariant") {
     import spark.implicits._
     val df = Seq(
