@@ -112,6 +112,37 @@ object EventQueries {
       .orderBy($"key")
   }
 
+  /** Range (interval) join, bucketed: for each `error` event, how many
+    * `purchase` events the same user made in the preceding hour.
+    *
+    * A naive range join (`ON a.user = b.user AND b.ts BETWEEN a.ts - 1h AND
+    * a.ts`) degenerates to a per-user nested loop. This is the formulation
+    * that scales: timestamps are bucketed into hour-wide epochs (bucket
+    * width == range width), each probe explodes into exactly 2 candidate
+    * buckets, and the join is an EQUI-join on (user_id, bucket) with the
+    * range residual evaluated inside the hash-join match — shuffle both
+    * sides once, candidates per probe bounded by bucket occupancy, no
+    * all-pairs term. Each purchase lands in exactly one bucket key, so
+    * nothing is double-counted. Zero-match errors are kept by the left
+    * join (n_purch_1h = 0). Integer `div` for the bucket (never `/` —
+    * double rounding at 1e9-scale epochs flips boundary buckets).
+    */
+  def q51RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", unix_timestamp($"ts").as("sec"))
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"sec", expr("sec div 3600").as("h"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"sec".as("p_sec"), expr("sec div 3600").as("hb"))
+    errors
+      .select($"event_id", $"user_id", $"sec", explode(array($"h", $"h" - 1)).as("hb"))
+      .join(purchases, Seq("user_id", "hb"), "left")
+      .groupBy($"event_id", $"user_id")
+      .agg(count(when($"sec" - $"p_sec" >= 0 && $"sec" - $"p_sec" < 3600, 1)).as("n_purch_1h"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_from_json_map" -> (q41FromJsonMap _),
     "q34_epoch_roundtrip" -> (q34EpochRoundtrip _),
@@ -119,6 +150,7 @@ object EventQueries {
     "q12_events_hourly" -> (q12EventsHourly _),
     "q24_sessionization" -> (q24Sessionization _),
     "q29_stream_hourly_twin" -> (q29StreamHourlyTwin _),
+    "q51_range_join" -> (q51RangeJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -151,6 +183,21 @@ object EventQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // The oracle states the range join directly (DuckDB plans an IEJoin);
+    // the Spark side's bucketed equi-join must produce the identical
+    // relation — that equivalence is exactly what the hash compare checks.
+    "q51_range_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |), err AS (SELECT event_id, user_id, sec FROM ev WHERE event_type = 'error'),
+        |p AS (SELECT user_id, sec AS p_sec FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, CAST(count(p.p_sec) AS BIGINT) AS n_purch_1h
+        |FROM err e LEFT JOIN p ON e.user_id = p.user_id
+        |  AND e.sec - p.p_sec >= 0 AND e.sec - p.p_sec < 3600
+        |GROUP BY e.event_id, e.user_id
+        |ORDER BY e.event_id""".stripMargin,
     "q24_sessionization" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,
