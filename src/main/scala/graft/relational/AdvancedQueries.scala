@@ -214,7 +214,30 @@ object AdvancedQueries {
       .orderBy($"p_partkey")
   }
 
+  /** Skew-resistant aggregation via the [[graft.operators.Salting]]
+    * rewrites, registered against the naive GROUP BY as its oracle —
+    * l_returnflag has only 3 values, so EVERY key is a hot key and the
+    * salted two-stage shape is doing exactly the work it exists for:
+    * `saltedSum` spreads each key's partial sums over 8 salt buckets;
+    * `skewResistantDistinctCount` spreads the distinct-set dedup over the
+    * (key, value) shuffle instead of one task's aggregation state. The
+    * oracle's plain sum/count(DISTINCT) restates the result, proving the
+    * rewrites are result-identical (quantities are integral, so the
+    * reordered double sums are exact).
+    */
+  def q52SkewAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Salting
+    val li = Tables.lineitem(s, dir)
+    val sums = Salting.saltedSum(li, "l_returnflag", $"l_quantity", salts = 8)
+    val distincts = Salting.skewResistantDistinctCount(li, "l_returnflag", "l_partkey")
+    sums.join(distincts, "l_returnflag")
+      .select($"l_returnflag", round($"total", 2).as("sum_qty"), $"n", $"n_distinct")
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_skew_agg" -> (q52SkewAgg _),
     "q42_window_suite" -> (q42WindowSuite _),
     "q43_string_funcs" -> (q43StringFuncs _),
     "q44_cube" -> (q44Cube _),
@@ -228,6 +251,10 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_skew_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n, count(DISTINCT l_partkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q44_cube" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rf,
         | coalesce(l_linestatus, '(all)') AS ls,

@@ -52,8 +52,12 @@ class NativeKernelsSpec extends AnyFunSuite {
     val bad = Tables.embeddings(spark, sf)
       .select(
         dotF($"embedding", $"embedding").as("native"),
-        VectorFunctions.dot($"embedding", $"embedding").as("spec"))
-      .filter(abs($"native" - $"spec") > 1e-12).count()
+        VectorFunctions.dot($"embedding", $"embedding").as("spec"),
+        sqrt(dotF($"embedding", $"embedding")).as("native_norm"),
+        VectorFunctions.norm($"embedding").as("spec_norm"))
+      .filter(abs($"native" - $"spec") > 1e-12 ||
+        abs($"native_norm" - $"spec_norm") > 1e-12)
+      .count()
     assert(bad == 0)
   }
 
