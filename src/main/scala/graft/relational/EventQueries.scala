@@ -143,6 +143,25 @@ object EventQueries {
       .orderBy($"event_id")
   }
 
+  /** The stream-stream interval join's batch twin: the EXACT
+    * StreamingOps.errorsWithRecentPurchases expression run in batch mode
+    * (watermarks are no-ops there) against a DuckDB range-join oracle.
+    * With StreamingSpec's stream≡batch equivalence this transitively
+    * oracle-verifies the streaming join. Second-precision timestamps, as
+    * everywhere the oracle compares event times (q33).
+    */
+  def q53StreamJoinTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", date_trunc("second", $"ts").as("ts"))
+    val errors = ev.filter($"event_type" === "error").select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase").select($"user_id", $"ts")
+    graft.streaming.StreamingOps.errorsWithRecentPurchases(errors, purchases)
+      .select($"event_id", $"user_id",
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("p_ts_s"))
+      .orderBy($"event_id", $"p_ts_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q41_from_json_map" -> (q41FromJsonMap _),
     "q34_epoch_roundtrip" -> (q34EpochRoundtrip _),
@@ -151,6 +170,7 @@ object EventQueries {
     "q24_sessionization" -> (q24Sessionization _),
     "q29_stream_hourly_twin" -> (q29StreamHourlyTwin _),
     "q51_range_join" -> (q51RangeJoin _),
+    "q53_stream_join_twin" -> (q53StreamJoinTwin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,6 +203,15 @@ object EventQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q53_stream_join_twin" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts FROM events
+        |), err AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+        |p AS (SELECT user_id, ts AS p_ts FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s
+        |FROM err e JOIN p ON e.user_id = p.user_id
+        |  AND p.p_ts > e.ts - INTERVAL 1 HOUR AND p.p_ts <= e.ts
+        |ORDER BY e.event_id, p_ts_s""".stripMargin,
     // The oracle states the range join directly (DuckDB plans an IEJoin);
     // the Spark side's bucketed equi-join must produce the identical
     // relation — that equivalence is exactly what the hash compare checks.

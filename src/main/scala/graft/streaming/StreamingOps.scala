@@ -11,7 +11,8 @@ case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, valu
 case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
 /** Structured Streaming surface (SURVEY §2.10 extension): windowed
-  * aggregation, sessionization, and watermark-based late-data handling.
+  * aggregation, sessionization, watermark-based late-data handling,
+  * arbitrary-state operators, and a stream-stream interval join.
   *
   * Each transform is a plain `DataFrame => DataFrame` over an event table
   * with (ts: timestamp, user_id: long, event_type: string, value: double)
@@ -65,6 +66,28 @@ object StreamingOps {
 
   def userSessionsStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
     userSessions(withLateDataDrop(events, delay))
+
+  /** Stream-stream interval inner join: each `error` event matched to the
+    * same user's `purchase` events in the preceding hour. Expects
+    * errors(event_id, user_id, ts) and purchases(user_id, ts).
+    *
+    * Both sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark derives a state-eviction horizon: buffered rows
+    * older than (watermark − range width) are dropped — state is bounded by
+    * stream RATE × horizon, never by stream length, which is what keeps an
+    * unbounded stream joinable at all. In batch mode the watermarks are
+    * no-ops and this is a plain range join (q53 verifies that twin against
+    * DuckDB; q51 is the bucketed batch formulation of the same relation).
+    */
+  def errorsWithRecentPurchases(errors: DataFrame, purchases: DataFrame,
+      delay: String = "1 hour"): DataFrame = {
+    val e = errors.withWatermark("ts", delay).alias("e")
+    val p = purchases.withWatermark("ts", delay).alias("p")
+    e.join(p, expr(
+        "e.user_id = p.user_id AND p.ts > e.ts - interval 1 hour AND p.ts <= e.ts"))
+      .select(col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
+        col("p.ts").as("p_ts"))
+  }
 
   /** `flatMapGroupsWithState` (append mode): emit one milestone row each
     * time a user's cumulative event count crosses a multiple of `n` — the

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.date_trunc
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -112,6 +113,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(ms == (3L to c by 3L).toSeq, s"user $u count $c got $ms")
     }
     assert(got.keySet.subsetOf(counts.filter(_._2 >= 3).keySet))
+  }
+
+  test("stream-stream interval join: streaming (2 micro-batches each side, append) == batch") {
+    import spark.implicits._
+    // time-ordered split: event time only advances, so the watermark never
+    // drops a row the batch join would keep
+    val ev = Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", date_trunc("second", $"ts").as("ts"))
+      .orderBy($"ts")
+    val errs = ev.filter($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts").as[(Long, Long, Timestamp)].collect().toSeq
+    val purs = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts").as[(Long, Timestamp)].collect().toSeq
+
+    val se = MemoryStream[(Long, Long, Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long, Timestamp)]], spark.sqlContext)
+    val sp = MemoryStream[(Long, Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp)]], spark.sqlContext)
+    val q = StreamingOps.errorsWithRecentPurchases(
+        se.toDF().toDF("event_id", "user_id", "ts"),
+        sp.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("ssj_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+    val (e1, e2) = errs.splitAt(errs.length / 2)
+    val (p1, p2) = purs.splitAt(purs.length / 2)
+    se.addData(e1); sp.addData(p1); q.processAllAvailable()
+    se.addData(e2); sp.addData(p2); q.processAllAvailable()
+    val streamed = sortedRows(spark.table(q.name))
+    q.stop()
+
+    val batch = StreamingOps.errorsWithRecentPurchases(
+      errs.toDF("event_id", "user_id", "ts"), purs.toDF("user_id", "ts"))
+    assert(streamed == sortedRows(batch))
+    assert(batch.count() > 0)
   }
 
   test("dropDuplicatesWithinWatermark: re-delivered events dedupe inside the horizon") {
