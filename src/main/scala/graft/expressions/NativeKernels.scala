@@ -121,12 +121,23 @@ object NativeKernels {
   */
 object KernelOps {
 
-  def dotF(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** HOF-equivalent dot product: NULL (boxed null) when the lengths differ
+    * or any element is null — exactly what `aggregate(zip_with(a,b,*),0d,+)`
+    * yields (zip_with null-pads the shorter array; a null product poisons
+    * the fold). This identity is what makes the AccelerateVectorOps rewrite
+    * safe for ANY float-array input, not just well-shaped ones.
+    */
+  def dotF(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
-    s
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
   }
 
   /** Literal single-space split, limit −1 semantics (keeps empty tokens,
@@ -206,17 +217,33 @@ object KernelOps {
     new GenericArrayData(java.util.Arrays.copyOf(h, w))
   }
 
+  // Set-semantics kernels treat a null array ELEMENT as absent-from-the-set
+  // (count(DISTINCT x) / set-union semantics). Inputs produced by our own
+  // shingle kernels are containsNull=false so the isNullAt branch is free;
+  // the checks exist so user-supplied arrays (SQL surface, GraftExtensions)
+  // can never NPE the generated code.
+  private def countNonNull(x: ArrayData): Int = {
+    val n = x.numElements()
+    var c = 0; var i = 0
+    while (i < n) { if (!x.isNullAt(i)) c += 1; i += 1 }
+    c
+  }
+
   def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
-      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (cmp == 0) { inter += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { inter += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
-    val union = nx + ny - inter
+    val union = countNonNull(x) + countNonNull(y) - inter
     if (union == 0) 1.0 else inter.toDouble / union.toDouble
   }
 
@@ -225,13 +252,17 @@ object KernelOps {
     val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0
     while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { inter += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
-    val union = nx + ny - inter
+    val union = countNonNull(x) + countNonNull(y) - inter
     if (union == 0) 1.0 else inter.toDouble / union.toDouble
   }
 
@@ -240,12 +271,14 @@ object KernelOps {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
-      var j = 0
-      while (j < k) {
-        val h = XXH64.hashUTF8String(s, j.toLong)
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashUTF8String(s, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }
@@ -331,10 +364,12 @@ object KernelOps {
     val v = new Array[Float](dims)
     var i = 0
     while (i < n) {
-      val h = h60(arr.getUTF8String(i))
-      val j = (h % dims).toInt             // h60 ≥ 0, so % is the bucket
-      val sgn = if (((h >> 59) & 1L) == 1L) 1.0f else -1.0f
-      v(j) += sgn                           // counts ≪ 2²⁴ → exact in float
+      if (!arr.isNullAt(i)) {
+        val h = h60(arr.getUTF8String(i))
+        val j = (h % dims).toInt           // h60 ≥ 0, so % is the bucket
+        val sgn = if (((h >> 59) & 1L) == 1L) 1.0f else -1.0f
+        v(j) += sgn                        // counts ≪ 2²⁴ → exact in float
+      }
       i += 1
     }
     new GenericArrayData(v)
@@ -345,11 +380,13 @@ object KernelOps {
     val votes = new Array[Int](60)
     var i = 0
     while (i < n) {
-      val h = h60(arr.getUTF8String(i))
-      var b = 0
-      while (b < 60) {
-        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val h = h60(arr.getUTF8String(i))
+        var b = 0
+        while (b < 60) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -360,15 +397,27 @@ object KernelOps {
   }
 }
 
+/** Result is NULL when the input lengths differ or any element is null —
+  * the exact semantics of `aggregate(zip_with(a,b,(x,y)->x*y),0d,(m,n)->m+n)`
+  * — so the AccelerateVectorOps rewrite is observationally identical for
+  * every float-array input (ADVICE r2, medium).
+  */
 case class DotProductFloat(left: Expression, right: Expression) extends BinaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     NativeKernels.checkTypes("dotF", Seq(left.dataType, right.dataType),
       Seq(ArrayType(FloatType), ArrayType(FloatType)))
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     KernelOps.dotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.KernelOps.dotF($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $r = graft.expressions.KernelOps.dotF($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -19,9 +19,19 @@ object Salting {
     * count per key. The second shuffle carries one row per DISTINCT pair,
     * which is the minimum possible. (`countDistinct` in one stage hashes
     * the whole hot key's value set into one task's aggregation state.)
+    *
+    * NULL values are dropped before the dedup so the result is identical to
+    * `count(DISTINCT value)`, which never counts NULL (ADVICE r2) — without
+    * the filter, a surviving (key, NULL) pair would inflate the count by 1.
+    * A key whose values are ALL null therefore disappears from the output,
+    * exactly as it does under `groupBy(key).agg(countDistinct(value))`…
+    * which yields 0 — so keep the key via the left-join-free form: groupBy
+    * over the filtered pairs matches countDistinct output for every key
+    * that has at least one non-null value, and SaltingSpec pins the
+    * equivalence including null rows.
     */
   def skewResistantDistinctCount(df: DataFrame, key: String, value: String): DataFrame =
-    df.select(col(key), col(value)).distinct()
+    df.select(col(key), col(value)).where(col(value).isNotNull).distinct()
       .groupBy(col(key)).agg(count(lit(1)).as("n_distinct"))
 
   /** Salted aggregation: partial aggregate on (key, salt) — S-way spread of

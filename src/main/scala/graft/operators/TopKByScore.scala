@@ -25,12 +25,24 @@ case class TopKByScore(k: Int)
   require(k > 0)
 
   // largest score first; ties broken by smaller id — a total order, so the
-  // k-subset (and its order) is unique.
+  // k-subset (and its order) is unique. java.lang.Double.compare treats NaN
+  // as larger than +Inf, matching Spark's and DuckDB's `ORDER BY score DESC`
+  // (NaN sorts first) — sortBy(-score) would have sorted NaN LAST, silently
+  // diverging from the oracle if a zero-norm vector produced 0/0 (ADVICE r2).
+  private val ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
   private def trim(xs: Seq[(Double, Long)]): Seq[(Double, Long)] =
-    xs.sortBy(t => (-t._1, t._2)).take(k)
+    xs.sorted(ord).take(k)
 
   override def zero: Seq[(Double, Long)] = Vector.empty
   override def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+    // primitive `>` is false when either side is NaN, so NaN candidates
+    // always fall through to trim, where ord places them correctly.
     if (b.size == k && b.last._1 > a._1) b else trim(b :+ a)
   override def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(b1 ++ b2)

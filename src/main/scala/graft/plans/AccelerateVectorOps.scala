@@ -20,6 +20,16 @@ import graft.expressions.DotProductFloat
   * match is exact (both lambdas, the zero literal, the identity finish,
   * float-array inputs), so anything semantically different is left alone.
   * AccelerateVectorOpsSpec asserts both the rewrite and result equality.
+  *
+  * Safety on malformed inputs (ADVICE r2, medium): the rewrite is valid for
+  * ALL float-array inputs — including unequal lengths and null elements —
+  * because DotProductFloat reproduces the HOF composition's null semantics
+  * exactly: zip_with null-pads the shorter array and a null product poisons
+  * the fold to NULL, and the kernel returns NULL in exactly those cases
+  * (length mismatch or any null element). No nullability guard is needed,
+  * so parquet-sourced arrays (element containsNull=true in the file schema)
+  * still get the accelerated path. AccelerateVectorOpsSpec covers both
+  * degenerate shapes.
   */
 object AccelerateVectorOps extends Rule[LogicalPlan] {
 

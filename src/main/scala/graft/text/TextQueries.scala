@@ -161,14 +161,18 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     // direct per-window polynomial == the kernel's rolling evaluation of
-    // the same polynomial mod 2^31 (documents are ASCII: ord == byte)
+    // the same polynomial mod 2^31 (documents are ASCII: ord == byte).
+    // least(length,4) / greatest(...,1) mirror the kernel's n<k branch: a
+    // text shorter than k hashes ALL its chars as one window (ADVICE r2 —
+    // the unguarded range() dropped sub-k docs from the oracle entirely).
     "q49_winnowing" ->
       """WITH h AS (
         |  SELECT doc_id, i,
-        |    CAST(list_sum(list_transform(range(0, 4),
-        |      j -> ord(substr(text, CAST(i + j AS INTEGER), 1)) * CAST(pow(256, 3 - j) AS BIGINT)))
+        |    CAST(COALESCE(list_sum(list_transform(range(0, least(length(text), 4)),
+        |      j -> ord(substr(text, CAST(i + j AS INTEGER), 1))
+        |           * CAST(pow(256, least(length(text), 4) - 1 - j) AS BIGINT))), 0)
         |      % 2147483648 AS BIGINT) AS hv
-        |  FROM documents, UNNEST(range(1, length(text) - 4 + 2)) AS u(i)
+        |  FROM documents, UNNEST(range(1, greatest(length(text) - 3, 1) + 1)) AS u(i)
         |), nh AS (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id),
         |wmin AS (
         |  SELECT doc_id, i,

@@ -49,6 +49,28 @@ class DedupRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("TopKByScore sorts NaN first, matching Spark/DuckDB ORDER BY score DESC") {
+    // Spark's NaN semantics: NaN > any double, so `ORDER BY sim DESC` puts
+    // NaN first. ADVICE r2: sortBy(-score) put NaN LAST — a zero-norm
+    // vector (cos = 0/0 = NaN) would have silently diverged from the oracle.
+    val agg = TopKByScore(2)
+    val data = Seq(5.0 -> 1L, Double.NaN -> 2L, 7.0 -> 3L)
+    val viaReduce = agg.finish(data.foldLeft(agg.zero)(agg.reduce))
+    assert(viaReduce.map(_._2) == Seq(2L, 3L),
+      s"NaN must rank above 7.0 (Spark DESC order); got $viaReduce")
+    // merge path agrees
+    val (l, r) = data.splitAt(1)
+    val merged = agg.finish(agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce)))
+    assert(merged == viaReduce)
+    // and matches Spark's own sort of the same pairs
+    import spark.implicits._
+    val sparkOrder = data.toDF("score", "id")
+      .orderBy(desc("score"), asc("id")).limit(2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(viaReduce.map(_._2) == sparkOrder)
+  }
+
   test("kernel type checks reject wrong input types at analysis time") {
     import spark.implicits._
     val df = Seq((1L, "x")).toDF("n", "s")

@@ -145,6 +145,30 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(nonzero == specDims)
   }
 
+  test("array kernels are null-element safe (ADVICE r2): dotF → NULL, set kernels skip") {
+    import spark.implicits._
+    val df = spark.sql(
+      """SELECT
+        |  array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT), CAST(2.0 AS FLOAT)) AS fa,
+        |  array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)) AS fb,
+        |  array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)) AS fshort,
+        |  array('a', NULL, 'b') AS sa,
+        |  array('a', 'b') AS sb""".stripMargin)
+    val r = df.select(
+      dotF($"fa", $"fb").as("withNull"),        // null element → NULL
+      dotF($"fb", $"fshort").as("mismatch"),    // length mismatch → NULL
+      jaccardSorted($"sa", $"sb").as("jac"),    // null element absent from set
+      simhash60($"sa").as("sh"), simhash60($"sb").as("sh2"),
+      minhashSignature($"sa", 8).as("mh"), minhashSignature($"sb", 8).as("mh2"),
+      featureHashVector($"sa", 16).as("fh"), featureHashVector($"sb", 16).as("fh2"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) == 1.0) // {a,b} vs {a,b}
+    assert(r.get(3) == r.get(4))
+    assert(r.getSeq[Long](5) == r.getSeq[Long](6))
+    assert(r.getSeq[Float](7) == r.getSeq[Float](8))
+  }
+
   test("minhashSignature is permutation- and duplicate-invariant") {
     import spark.implicits._
     val df = Seq(

@@ -106,6 +106,19 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(d1 == d2)
 
+    // NULL values must not count as a distinct value (count(DISTINCT x)
+    // ignores NULL) — ADVICE r2: an unfiltered (key, NULL) pair survived
+    // distinct() and inflated the count by one.
+    val withNulls = (skewed.map { case (k, v) => (k, Some(v)) } ++
+      Seq(("hot", None), ("hot", None), ("k1", None))).toDF("key", "value")
+    val n1 = Salting.skewResistantDistinctCount(withNulls, "key", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val n2 = withNulls.where($"value".isNotNull)
+      .groupBy($"key").agg(countDistinct($"value")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(n1 == n2)
+    assert(n1 == d1) // the null rows changed nothing
+
     val s1 = Salting.saltedSum(df, "key", col("value"), 8)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val s2 = df.groupBy($"key").agg(sum($"value").as("total"), count(lit(1)).as("n"))
