@@ -37,11 +37,102 @@ object MediaQueries {
       .orderBy($"source")
   }
 
+  private def asRecords(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id".as("id"), $"text".cast("binary").as("payload"),
+        lit("fake").as("format"))
+      .as[MediaFunctions.MediaRecord]
+  }
+
+  /** Decode pipeline as a query: every payload through the per-partition
+    * decode (MediaFunctions.decodeFrames — the mapPartitions codec shape),
+    * then a width-bucket rollup. The decode itself is map-side; only the
+    * ~9-bucket aggregate shuffles. The stub decode's FNV-64 checksum is
+    * pure integer arithmetic, so the DuckDB oracle verifies every decoded
+    * value bit-for-bit (via bit_xor over the bucket), not just row counts —
+    * the decode plumbing is fully under the correctness gate even though
+    * the codec is fake.
+    */
+  def q55MediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MediaFunctions.decodeFrames(asRecords(s, dir)).toDF()
+      .withColumn("bucket", expr("(width - 16) div 32").cast("long"))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum($"n_pixels").as("total_pixels"),
+        min($"height").cast("long").as("min_height"),
+        max($"height").cast("long").as("max_height"),
+        expr("bit_xor(checksum)").as("checksum_xor"))
+      .orderBy($"bucket")
+  }
+
+  /** Frame sampling as a query: every `stride`-th fixed-size block of each
+    * payload (the seek+bounded-read access pattern of video frame
+    * sampling), aggregated per frame index. flatMap emits ≤ len/64 rows per
+    * payload map-side; the aggregate shuffles one partial row per
+    * (frame_idx, partition).
+    */
+  def q56FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MediaFunctions.sampleFrames(asRecords(s, dir), frameSize = 16, stride = 4).toDF()
+      .groupBy($"frame_idx".cast("long").as("frame_idx"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        max($"offset").as("max_offset"),
+        expr("bit_xor(frame_checksum)").as("checksum_xor"))
+      .orderBy($"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_binary_metadata" -> (q23BinaryMetadata _),
+    "q55_media_decode" -> (q55MediaDecode _),
+    "q56_frame_sample" -> (q56FrameSample _),
   )
 
+  /** FNV-64 over the UTF-8 bytes of `text[from, until)` (1-based from,
+    * exclusive until) in DuckDB HUGEINT mod-2⁶⁴ arithmetic, mapped to the
+    * signed BIGINT a JVM Long holds. Documents are ASCII, so ord(char) ==
+    * byte — the same identity q49's oracle relies on. list_prepend seeds
+    * the fold so empty ranges yield the FNV offset basis, like the kernel.
+    */
+  private def fnvSql(from: String, until: String): String =
+    s"""(SELECT CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
+       |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
+       | FROM (SELECT list_reduce(
+       |   list_prepend(14695981039346656037::HUGEINT,
+       |     list_transform(range($from, $until),
+       |       j -> ord(substr(text, CAST(j AS INTEGER), 1))::HUGEINT)),
+       |   (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+       |               % 18446744073709551616::HUGEINT) AS h))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q55_media_decode" ->
+      s"""WITH dec AS (
+         |  SELECT doc_id, ${fnvSql("1", "length(text) + 1")} AS h FROM documents
+         |), f AS (
+         |  SELECT doc_id, h AS checksum,
+         |    16 + (h & 255) AS width, 16 + ((h >> 8) & 255) AS height
+         |  FROM dec
+         |)
+         |SELECT CAST((width - 16) // 32 AS BIGINT) AS bucket,
+         |  count(*) AS n_items,
+         |  CAST(sum(width * height) AS BIGINT) AS total_pixels,
+         |  CAST(min(height) AS BIGINT) AS min_height,
+         |  CAST(max(height) AS BIGINT) AS max_height,
+         |  bit_xor(checksum) AS checksum_xor
+         |FROM f GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q56_frame_sample" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+         |    CAST(u.i * 64 AS BIGINT) AS off,
+         |    ${fnvSql("u.i * 64 + 1", "u.i * 64 + 17")} AS fc
+         |  FROM documents, UNNEST(range(0, length(text) // 64)) AS u(i)
+         |)
+         |SELECT frame_idx, count(*) AS n_frames, max(off) AS max_offset,
+         |  bit_xor(fc) AS checksum_xor
+         |FROM fr GROUP BY frame_idx ORDER BY frame_idx""".stripMargin,
     "q23_binary_metadata" ->
       """WITH m AS (
         |  SELECT source, octet_length(encode(text)) AS n_bytes,

@@ -133,7 +133,55 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Deterministic train/valid/test split — the reproducible-split op every
+    * training pipeline needs: bucket = portable 60-bit md5 hash of a salted
+    * doc key, mod 100 → 80/10/10. Map-side only (the hash is a per-row
+    * expression, no shuffle until the 3-row rollup), and the assignment is
+    * stable across engines, runs, and cluster layouts — re-running on 100 TB
+    * reproduces the identical split, and a new doc never moves old docs
+    * between splits (unlike ordinal or random splits).
+    */
+  def q57HashSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(100L))
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct($"source").as("n_sources"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"split")
+  }
+
+  /** Gopher-style repetition filter: fraction of duplicated word 3-grams
+    * per doc (1 − distinct/total), rolled up per source with a flag count.
+    * The distinct-gram count reuses the wordShingles kernel (sorted
+    * distinct); everything is map-side until the per-source rollup.
+    */
+  def q58RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expressions.NativeKernels.wordShingles
+    val nTotal = greatest(size(split($"text", " ", -1)) - lit(2), lit(1)).cast("double")
+    val dupFrac = lit(1.0) - size(wordShingles($"text", 3)).cast("double") / nTotal
+    Tables.documents(s, dir)
+      .select($"source", dupFrac.as("dup_frac"))
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"dup_frac" > 0.05, 1L).otherwise(0L)).as("n_flagged"),
+        round(avg($"dup_frac"), 4).as("avg_dup_frac"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_hash_split" -> (q57HashSplit _),
+    "q58_repetition_filter" -> (q58RepetitionFilter _),
     "q49_winnowing" -> (q49Winnowing _),
     "q38_tfidf" -> (q38Tfidf _),
     "q36_top_terms" -> (q36TopTerms _),
@@ -160,6 +208,39 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q57_hash_split" ->
+      """WITH s AS (
+        |  SELECT *,
+        |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM documents
+        |), sp AS (
+        |  SELECT *, CASE WHEN bucket < 80 THEN 'train'
+        |                 WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        |  FROM s
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT source) AS n_sources,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
+    // slice toks[i : i+2] truncates past the end like the kernel's
+    // whole-text degenerate (< 3 tokens → one "gram" = the full text)
+    "q58_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    greatest(len(toks) - 2, 1) AS n_total,
+        |    len(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')))) AS n_distinct
+        |  FROM t
+        |), f AS (
+        |  SELECT source, 1.0 - CAST(n_distinct AS DOUBLE) / n_total AS dup_frac FROM g
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN dup_frac > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  round(avg(dup_frac), 4) AS avg_dup_frac
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     // direct per-window polynomial == the kernel's rolling evaluation of
     // the same polynomial mod 2^31 (documents are ASCII: ord == byte).
     // least(length,4) / greatest(...,1) mirror the kernel's n<k branch: a

@@ -140,11 +140,72 @@ object VectorQueries {
       .orderBy($"vec_id")
   }
 
+  /** IVF search end-to-end — the scale path q35's assignment feeds. Build
+    * the inverted index (every vector → nearest cell, self-match allowed so
+    * centroids live in their own cell), rank cells per probe, then search
+    * ONLY the nprobe=2 best cells via an equi-join on the cell id: the scan
+    * per probe is nprobe/ncells of the corpus, not all of it, and the
+    * per-probe candidate stream is reduced map-side by TopKByScore (≤5 rows
+    * per partition per probe reach the shuffle). Centroids and probe-cell
+    * pairs are broadcast (≤ ncells·nprobe rows). At 100 TB only ncells
+    * grows (≈ sqrt(n) keeps cells scannable); the plan shape is unchanged.
+    */
+  def q54IvfSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val centroids = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cell"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+    // inverted index: nearest cell per vector (ties → lower cell id)
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cos".desc, $"cell")
+    val index = e.crossJoin(broadcast(centroids))
+      .select($"vec_id", $"embedding", $"nrm", $"cell",
+        cosine($"embedding", $"c_emb", $"nrm", $"c_nrm").as("cos"))
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"nrm", $"cell")
+    // each probe searches its nprobe=2 closest cells
+    val probes = e.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
+    val wProbe = Window.partitionBy($"probe_id").orderBy($"pcos".desc, $"cell")
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .select($"probe_id", $"p_emb", $"p_nrm", $"cell",
+        cosine($"p_emb", $"c_emb", $"p_nrm", $"c_nrm").as("pcos"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
+      .select($"probe_id", $"p_emb", $"p_nrm", $"cell")
+    val topk = udaf(TopKByScore(5))
+    index.join(broadcast(probeCells), Seq("cell"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
+      .groupBy($"probe_id").agg(topk($"sim", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round($"col._1", 4).as("sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** Per-label centroid components — the embedding-analytics op a labeled
+    * corpus needs (class prototypes for classification / drift monitoring).
+    * posexplode → (label, dim) partial aggregation: the shuffle carries one
+    * partial sum per (label, dim) per partition, never vectors. First 8
+    * dims kept for output compactness; the aggregation runs over all 64.
+    */
+  def q60LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", posexplode($"embedding"))
+      .groupBy($"label", $"pos".cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), round(avg($"col"), 4).as("mean_val"))
+      .filter($"dim" < 8)
+      .orderBy($"label", $"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q18_knn_topk" -> (q18KnnTopk _),
     "q19_ann_lsh" -> (q19AnnLsh _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q35_ivf_assign" -> (q35IvfAssign _),
+    "q54_ivf_search" -> (q54IvfSearch _),
+    "q60_label_centroids" -> (q60LabelCentroids _),
   )
 
   // All oracle arithmetic is forced to DOUBLE[] so DuckDB accumulates in
@@ -207,5 +268,42 @@ object VectorQueries {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |  ORDER BY sim DESC, id_a, id_b LIMIT 20
          |)""".stripMargin,
+    "q54_ivf_search" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS cell, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+         |), assign AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cell) AS rn
+         |    FROM embeddings e, c
+         |  ) WHERE rn = 1
+         |), pc AS (
+         |  SELECT probe_id, p_emb, cell FROM (
+         |    SELECT p.vec_id AS probe_id, p.embedding AS p_emb, c.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${cosSql("p.embedding", "c.c_emb")} DESC, c.cell) AS rn
+         |    FROM embeddings p, c WHERE p.vec_id % 100 = 0
+         |  ) WHERE rn <= 2
+         |), scored AS (
+         |  SELECT pc.probe_id, a.vec_id, ${cosSql("pc.p_emb", "a.embedding")} AS sim
+         |  FROM pc JOIN assign a ON pc.cell = a.cell
+         |  WHERE a.vec_id != pc.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q60_label_centroids" ->
+      """SELECT label, dim, count(*) AS n, round(avg(v), 4) AS mean_val
+        |FROM (
+        |  SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
+        |    CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |)
+        |WHERE dim < 8
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
   )
 }
