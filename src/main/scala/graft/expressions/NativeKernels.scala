@@ -229,10 +229,25 @@ object KernelOps {
     c
   }
 
-  def jaccardSorted(x: ArrayData, y: ArrayData): Double = {
+  /** mayNull is the inputs' STATIC containsNull — passed as a codegen-time
+    * literal by the expressions, so shingle-kernel outputs (containsNull=
+    * false, i.e. every dedup hot path) take the branch-free merge loop and
+    * only genuinely nullable user arrays pay the per-element isNullAt.
+    */
+  def jaccardSorted(x: ArrayData, y: ArrayData, mayNull: Boolean): Double = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0
+    if (!mayNull) {
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { inter += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      val union = nx + ny - inter
+      return if (union == 0) 1.0 else inter.toDouble / union.toDouble
+    }
     while (i < nx && j < ny) {
       if (x.isNullAt(i)) i += 1
       else if (y.isNullAt(j)) j += 1
@@ -247,10 +262,21 @@ object KernelOps {
     if (union == 0) 1.0 else inter.toDouble / union.toDouble
   }
 
-  def jaccardSortedLong(x: ArrayData, y: ArrayData): Double = {
+  def jaccardSortedLong(x: ArrayData, y: ArrayData, mayNull: Boolean): Double = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0
+    if (!mayNull) {
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { inter += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      val union = nx + ny - inter
+      return if (union == 0) 1.0 else inter.toDouble / union.toDouble
+    }
     while (i < nx && j < ny) {
       if (x.isNullAt(i)) i += 1
       else if (y.isNullAt(j)) j += 1
@@ -463,10 +489,14 @@ case class JaccardSorted(left: Expression, right: Expression) extends BinaryExpr
     NativeKernels.checkTypes("jaccardSorted", Seq(left.dataType, right.dataType),
       Seq(ArrayType(StringType), ArrayType(StringType)))
   override def dataType: DataType = DoubleType
+  private lazy val mayNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
   override def nullSafeEval(a: Any, b: Any): Any =
-    KernelOps.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    KernelOps.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mayNull)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.KernelOps.jaccardSorted($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.KernelOps.jaccardSorted($a, $b, $mayNull)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -476,10 +506,14 @@ case class JaccardSortedLong(left: Expression, right: Expression) extends Binary
     NativeKernels.checkTypes("jaccardSortedLong", Seq(left.dataType, right.dataType),
       Seq(ArrayType(LongType), ArrayType(LongType)))
   override def dataType: DataType = DoubleType
+  private lazy val mayNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
   override def nullSafeEval(a: Any, b: Any): Any =
-    KernelOps.jaccardSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    KernelOps.jaccardSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mayNull)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.KernelOps.jaccardSortedLong($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expressions.KernelOps.jaccardSortedLong($a, $b, $mayNull)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
