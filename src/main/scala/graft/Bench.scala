@@ -19,12 +19,19 @@ object Bench {
     // parquet reader, whole-stage codegen, and the native kernels, not the
     // OS page cache of the measured tables.
     val warmDir = "/root/testdata/sf0.001"
+    // noop sink: full evaluation of every output column without storage.
+    // `.count()` let Catalyst prune unevaluated projections, so map-only
+    // queries were timed as near-empty scans (VERDICT r1 #4) — these
+    // numbers measure the operators, at the cost of totals not being
+    // comparable to BENCH_r01/r02 for map-heavy queries.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).count()
     Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly")
-      .foreach(q => SparkEntry.queries(q)(spark, warmDir).count())
+      .foreach(q => run(SparkEntry.queries(q)(spark, warmDir)))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -133,7 +133,7 @@ class ScaleSpec extends AnyFunSuite {
     assert(j1 == j2)
   }
 
-  test("q37 approx_count_distinct stays within 5% of exact (1% rsd configured)") {
+  test("q37 approx_count_distinct stays within 5% of exact (2% rsd configured)") {
     val rows = relational.AdvancedQueries.q37ApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
