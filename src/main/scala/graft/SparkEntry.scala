@@ -17,6 +17,7 @@ object SparkEntry {
       (relational.EventQueries.queries, relational.EventQueries.oracles),
       (text.TextQueries.queries, text.TextQueries.oracles),
       (text.DedupQueries.queries, text.DedupQueries.oracles),
+      (text.PipelineQueries.queries, text.PipelineQueries.oracles),
       (vector.VectorQueries.queries, vector.VectorQueries.oracles),
       (etl.EtlQueries.queries, etl.EtlQueries.oracles),
       (media.MediaQueries.queries, media.MediaQueries.oracles),

@@ -1,0 +1,182 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expressions.NativeKernels.wordShingles
+
+/** Corpus-preparation operators a pretraining pipeline runs between raw
+  * documents and training batches: weighted sampling, length statistics,
+  * sequence packing, and benchmark decontamination. All deterministic
+  * (hash- or order-based, never RNG) so a 100 TB run is reproducible and
+  * incremental — and so every query has an exact DuckDB oracle.
+  */
+object PipelineQueries {
+
+  // portable 60-bit md5 bucket in [0, 100) — same construction as q57's
+  // split hash (Spark conv(substring(md5)) == DuckDB CAST('0x'||substr))
+  private def hashBucket(salt: String, key: org.apache.spark.sql.Column) =
+    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+
+  /** Weighted per-stratum sampling: each language keeps a different
+    * fraction (en 50%, de 25%, rest 10%) via the deterministic hash bucket
+    * — the up/down-sampling step of corpus mixing. Map-side decision per
+    * row; one partial-aggregated rollup; no RNG, so the sample is stable
+    * across runs and cluster layouts.
+    */
+  def q59StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rate = when($"lang" === "en", 50L).when($"lang" === "de", 25L).otherwise(10L)
+    Tables.documents(s, dir)
+      .withColumn("keep", hashBucket("sample:", $"doc_id") < rate)
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_sampled"))
+      .select($"lang", $"n_total", $"n_sampled",
+        round($"n_sampled".cast("double") / $"n_total", 4).as("frac"))
+      .orderBy($"lang")
+  }
+
+  /** Token-length histogram per source — the length-distribution audit run
+    * before choosing packing/truncation parameters. Bucket width 16 tokens;
+    * map-side bucketing, tiny rollup.
+    */
+  def q61TokenHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nToks = size(split($"text", " ", -1)).cast("long")
+    Tables.documents(s, dir)
+      .select($"source", nToks.as("n_toks"))
+      .withColumn("bucket", expr("n_toks div 16"))
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min($"n_toks").as("min_toks"),
+        max($"n_toks").as("max_toks"),
+        countDistinct($"source").as("n_sources"))
+      .orderBy($"bucket")
+  }
+
+  /** Sequence packing: assign documents (per language, in doc_id order) to
+    * fixed 512-token training chunks by running token offset — the
+    * fixed-boundary packing a pretraining dataloader uses. One window
+    * cumsum per language partition (shuffle on lang; within-partition
+    * prefix sum), then a rollup per chunk. Deterministic: the order key is
+    * the unique doc_id.
+    */
+  def q62SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nToks = size(split($"text", " ", -1)).cast("long")
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id", nToks.as("n_toks"))
+      .withColumn("cum", sum($"n_toks").over(w))
+      .withColumn("chunk", expr("(cum - n_toks) div 512"))
+      .groupBy($"lang", $"chunk")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("chunk_tokens"))
+      .orderBy($"lang", $"chunk")
+  }
+
+  /** Benchmark decontamination (the 8-gram collision method): for each eval
+    * document (doc_id % 97 == 0, standing in for a benchmark set), how many
+    * corpus documents share at least one word-8-gram, and how many distinct
+    * 8-grams leak. The corpus side is an inverted index (explode 8-grams,
+    * equi-join on the gram) — candidate work is proportional to real
+    * collisions, never eval × corpus. The two distinct-counts run as
+    * SEPARATE aggregations (a combined agg would force the Expand-based
+    * multi-distinct plan — same lesson as q37). Eval docs with no overlap
+    * are kept via left join + zero-fill.
+    */
+  def q63Decontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, dir)
+      .select($"doc_id", explode(wordShingles($"text", 8)).as("g"))
+    val evalSide = sh.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("eval_id"), $"g")
+    val corpus = sh.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id".as("corpus_id"), $"g")
+    val hits = corpus.join(broadcast(evalSide), "g")
+    val nDocs = hits.select($"eval_id", $"corpus_id").distinct()
+      .groupBy($"eval_id").agg(count(lit(1)).as("n_contaminating_docs"))
+    val nGrams = hits.select($"eval_id", $"g").distinct()
+      .groupBy($"eval_id").agg(count(lit(1)).as("n_shared_grams"))
+    Tables.documents(s, dir).filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("eval_id"))
+      .join(nDocs, Seq("eval_id"), "left")
+      .join(nGrams, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_contaminating_docs", "n_shared_grams"))
+      .orderBy($"eval_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_stratified_sample" -> (q59StratifiedSample _),
+    "q61_token_histogram" -> (q61TokenHistogram _),
+    "q62_sequence_packing" -> (q62SequencePacking _),
+    "q63_decontamination" -> (q63Decontamination _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q59_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    CAST('0x' || substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+        |  FROM documents
+        |), agg AS (
+        |  SELECT lang, count(*) AS n_total,
+        |    CAST(sum(CASE WHEN b < (CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |  FROM s GROUP BY lang
+        |)
+        |SELECT lang, n_total, n_sampled,
+        |  round(CAST(n_sampled AS DOUBLE) / n_total, 4) AS frac
+        |FROM agg ORDER BY lang""".stripMargin,
+    "q61_token_histogram" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |)
+        |SELECT n_toks // 16 AS bucket, count(*) AS n_docs,
+        |  min(n_toks) AS min_toks, max(n_toks) AS max_toks,
+        |  count(DISTINCT source) AS n_sources
+        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q62_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT lang, doc_id, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |)
+        |SELECT lang, (cum - n_toks) // 512 AS chunk, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS chunk_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY lang, chunk""".stripMargin,
+    // 8-gram CTE mirrors the wordShingles degenerate: < 8 tokens → whole text
+    "q63_decontamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)
+        |), hits AS (
+        |  SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id, e.g
+        |  FROM sh e JOIN sh c ON e.g = c.g
+        |  WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 != 0
+        |), nd AS (
+        |  SELECT eval_id, count(DISTINCT corpus_id) AS n_contaminating_docs FROM hits GROUP BY eval_id
+        |), ng AS (
+        |  SELECT eval_id, count(DISTINCT g) AS n_shared_grams FROM hits GROUP BY eval_id
+        |)
+        |SELECT d.doc_id AS eval_id,
+        |  coalesce(nd.n_contaminating_docs, 0) AS n_contaminating_docs,
+        |  coalesce(ng.n_shared_grams, 0) AS n_shared_grams
+        |FROM documents d
+        |LEFT JOIN nd ON nd.eval_id = d.doc_id
+        |LEFT JOIN ng ON ng.eval_id = d.doc_id
+        |WHERE d.doc_id % 97 = 0
+        |ORDER BY eval_id""".stripMargin,
+  )
+}
