@@ -90,25 +90,36 @@ object PipelineQueries {
     * multi-distinct plan — same lesson as q37). Eval docs with no overlap
     * are kept via left join + zero-fill.
     */
-  def q63Decontamination(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = Tables.documents(s, dir)
-      .select($"doc_id", explode(wordShingles($"text", 8)).as("g"))
-    val evalSide = sh.filter($"doc_id" % 97 === 0)
+  /** The reusable core: docs must have (doc_id, text); eval membership is
+    * the predicate column `isEval`. Exposed for PipelineSpec's planted-
+    * duplicate tests; q63 binds it to the documents table with the
+    * doc_id % 97 eval set.
+    */
+  private[graft] def decontaminate(
+      docs: DataFrame, isEval: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = docs.withColumn("__eval", isEval)
+      .select($"doc_id", $"__eval", explode(wordShingles($"text", k)).as("g"))
+    val evalSide = sh.filter($"__eval")
       .select($"doc_id".as("eval_id"), $"g")
-    val corpus = sh.filter($"doc_id" % 97 =!= 0)
+    val corpus = sh.filter(!$"__eval")
       .select($"doc_id".as("corpus_id"), $"g")
     val hits = corpus.join(broadcast(evalSide), "g")
     val nDocs = hits.select($"eval_id", $"corpus_id").distinct()
       .groupBy($"eval_id").agg(count(lit(1)).as("n_contaminating_docs"))
     val nGrams = hits.select($"eval_id", $"g").distinct()
       .groupBy($"eval_id").agg(count(lit(1)).as("n_shared_grams"))
-    Tables.documents(s, dir).filter($"doc_id" % 97 === 0)
+    docs.withColumn("__eval", isEval).filter($"__eval")
       .select($"doc_id".as("eval_id"))
       .join(nDocs, Seq("eval_id"), "left")
       .join(nGrams, Seq("eval_id"), "left")
       .na.fill(0L, Seq("n_contaminating_docs", "n_shared_grams"))
       .orderBy($"eval_id")
+  }
+
+  def q63Decontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decontaminate(Tables.documents(s, dir), $"doc_id" % 97 === 0, k = 8)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

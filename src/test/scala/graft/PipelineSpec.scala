@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.PipelineQueries
+
+/** Invariants of the corpus-preparation tier that the row-level oracle
+  * compare cannot state: conservation laws, determinism, and planted-case
+  * behavior of decontamination.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q62 packing conserves tokens: per-lang chunk sums equal per-lang totals") {
+    import spark.implicits._
+    val packed = PipelineQueries.q62SequencePacking(spark, sf)
+      .groupBy($"lang").agg(sum($"chunk_tokens").as("packed"), sum($"n_docs").as("docs"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val totals = Tables.documents(spark, sf)
+      .groupBy($"lang")
+      .agg(sum(size(split($"text", " ", -1)).cast("long")).as("toks"),
+        count(lit(1)).as("docs"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(packed == totals)
+  }
+
+  test("q62 chunks are contiguous from 0 within each language") {
+    import spark.implicits._
+    val bad = PipelineQueries.q62SequencePacking(spark, sf)
+      .groupBy($"lang")
+      .agg(min($"chunk").as("lo"), max($"chunk").as("hi"),
+        countDistinct($"chunk").as("n"))
+      .filter($"lo" =!= 0 || $"n" =!= $"hi" + 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("q59 sampling is deterministic and within stratum bounds") {
+    import spark.implicits._
+    val a = PipelineQueries.q59StratifiedSample(spark, sf).collect().toSeq
+    val b = PipelineQueries.q59StratifiedSample(spark, sf).collect().toSeq
+    assert(a == b) // no RNG anywhere
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_total"), r.toString)
+    }
+  }
+
+  test("decontamination flags a planted duplicate and never self-matches") {
+    import spark.implicits._
+    // doc 100 (eval) is an exact copy of doc 1 (corpus); doc 200 (eval) is
+    // disjoint from everything; docs 1..3 share nothing 8-gram-long
+    val long = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, long),
+      (2L, (20 to 30).map(i => s"other$i").mkString(" ")),
+      (3L, "short text"),
+      (100L, long),
+      (200L, (40 to 52).map(i => s"unique$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val res = PipelineQueries.decontaminate(docs, $"doc_id" >= 100, k = 8)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(res.keySet == Set(100L, 200L)) // both eval docs present
+    assert(res(100L)._1 == 1L, s"planted dup must contaminate: $res")
+    assert(res(100L)._2 > 0L)
+    assert(res(200L) == (0L, 0L), s"disjoint eval doc must be clean: $res")
+  }
+}
