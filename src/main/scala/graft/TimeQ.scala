@@ -12,7 +12,8 @@ object TimeQ {
     spark.sparkContext.setLogLevel("ERROR")
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
-      val t0 = System.nanoTime(); fn(spark, sfDir).count()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"[timeq] $name rep$i: ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()

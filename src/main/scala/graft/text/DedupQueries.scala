@@ -77,14 +77,22 @@ object DedupQueries {
       .distinct()
   }
 
-  def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** Band candidates verified with exact Jaccard — the full MinHash-LSH
+    * near-dup detector over any (doc_id, sh) input; shared by q20 (whole
+    * corpus) and q40 (gate survivors).
+    */
+  private[graft] def verifiedPairs(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
-    val sh = shingleSets(s, dir)
     candidatePairs(s, sh)
       .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
       .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
       .select($"id_a", $"id_b", jaccardSorted($"sh_a", $"sh_b").as("j"))
       .filter($"j" >= JaccardThreshold)
+  }
+
+  def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    verifiedPairs(s, shingleSets(s, dir))
       .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
       .orderBy($"id_a", $"id_b")
   }
@@ -194,25 +202,34 @@ object DedupQueries {
   }
 
   /** Capstone corpus-cleaning pipeline — the flagship LLM-training-data
-    * use case, composing the pillars end-to-end:
+    * use case, composing the pillars end-to-end in the canonical order
+    * (filter first, dedup the survivors — RefinedWeb/Gopher style):
     *   1. quality gate: ≥ 20 tokens (TextFunctions length signal);
     *   2. language gate: char-bigram lang-ID must agree with the label;
-    *   3. near-dup removal: q20's MinHash-LSH pairs, keep the smaller
-    *      doc_id of each verified pair (deterministic survivor rule),
-    *      dropped via LEFT ANTI join — no collect, no IN-list.
-    * Output: surviving corpus stats per language. Every stage is the same
-    * code path its standalone query verifies (q13/q17/q20), so the oracle
-    * only has to restate the composition.
+    *   3. near-dup removal AMONG SURVIVORS: MinHash-LSH + exact-Jaccard
+    *      verify (verifiedPairs — the same detector q20 verifies), keep
+    *      the smaller doc_id of each pair, drop via LEFT ANTI join — no
+    *      collect, no IN-list.
+    * Filtering before dedup cuts the sketch/banding work to the surviving
+    * fraction of the corpus (~37% here) — at 100 TB the gates are cheap
+    * map-side scans and the expensive stage only ever sees what they pass.
+    * Output: surviving corpus stats per language.
     */
   def q40CorpusClean(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.{langId, tokens}
-    val docs = Tables.documents(s, dir)
-    val dropIds = q20DedupMinhash(s, dir)
-      .select($"id_b".as("doc_id")).distinct()
-    docs
+    val survivors = Tables.documents(s, dir)
       .filter(size(tokens($"text")) >= 20)
       .filter(langId($"text") === $"lang")
+      // materialization barrier: survivors feed BOTH the dedup branch and
+      // the final anti-join side; without a shared canonical Exchange each
+      // branch re-runs the (regexp-heavy) langId gate over the full corpus.
+      // With it, ReuseExchange evaluates the gates once.
+      .repartition($"doc_id")
+    val sh = survivors.select($"doc_id", wordShingles($"text", ShingleK).as("sh"))
+    val dropIds = verifiedPairs(s, sh)
+      .select($"id_b".as("doc_id")).distinct()
+    survivors
       .join(dropIds, Seq("doc_id"), "left_anti")
       .groupBy($"lang")
       .agg(
@@ -229,20 +246,28 @@ object DedupQueries {
     "q50_dedup_embedding" -> (q50DedupEmbedding _),
   )
 
-  // Shared SQL fragment: distinct word-3-shingles per doc. DuckDB list
-  // slicing is 1-based inclusive (t[i:i+2] = 3 tokens) and truncates past
-  // the end, so the greatest() guard degrades to the whole-text shingle
-  // exactly like TextFunctions.shingles' size<k branch.
-  private val shingleCte =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  // Shared SQL fragment: distinct word-3-shingles per doc of `src`. DuckDB
+  // list slicing is 1-based inclusive (t[i:i+2] = 3 tokens) and truncates
+  // past the end, so the greatest() guard degrades to the whole-text
+  // shingle exactly like TextFunctions.shingles' size<k branch.
+  private def shingleCteFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id, array_to_string(t[i:i+${ShingleK - 1}], ' ') AS s
        |  FROM toks, UNNEST(range(1, greatest(len(t) - ${ShingleK - 1}, 1) + 1)) AS u(i)
        |)""".stripMargin
+  private val shingleCte = shingleCteFrom("documents")
 
   val oracles: Map[String, String] = Map(
+    // filter-first composition: the shingle/dedup CTEs run over `surv`,
+    // matching the Spark side's gate-then-dedup order
     "q40_corpus_clean" ->
-      s"""WITH $shingleCte,
+      s"""WITH surv AS (
+         |  SELECT * FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 20
+         |    AND (${graft.text.TextQueries.langCase.replace("\n", " ")}) = lang
+         |),
+         |${shingleCteFrom("surv")},
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -254,10 +279,8 @@ object DedupQueries {
          |  WHERE c * 1.0 / (na.n + nb.n - c) >= $JaccardThreshold
          |)
          |SELECT lang, count(*) AS n_docs, round(avg(n_chars), 2) AS avg_chars
-         |FROM documents d
-         |WHERE len(string_split(text, ' ')) >= 20
-         |  AND (${graft.text.TextQueries.langCase.replace("\n", " ")}) = lang
-         |  AND NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)
+         |FROM surv d
+         |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
     // Exact all-pairs Jaccard ≥ threshold — valid as the oracle because the
     // Spark side verifies candidates exactly (no false positives) and the
