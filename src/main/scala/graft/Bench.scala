@@ -27,7 +27,8 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     SparkEntry.entry(spark).count()
-    Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly")
+    // q40 additionally warms the langid regexps + anti-join codegen paths
+    Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly", "q40_corpus_clean")
       .foreach(q => run(SparkEntry.queries(q)(spark, warmDir)))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
