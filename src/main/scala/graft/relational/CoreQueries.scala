@@ -224,7 +224,33 @@ object CoreQueries {
       .orderBy($"k")
   }
 
+  /** FULL OUTER join — the one join type the rest of the menu lacks
+    * (inner q03/q22, left-outer q04/q05, semi/anti q32, as-of q33, range
+    * q51). Negative-balance customers FULL OUTER per-customer counts of
+    * big-ticket orders: all three sides (both / cust_only / order_only)
+    * are non-empty at every test scale, so both null-propagation
+    * directions are actually exercised. The shuffle carries the
+    * aggregated order counts, not order rows.
+    */
+  def q65FullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).filter($"c_acctbal" < 0)
+      .select($"c_custkey", $"c_mktsegment")
+    val o = Tables.orders(s, dir).filter($"o_totalprice" > 450000)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    c.join(o, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(
+        when($"c_custkey".isNull, "order_only")
+          .when($"o_custkey".isNull, "cust_only")
+          .otherwise("both").as("side"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"))
+      .groupBy($"side")
+      .agg(count(lit(1)).as("n"), sum($"n_orders").as("total_orders"))
+      .orderBy($"side")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_full_outer_join" -> (q65FullOuterJoin _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_agg_topk" -> (q03JoinAggTopk _),
@@ -240,6 +266,21 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_full_outer_join" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 0
+        |), o AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders
+        |  WHERE o_totalprice > 450000 GROUP BY o_custkey
+        |), j AS (
+        |  SELECT CASE WHEN c.c_custkey IS NULL THEN 'order_only'
+        |              WHEN o.o_custkey IS NULL THEN 'cust_only'
+        |              ELSE 'both' END AS side,
+        |         coalesce(o.n_orders, 0) AS n_orders
+        |  FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+        |)
+        |SELECT side, count(*) AS n, CAST(sum(n_orders) AS BIGINT) AS total_orders
+        |FROM j GROUP BY side ORDER BY side""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -162,7 +162,26 @@ object EventQueries {
       .orderBy($"event_id", $"p_ts_s")
   }
 
+  /** Batch twin of the bounded-state streaming dedup
+    * ([[graft.streaming.StreamingOps.dedupedEvents]]). Spark rejects
+    * `dropDuplicatesWithinWatermark` on batch plans, so the twin is the
+    * batch-semantics equivalent — dropDuplicates on the same keys —
+    * and StreamingSpec asserts stream ≡ batch on this data. Events deduped
+    * on (user_id, event_type, second), then per-type uniques; the distinct
+    * shuffles the 3-column key only, never payloads.
+    */
+  def q64StreamDedupTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", $"event_type", date_trunc("second", $"ts").as("ts"))
+      .dropDuplicates("user_id", "event_type", "ts")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_unique"), countDistinct($"user_id").as("n_users"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_stream_dedup_twin" -> (q64StreamDedupTwin _),
     "q41_from_json_map" -> (q41FromJsonMap _),
     "q34_epoch_roundtrip" -> (q34EpochRoundtrip _),
     "q11_events_json" -> (q11EventsJson _),
@@ -174,6 +193,14 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q64_stream_dedup_twin" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, event_type, date_trunc('second', ts) AS ts
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_unique,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q41_from_json_map" ->
       """WITH kv AS (
         |  SELECT unnest(json_keys(props)) AS key, props FROM events

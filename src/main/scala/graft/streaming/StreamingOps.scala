@@ -89,6 +89,20 @@ object StreamingOps {
         col("p.ts").as("p_ts"))
   }
 
+  /** Exactly-once event dedup within the watermark horizon: duplicate
+    * (user_id, event_type, ts) rows arriving within `delay` of each other
+    * are dropped. Unlike a plain streaming dropDuplicates, state does not
+    * grow with stream length — rows older than the watermark are evicted,
+    * so state is bounded by rate × delay. STREAMING-ONLY (Spark rejects
+    * dropDuplicatesWithinWatermark on batch plans); its batch-semantics
+    * twin is a plain dropDuplicates on the same keys, and StreamingSpec
+    * asserts the two agree when no duplicate pair straddles the horizon —
+    * which is what q64 registers under the oracle gate.
+    */
+  def dedupedEvents(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+
   /** `flatMapGroupsWithState` (append mode): emit one milestone row each
     * time a user's cumulative event count crosses a multiple of `n` — the
     * 0-to-many-outputs-per-group shape that `mapGroupsWithState` cannot

@@ -170,6 +170,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(vals == Seq(1.0, 2.0)) // duplicate suppressed
   }
 
+  test("dedupedEvents stream == batch dropDuplicates on the same keys (q64's twin claim)") {
+    import spark.implicits._
+    def ev(min: Int, uid: Long) = Ev(Timestamp.from(
+      java.time.Instant.parse("2024-05-01T00:00:00Z").plusSeconds(min * 60L)), uid, "t", 1.0)
+    // duplicates share (user_id, event_type, ts) exactly; all within horizon
+    val rows = Seq(ev(0, 1L), ev(0, 1L), ev(5, 1L), ev(5, 2L), ev(5, 2L), ev(9, 3L))
+
+    val source = MemoryStream[Ev](implicitly[org.apache.spark.sql.Encoder[Ev]], spark.sqlContext)
+    val q = StreamingOps.dedupedEvents(source.toDF().select($"user_id", $"event_type", $"ts"))
+      .writeStream.format("memory").queryName("dedup_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+    val (r1, r2) = rows.splitAt(3)
+    source.addData(r1); q.processAllAvailable()
+    source.addData(r2); q.processAllAvailable()
+    val streamed = sortedRows(spark.table(q.name))
+    q.stop()
+
+    val batch = rows.toDF().select($"user_id", $"event_type", $"ts")
+      .dropDuplicates("user_id", "event_type", "ts")
+    assert(streamed == sortedRows(batch))
+    assert(batch.count() == 4)
+  }
+
   test("watermark append mode: windows emit once closed; late events are dropped") {
     import spark.implicits._
     def ev(min: Int, v: Double) = Ev(Timestamp.from(
