@@ -169,6 +169,28 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(r.getSeq[Float](7) == r.getSeq[Float](8))
   }
 
+  test("jaccard fast (containsNull=false) and safe (true) loops agree on null-free data") {
+    import spark.implicits._
+    // a transform identity types its output containsNull=true (lambda
+    // results are nullable) without touching values or order — so the
+    // static mayNull flag flips to the safe loop while the data stays
+    // null-free, and both dispatch paths must agree on every corpus pair.
+    // (A cast to array<...> would NOT work: SimplifyCasts elides
+    // non-nullable→nullable element casts.)
+    val g = Tables.documents(spark, sf).select($"doc_id",
+      charNgramHashes(lower($"text"), 3).as("h"),
+      charNgrams(lower($"text"), 3).as("g"))
+    val pairs = g.as("a").join(g.as("b"),
+        $"a.doc_id" % 19 === $"b.doc_id" % 19 && $"a.doc_id" < $"b.doc_id")
+      .select(
+        jaccardSortedLong($"a.h", $"b.h").as("fast_l"),
+        jaccardSortedLong(transform($"a.h", x => x), transform($"b.h", x => x)).as("safe_l"),
+        jaccardSorted($"a.g", $"b.g").as("fast_s"),
+        jaccardSorted(transform($"a.g", x => x), transform($"b.g", x => x)).as("safe_s"))
+    assert(pairs.filter($"fast_l" =!= $"safe_l" || $"fast_s" =!= $"safe_s").count() == 0)
+    assert(pairs.count() > 0)
+  }
+
   test("minhashSignature is permutation- and duplicate-invariant") {
     import spark.implicits._
     val df = Seq(
