@@ -58,6 +58,33 @@ object MediaFunctions {
     }
   }
 
+  /** "Resize": stride-subsample the payload bytes to a bounded-size
+    * thumbnail payload (cap bytes, keep every ceil(len/cap)-th byte) — the
+    * downsample-before-shuffle step an image pipeline runs so the network
+    * moves thumbnails, not originals. Output size ≤ cap regardless of
+    * input size, which is the property that bounds shuffle volume at
+    * 100 TB. The byte-level subsample is the STUB for a real resampling
+    * kernel; the record plumbing, size bound, and determinism are real
+    * (MediaSpec).
+    */
+  def resizePayloads(records: Dataset[MediaRecord], cap: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    require(cap > 0)
+    records.mapPartitions { it =>
+      it.map { r =>
+        val n = r.payload.length
+        if (n <= cap) r
+        else {
+          val stride = (n + cap - 1) / cap
+          val out = new Array[Byte]((n + stride - 1) / stride)
+          var i = 0
+          while (i < out.length) { out(i) = r.payload(i * stride); i += 1 }
+          MediaRecord(r.id, out, r.format)
+        }
+      }
+    }
+  }
+
   /** Sample every `stride`-th fixed-size block of the payload as a "frame"
     * — the frame-sampling access pattern (seek + bounded read per sample)
     * over an opaque video column.

@@ -41,6 +41,28 @@ class MediaSpec extends AnyFunSuite {
       exchanges(recs.queryExecution.executedPlan.toString))
   }
 
+  test("resizePayloads: size bounded by cap, small payloads untouched, deterministic") {
+    val recs = records()
+    val cap = 64
+    val resized = MediaFunctions.resizePayloads(recs, cap).collect()
+    val orig = recs.collect().map(r => r.id -> r.payload).toMap
+    assert(resized.length == orig.size)
+    resized.foreach { r =>
+      assert(r.payload.length <= cap, s"id=${r.id} len=${r.payload.length}")
+      if (orig(r.id).length <= cap)
+        assert(r.payload.sameElements(orig(r.id)), s"small payload ${r.id} must pass through")
+      else {
+        // subsample keeps bytes at stride positions, starting at 0
+        val stride = (orig(r.id).length + cap - 1) / cap
+        assert(r.payload(0) == orig(r.id)(0))
+        assert(r.payload(1) == orig(r.id)(stride))
+      }
+    }
+    val again = MediaFunctions.resizePayloads(recs, cap).collect()
+      .sortBy(_.id).map(_.payload.toSeq).toSeq
+    assert(again == resized.sortBy(_.id).map(_.payload.toSeq).toSeq)
+  }
+
   test("sampleFrames: offsets stride correctly and stay in payload bounds") {
     import spark.implicits._
     val sampled = MediaFunctions.sampleFrames(records(), frameSize = 16, stride = 4)

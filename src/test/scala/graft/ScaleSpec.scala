@@ -133,6 +133,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(j1 == j2)
   }
 
+  test("candidate-generation plans have no all-pairs term (q54 IVF, q63 decontamination)") {
+    // the scale claim of the ANN/decontamination tier is structural: the
+    // only join touching the corpus is an equi-join (hash/sort-merge) on
+    // cell/gram — never a cartesian over corpus × corpus. The one intended
+    // nested-loop is the 8-row-centroid broadcast cross in q54's assign.
+    val q54 = vector.VectorQueries.q54IvfSearch(spark, sf).queryExecution.executedPlan.toString
+    assert(!q54.contains("CartesianProduct"), q54.take(500))
+    // every BroadcastNestedLoopJoin in q54 must build the 8-centroid side
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(q54).length
+    assert(bnlj <= 2, s"unexpected nested-loop joins: $bnlj")
+    assert(q54.contains("BroadcastHashJoin"), "cell-candidate join must be an equi-join")
+
+    val q63 = text.PipelineQueries.q63Decontamination(spark, sf).queryExecution.executedPlan.toString
+    assert(!q63.contains("CartesianProduct") && !q63.contains("BroadcastNestedLoopJoin"),
+      q63.take(500))
+  }
+
   test("q37 approx_count_distinct stays within 5% of exact (2% rsd configured)") {
     val rows = relational.AdvancedQueries.q37ApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
