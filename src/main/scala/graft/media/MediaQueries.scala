@@ -85,27 +85,49 @@ object MediaQueries {
       .orderBy($"frame_idx")
   }
 
+  /** Resize-then-decode: payloads stride-subsampled to ≤64-byte thumbnails
+    * (resizePayloads — what bounds shuffle volume when originals are
+    * megabytes), then decoded. Sampled per-doc output so the oracle
+    * verifies the exact thumbnail checksums — the resize arithmetic is
+    * fully under the gate.
+    */
+  def q66MediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thumbs = MediaFunctions.resizePayloads(asRecords(s, dir), cap = 64)
+    MediaFunctions.decodeFrames(thumbs).toDF()
+      .filter($"id" % 25 === 0)
+      .select($"id", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"), $"checksum")
+      .orderBy($"id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_binary_metadata" -> (q23BinaryMetadata _),
     "q55_media_decode" -> (q55MediaDecode _),
     "q56_frame_sample" -> (q56FrameSample _),
+    "q66_media_resize" -> (q66MediaResize _),
   )
 
-  /** FNV-64 over the UTF-8 bytes of `text[from, until)` (1-based from,
-    * exclusive until) in DuckDB HUGEINT mod-2⁶⁴ arithmetic, mapped to the
-    * signed BIGINT a JVM Long holds. Documents are ASCII, so ord(char) ==
-    * byte — the same identity q49's oracle relies on. list_prepend seeds
-    * the fold so empty ranges yield the FNV offset basis, like the kernel.
+  /** FNV-64 over a HUGEINT byte list in DuckDB mod-2⁶⁴ arithmetic, mapped
+    * to the signed BIGINT a JVM Long holds. list_prepend seeds the fold so
+    * an empty list yields the FNV offset basis, like the kernel.
     */
-  private def fnvSql(from: String, until: String): String =
+  private def fnvListSql(byteList: String): String =
     s"""(SELECT CAST(h - CASE WHEN h >= 9223372036854775808::HUGEINT
        |    THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT)
        | FROM (SELECT list_reduce(
-       |   list_prepend(14695981039346656037::HUGEINT,
-       |     list_transform(range($from, $until),
-       |       j -> ord(substr(text, CAST(j AS INTEGER), 1))::HUGEINT)),
+       |   list_prepend(14695981039346656037::HUGEINT, $byteList),
        |   (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
        |               % 18446744073709551616::HUGEINT) AS h))""".stripMargin
+
+  /** FNV-64 of `text[from, until)` (1-based from, exclusive until).
+    * Documents are ASCII, so ord(char) == byte — the same identity q49's
+    * oracle relies on.
+    */
+  private def fnvSql(from: String, until: String): String =
+    fnvListSql(
+      s"""list_transform(range($from, $until),
+         |       j -> ord(substr(text, CAST(j AS INTEGER), 1))::HUGEINT)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "q55_media_decode" ->
@@ -133,6 +155,26 @@ object MediaQueries {
          |SELECT frame_idx, count(*) AS n_frames, max(off) AS max_offset,
          |  bit_xor(fc) AS checksum_xor
          |FROM fr GROUP BY frame_idx ORDER BY frame_idx""".stripMargin,
+    // stride = ceil(len/64), thumb byte j (0-based) = byte at j*stride —
+    // exactly resizePayloads' subsample; len <= 64 degenerates to stride 1
+    "q66_media_resize" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    greatest((length(text) + 63) // 64, 1) AS stride
+         |  FROM documents WHERE doc_id % 25 = 0
+         |), b AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, (len + stride - 1) // stride),
+         |      j -> ord(substr(text, CAST(j * stride + 1 AS INTEGER), 1))::HUGEINT) AS bytes
+         |  FROM p
+         |), h AS (
+         |  SELECT doc_id, ${fnvListSql("bytes")} AS hv FROM b
+         |)
+         |SELECT doc_id AS id,
+         |  CAST(16 + (hv & 255) AS BIGINT) AS width,
+         |  CAST(16 + ((hv >> 8) & 255) AS BIGINT) AS height,
+         |  hv AS checksum
+         |FROM h ORDER BY id""".stripMargin,
     "q23_binary_metadata" ->
       """WITH m AS (
         |  SELECT source, octet_length(encode(text)) AS n_bytes,
