@@ -65,6 +65,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("session windows append mode: a session emits once the watermark passes its close") {
+    import spark.implicits._
+    def ev(min: Int, v: Double) = Ev(Timestamp.from(
+      java.time.Instant.parse("2024-02-01T00:00:00Z").plusSeconds(min * 60L)), 1L, "s", v)
+
+    val source = MemoryStream[Ev](implicitly[org.apache.spark.sql.Encoder[Ev]], spark.sqlContext)
+    val q = StreamingOps.userSessionsStream(source.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("sess_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+
+    source.addData(ev(0, 1.0), ev(10, 2.0)) // one session, end = 10+30 gap = 40min
+    q.processAllAvailable()
+    assert(spark.table(q.name).count() == 0) // session not closed yet
+
+    source.addData(ev(120, 4.0)) // watermark → 110min > 40: session emits
+    q.processAllAvailable()
+    val rows = spark.table(q.name).as[(Long, Timestamp, Long, Double)].collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows.head._3 == 2L && rows.head._4 == 3.0)
+  }
+
   test("mapGroupsWithState running totals: final stream emissions == batch aggregate") {
     import spark.implicits._
     import graft.streaming.{Event, UserTotals}
