@@ -62,14 +62,23 @@ object DedupQueries {
     * from the reused shuffle output. Without it one side broadcasts and the
     * whole signature pipeline runs twice (measured ~35% of q20).
     */
-  private def candidatePairs(s: SparkSession, sh: DataFrame): DataFrame = {
+  /** (doc_id, band, band_key) rows from the minhash signature pipeline —
+    * repartitioned on the band key so every consumer joins on an identical
+    * canonical Exchange (signatures computed once, ReuseExchange).
+    */
+  private def bandedKeys(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
     val sig = sh.select($"doc_id", minhashSignature($"sh", NumHashes).as("sig"))
-    val banded = sig.select($"doc_id",
+    sig.select($"doc_id",
       posexplode(transform(sequence(lit(0), lit(Bands - 1)),
         b => xxhash64(slice($"sig", b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
       .select($"doc_id", $"pos".as("band"), $"col".as("band_key"))
       .repartition($"band", $"band_key")
+  }
+
+  private def candidatePairs(s: SparkSession, sh: DataFrame): DataFrame = {
+    import s.implicits._
+    val banded = bandedKeys(s, sh)
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
@@ -238,7 +247,34 @@ object DedupQueries {
       .orderBy($"lang")
   }
 
+  /** Incremental near-dup dedup — the production ingestion shape: a NEW
+    * batch (doc_id % 5 == 0, ~20%) checked against the INDEXED corpus (the
+    * rest), never new×new or corpus×corpus. The asymmetric band join costs
+    * |new bands| × collision rate; the corpus side's signatures are what a
+    * real deployment has precomputed and stored — at 100 TB only the new
+    * batch is sketched per run, and the output is exactly the pairs an
+    * all-pairs run would have added. Verified with exact Jaccard like q20.
+    */
+  def q67IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingleSets(s, dir)
+    val banded = bandedKeys(s, sh)
+    val newSide = banded.filter($"doc_id" % 5 === 0)
+      .select($"doc_id".as("new_id"), $"band", $"band_key")
+    val corpusSide = banded.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id".as("corpus_id"), $"band", $"band_key")
+    newSide.join(corpusSide, Seq("band", "band_key"))
+      .select($"new_id", $"corpus_id").distinct()
+      .join(sh.select($"doc_id".as("new_id"), $"sh".as("sh_n")), "new_id")
+      .join(sh.select($"doc_id".as("corpus_id"), $"sh".as("sh_c")), "corpus_id")
+      .select($"new_id", $"corpus_id", jaccardSorted($"sh_n", $"sh_c").as("j"))
+      .filter($"j" >= JaccardThreshold)
+      .select($"new_id", $"corpus_id", round($"j", 4).as("jaccard"))
+      .orderBy($"new_id", $"corpus_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q40_corpus_clean" -> (q40CorpusClean _),
     "q20_dedup_minhash" -> (q20DedupMinhash _),
     "q26_dedup_simhash" -> (q26DedupSimhash _),
@@ -282,6 +318,22 @@ object DedupQueries {
          |FROM surv d
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // cross-set restatement of the q20 oracle: pairs straddling the
+    // new/corpus split (recall argument identical to q20's)
+    "q67_incremental_dedup" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s
+         |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+         |  GROUP BY 1, 2
+         |)
+         |SELECT new_id, corpus_id, round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON new_id = na.doc_id JOIN sizes nb ON corpus_id = nb.doc_id
+         |WHERE c * 1.0 / (na.n + nb.n - c) >= $JaccardThreshold
+         |ORDER BY new_id, corpus_id""".stripMargin,
     // Exact all-pairs Jaccard ≥ threshold — valid as the oracle because the
     // Spark side verifies candidates exactly (no false positives) and the
     // banding miss probability at the corpus's J-range is < 1e-11.

@@ -122,7 +122,30 @@ object PipelineQueries {
     decontaminate(Tables.documents(s, dir), $"doc_id" % 97 === 0, k = 8)
   }
 
+  /** Vocabulary building (tokenizer-training prep): token counts over the
+    * corpus, min-count threshold, then deterministic id assignment by
+    * (count DESC, token ASC). The count is a partial-aggregated shuffle of
+    * (token, partial n) — the corpus text never moves. The id-assignment
+    * window is global-order BY DESIGN over the post-threshold vocab, which
+    * is vocab-sized (≈10⁵–10⁶ rows at any corpus scale), not corpus-sized —
+    * a single-task sort of the vocab is the correct plan, not a scale bug.
+    */
+  def q68VocabBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val minCount = 100L
+    val counts = Tables.documents(s, dir)
+      .select(explode(split($"text", " ", -1)).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= minCount)
+    counts
+      .withColumn("token_id",
+        (row_number().over(Window.orderBy($"cnt".desc, $"token")) - 1).cast("long"))
+      .select($"token_id", $"token", $"cnt")
+      .orderBy($"token_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_vocab_build" -> (q68VocabBuild _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
     "q61_token_histogram" -> (q61TokenHistogram _),
     "q62_sequence_packing" -> (q62SequencePacking _),
@@ -130,6 +153,15 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q68_vocab_build" ->
+      """WITH c AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |  ) GROUP BY token HAVING count(*) >= 100
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id,
+        |  token, cnt
+        |FROM c ORDER BY token_id""".stripMargin,
     "q59_stratified_sample" ->
       """WITH s AS (
         |  SELECT lang,
