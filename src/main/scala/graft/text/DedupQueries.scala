@@ -1,7 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.NativeKernels._
@@ -53,18 +53,12 @@ object DedupQueries {
     * MMDS ch.3; LSH banding as in Spark MLlib's MinHashLSH, re-expressed as
     * pure Catalyst expressions).
     */
-  /** Band-collision candidate pairs (id_a < id_b) from minhash signatures —
-    * the shared not-all-pairs candidate generator for q20 and q50.
-    *
-    * The repartition on the band key makes BOTH self-join sides the
-    * identical canonical Exchange: ReuseExchange then computes the
-    * (expensive) minhash signatures ONCE and the join reads the second side
-    * from the reused shuffle output. Without it one side broadcasts and the
-    * whole signature pipeline runs twice (measured ~35% of q20).
-    */
   /** (doc_id, band, band_key) rows from the minhash signature pipeline —
     * repartitioned on the band key so every consumer joins on an identical
-    * canonical Exchange (signatures computed once, ReuseExchange).
+    * canonical Exchange: ReuseExchange then computes the (expensive)
+    * signatures ONCE and the second join side reads the reused shuffle
+    * output. Without it one side broadcasts and the whole signature
+    * pipeline runs twice (measured ~35% of q20).
     */
   private def bandedKeys(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
@@ -76,6 +70,9 @@ object DedupQueries {
       .repartition($"band", $"band_key")
   }
 
+  /** Band-collision candidate pairs (id_a < id_b) — the shared
+    * not-all-pairs candidate generator for q20/q40/q50.
+    */
   private def candidatePairs(s: SparkSession, sh: DataFrame): DataFrame = {
     import s.implicits._
     val banded = bandedKeys(s, sh)
@@ -204,9 +201,15 @@ object DedupQueries {
       .select($"doc_id".as("probe_id"), $"grams".as("p_grams"))
     val scored = g.join(broadcast(probes), $"doc_id" =!= $"probe_id")
       .select($"probe_id", $"doc_id", jaccardSortedLong($"p_grams", $"grams").as("j"))
-    val w = Window.partitionBy($"probe_id").orderBy($"j".desc, $"doc_id")
-    scored.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"probe_id", $"doc_id".as("best_id"), round($"j", 4).as("jaccard"))
+    // per-probe top-1 as max(struct(j, -doc_id)): field-by-field struct
+    // ordering = (j DESC, doc_id ASC) ties — same result as a row_number
+    // window, but the aggregate partial-combines map-side, so the shuffle
+    // carries one row per probe per partition instead of sorting the whole
+    // probe × corpus score table.
+    scored
+      .groupBy($"probe_id")
+      .agg(max(struct($"j", (-$"doc_id").as("neg_id"))).as("m"))
+      .select($"probe_id", (-$"m.neg_id").as("best_id"), round($"m.j", 4).as("jaccard"))
       .orderBy($"probe_id")
   }
 
