@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -41,18 +41,6 @@ object DedupQueries {
       .select($"doc_id", wordShingles($"text", ShingleK).as("sh"))
   }
 
-  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified.
-    *
-    * signature[j] = min over shingles of xxhash64(shingle, j) — one pass,
-    * map-side. Bands of 4 hashes are re-hashed to a band key; candidates are
-    * pairs sharing ≥1 band key; each candidate is then verified with the
-    * EXACT Jaccard of its shingle sets, so false positives cannot leak into
-    * the result. With J≥0.87 for every true near-dup in this corpus and
-    * 32×4 banding, recall is 1 − (1−0.87⁴)³² ≈ 1 − 1e-11 — which is why the
-    * oracle can be the exact all-pairs Jaccard (cited sketch: Broder '97 /
-    * MMDS ch.3; LSH banding as in Spark MLlib's MinHashLSH, re-expressed as
-    * pure Catalyst expressions).
-    */
   /** (doc_id, band, band_key) rows from the minhash signature pipeline —
     * repartitioned on the band key so every consumer joins on an identical
     * canonical Exchange: ReuseExchange then computes the (expensive)
@@ -96,6 +84,18 @@ object DedupQueries {
       .filter($"j" >= JaccardThreshold)
   }
 
+  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified.
+    *
+    * signature[j] = min over shingles of xxhash64(shingle, j) — one pass,
+    * map-side. Bands of 4 hashes are re-hashed to a band key; candidates are
+    * pairs sharing ≥1 band key; each candidate is then verified with the
+    * EXACT Jaccard of its shingle sets, so false positives cannot leak into
+    * the result. With J≥0.87 for every true near-dup in this corpus and
+    * 32×4 banding, recall is 1 − (1−0.87⁴)³² ≈ 1 − 1e-11 — which is why the
+    * oracle can be the exact all-pairs Jaccard (cited sketch: Broder '97 /
+    * MMDS ch.3; LSH banding as in Spark MLlib's MinHashLSH, re-expressed as
+    * pure Catalyst expressions).
+    */
   def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     verifiedPairs(s, shingleSets(s, dir))
