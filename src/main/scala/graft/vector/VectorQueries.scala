@@ -150,7 +150,14 @@ object VectorQueries {
     * pairs are broadcast (≤ ncells·nprobe rows). At 100 TB only ncells
     * grows (≈ sqrt(n) keeps cells scannable); the plan shape is unchanged.
     */
-  def q54IvfSearch(s: SparkSession, dir: String): DataFrame = {
+  def q54IvfSearch(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, nprobe = 2)
+
+  /** The parameterized core. With nprobe = ncells the search degenerates to
+    * exact kNN (every cell probed) — VectorLawsSpec asserts that identity
+    * against q18, which pins the whole assign/probe/search machinery.
+    */
+  private[graft] def ivfSearch(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val e = withNorm(Tables.embeddings(s, dir))
     val centroids = e.filter($"vec_id" < 8)
@@ -169,7 +176,7 @@ object VectorQueries {
     val probeCells = probes.crossJoin(broadcast(centroids))
       .select($"probe_id", $"p_emb", $"p_nrm", $"cell",
         cosine($"p_emb", $"c_emb", $"p_nrm", $"c_nrm").as("pcos"))
-      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nprobe)
       .select($"probe_id", $"p_emb", $"p_nrm", $"cell")
     val topk = udaf(TopKByScore(5))
     index.join(broadcast(probeCells), Seq("cell"))
