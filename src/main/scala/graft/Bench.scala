@@ -30,15 +30,19 @@ object Bench {
     // q40 additionally warms the langid regexps + anti-join codegen paths
     Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly", "q40_corpus_clean")
       .foreach(q => run(SparkEntry.queries(q)(spark, warmDir)))
+    // failed queries report -1 (never a plausible elapsed time) and land in
+    // "errors" — a regression must not masquerade as a fast success
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { run(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,13 +37,20 @@ object MediaQueries {
       .orderBy($"source")
   }
 
-  private def asRecords(s: SparkSession, dir: String) = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  /** (doc_id, payload, format) records from a documents DataFrame — callers
+    * apply row filters BEFORE this conversion so they reach the parquet
+    * scan; a filter above the typed encoder deserializes every record.
+    */
+  private def asRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id".as("id"), $"text".cast("binary").as("payload"),
         lit("fake").as("format"))
       .as[MediaFunctions.MediaRecord]
   }
+
+  private def asRecords(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaFunctions.MediaRecord] =
+    asRecords(Tables.documents(s, dir))
 
   /** Decode pipeline as a query: every payload through the per-partition
     * decode (MediaFunctions.decodeFrames — the mapPartitions codec shape),
@@ -93,9 +100,12 @@ object MediaQueries {
     */
   def q66MediaResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val thumbs = MediaFunctions.resizePayloads(asRecords(s, dir), cap = 64)
+    // sample BEFORE the typed operators: a filter above mapPartitions can't
+    // be pushed below the deserialize barrier, so filtering late would
+    // resize+decode the whole corpus and discard 96% of the work
+    val sampled = asRecords(Tables.documents(s, dir).filter($"doc_id" % 25 === 0))
+    val thumbs = MediaFunctions.resizePayloads(sampled, cap = 64)
     MediaFunctions.decodeFrames(thumbs).toDF()
-      .filter($"id" % 25 === 0)
       .select($"id", $"width".cast("long").as("width"),
         $"height".cast("long").as("height"), $"checksum")
       .orderBy($"id")

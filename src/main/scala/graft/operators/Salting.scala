@@ -23,16 +23,19 @@ object Salting {
     * NULL values are dropped before the dedup so the result is identical to
     * `count(DISTINCT value)`, which never counts NULL (ADVICE r2) — without
     * the filter, a surviving (key, NULL) pair would inflate the count by 1.
-    * A key whose values are ALL null therefore disappears from the output,
-    * exactly as it does under `groupBy(key).agg(countDistinct(value))`…
-    * which yields 0 — so keep the key via the left-join-free form: groupBy
-    * over the filtered pairs matches countDistinct output for every key
-    * that has at least one non-null value, and SaltingSpec pins the
-    * equivalence including null rows.
+    * A key whose values are ALL null must still appear with count 0 (as it
+    * does under `groupBy(key).agg(countDistinct(value))`), so the counts
+    * are left-joined back onto the distinct key set — one extra aggregation
+    * over keys only, which shuffles one row per distinct key per partition.
+    * ScaleSpec pins the equivalence including null rows and all-null keys.
     */
-  def skewResistantDistinctCount(df: DataFrame, key: String, value: String): DataFrame =
-    df.select(col(key), col(value)).where(col(value).isNotNull).distinct()
-      .groupBy(col(key)).agg(count(lit(1)).as("n_distinct"))
+  def skewResistantDistinctCount(df: DataFrame, key: String, value: String): DataFrame = {
+    val keys = df.select(col(key)).distinct()
+    val counts = df.select(col(key), col(value)).where(col(value).isNotNull).distinct()
+      .groupBy(col(key)).agg(count(lit(1)).as("nd"))
+    keys.join(counts, Seq(key), "left")
+      .select(col(key), coalesce(col("nd"), lit(0L)).as("n_distinct"))
+  }
 
   /** Salted aggregation: partial aggregate on (key, salt) — S-way spread of
     * every key — then final combine on key. For algebraic aggregates

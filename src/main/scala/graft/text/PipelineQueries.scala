@@ -14,9 +14,11 @@ import graft.expressions.NativeKernels.wordShingles
   */
 object PipelineQueries {
 
-  // portable 60-bit md5 bucket in [0, 100) — same construction as q57's
-  // split hash (Spark conv(substring(md5)) == DuckDB CAST('0x'||substr))
-  private def hashBucket(salt: String, key: org.apache.spark.sql.Column) =
+  // portable 60-bit md5 bucket in [0, 100): Spark conv(substring(md5)) ==
+  // DuckDB CAST('0x'||substr). The ONE copy of this construction — q57's
+  // split and q59's sampling both use it, so the Spark side can never
+  // drift from the oracles' character-for-character hash recipe.
+  private[text] def hashBucket(salt: String, key: org.apache.spark.sql.Column) =
     pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long"), lit(100L))
 

@@ -143,9 +143,9 @@ object TextQueries {
     */
   def q57HashSplit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("split:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
-        .cast("long"), lit(100L))
+    // the ONE portable bucket construction, shared with q59's sampler —
+    // the Spark recipe must match the oracles' '0x'||substr(md5) exactly
+    val bucket = PipelineQueries.hashBucket("split:", $"doc_id")
     Tables.documents(s, dir)
       .withColumn("split",
         when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))

@@ -108,16 +108,19 @@ class ScaleSpec extends AnyFunSuite {
 
     // NULL values must not count as a distinct value (count(DISTINCT x)
     // ignores NULL) — ADVICE r2: an unfiltered (key, NULL) pair survived
-    // distinct() and inflated the count by one.
+    // distinct() and inflated the count by one. "knull" has ONLY null
+    // values and must still appear with count 0, exactly as countDistinct
+    // reports it — compared against the UNFILTERED reference aggregation.
     val withNulls = (skewed.map { case (k, v) => (k, Some(v)) } ++
-      Seq(("hot", None), ("hot", None), ("k1", None))).toDF("key", "value")
+      Seq(("hot", None), ("hot", None), ("k1", None), ("knull", None))).toDF("key", "value")
     val n1 = Salting.skewResistantDistinctCount(withNulls, "key", "value")
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
-    val n2 = withNulls.where($"value".isNotNull)
+    val n2 = withNulls
       .groupBy($"key").agg(countDistinct($"value")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(n1 == n2)
-    assert(n1 == d1) // the null rows changed nothing
+    assert(n1("knull") == 0L)
+    assert((n1 - "knull") == d1) // the null rows changed no existing count
 
     val s1 = Salting.saltedSum(df, "key", col("value"), 8)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
