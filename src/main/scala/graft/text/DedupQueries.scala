@@ -276,7 +276,54 @@ object DedupQueries {
       .orderBy($"new_id", $"corpus_id")
   }
 
+  /** Near-dup CLUSTERS from the verified pair graph — pairs alone
+    * over-drop (a∼b, b∼c drops b and c even though a∼c may not hold as a
+    * pair; transitively connected docs are one duplicate group with one
+    * survivor). Components by iterative min-label propagation: each round,
+    * every node takes the min label among itself and its neighbors; the
+    * fixpoint labels every component with its minimum doc_id.
+    *
+    * Scale shape: per round one equi-join (edges ⋈ labels) + one partial-
+    * aggregated min — rounds = component diameter (near-dup clusters are
+    * shallow; the 20-round guard is far above any real corpus).
+    * `localCheckpoint` truncates lineage so the plan does not grow per
+    * round — the standard iterative-algorithm pattern (GraphX Pregel
+    * does the same). The driver holds only a per-round convergence count,
+    * never rows.
+    */
+  def q69DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = verifiedPairs(s, shingleSets(s, dir))
+      .select($"id_a", $"id_b").localCheckpoint()
+    val edges = pairs.union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
+      .toDF("src", "dst")
+    var labels = edges.select($"src".as("id")).distinct()
+      .withColumn("comp", $"id").localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), $"comp")
+      val updated = labels.select($"id", $"comp").union(viaNeighbors)
+        .groupBy($"id").agg(min($"comp").as("comp"))
+        .localCheckpoint()
+      val changed = updated.as("u")
+        .join(labels.select($"id", $"comp".as("old")), "id")
+        .filter($"comp" =!= $"old").count()
+      labels = updated
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.groupBy($"comp".as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        max($"id").as("max_member"))
+      .orderBy($"cluster_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_dedup_clusters" -> (q69DedupClusters _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q40_corpus_clean" -> (q40CorpusClean _),
     "q20_dedup_minhash" -> (q20DedupMinhash _),
@@ -321,6 +368,30 @@ object DedupQueries {
          |FROM surv d
          |WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = d.doc_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // components via recursive transitive closure over the same verified
+    // pair graph; comp = min reachable id == the propagation fixpoint
+    "q69_dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+         |  WHERE c * 1.0 / (na.n + nb.n - c) >= $JaccardThreshold
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         |), comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT comp AS cluster_id, count(*) AS n_members,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_dropped, max(id) AS max_member
+         |FROM comps GROUP BY comp ORDER BY cluster_id""".stripMargin,
     // cross-set restatement of the q20 oracle: pairs straddling the
     // new/corpus split (recall argument identical to q20's)
     "q67_incremental_dedup" ->
