@@ -37,6 +37,24 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("kernels agree with their specs on multibyte UTF-8 text (the 0x20-split claim)") {
+    import spark.implicits._
+    // splitOnSpace splits on the 0x20 BYTE (can't occur inside a multibyte
+    // sequence); charNgrams indexes CODEPOINTS — both must match the
+    // declarative spec on non-ASCII input, not just the ASCII corpus
+    val df = Seq("héllo wörld ünïcode tæst", "日本 語 の テスト です",
+      "emoji 🎉 in 🎈 tokens", "ASCII only here").toDF("text")
+    val bad = df.select(
+        wordShingles($"text", 2).as("n_sh"),
+        array_sort(array_distinct(TextFunctions.shingles(TextFunctions.tokens($"text"), 2))).as("s_sh"),
+        charNgrams(lower($"text"), 3).as("n_ng"),
+        array_sort(array_distinct(expr(
+          "transform(sequence(1, greatest(length(lower(text))-2, 1)), i -> substr(lower(text), i, 3))"))).as("s_ng"))
+      .filter(not($"n_sh" <=> $"s_sh") || not($"n_ng" <=> $"s_ng"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("charNgrams == sorted distinct of the transform/substr composition") {
     import spark.implicits._
     val spec = array_sort(array_distinct(expr(
