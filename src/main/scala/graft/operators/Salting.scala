@@ -20,22 +20,17 @@ object Salting {
     * which is the minimum possible. (`countDistinct` in one stage hashes
     * the whole hot key's value set into one task's aggregation state.)
     *
-    * NULL values are dropped before the dedup so the result is identical to
-    * `count(DISTINCT value)`, which never counts NULL (ADVICE r2) — without
-    * the filter, a surviving (key, NULL) pair would inflate the count by 1.
-    * A key whose values are ALL null must still appear with count 0 (as it
-    * does under `groupBy(key).agg(countDistinct(value))`), so the counts
-    * are left-joined back onto the distinct key set — one extra aggregation
-    * over keys only, which shuffles one row per distinct key per partition.
-    * ScaleSpec pins the equivalence including null rows and all-null keys.
+    * NULL handling matches `count(DISTINCT value)` exactly (ADVICE r2 +
+    * review): `count(value)` over the distinct (key, value) pairs skips
+    * NULL values — so a surviving (key, NULL) pair contributes 0 instead
+    * of inflating the count — while the key group itself survives, so an
+    * all-NULL key reports 0, and a NULL key groups like any other key (no
+    * join, so no null-safe-equality trap). ScaleSpec pins the equivalence
+    * including null values, all-null keys, and NULL keys.
     */
-  def skewResistantDistinctCount(df: DataFrame, key: String, value: String): DataFrame = {
-    val keys = df.select(col(key)).distinct()
-    val counts = df.select(col(key), col(value)).where(col(value).isNotNull).distinct()
-      .groupBy(col(key)).agg(count(lit(1)).as("nd"))
-    keys.join(counts, Seq(key), "left")
-      .select(col(key), coalesce(col("nd"), lit(0L)).as("n_distinct"))
-  }
+  def skewResistantDistinctCount(df: DataFrame, key: String, value: String): DataFrame =
+    df.select(col(key), col(value)).distinct()
+      .groupBy(col(key)).agg(count(col(value)).as("n_distinct"))
 
   /** Salted aggregation: partial aggregate on (key, salt) — S-way spread of
     * every key — then final combine on key. For algebraic aggregates

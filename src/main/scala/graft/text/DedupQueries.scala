@@ -233,11 +233,16 @@ object DedupQueries {
     val survivors = Tables.documents(s, dir)
       .filter(size(tokens($"text")) >= 20)
       .filter(langId($"text") === $"lang")
-      // materialization barrier: survivors feed BOTH the dedup branch and
-      // the final anti-join side; without a shared canonical Exchange each
-      // branch re-runs the (regexp-heavy) langId gate over the full corpus.
-      // With it, ReuseExchange evaluates the gates once.
-      .repartition($"doc_id")
+      // materialize survivors ONCE: the set feeds both the dedup branch
+      // and the final anti-join side, and a plain repartition does NOT
+      // dedupe them — per-branch column pruning produces differently-
+      // projected exchanges that never canonically match, so the
+      // regexp-heavy langId gate ran twice (review r3, verified in the
+      // executed plan). localCheckpoint is the intermediate-table pattern
+      // the reference pipeline itself uses between stages (etl.py writes
+      // each dimension before reuse); cost is one linear write of the
+      // surviving ~37%.
+      .localCheckpoint()
     val sh = survivors.select($"doc_id", wordShingles($"text", ShingleK).as("sh"))
     val dropIds = verifiedPairs(s, sh)
       .select($"id_b".as("doc_id")).distinct()
@@ -301,7 +306,12 @@ object DedupQueries {
       .withColumn("comp", $"id").localCheckpoint()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    // min-label propagation moves the minimum one hop per round, so the
+    // bound must exceed the largest component diameter; 50 covers any
+    // plausible near-dup chain, and non-convergence FAILS LOUDLY below —
+    // returning a non-fixpoint would silently split components (review r3)
+    val maxRounds = 50
+    while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), $"comp")
       val updated = labels.select($"id", $"comp").union(viaNeighbors)
@@ -314,6 +324,8 @@ object DedupQueries {
       converged = changed == 0
       rounds += 1
     }
+    require(converged,
+      s"label propagation did not converge in $maxRounds rounds — component diameter exceeds the bound")
     labels.groupBy($"comp".as("cluster_id"))
       .agg(
         count(lit(1)).as("n_members"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.expressions.NativeKernels.wordShingles
+import graft.functions.TextFunctions.tokens
 
 /** Corpus-preparation operators a pretraining pipeline runs between raw
   * documents and training batches: weighted sampling, length statistics,
@@ -48,7 +49,7 @@ object PipelineQueries {
     */
   def q61TokenHistogram(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nToks = size(split($"text", " ", -1)).cast("long")
+    val nToks = size(tokens($"text")).cast("long")
     Tables.documents(s, dir)
       .select($"source", nToks.as("n_toks"))
       .withColumn("bucket", expr("n_toks div 16"))
@@ -70,7 +71,7 @@ object PipelineQueries {
     */
   def q62SequencePacking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nToks = size(split($"text", " ", -1)).cast("long")
+    val nToks = size(tokens($"text")).cast("long")
     val w = Window.partitionBy($"lang").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir)
@@ -83,17 +84,14 @@ object PipelineQueries {
   }
 
   /** Benchmark decontamination (the 8-gram collision method): for each eval
-    * document (doc_id % 97 == 0, standing in for a benchmark set), how many
-    * corpus documents share at least one word-8-gram, and how many distinct
-    * 8-grams leak. The corpus side is an inverted index (explode 8-grams,
-    * equi-join on the gram) — candidate work is proportional to real
-    * collisions, never eval × corpus. The two distinct-counts run as
-    * SEPARATE aggregations (a combined agg would force the Expand-based
-    * multi-distinct plan — same lesson as q37). Eval docs with no overlap
-    * are kept via left join + zero-fill.
-    */
-  /** The reusable core: docs must have (doc_id, text); eval membership is
-    * the predicate column `isEval`. Exposed for PipelineSpec's planted-
+    * document, how many corpus documents share at least one word-8-gram,
+    * and how many distinct 8-grams leak. The corpus side is an inverted
+    * index (explode 8-grams, equi-join on the gram) — candidate work is
+    * proportional to real collisions, never eval × corpus. Eval docs with
+    * no overlap are kept via left join + zero-fill.
+    *
+    * Reusable core: docs must have (doc_id, text); eval membership is the
+    * predicate column `isEval`. Exposed for PipelineSpec's planted-
     * duplicate tests; q63 binds it to the documents table with the
     * doc_id % 97 eval set.
     */
@@ -106,15 +104,19 @@ object PipelineQueries {
       .select($"doc_id".as("eval_id"), $"g")
     val corpus = sh.filter(!$"__eval")
       .select($"doc_id".as("corpus_id"), $"g")
+    // ONE aggregation with both distinct counts: the multi-distinct Expand
+    // doubles only the collision hits (small by construction), while
+    // separate aggregations re-ran the corpus explode+join — the dominant
+    // cost — once per metric (review r3). Opposite trade-off from q37,
+    // where Expand doubled the rows under a wide HLL sketch buffer.
     val hits = corpus.join(broadcast(evalSide), "g")
-    val nDocs = hits.select($"eval_id", $"corpus_id").distinct()
-      .groupBy($"eval_id").agg(count(lit(1)).as("n_contaminating_docs"))
-    val nGrams = hits.select($"eval_id", $"g").distinct()
-      .groupBy($"eval_id").agg(count(lit(1)).as("n_shared_grams"))
+      .groupBy($"eval_id")
+      .agg(
+        countDistinct($"corpus_id").as("n_contaminating_docs"),
+        countDistinct($"g").as("n_shared_grams"))
     docs.withColumn("__eval", isEval).filter($"__eval")
       .select($"doc_id".as("eval_id"))
-      .join(nDocs, Seq("eval_id"), "left")
-      .join(nGrams, Seq("eval_id"), "left")
+      .join(hits, Seq("eval_id"), "left")
       .na.fill(0L, Seq("n_contaminating_docs", "n_shared_grams"))
       .orderBy($"eval_id")
   }
@@ -136,7 +138,7 @@ object PipelineQueries {
     import s.implicits._
     val minCount = 100L
     val counts = Tables.documents(s, dir)
-      .select(explode(split($"text", " ", -1)).as("token"))
+      .select(explode(tokens($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= minCount)
     counts

@@ -167,7 +167,7 @@ object TextQueries {
   def q58RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.expressions.NativeKernels.wordShingles
-    val nTotal = greatest(size(split($"text", " ", -1)) - lit(2), lit(1)).cast("double")
+    val nTotal = greatest(size(tokens($"text")) - lit(2), lit(1)).cast("double")
     val dupFrac = lit(1.0) - size(wordShingles($"text", 3)).cast("double") / nTotal
     Tables.documents(s, dir)
       .select($"source", dupFrac.as("dup_frac"))

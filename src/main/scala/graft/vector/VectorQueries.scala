@@ -195,14 +195,28 @@ object VectorQueries {
     * posexplode → (label, dim) partial aggregation: the shuffle carries one
     * partial sum per (label, dim) per partition, never vectors. First 8
     * dims kept for output compactness; the aggregation runs over all 64.
+    *
+    * The mean is computed over components QUANTIZED to 2⁻²⁰ (floor(v·2²⁰)
+    * summed as exact integers): a plain double `avg` sums in
+    * partition-dependent order, and associativity drift can straddle the
+    * round(…,4) boundary — the one flaky-oracle shape in the repo (review
+    * r3). The ×2²⁰ scaling is a power of two, so it is EXACT on every
+    * float, both engines floor identically, integer sums are
+    * order-independent, and the final division has identical operands —
+    * deterministic cross-engine at ~1e-6 quantization, far below the
+    * 4-decimal display.
     */
   def q60LabelCentroids(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val Q = 1048576L // 2^20
     Tables.embeddings(s, dir)
       .select($"label", posexplode($"embedding"))
       .groupBy($"label", $"pos".cast("long").as("dim"))
-      .agg(count(lit(1)).as("n"), round(avg($"col"), 4).as("mean_val"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"col" * Q).cast("long")).as("qsum"))
       .filter($"dim" < 8)
+      .select($"label", $"dim", $"n",
+        round($"qsum".cast("double") / ($"n" * Q), 4).as("mean_val"))
       .orderBy($"label", $"dim")
   }
 
@@ -303,14 +317,21 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // quantized exact mean: floor(v·2^20) summed as integers — order-
+    // independent, so the compare cannot flake on float-sum associativity
     "q60_label_centroids" ->
-      """SELECT label, dim, count(*) AS n, round(avg(v), 4) AS mean_val
+      """SELECT label, dim, n,
+        |  round(CAST(qsum AS DOUBLE) / (n * 1048576), 4) AS mean_val
         |FROM (
-        |  SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
-        |    CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE) AS v
-        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
-        |)
-        |WHERE dim < 8
-        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+        |  SELECT label, dim, count(*) AS n,
+        |    CAST(sum(CAST(floor(v * 1048576) AS BIGINT)) AS BIGINT) AS qsum
+        |  FROM (
+        |    SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
+        |      CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE) AS v
+        |    FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        |  )
+        |  WHERE dim < 8
+        |  GROUP BY label, dim
+        |) ORDER BY label, dim""".stripMargin,
   )
 }

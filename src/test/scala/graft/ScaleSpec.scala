@@ -106,21 +106,24 @@ class ScaleSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(d1 == d2)
 
-    // NULL values must not count as a distinct value (count(DISTINCT x)
-    // ignores NULL) — ADVICE r2: an unfiltered (key, NULL) pair survived
-    // distinct() and inflated the count by one. "knull" has ONLY null
-    // values and must still appear with count 0, exactly as countDistinct
-    // reports it — compared against the UNFILTERED reference aggregation.
-    val withNulls = (skewed.map { case (k, v) => (k, Some(v)) } ++
-      Seq(("hot", None), ("hot", None), ("k1", None), ("knull", None))).toDF("key", "value")
+    // NULL handling must match count(DISTINCT x) in every direction
+    // (ADVICE r2 + review): null VALUES don't count ("hot"/"k1" rows),
+    // an all-null-value key ("knull") still appears with 0, and a NULL KEY
+    // groups like any other key — compared against the UNFILTERED
+    // reference aggregation.
+    val withNulls = (skewed.map { case (k, v) => (Some(k), Some(v)) } ++
+      Seq((Some("hot"), None), (Some("hot"), None), (Some("k1"), None),
+        (Some("knull"), None), (None, Some(7)), (None, Some(8)), (None, None)))
+      .toDF("key", "value")
     val n1 = Salting.skewResistantDistinctCount(withNulls, "key", "value")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toMap
     val n2 = withNulls
       .groupBy($"key").agg(countDistinct($"value")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toMap
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toMap
     assert(n1 == n2)
-    assert(n1("knull") == 0L)
-    assert((n1 - "knull") == d1) // the null rows changed no existing count
+    assert(n1(Some("knull")) == 0L)
+    assert(n1(None) == 2L) // NULL key groups; its null value doesn't count
+    assert((n1 - Some("knull") - None).map { case (k, v) => (k.get, v) } == d1)
 
     val s1 = Salting.saltedSum(df, "key", col("value"), 8)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
@@ -134,6 +137,16 @@ class ScaleSpec extends AnyFunSuite {
     val j2 = df.join(dim, "key")
       .groupBy($"tag").count().collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(j1 == j2)
+  }
+
+  test("q20's banded self-join reuses one exchange: signatures computed once") {
+    // the claim in SCALING.md — verify in the FINAL plan (AQE rewrites
+    // exchange reuse at runtime, so the pre-execution plan can't show it)
+    val df = text.DedupQueries.q20DedupMinhash(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"banded self-join must reuse the signature exchange:\n${plan.take(1500)}")
   }
 
   test("candidate-generation plans have no all-pairs term (q54 IVF, q63 decontamination)") {
