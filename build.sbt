@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes straight to the terminal instead of through sbt's
+// logger: the logger's "[info] " line prefix kept the driver from parsing
+// Bench's one-line JSON (BENCH_r01..r03 all have parsed:null).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -199,7 +199,7 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM t
         |)
-        |SELECT lang, (cum - n_toks) // 512 AS chunk, count(*) AS n_docs,
+        |SELECT lang, CAST((cum - n_toks) // 512 AS BIGINT) AS chunk, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS chunk_tokens
         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk""".stripMargin,
     // 8-gram CTE mirrors the wordShingles degenerate: < 8 tokens → whole text

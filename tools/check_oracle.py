@@ -46,6 +46,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             n_fail += 1
             continue
+        # dtype KIND mismatch (int vs float/object) is a driver hash-fail even
+        # when values compare equal here: the driver stringifies values, and
+        # 0 != 0.0 under that. DuckDB HUGEINT (un-cast sums) arrives as float64
+        # or object through pandas — exactly the q11/q62 bug class.
+        kind_bad = [c for c in g.columns if g[c].dtype.kind != e[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype-kind mismatch on {kind_bad}: "
+                  f"spark={[str(g[c].dtype) for c in kind_bad]} "
+                  f"duck={[str(e[c].dtype) for c in kind_bad]}")
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"PASS {name} ({len(g)} rows)")
