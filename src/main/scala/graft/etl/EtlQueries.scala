@@ -71,13 +71,46 @@ object EtlQueries {
       .orderBy($"s_nationkey")
   }
 
+  /** NDJSON sink + schema-pinned re-read — the reference's native input
+    * format (etl.py reads JSON; SparkifyEtl covers the source side over
+    * the fixture) exercised as a SINK and re-scanned the way a production
+    * lake does it: explicit schema, no inference pass over the files.
+    * Dates travel as ISO strings and come back as DateType through the
+    * pinned schema; the aggregate proves value fidelity end to end.
+    */
+  def q46JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val out = s"/root/repo/target/tmp/json_roundtrip_${math.abs(dir.hashCode)}"
+    Tables.orders(s, dir).write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", DateType), StructField("o_orderpriority", StringType)))
+    s.read.schema(schema).json(out)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total_price"),
+        min(date_format($"o_orderdate", "yyyy-MM-dd")).as("first_date"),
+        max(date_format($"o_orderdate", "yyyy-MM-dd")).as("last_date"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_json_roundtrip" -> (q46JsonRoundtrip _),
     "q21_etl_roundtrip" -> (q21EtlRoundtrip _),
     "q47_csv_roundtrip" -> (q47CsvRoundtrip _),
     "q48_orc_roundtrip" -> (q48OrcRoundtrip _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q46_json_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total_price,
+        | strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+        | strftime(max(o_orderdate), '%Y-%m-%d') AS last_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q21_etl_roundtrip" ->
       """SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
         | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price

@@ -82,4 +82,19 @@ object TextFunctions {
         transform(
           sequence(lit(0), size(toks) - k),
           i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+
+  /** PII-style masking of identifier digit runs (account numbers, record
+    * ids): any run of `minRun`+ digits becomes the `[ID]` token. Pure
+    * regexp_replace — map-side, codegen'd, RE2-portable pattern (no
+    * lookaround, no \\w classes) so oracles can restate it exactly.
+    */
+  def maskIdDigits(col: Column, minRun: Int = 4): Column =
+    regexp_replace(col, s"[0-9]{$minRun,}", "[ID]")
+
+  /** Email-address pattern shared by [[scrubEmails]] and its oracles. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Redact email addresses with the `[EMAIL]` token. */
+  def scrubEmails(col: Column): Column =
+    regexp_replace(col, EmailPattern, "[EMAIL]")
 }

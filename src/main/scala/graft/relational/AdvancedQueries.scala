@@ -243,7 +243,66 @@ object AdvancedQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Unpivot (wide→long melt) — the inverse of q31's pivot: per-part metric
+    * columns become (metric, value) rows. Value columns are pre-cast to one
+    * type (unpivot requires it); the operator itself is a zero-shuffle
+    * Expand, each input row emitting one row per metric.
+    */
+  def q71Unpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir)
+      .filter($"p_partkey" % 25 === 0)
+      .select($"p_partkey",
+        $"p_size".cast("double").as("p_size"), $"p_retailprice")
+      .unpivot(Array($"p_partkey"), Array($"p_size", $"p_retailprice"),
+        "metric", "value")
+      .orderBy($"p_partkey", $"metric")
+  }
+
+  /** Explicit GROUPING SETS (the general form next to q30's ROLLUP and
+    * q44's CUBE): (priority, status), (priority), and grand total in one
+    * Expand + hash aggregate; grouping_id separates subtotal rows from
+    * genuine groups.
+    */
+  def q72GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderpriority", $"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total_price"))
+      .select(
+        coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+        coalesce($"o_orderstatus", lit("(all)")).as("status"),
+        $"gid", $"n", $"total_price")
+      .orderBy($"gid", $"priority", $"status")
+  }
+
+  /** Statistical aggregates (corr / covariance / stddev / variance): the
+    * profile pass run before normalizing features or weighting mixtures.
+    * All are single-pass mergeable moments (Welford-style partial state) —
+    * one partial+final hash aggregate, shuffle carries one state row per
+    * group. Rounded: both engines compute exact moments up to double
+    * summation order, so 4 decimals is stable (integral quantities).
+    */
+  def q74StatsAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("qty_price_corr"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("qty_price_covar"),
+        round(stddev_samp($"l_quantity"), 4).as("qty_stddev"),
+        round(var_pop($"l_quantity"), 4).as("qty_var_pop"),
+        round(avg($"l_discount"), 4).as("avg_discount"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_unpivot" -> (q71Unpivot _),
+    "q72_grouping_sets" -> (q72GroupingSets _),
+    "q74_stats_agg" -> (q74StatsAgg _),
     "q52_skew_agg" -> (q52SkewAgg _),
     "q42_window_suite" -> (q42WindowSuite _),
     "q43_string_funcs" -> (q43StringFuncs _),
@@ -258,6 +317,29 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |FROM part WHERE p_partkey % 25 = 0
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice
+        |FROM part WHERE p_partkey % 25 = 0
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "q72_grouping_sets" ->
+      """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+        | coalesce(o_orderstatus, '(all)') AS status,
+        | CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, priority, status""".stripMargin,
+    "q74_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        | round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        | round(var_pop(l_quantity), 4) AS qty_var_pop,
+        | round(avg(l_discount), 4) AS avg_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q52_skew_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         | count(*) AS n, count(DISTINCT l_partkey) AS n_distinct

@@ -180,7 +180,30 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** The VARIANT type (Spark 4's open semi-structured column): props parsed
+    * once into a variant, then typed path extraction (`variant_get`) and
+    * missing-path null semantics (`try_variant_get`). Unlike q11's
+    * string-path `get_json_object`, the parse happens once per row and the
+    * binary variant encoding is what a lake would store — repeated
+    * extractions don't re-parse the JSON text.
+    */
+  def q73VariantExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = parse_json($"props")
+    Tables.events(s, dir)
+      .select($"event_type",
+        variant_get(v, "$.k", "long").as("k"),
+        try_variant_get(v, "$.missing", "long").as("missing"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        count($"missing").as("n_missing_present"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_variant_extract" -> (q73VariantExtract _),
     "q64_stream_dedup_twin" -> (q64StreamDedupTwin _),
     "q41_from_json_map" -> (q41FromJsonMap _),
     "q34_epoch_roundtrip" -> (q34EpochRoundtrip _),
@@ -193,6 +216,11 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | count(json_extract_string(props, '$.missing')) AS n_missing_present
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q64_stream_dedup_twin" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, event_type, date_trunc('second', ts) AS ts

@@ -179,7 +179,30 @@ object TextQueries {
       .orderBy($"source")
   }
 
+  /** PII scrubbing (the redaction pass a training-data pipeline runs before
+    * anything leaves the raw zone): digit-run masking over the id-bearing
+    * `c_name` column, plus email redaction exercised on a deterministic
+    * contact string derived from the same column — the corpus itself
+    * carries no literal emails, so the derivation is what proves the email
+    * branch fires. All regexp built-ins: map-side, codegen'd, no UDF; at
+    * 100 TB this is a pure scan-side rewrite folded into the projection.
+    */
+  def q70PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{maskIdDigits, scrubEmails}
+    val contact = lower(concat(regexp_replace($"c_name", "#", "."), lit("@example.com")))
+    Tables.customer(s, dir)
+      .filter($"c_custkey" % 20 === 0)
+      .select(
+        $"c_custkey",
+        maskIdDigits($"c_name").as("masked_name"),
+        regexp_count($"c_name", lit("[0-9]")).cast("long").as("n_digits"),
+        scrubEmails(contact).as("scrubbed_contact"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_pii_scrub" -> (q70PiiScrub _),
     "q57_hash_split" -> (q57HashSplit _),
     "q58_repetition_filter" -> (q58RepetitionFilter _),
     "q49_winnowing" -> (q49Winnowing _),
@@ -208,6 +231,13 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q70_pii_scrub" ->
+      """SELECT c_custkey,
+        | regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS masked_name,
+        | CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_digits,
+        | regexp_replace(lower(replace(c_name, '#', '.') || '@example.com'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS scrubbed_contact
+        |FROM customer WHERE c_custkey % 20 = 0 ORDER BY c_custkey""".stripMargin,
     "q57_hash_split" ->
       """WITH s AS (
         |  SELECT *,

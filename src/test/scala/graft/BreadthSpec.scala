@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 breadth operators: PII scrubbing, unpivot, grouping sets,
+  * VARIANT extraction, statistical aggregates, JSON sink roundtrip.
+  * Each test asserts an algebraic invariant that would survive a data
+  * refresh (never golden values from one generator seed).
+  */
+class BreadthSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("PII kernels: digit runs >=4 masked, short runs kept, emails redacted") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{maskIdDigits, scrubEmails}
+    val got = Seq(
+      "acct 12345678 and ref 123",
+      "reach me at a.b+c@ex-ample.org or x@y.io",
+      "no pii here")
+      .toDF("t")
+      .select(maskIdDigits($"t").as("m"), scrubEmails($"t").as("s"))
+      .collect()
+    assert(got(0).getString(0) == "acct [ID] and ref 123")
+    assert(got(1).getString(1) == "reach me at [EMAIL] or [EMAIL]")
+    assert(got(2).getString(0) == "no pii here" && got(2).getString(1) == "no pii here")
+  }
+
+  test("q70 masks every long digit run it reports") {
+    val rows = text.TextQueries.q70PiiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!r.getAs[String]("masked_name").matches(".*[0-9]{4,}.*"))
+      assert(r.getAs[String]("scrubbed_contact") == "[EMAIL]")
+      assert(r.getAs[Long]("n_digits") > 0) // c_name carries an id run
+    }
+  }
+
+  test("q71 unpivot conserves cells and pivots back to the wide table") {
+    import spark.implicits._
+    val wide = Tables.part(spark, sf)
+      .filter($"p_partkey" % 25 === 0)
+      .select($"p_partkey", $"p_size".cast("double").as("p_size"), $"p_retailprice")
+    val long = relational.AdvancedQueries.q71Unpivot(spark, sf)
+    assert(long.count() == 2 * wide.count())
+    val back = long.groupBy($"p_partkey").pivot("metric", Seq("p_size", "p_retailprice"))
+      .agg(first($"value"))
+    assert(back.except(wide).isEmpty && wide.except(back).isEmpty)
+  }
+
+  test("q72 grouping sets: gid levels partition the total") {
+    import spark.implicits._
+    val rows = relational.AdvancedQueries.q72GroupingSets(spark, sf).collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 1L, 3L))
+    val total = Tables.orders(spark, sf).count()
+    // each grouping level independently sums to the table count
+    Seq(0L, 1L, 3L).foreach { g =>
+      assert(rows.filter(_.getAs[Long]("gid") == g).map(_.getAs[Long]("n")).sum == total)
+    }
+    assert(rows.count(_.getAs[Long]("gid") == 3L) == 1) // one grand-total row
+  }
+
+  test("q73 variant extraction agrees with q11's string-path extraction") {
+    val v = relational.EventQueries.q73VariantExtract(spark, sf)
+      .select("event_type", "n", "sum_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val j = relational.EventQueries.q11EventsJson(spark, sf)
+      .select("event_type", "n", "sum_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(v == j)
+    val missing = relational.EventQueries.q73VariantExtract(spark, sf)
+      .agg(sum("n_missing_present")).collect()(0).getLong(0)
+    assert(missing == 0L) // try_variant_get on an absent path is null, never an error
+  }
+
+  test("q74 moments: corr bounded, var_pop matches the direct two-pass form") {
+    import spark.implicits._
+    val rows = relational.AdvancedQueries.q74StatsAgg(spark, sf).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("qty_price_corr")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Double]("qty_var_pop") >= 0.0)
+    }
+    // direct E[x^2] - E[x]^2 on integral quantities (exact in double here)
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg((avg($"l_quantity" * $"l_quantity") - avg($"l_quantity") * avg($"l_quantity"))
+        .as("v"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("v")).toMap
+    rows.foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      assert(math.abs(r.getAs[Double]("qty_var_pop") - direct(flag)) < 1e-4)
+    }
+  }
+
+  test("q46 JSON roundtrip conserves the order count") {
+    val n = etl.EtlQueries.q46JsonRoundtrip(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(n == Tables.orders(spark, sf).count())
+  }
+}
