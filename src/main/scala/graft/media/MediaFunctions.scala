@@ -30,6 +30,9 @@ object MediaFunctions {
   /** Sampled "frames" of a pretend video payload. */
   case class SampledFrame(id: Long, frame_idx: Int, offset: Long, frame_checksum: Long)
 
+  /** Per-payload feature vector (16-bin high-nibble byte histogram). */
+  case class FeatureVector(id: Long, n_bytes: Long, hist: Array[Long])
+
   private def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
     var i = math.max(from, 0)
@@ -81,6 +84,28 @@ object MediaFunctions {
           while (i < out.length) { out(i) = r.payload(i * stride); i += 1 }
           MediaRecord(r.id, out, r.format)
         }
+      }
+    }
+  }
+
+  /** Feature extraction over opaque payloads: one fixed-width vector per
+    * item — the embed-the-modality step between decode and the vector tier.
+    * The feature here is a 16-bin byte histogram (high nibble), a REAL
+    * feature (format sniffing uses exactly this) that doubles as the
+    * deterministic stand-in for a learned encoder: a real pipeline loads
+    * the encoder in the per-partition init and replaces the histogram loop
+    * with a forward pass; the record plumbing, batch iteration, and
+    * fixed-width output contract are what this function pins down.
+    */
+  def extractFeatures(records: Dataset[MediaRecord]): Dataset[FeatureVector] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // real pipeline: encoder/model init here, once per partition
+      it.map { r =>
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < r.payload.length) { hist((r.payload(i) & 0xff) >> 4) += 1; i += 1 }
+        FeatureVector(r.id, r.payload.length.toLong, hist)
       }
     }
   }

@@ -111,7 +111,27 @@ object MediaQueries {
       .orderBy($"id")
   }
 
+  /** Feature extraction as a query: every payload through the per-partition
+    * extractor (MediaFunctions.extractFeatures), vectors unrolled with
+    * posexplode, then a per-bin corpus rollup. The histogram is exact
+    * integer counting, so the oracle verifies every extracted value — the
+    * feature plumbing is fully under the gate even though a real encoder
+    * would replace the histogram. Map-side until the 16-row aggregate.
+    */
+  def q75MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MediaFunctions.extractFeatures(asRecords(s, dir)).toDF()
+      .select($"id", posexplode($"hist").as(Seq("bin", "cnt")))
+      .groupBy($"bin".cast("long").as("bin"))
+      .agg(
+        count(when($"cnt" > 0, 1)).as("n_docs_nonzero"),
+        sum($"cnt").as("total_bytes_in_bin"),
+        max($"cnt").as("max_cnt"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_media_features" -> (q75MediaFeatures _),
     "q23_binary_metadata" -> (q23BinaryMetadata _),
     "q55_media_decode" -> (q55MediaDecode _),
     "q56_frame_sample" -> (q56FrameSample _),
@@ -140,6 +160,23 @@ object MediaQueries {
          |       j -> ord(substr(text, CAST(j AS INTEGER), 1))::HUGEINT)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    // documents are ASCII (ord == byte, the q49/q55 identity); the grid CTE
+    // restores the zero-count (doc, bin) cells posexplode emits
+    "q75_media_features" ->
+      """WITH e AS (
+        |  SELECT doc_id, ord(substr(text, CAST(u.j AS INTEGER), 1)) // 16 AS bin
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(j)
+        |), pc AS (
+        |  SELECT doc_id, bin, count(*) AS cnt FROM e GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT doc_id, u.b AS bin FROM documents, UNNEST(range(0, 16)) AS u(b)
+        |)
+        |SELECT CAST(g.bin AS BIGINT) AS bin,
+        |  CAST(count(pc.cnt) AS BIGINT) AS n_docs_nonzero,
+        |  CAST(coalesce(sum(pc.cnt), 0) AS BIGINT) AS total_bytes_in_bin,
+        |  CAST(coalesce(max(pc.cnt), 0) AS BIGINT) AS max_cnt
+        |FROM grid g LEFT JOIN pc ON pc.doc_id = g.doc_id AND pc.bin = g.bin
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
     "q55_media_decode" ->
       s"""WITH dec AS (
          |  SELECT doc_id, ${fnvSql("1", "length(text) + 1")} AS h FROM documents

@@ -78,4 +78,20 @@ class MediaSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("extractFeatures: fixed-width vectors whose mass equals the payload size") {
+    val feats = MediaFunctions.extractFeatures(records()).collect()
+    val lens = records().collect().map(r => r.id -> r.payload.length.toLong).toMap
+    assert(feats.length == lens.size)
+    feats.foreach { f =>
+      assert(f.hist.length == 16)           // fixed-width output contract
+      assert(f.hist.sum == f.n_bytes)       // every byte lands in one bin
+      assert(f.n_bytes == lens(f.id))
+      assert(f.hist.forall(_ >= 0))
+    }
+    // deterministic across runs
+    val again = MediaFunctions.extractFeatures(records()).collect()
+      .sortBy(_.id).map(_.hist.toSeq).toSeq
+    assert(again == feats.sortBy(_.id).map(_.hist.toSeq).toSeq)
+  }
 }
