@@ -37,12 +37,21 @@ object Bench {
       val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The harness keeps only the last ~2000 chars of output and parses one
+    // JSON line out of it. Full query names at ns precision overflow that
+    // window once the registry passes ~60 queries (BENCH_r01–r04 all ended
+    // up unparsed). Emit the compact form: "qNN" keys (the unique numeric
+    // prefix of every registry name — see README.md query table for the
+    // mapping) and ms precision, as the very last line before exit.
+    def short(name: String): String = name.takeWhile(_ != '_')
+    require(results.keys.map(short).toSet.size == results.size,
+      "query numeric prefixes must be unique for the compact bench line")
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
   }
 }
