@@ -14,6 +14,7 @@ object SparkEntry {
     Seq(
       (relational.CoreQueries.queries, relational.CoreQueries.oracles),
       (relational.AdvancedQueries.queries, relational.AdvancedQueries.oracles),
+      (relational.ScaleQueries.queries, relational.ScaleQueries.oracles),
       (relational.EventQueries.queries, relational.EventQueries.oracles),
       (text.TextQueries.queries, text.TextQueries.oracles),
       (text.DedupQueries.queries, text.DedupQueries.oracles),

@@ -1,0 +1,211 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join shapes that only matter once the fact table is big: the multi-way
+  * star join (the plan a 1000-executor cluster runs all day), the
+  * runtime-bloom-prefiltered join (Spark's injected semi-join filter), the
+  * bucketed co-located join (the zero-shuffle layout for repeated joins),
+  * and a per-group outlier filter whose moments are computed from exact
+  * integer sums so the oracle hash is stable.
+  */
+object ScaleQueries {
+
+  /** Star join, TPC-H Q5 shape: revenue per nation for one region + one
+    * order-date year, joining the fact (`lineitem`) through `orders`,
+    * `customer`, `supplier` with the classic locality constraint
+    * c_nationkey = s_nationkey.
+    *
+    * Declared in the order that scales: region (5 rows) filters nation
+    * (25 rows) under an explicit broadcast, the tiny result broadcasts
+    * into `customer` (shrinking it 5×) before the fact joins. The
+    * lineitem⋈orders and ⋈customer joins shuffle on their keys at 100 TB
+    * (AQE upgrades them to broadcast at test scale); supplier is left to
+    * the planner — broadcast-able per-executor at small SF, shuffle join
+    * beyond `autoBroadcastJoinThreshold`. The date filter sits on `orders`
+    * before its join, so pushdown reaches the scan.
+    */
+  def q76StarJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_nationkey", $"n_name")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1997-01-01"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, dir),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Runtime-filter join: fact scan pre-filtered by the dim's join keys
+    * before the join's own shuffle. The declarative query is a plain
+    * selective-dim equi-join — Spark's optimizer injects the bloom
+    * (`BloomFilterMightContain` over a `bloom_filter_agg` of the dim keys)
+    * when `spark.sql.optimizer.runtime.bloomFilter.enabled` is on, so
+    * non-matching fact rows die at the scan instead of crossing the wire.
+    * ScaleQueriesSpec asserts the injected filter appears in the physical
+    * plan under bench-shaped thresholds; the oracle verifies the join
+    * result itself (identical with or without the filter — that is the
+    * point of a runtime filter).
+    */
+  def q77RuntimeFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.part(s, dir)
+      .filter($"p_type" === "SMALL" && $"p_size" <= 10)
+      .select($"p_partkey", $"p_size")
+    Tables.lineitem(s, dir)
+      .join(dim, $"l_partkey" === $"p_partkey")
+      .groupBy($"p_size")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"p_size")
+  }
+
+  /** Bucketed co-located join: both sides written `bucketBy(8, key)` +
+    * `sortBy(key)` into managed tables, then joined on the bucket key —
+    * the physical plan is a sort-merge join with NO exchange and no sort
+    * on either side (ScaleQueriesSpec asserts both). This is the layout
+    * answer to "this join runs every hour at 100 TB": pay the shuffle once
+    * at write time, never again at read time. Bucket count is 8 here to
+    * match test cores; at scale it is sized so one bucket ≈ one task's
+    * memory.
+    */
+  def q81BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = math.abs(dir.hashCode).toString
+    val ordersTbl = s"graft_bkt_orders_$tag"
+    val itemsTbl = s"graft_bkt_items_$tag"
+    // the in-memory catalog forgets tables across sessions but the
+    // warehouse directory persists — clear both or the CTAS refuses
+    // (LOCATION_ALREADY_EXISTS)
+    for (t <- Seq(ordersTbl, itemsTbl)) {
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), t)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // repartition(8, key) matches the bucket hash-partitioning, so each
+    // task holds exactly one bucket → ONE file per bucket. That is both
+    // the layout a reader wants and what lets Spark trust the sortBy
+    // order and drop the merge-join Sort (multi-file buckets re-sort).
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .repartition(8, $"o_orderkey")
+      .write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ordersTbl)
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity")
+      .repartition(8, $"l_orderkey")
+      .write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(itemsTbl)
+    s.table(itemsTbl)
+      .join(s.table(ordersTbl), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Per-group z-score outlier filter (the "drop anomalous measurements"
+    * pass a feature pipeline runs before training). Group moments come
+    * from EXACT integer sums of the 2-decimal values scaled ×100 — count,
+    * Σv, Σv² are integers, so mean/stddev and every z-score are the same
+    * double in any engine and any summation order; the usual
+    * float-aggregation nondeterminism never enters. The 3-row stats side
+    * broadcasts back onto the events scan, so the filter itself is
+    * map-side.
+    */
+  def q82GroupOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("v100"))
+    val stats = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"v100").as("s1"),
+      sum($"v100" * $"v100").as("s2"))
+    val withZ = ev.join(broadcast(stats), "event_type")
+      .withColumn("mean", $"s1".cast("double") / $"n")
+      .withColumn("std",
+        sqrt($"s2".cast("double") / $"n" - ($"s1".cast("double") / $"n") * ($"s1".cast("double") / $"n")))
+      .withColumn("z", ($"v100".cast("double") - $"mean") / $"std")
+    withZ.filter(abs($"z") > 2.0)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_outliers"),
+        round(min($"z"), 4).as("min_z"),
+        round(max($"z"), 4).as("max_z"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_star_join" -> (q76StarJoin _),
+    "q77_runtime_filter_join" -> (q77RuntimeFilterJoin _),
+    "q81_bucketed_join" -> (q81BucketedJoin _),
+    "q82_group_outliers" -> (q82GroupOutliers _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q76_star_join" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q77_runtime_filter_join" ->
+      """SELECT p_size, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |JOIN (SELECT p_partkey, p_size FROM part
+        |      WHERE p_type = 'SMALL' AND p_size <= 10) d
+        |  ON l_partkey = p_partkey
+        |GROUP BY p_size ORDER BY p_size""".stripMargin,
+    "q81_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q82_group_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100 FROM events
+        |), st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(v100) AS BIGINT) AS s1,
+        |    CAST(sum(v100 * v100) AS BIGINT) AS s2
+        |  FROM ev GROUP BY event_type
+        |), z AS (
+        |  SELECT ev.event_type,
+        |    (CAST(v100 AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+        |      / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
+        |  FROM ev JOIN st ON ev.event_type = st.event_type
+        |)
+        |SELECT event_type, count(*) AS n_outliers,
+        |  round(min(z), 4) AS min_z, round(max(z), 4) AS max_z
+        |FROM z WHERE abs(z) > 2.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.relational.ScaleQueries
+
+/** Plan-shape assertions for the at-scale join tier (q76/q77/q81/q82):
+  * these queries exist for their PHYSICAL plans, so the specs pin the plan,
+  * not just the rows (the DuckDB oracle already pins the rows).
+  */
+class ScaleQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q76 star join broadcasts the dim chain and returns per-nation revenue") {
+    val df = ScaleQueries.q76StarJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dims in:\n$plan")
+    val rows = df.collect()
+    assert(rows.length > 0 && rows.length <= 5) // at most the 5 ASIA nations
+    // revenue column is sorted descending
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+  }
+
+  test("q77 join is runtime-bloom-filtered under scale-shaped thresholds") {
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // at 100 TB the fact scan passes the 10 GB default by itself; at test
+      // scale we zero the threshold to see the same injected plan
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force the shuffle join the filter exists to protect (a broadcast
+      // join needs no runtime filter and suppresses injection)
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = ScaleQueries.q77RuntimeFilterJoin(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.toLowerCase.contains("bloomfilter"),
+        s"expected an injected bloom runtime filter in:\n$opt")
+      assert(df.count() > 0)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(c.unset(k))(c.set(k, _))
+    }
+  }
+
+  test("q81 bucketed join plan has no shuffle exchange") {
+    // run once to (re)create the bucketed tables
+    assert(ScaleQueries.q81BucketedJoin(spark, sf).count() > 0)
+    import spark.implicits._
+    val tag = math.abs(sf.hashCode).toString
+    // at test SF the planner would broadcast (and skip the bucketed read
+    // entirely); disable it to see the shuffle-join regime the bucketing
+    // exists for — the regime both sides are in at 100 TB
+    val c = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.legacy.bucketedTableScan.outputOrdering").map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // sortBy order is only propagated under this conf (since Spark 3.0,
+      // because multi-file buckets broke it); our one-file-per-bucket
+      // layout is exactly the case it is sound for
+      c.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val joined = spark.table(s"graft_bkt_items_$tag")
+        .join(spark.table(s"graft_bkt_orders_$tag"), $"l_orderkey" === $"o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(!plan.contains("+- Sort"), s"one-file-per-bucket sortBy must avoid re-sort:\n$plan")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
+  test("q81 bucketed tables hold one file per bucket") {
+    val tag = math.abs(sf.hashCode).toString
+    for (t <- Seq(s"graft_bkt_items_$tag", s"graft_bkt_orders_$tag")) {
+      val loc = new java.io.File(
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .location)
+      val dataFiles = loc.listFiles().filter(f => f.getName.startsWith("part-"))
+      assert(dataFiles.length == 8, s"$t: ${dataFiles.length} files, want 8 (one per bucket)")
+    }
+  }
+
+  test("q82 outlier counts match an independent driver-side recomputation") {
+    import spark.implicits._
+    val got = ScaleQueries.q82GroupOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same exact-integer-moment formula, computed sequentially in Scala
+    val vals = Tables.events(spark, sf)
+      .select($"event_type", round($"value" * 100).cast("long").as("v"))
+      .as[(String, Long)].collect().toSeq
+    val want = vals.groupBy(_._1).flatMap { case (k, kv) =>
+      val v = kv.map(_._2)
+      val n = v.size.toDouble
+      val s1 = v.sum.toDouble
+      val s2 = v.map(x => x * x).sum.toDouble
+      val mean = s1 / n
+      val std = math.sqrt(s2 / n - mean * mean)
+      val c = v.count(x => math.abs((x - mean) / std) > 2.0)
+      if (c > 0) Some(k -> c.toLong) else None
+    }
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
