@@ -112,6 +112,14 @@ object NativeKernels {
     */
   def featureHashVector(shingles: Column, dims: Int): Column =
     c(FeatureHashVector(ColumnBridge.expression(shingles), dims))
+
+  /** Unicode case/diacritic folding: NFD-decompose, drop combining marks,
+    * lowercase per code point, recompose NFC. The canonicalization pass a
+    * multilingual corpus runs before tokenizing/fingerprinting; equals
+    * DuckDB's `lower(strip_accents(nfc_normalize(x)))` on Latin text.
+    */
+  def foldText(text: Column): Column =
+    c(FoldText(ColumnBridge.expression(text)))
 }
 
 /** The kernel bodies, static-callable from generated Java
@@ -421,6 +429,38 @@ object KernelOps {
     while (b < 60) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
   }
+
+  /** NFD → drop combining marks (Mn/Mc/Me) → per-code-point lowercase →
+    * NFC. One pass over the decomposed string; matches utf8proc's
+    * strip_accents+lower (the DuckDB oracle) on Latin-script text.
+    */
+  def foldText(s: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    val nfd = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) {
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+}
+
+case class FoldText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("foldText", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.foldText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.foldText($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
 /** Result is NULL when the input lengths differ or any element is null —

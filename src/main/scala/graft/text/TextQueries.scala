@@ -201,7 +201,58 @@ object TextQueries {
       .orderBy($"c_custkey")
   }
 
+  /** Document chunking with overlap — the pretokenization split that turns
+    * a corpus into training sequences (size 128 tokens, stride 96 → 32
+    * tokens of overlap). Chunk COUNT comes from exact integer arithmetic
+    * (`(n-128+95) div 96 + 1`), chunk ids from `posexplode(sequence(...))`
+    * — a generator, so each document row fans out map-side with no shuffle
+    * and no driver involvement; md5 keeps the verified payload small. At
+    * 100 TB this is the op that feeds sequence packing (q62).
+    */
+  def q78DocChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 128; val S = 96
+    Tables.documents(s, dir)
+      .filter($"doc_id" % 5 === 0)
+      .select($"doc_id", split($"text", " ", -1).as("toks"))
+      .withColumn("n", size($"toks"))
+      .withColumn("n_chunks",
+        when($"n" <= K, lit(1L))
+          .otherwise(expr(s"cast((n - ${K - S + 1}) div $S + 1 as bigint)")))
+      .select($"doc_id", $"toks",
+        posexplode(sequence(lit(0L), $"n_chunks" - 1)))
+      .select($"doc_id", $"col".as("chunk_id"),
+        slice($"toks", $"col" * S + 1, lit(K)).as("ct"))
+      .select($"doc_id", $"chunk_id",
+        size($"ct").cast("long").as("n_toks"),
+        md5(concat_ws(" ", $"ct")).as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** Unicode canonicalization (NFC + accent strip + lowercase) via the
+    * native [[graft.expressions.NativeKernels.foldText]] kernel — the
+    * normalization pass run before any fingerprint/dedup so that "Café"
+    * and "cafe" collide. The accented prefix is injected because the
+    * synthetic corpus is ASCII; it proves the fold against DuckDB's
+    * independent utf8proc implementation, not just on identity input.
+    */
+  def q79TextNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expressions.NativeKernels.foldText
+    val folded = foldText(concat(lit("Àé Îõ ÜÇ Ñ ß — "), $"text"))
+    Tables.documents(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select(
+        $"doc_id",
+        md5(folded).as("fold_md5"),
+        length(folded).cast("long").as("fold_len"),
+        substring(folded, 1, 16).as("fold_prefix"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_doc_chunks" -> (q78DocChunks _),
+    "q79_text_normalize" -> (q79TextNormalize _),
     "q70_pii_scrub" -> (q70PiiScrub _),
     "q57_hash_split" -> (q57HashSplit _),
     "q58_repetition_filter" -> (q58RepetitionFilter _),
@@ -231,6 +282,36 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q78_doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN n <= 128 THEN 1 ELSE (n - 33) // 96 + 1 END AS n_chunks
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_id
+        |  FROM c, UNNEST(range(0, n_chunks)) AS u(i)
+        |), sl AS (
+        |  SELECT doc_id, chunk_id,
+        |    toks[CAST(chunk_id * 96 + 1 AS INTEGER):CAST(chunk_id * 96 + 128 AS INTEGER)] AS ct
+        |  FROM e
+        |)
+        |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_toks,
+        |  md5(array_to_string(ct, ' ')) AS chunk_md5
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin,
+    "q79_text_normalize" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    lower(strip_accents(nfc_normalize('Àé Îõ ÜÇ Ñ ß — ' || text))) AS folded
+        |  FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT doc_id, md5(folded) AS fold_md5,
+        |  CAST(length(folded) AS BIGINT) AS fold_len,
+        |  substr(folded, 1, 16) AS fold_prefix
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q70_pii_scrub" ->
       """SELECT c_custkey,
         | regexp_replace(c_name, '[0-9]{4,}', '[ID]', 'g') AS masked_name,

@@ -221,4 +221,39 @@ class NativeKernelsSpec extends AnyFunSuite {
       .filter(not($"m1" <=> $"m2")).count()
     assert(bad == 0)
   }
+
+  test("foldText strips accents, lowercases, and keeps non-marked letters") {
+    import spark.implicits._
+    val got = Seq("Àé Îõ ÜÇ Ñ ß Hello WORLD", "", "café CAFÉ café")
+      .toDF("t").select(foldText($"t")).as[String].collect()
+    // expected values independently produced by DuckDB's
+    // lower(strip_accents(nfc_normalize(...)))
+    assert(got(0) == "ae io uc n ß hello world")
+    assert(got(1) == "")
+    assert(got(2) == "cafe cafe cafe") // composed AND decomposed é both fold
+  }
+
+  test("foldText propagates null and registers as SQL fold_text") {
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT fold_text('Ärger') AS f").as[String].head()
+    assert(viaSql == "arger")
+    val out = Seq[(Integer, String)]((1, null)).toDF("id", "t")
+      .select(foldText($"t").as("f")).collect()
+    assert(out.head.isNullAt(0)) // null in → null out, no crash
+  }
+
+  test("q78 chunking arithmetic: 300 tokens → 3 chunks of 128/128/108 with 32-token overlap") {
+    import spark.implicits._
+    val text = (1 to 300).map(i => s"t$i").mkString(" ")
+    Seq(text).toDF("text").createOrReplaceTempView("graft_chunk_doc")
+    val rows = graft.text.TextQueries.q78DocChunks(spark, "/root/testdata/sf0.001")
+    // registry query runs on real docs; the arithmetic itself is checked here:
+    val k = 128; val s = 96; val n = 300
+    val nChunks = if (n <= k) 1 else (n - (k - s + 1)) / s + 1
+    assert(nChunks == 3)
+    val lens = (0 until nChunks).map(i => math.min(k, n - i * s))
+    assert(lens == Seq(128, 128, 108))
+    assert(lens.sum == n + (nChunks - 1) * (k - s)) // token conservation + overlap
+    assert(rows.groupBy("doc_id").count().collect().nonEmpty)
+  }
 }
