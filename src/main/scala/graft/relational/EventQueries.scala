@@ -202,7 +202,32 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Batch twin of the stream-static enrichment join
+    * ([[graft.streaming.StreamingOps.enrichWithStatic]]): events joined to
+    * a 5-row static tier dim, aggregated per tier. Weights are ×10
+    * integers and values ×100 integers, so the weighted sum is EXACT long
+    * arithmetic until one final division — no float-order drift between
+    * engines. StreamingSpec asserts the same function over a MemoryStream
+    * emits identical rows.
+    */
+  def q83StreamStaticTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(
+      ("click", "engage", 10L), ("view", "engage", 5L),
+      ("purchase", "convert", 50L), ("signup", "convert", 30L),
+      ("error", "ops", 0L)).toDF("event_type", "tier", "w10")
+    val ev = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("v100"))
+    graft.streaming.StreamingOps.enrichWithStatic(ev, dim, "event_type")
+      .groupBy($"tier")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum($"v100" * $"w10") / 1000.0, 2).as("weighted_value"))
+      .orderBy($"tier")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_stream_static_twin" -> (q83StreamStaticTwin _),
     "q73_variant_extract" -> (q73VariantExtract _),
     "q64_stream_dedup_twin" -> (q64StreamDedupTwin _),
     "q41_from_json_map" -> (q41FromJsonMap _),
@@ -216,6 +241,19 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_stream_static_twin" ->
+      """WITH dim AS (
+        |  SELECT * FROM (VALUES
+        |    ('click', 'engage', 10), ('view', 'engage', 5),
+        |    ('purchase', 'convert', 50), ('signup', 'convert', 30),
+        |    ('error', 'ops', 0)) AS t(event_type, tier, w10)
+        |), ev AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v100 FROM events
+        |)
+        |SELECT tier, count(*) AS n_events,
+        |  round(CAST(sum(v100 * w10) AS BIGINT) / 1000.0, 2) AS weighted_value
+        |FROM ev JOIN dim USING (event_type)
+        |GROUP BY tier ORDER BY tier""".stripMargin,
     "q73_variant_extract" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

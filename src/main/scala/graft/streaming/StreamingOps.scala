@@ -89,6 +89,17 @@ object StreamingOps {
         col("p.ts").as("p_ts"))
   }
 
+  /** Stream-static enrichment join: the streaming fact joined to a static
+    * dimension. STATELESS — unlike the stream-stream join above there is
+    * no watermark and no join state; the static side is planned as a fixed
+    * relation, re-resolved and broadcast each micro-batch (which is also
+    * how a slowly-changing dim picks up updates between batches). In batch
+    * mode the same call is a plain broadcast hash join — the per-row cost
+    * a 100 TB stream pays is one hash probe, nothing buffered.
+    */
+  def enrichWithStatic(facts: DataFrame, dim: DataFrame, key: String): DataFrame =
+    facts.join(broadcast(dim), Seq(key))
+
   /** Exactly-once event dedup within the watermark horizon: duplicate
     * (user_id, event_type, ts) rows arriving within `delay` of each other
     * are dropped. Unlike a plain streaming dropDuplicates, state does not

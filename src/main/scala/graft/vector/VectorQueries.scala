@@ -220,7 +220,36 @@ object VectorQueries {
       .orderBy($"label", $"dim")
   }
 
+  /** Int8 absmax quantization — the compression step before shipping an
+    * embedding corpus (4× smaller than float32, 8× than float64). Per
+    * vector: scale = absmax/127, qᵢ = floor(xᵢ/scale + 0.5) ∈ [-127,127].
+    * Everything after the (deterministic) double divisions is INTEGER
+    * arithmetic — Σq, Σq², min/max are exact in any order and any engine,
+    * so the oracle pins the quantized values bit-for-bit, not a rounded
+    * approximation of them. Map-side only: no shuffle until the trivial
+    * final sort.
+    */
+  def q80EmbeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .withColumn("absmax",
+        array_max(transform($"embedding", x => abs(x.cast("double")))))
+      .filter($"absmax" > 0)
+      .withColumn("scale", $"absmax" / 127.0)
+      .withColumn("qv",
+        transform($"embedding", x => floor(x.cast("double") / $"scale" + 0.5).cast("long")))
+      .select(
+        $"vec_id",
+        round($"scale", 6).as("scale"),
+        aggregate($"qv", lit(0L), _ + _).as("q_sum"),
+        aggregate(transform($"qv", x => x * x), lit(0L), _ + _).as("q_ss"),
+        array_min($"qv").as("q_min"),
+        array_max($"qv").as("q_max"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_embedding_quantize" -> (q80EmbeddingQuantize _),
     "q18_knn_topk" -> (q18KnnTopk _),
     "q19_ann_lsh" -> (q19AnnLsh _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
@@ -242,6 +271,22 @@ object VectorQueries {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q80_embedding_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS absmax
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id, absmax / 127 AS scale,
+        |    list_transform(emb, x -> CAST(floor(x / (absmax / 127) + 0.5) AS BIGINT)) AS qv
+        |  FROM e WHERE absmax > 0
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_ss,
+        |  CAST(list_min(qv) AS BIGINT) AS q_min,
+        |  CAST(list_max(qv) AS BIGINT) AS q_max
+        |FROM q ORDER BY vec_id""".stripMargin,
     "q18_knn_topk" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id % 100 = 0

@@ -244,4 +244,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 2)
     assert(rows(1)._3 == 1L && rows(1)._4 == 4.0) // only the 75-min event; late 100.0 absent
   }
+
+  test("stream-static enrichment join (q83 shape): streaming == batch, stateless") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dim = Seq(
+      ("click", "engage", 10L), ("view", "engage", 5L),
+      ("purchase", "convert", 50L), ("signup", "convert", 30L),
+      ("error", "ops", 0L)).toDF("event_type", "tier", "w10")
+    def shape(df: DataFrame): DataFrame =
+      StreamingOps.enrichWithStatic(
+          df.select(col("event_type"), round(col("value") * 100).cast("long").as("v100")),
+          dim, "event_type")
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("v100") * col("w10")).as("wsum"))
+    val data = eventData()
+    val batch = shape(data.toDF())
+    val stream = runCompleteStream(data, shape)
+    assert(sortedRows(stream) == sortedRows(batch))
+    assert(batch.count() > 0)
+  }
 }
