@@ -97,7 +97,33 @@ object EtlQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** Schema evolution across parquet generations: a v=1 write without
+    * `o_orderstatus`, a v=2 write with it, one read of the base directory
+    * with `mergeSchema` — partition discovery turns the `v=N` dirs into a
+    * partition column and the merged schema null-fills the column v1 never
+    * had. This is how a lake reads years of files written under drifting
+    * schemas without a migration pass; the aggregate proves null-fill and
+    * partition typing.
+    */
+  def q88SchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"/root/repo/target/tmp/schema_merge_${math.abs(dir.hashCode)}"
+    val o = Tables.orders(s, dir)
+    o.filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/v=1")
+    o.filter($"o_orderkey" % 2 =!= 0)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .write.mode("overwrite").parquet(s"$out/v=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy($"v".cast("long").as("v"),
+        coalesce($"o_orderstatus", lit("(absent)")).as("status"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"v", $"status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_schema_merge" -> (q88SchemaMerge _),
     "q46_json_roundtrip" -> (q46JsonRoundtrip _),
     "q21_etl_roundtrip" -> (q21EtlRoundtrip _),
     "q47_csv_roundtrip" -> (q47CsvRoundtrip _),
@@ -105,6 +131,15 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_schema_merge" ->
+      """SELECT CAST(1 AS BIGINT) AS v, '(absent)' AS status,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 2, o_orderstatus, count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 2 != 0
+        |GROUP BY o_orderstatus
+        |ORDER BY v, status""".stripMargin,
     "q46_json_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         | round(sum(o_totalprice), 2) AS total_price,

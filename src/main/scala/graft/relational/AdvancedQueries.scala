@@ -299,7 +299,100 @@ object AdvancedQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Conversion-funnel analysis (view → click → purchase, per user): one
+    * conditional-aggregation pass computes each user's first event time
+    * per stage, and stage attainment requires strictly increasing stage
+    * times. One shuffle on user_id carrying three timestamps per user;
+    * no self-joins, no window. Timestamps are second-truncated BEFORE the
+    * min so both engines compare identical values (events.ts is
+    * nanos-precision in the raw file).
+    */
+  def q84Funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_type", date_trunc("second", $"ts").as("ts_s"))
+    ev.groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"ts_s")).as("v_ts"),
+        min(when($"event_type" === "click", $"ts_s")).as("c_ts"),
+        min(when($"event_type" === "purchase", $"ts_s")).as("p_ts"))
+      .select(
+        when($"v_ts".isNull, 0)
+          .when($"c_ts".isNull || $"c_ts" <= $"v_ts", 1)
+          .when($"p_ts".isNull || $"p_ts" <= $"c_ts", 2)
+          .otherwise(3).cast("long").as("funnel_stage"))
+      .groupBy($"funnel_stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"funnel_stage")
+  }
+
+  /** Column profiling (the ANALYZE pass run before planning a migration or
+    * a training run): per column, null count, distinct count, min/max as
+    * strings. Four independent aggregates over one cached scan, unioned —
+    * each is a standard partial+final agg; the union is plan-level, not a
+    * shuffle. At 100 TB the exact distinct swaps for approx_count_distinct
+    * (q37 covers that sketch); the exact form is the verification shape.
+    */
+  def q85Profile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    def prof(colName: String): DataFrame =
+      o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(colName).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(colName)).as("n_distinct"),
+        min(col(colName).cast("string")).as("min_str"),
+        max(col(colName).cast("string")).as("max_str"))
+        .select(lit(colName).as("column_name"), $"n_rows", $"n_nulls", $"n_distinct",
+          $"min_str", $"max_str")
+    Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      .map(prof).reduce(_ unionByName _)
+      .orderBy($"column_name")
+  }
+
+  /** ntile bucketing within each order-priority partition: quartiles of
+    * order value per priority class. The window partitions on priority, so
+    * each partition sorts independently — scales with the largest group,
+    * not the table (a GLOBAL ntile would be a single-partition sort; for
+    * that use approx quantile cutpoints instead, q39).
+    */
+  def q86Ntile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderpriority", $"o_totalprice",
+        ntile(4).over(w).cast("long").as("quartile"))
+      .groupBy($"o_orderpriority", $"quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min($"o_totalprice"), 2).as("min_price"),
+        round(max($"o_totalprice"), 2).as("max_price"))
+      .orderBy($"o_orderpriority", $"quartile")
+  }
+
+  /** Per-group value sampling (collect_set → sort → truncate): the "show
+    * me example values per segment" profiling op. The set is bounded by
+    * the group's distinct cardinality — safe here (nations ≤ 25); the
+    * general guard at scale is slice-after-sort exactly as written, which
+    * caps what leaves the aggregation. Rendered as a string so the
+    * cross-engine compare is order-exact.
+    */
+  def q87GroupSamples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"c_nationkey").as("n_nations"),
+        concat_ws(",", slice(sort_array(collect_set($"c_nationkey")), 1, 5))
+          .as("sample_nations"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_funnel" -> (q84Funnel _),
+    "q85_profile" -> (q85Profile _),
+    "q86_ntile" -> (q86Ntile _),
+    "q87_group_samples" -> (q87GroupSamples _),
     "q71_unpivot" -> (q71Unpivot _),
     "q72_grouping_sets" -> (q72GroupingSets _),
     "q74_stats_agg" -> (q74StatsAgg _),
@@ -317,6 +410,62 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events
+        |), st AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts_s END) AS v_ts,
+        |    min(CASE WHEN event_type = 'click' THEN ts_s END) AS c_ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts_s END) AS p_ts
+        |  FROM ev GROUP BY user_id
+        |), f AS (
+        |  SELECT CASE
+        |    WHEN v_ts IS NULL THEN 0
+        |    WHEN c_ts IS NULL OR c_ts <= v_ts THEN 1
+        |    WHEN p_ts IS NULL OR p_ts <= c_ts THEN 2
+        |    ELSE 3 END AS funnel_stage
+        |  FROM st
+        |)
+        |SELECT funnel_stage, count(*) AS n_users
+        |FROM f GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin,
+    "q85_profile" ->
+      """SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  min(CAST(o_custkey AS VARCHAR)) AS min_str, max(CAST(o_custkey AS VARCHAR)) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |ORDER BY column_name""".stripMargin,
+    "q86_ntile" ->
+      """WITH t AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    ntile(4) OVER (PARTITION BY o_orderpriority
+        |                   ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, quartile, count(*) AS n,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM t GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
+    "q87_group_samples" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  array_to_string(list_sort(list_distinct(array_agg(c_nationkey)))[1:5], ',')
+        |    AS sample_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q71_unpivot" ->
       """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
         |FROM part WHERE p_partkey % 25 = 0

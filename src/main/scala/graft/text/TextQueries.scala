@@ -250,7 +250,29 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Per-language bigram language model head: top-5 word bigrams by count
+    * per language — the n-gram statistics pass behind perplexity filters
+    * and classic LM-based quality scoring. Shingle fan-out is a generator
+    * (map-side); counts partial-aggregate before the (lang, bigram)
+    * shuffle; the top-k window runs over per-lang count rows, which are
+    * vocabulary-sized, never corpus-sized.
+    */
+  def q89BigramLm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"bigram")
+    Tables.documents(s, dir)
+      .select($"lang", explode(shingles(tokens($"text"), 2)).as("bigram"))
+      .groupBy($"lang", $"bigram")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"lang", $"rn", $"bigram", $"n")
+      .orderBy($"lang", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_bigram_lm" -> (q89BigramLm _),
     "q78_doc_chunks" -> (q78DocChunks _),
     "q79_text_normalize" -> (q79TextNormalize _),
     "q70_pii_scrub" -> (q70PiiScrub _),
@@ -282,6 +304,30 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // the CASE mirrors TextFunctions.shingles' degenerate: < 2 tokens →
+    // one gram holding the whole text
+    "q89_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT lang, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), g AS (
+        |  SELECT lang,
+        |    CASE WHEN n < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, n),
+        |      i -> array_to_string(toks[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' '))
+        |    END AS grams
+        |  FROM t
+        |), e AS (
+        |  SELECT lang, unnest(grams) AS bigram FROM g
+        |), c AS (
+        |  SELECT lang, bigram, count(*) AS n FROM e GROUP BY lang, bigram
+        |), r AS (
+        |  SELECT lang, bigram, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
+        |  FROM c
+        |)
+        |SELECT lang, rn, bigram, n FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     "q78_doc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks,
