@@ -113,6 +113,14 @@ object NativeKernels {
   def featureHashVector(shingles: Column, dims: Int): Column =
     c(FeatureHashVector(ColumnBridge.expression(shingles), dims))
 
+  /** Signed ±1 random projection to `outDims` dimensions (JL lemma): the
+    * dimensionality-reduction step before LSH/ANN when 64 dims is already
+    * too wide to shuffle. Deterministic md5-derived sign matrix shared by
+    * the DuckDB oracle.
+    */
+  def randomProject(vec: Column, outDims: Int): Column =
+    c(RandomProjection(ColumnBridge.expression(vec), outDims))
+
   /** Unicode case/diacritic folding: NFD-decompose, drop combining marks,
     * lowercase per code point, recompose NFC. The canonicalization pass a
     * multilingual corpus runs before tokenizing/fingerprinting; equals
@@ -430,6 +438,50 @@ object KernelOps {
     out
   }
 
+  /** Sign matrix for [[randomProject]]: ±1 from bit 59 of
+    * h60("rp:<i>:<j>") — deterministic, engine-independent (the DuckDB
+    * oracle recomputes the same md5-derived signs), cached per shape
+    * since every row shares the matrix.
+    */
+  private val rpSigns =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+  private def rpSignMatrix(inDims: Int, outDims: Int): Array[Double] =
+    rpSigns.computeIfAbsent((inDims, outDims), { case (in, out) =>
+      val m = new Array[Double](in * out)
+      var i = 0
+      while (i < in) {
+        var j = 0
+        while (j < out) {
+          val h = h60(UTF8String.fromString(s"rp:$i:$j"))
+          m(i * out + j) = if (((h >> 59) & 1L) == 1L) 1.0 else -1.0
+          j += 1
+        }
+        i += 1
+      }
+      m
+    })
+
+  /** Signed random projection (Achlioptas/JL style with ±1 entries):
+    * out[j] = Σᵢ xᵢ · sign(i, j), accumulated in double in index order.
+    * NULL if any input element is null (projection of an unknown
+    * coordinate is unknown).
+    */
+  def randomProject(arr: ArrayData, outDims: Int): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
+    val m = rpSignMatrix(n, outDims)
+    val out = new Array[Double](outDims)
+    i = 0
+    while (i < n) {
+      val x = arr.getFloat(i).toDouble
+      var j = 0
+      while (j < outDims) { out(j) += x * m(i * outDims + j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** NFD → drop combining marks (Mn/Mc/Me) → per-code-point lowercase →
     * NFC. One pass over the decomposed string; matches utf8proc's
     * strip_accents+lower (the DuckDB oracle) on Latin-script text.
@@ -450,6 +502,28 @@ object KernelOps {
     }
     UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }
+}
+
+case class RandomProjection(child: Expression, outDims: Int) extends UnaryExpression {
+  require(outDims >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("randomProject", Seq(child.dataType),
+      Seq(ArrayType(FloatType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.randomProject(input.asInstanceOf[ArrayData], outDims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // kernel returns null for null elements → wrap like DotProductFloat
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("rpRes")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.expressions.KernelOps.randomProject($c, $outDims);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
 case class FoldText(child: Expression) extends UnaryExpression {

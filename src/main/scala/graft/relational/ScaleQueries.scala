@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -155,7 +156,44 @@ object ScaleQueries {
       .orderBy($"event_type")
   }
 
+  /** CDC compaction / latest-wins upsert: a base snapshot unioned with two
+    * synthetic update batches (derived deterministically from the data),
+    * compacted to one current row per key by max version — the MERGE-INTO
+    * read path of a lake without a table format. One shuffle on the key
+    * for the per-key window; at 100 TB the base would be bucketed by key
+    * (q81's layout) and the window becomes bucket-local. The top-1-row
+    * filter is the WindowGroupLimit shape — Spark pushes the rn=1 limit
+    * into the sort, so no partition materializes fully ranked rows.
+    */
+  def q91LatestWins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val base = o.withColumn("version", lit(0L))
+    // the synthetic update bumps the price by exactly $5 via integer
+    // cents — a ×1.1-then-round derivation is NOT engine-portable (the
+    // 2-decimal rounding of a long binary expansion is boundary-sensitive)
+    val u1 = o.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("U").as("o_orderstatus"),
+        ((round($"o_totalprice" * 100).cast("long") + 500L) / 100.0).as("o_totalprice"),
+        lit(1L).as("version"))
+    val u2 = o.filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey", lit("D").as("o_orderstatus"),
+        lit(0.0).as("o_totalprice"), lit(2L).as("version"))
+    val w = Window.partitionBy($"o_orderkey").orderBy($"version".desc)
+    base.unionByName(u1).unionByName(u2)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total_price"),
+        sum($"version").as("version_sum"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_latest_wins" -> (q91LatestWins _),
     "q76_star_join" -> (q76StarJoin _),
     "q77_runtime_filter_join" -> (q77RuntimeFilterJoin _),
     "q81_bucketed_join" -> (q81BucketedJoin _),
@@ -163,6 +201,26 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q91_latest_wins" ->
+      """WITH all_rows AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U',
+        |    (CAST(round(o_totalprice * 100) AS BIGINT) + 500) / 100.0, 1
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 0.0, 2
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), latest AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        |    FROM all_rows
+        |  ) WHERE rn = 1
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  CAST(sum(version) AS BIGINT) AS version_sum
+        |FROM latest GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q76_star_join" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -248,7 +248,35 @@ object VectorQueries {
       .orderBy($"vec_id")
   }
 
+  /** Signed random projection 64 → 16 dims (JL): the reduction pass run
+    * before LSH/ANN when the raw width is what makes the shuffle
+    * expensive. The ±1 matrix derives from md5 (NativeKernels.h60), so
+    * the DuckDB oracle recomputes the IDENTICAL projection — including
+    * per-element products and index-ordered double accumulation. Output:
+    * first 4 projected coords + the JL norm ratio ‖Px‖/(√16·‖x‖) ≈ 1.
+    * Map-side; the sign matrix is computed once per executor and cached.
+    */
+  def q90RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expressions.NativeKernels.randomProject
+    val OUT = 16
+    Tables.embeddings(s, dir)
+      .withColumn("proj", randomProject($"embedding", OUT))
+      .withColumn("n_in", sqrt(dotF($"embedding", $"embedding")))
+      .withColumn("n_out",
+        sqrt(aggregate($"proj", lit(0.0), (acc, x) => acc + x * x)))
+      .select(
+        $"vec_id",
+        round(element_at($"proj", 1), 4).as("p0"),
+        round(element_at($"proj", 2), 4).as("p1"),
+        round(element_at($"proj", 3), 4).as("p2"),
+        round(element_at($"proj", 4), 4).as("p3"),
+        round($"n_out" / (lit(math.sqrt(OUT)) * $"n_in"), 4).as("norm_ratio"))
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_random_projection" -> (q90RandomProjection _),
     "q80_embedding_quantize" -> (q80EmbeddingQuantize _),
     "q18_knn_topk" -> (q18KnnTopk _),
     "q19_ann_lsh" -> (q19AnnLsh _),
@@ -271,6 +299,26 @@ object VectorQueries {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // sign(i, j) = ±1 from bit 59 of the first 15 md5 hex chars of
+    // "rp:<i>:<j>" — the exact NativeKernels.h60 derivation
+    "q90_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |), p AS (
+        |  SELECT vec_id, emb,
+        |    list_transform(range(0, 16), j ->
+        |      list_sum(list_transform(range(0, len(emb)), i ->
+        |        emb[CAST(i + 1 AS INTEGER)] *
+        |        (CASE WHEN (CAST('0x' || substr(md5('rp:' || i || ':' || j), 1, 15) AS BIGINT) >> 59) & 1 = 1
+        |         THEN 1.0 ELSE -1.0 END)))) AS proj
+        |  FROM e
+        |)
+        |SELECT vec_id,
+        |  round(proj[1], 4) AS p0, round(proj[2], 4) AS p1,
+        |  round(proj[3], 4) AS p2, round(proj[4], 4) AS p3,
+        |  round(sqrt(list_sum(list_transform(proj, x -> x * x)))
+        |    / (sqrt(16) * sqrt(list_sum(list_transform(emb, x -> x * x)))), 4) AS norm_ratio
+        |FROM p ORDER BY vec_id""".stripMargin,
     "q80_embedding_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,

@@ -242,6 +242,30 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(out.head.isNullAt(0)) // null in → null out, no crash
   }
 
+  test("randomProject: linearity, determinism, null propagation, SQL registration") {
+    import spark.implicits._
+    val df = Tables.embeddings(spark, sf).limit(50).cache()
+    // deterministic: two evaluations agree exactly
+    val a = df.select($"vec_id", randomProject($"embedding", 16).as("p")).collect()
+    val b = df.select($"vec_id", randomProject($"embedding", 16).as("p")).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // linearity: P(2x) == 2*P(x) exactly (both double ops on exact inputs)
+    val lin = df.select(
+        randomProject(transform($"embedding", x => x * 2.0f), 16).as("p2"),
+        transform(randomProject($"embedding", 16), x => x * 2.0).as("twice"))
+      .filter(not($"p2" <=> $"twice")).count()
+    assert(lin == 0)
+    // null element → null result
+    val nulled = Seq(Tuple1(Seq[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("embedding")
+      .select(randomProject($"embedding", 4).as("p")).collect()
+    assert(nulled.head.isNullAt(0))
+    // SQL surface
+    val viaSql = spark.sql(
+      "SELECT random_project(array(CAST(1.0 AS FLOAT)), 2) AS p").collect()
+    assert(viaSql.head.getSeq[Double](0).forall(v => v == 1.0 || v == -1.0))
+  }
+
   test("q78 chunking arithmetic: 300 tokens → 3 chunks of 128/128/108 with 32-token overlap") {
     import spark.implicits._
     val text = (1 to 300).map(i => s"t$i").mkString(" ")
