@@ -226,7 +226,24 @@ object EventQueries {
       .orderBy($"tier")
   }
 
+  /** Batch twin of the sliding-window aggregation
+    * ([[graft.streaming.StreamingOps.slidingTypeCounts]]): 1-hour windows
+    * every 15 minutes over `events`. The oracle reconstructs Spark's
+    * window assignment arithmetic (epoch-aligned 15-minute slots, 4
+    * windows per event) independently.
+    */
+  def q92SlidingWindowTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.streaming.StreamingOps.slidingTypeCounts(
+        Tables.events(s, dir).select($"ts", $"event_type", $"value"))
+      .select(
+        date_format($"window_start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", $"sum_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_sliding_window_twin" -> (q92SlidingWindowTwin _),
     "q83_stream_static_twin" -> (q83StreamStaticTwin _),
     "q73_variant_extract" -> (q73VariantExtract _),
     "q64_stream_dedup_twin" -> (q64StreamDedupTwin _),
@@ -292,6 +309,22 @@ object EventQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    // window starts = the event's 15-min slot minus k slides, k = 0..3
+    // (length/slide = 4 overlapping windows per event), epoch-aligned
+    // exactly like Spark's window()
+    "q92_sliding_window_twin" ->
+      """WITH ev AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts) / 900) AS BIGINT) AS slot
+        |  FROM events
+        |), e AS (
+        |  SELECT event_type, value,
+        |    to_timestamp((slot - k) * 900) AS win_start
+        |  FROM ev, UNNEST(range(0, 4)) AS u(k)
+        |)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
     "q29_stream_hourly_twin" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value

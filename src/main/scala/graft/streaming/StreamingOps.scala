@@ -41,6 +41,22 @@ object StreamingOps {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows advancing every 15 minutes: each event lands
+    * in length/slide = 4 overlapping windows — the fan-out is a map-side
+    * generator inside the aggregate, so the shuffle carries pre-aggregated
+    * (window, type) rows ×4, never events ×4. Completes the window-type
+    * family next to tumbling (hourlyTypeCounts) and session
+    * (userSessions); state per key finalizes at watermark passage like any
+    * windowed aggregate.
+    */
+  def slidingTypeCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
   /** 30-minute-gap sessions per user (same expression as batch q24). */
   def userSessions(events: DataFrame): DataFrame =
     events

@@ -56,6 +56,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("sliding windows: streaming (2 micro-batches, complete mode) == batch") {
+    import spark.implicits._
+    val data = eventData()
+    val batch = StreamingOps.slidingTypeCounts(data.toDF())
+    val stream = runCompleteStream(data, StreamingOps.slidingTypeCounts)
+    assert(sortedRows(stream) == sortedRows(batch))
+    // every event lands in exactly length/slide = 4 windows
+    assert(batch.agg(org.apache.spark.sql.functions.sum($"n")).head.getLong(0) == data.length * 4L)
+  }
+
   test("session windows: streaming (2 micro-batches, complete mode) == batch") {
     import spark.implicits._
     val data = eventData()
