@@ -388,7 +388,54 @@ object AdvancedQueries {
       .orderBy($"c_mktsegment")
   }
 
+  /** RANGE window frame (vs q42's ROWS frames): per customer, each order's
+    * count and value of the SAME customer's orders within ±15 days —
+    * peers are chosen by value distance on the ordering key, not row
+    * position, which is the correct frame for event-time neighborhoods
+    * with ties/gaps. Ordered by epoch seconds so the frame bound is a
+    * plain numeric range in both engines; the windowed sum is exact
+    * integer cents.
+    */
+  def q93RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val day = 86400L
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"epoch_s")
+      .rangeBetween(-15 * day, 15 * day)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" % 10 === 0)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .select($"o_custkey", $"o_orderkey",
+        count(lit(1)).over(w).as("n_nearby"),
+        (sum($"cents").over(w) / 100.0).as("nearby_value"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** LATERAL correlated subquery (SQL surface): top-2 orders by value per
+    * customer, the "per-row dependent subquery" shape Spark's analyzer
+    * decorrelates into a ranked join — no driver loop, no N scans of
+    * orders. Registered through `spark.sql` to exercise the parser +
+    * decorrelation path; DuckDB runs the identical SQL.
+    */
+  def q94Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_v_orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+        |FROM graft_v_customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_v_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) o
+        |WHERE c.c_custkey % 50 = 0
+        |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_range_frame" -> (q93RangeFrame _),
+    "q94_lateral" -> (q94Lateral _),
     "q84_funnel" -> (q84Funnel _),
     "q85_profile" -> (q85Profile _),
     "q86_ntile" -> (q86Ntile _),
@@ -410,6 +457,28 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q93_range_frame" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, epoch(o_orderdate) AS epoch_s,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 10 = 0
+        |)
+        |SELECT o_custkey, o_orderkey,
+        |  count(*) OVER w AS n_nearby,
+        |  CAST(sum(cents) OVER w AS BIGINT) / 100.0 AS nearby_value
+        |FROM t
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s
+        |             RANGE BETWEEN 1296000 PRECEDING AND 1296000 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q94_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS price
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) o
+        |WHERE c.c_custkey % 50 = 0
+        |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin,
     "q84_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events
