@@ -91,6 +91,19 @@ class ScaleQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q91 compaction plan uses WindowGroupLimit (top-1 pushed into the sort)") {
+    val plan = ScaleQueries.q91LatestWins(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("q94 LATERAL decorrelates to a ranked join, not a nested loop") {
+    val plan = graft.relational.AdvancedQueries.q94Lateral(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected decorrelated ranked join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LATERAL must not plan as a nested loop:\n$plan")
+  }
+
   test("q82 outlier counts match an independent driver-side recomputation") {
     import spark.implicits._
     val got = ScaleQueries.q82GroupOutliers(spark, sf).collect()
