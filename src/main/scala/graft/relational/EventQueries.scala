@@ -242,7 +242,32 @@ object EventQueries {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** Cohort retention: users grouped by first-active day, with day-7 and
+    * day-14 return counts. The (user, day) activity relation is
+    * de-duplicated FIRST, so each user contributes at most one row per
+    * (cohort, offset) and retention is a plain conditional count — no
+    * multi-distinct Expand plan. Two shuffles total (user dedup, cohort
+    * rollup); the activity relation is |users|×|days| at most, tiny
+    * relative to the event stream that produced it.
+    */
+  def q95CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("d")).distinct()
+    val first = ud.groupBy($"user_id").agg(min($"d").as("cohort_d"))
+    first.join(ud, "user_id")
+      .groupBy($"cohort_d")
+      .agg(
+        countDistinct($"user_id").as("n_users"),
+        count(when(datediff($"d", $"cohort_d") === 7, 1)).as("d7_retained"),
+        count(when(datediff($"d", $"cohort_d") === 14, 1)).as("d14_retained"))
+      .select(date_format($"cohort_d", "yyyy-MM-dd").as("cohort_day"),
+        $"n_users", $"d7_retained", $"d14_retained")
+      .orderBy($"cohort_day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_cohort_retention" -> (q95CohortRetention _),
     "q92_sliding_window_twin" -> (q92SlidingWindowTwin _),
     "q83_stream_static_twin" -> (q83StreamStaticTwin _),
     "q73_variant_extract" -> (q73VariantExtract _),
@@ -309,6 +334,18 @@ object EventQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q95_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        |), f AS (
+        |  SELECT user_id, min(d) AS cohort_d FROM ud GROUP BY user_id
+        |)
+        |SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+        |  count(DISTINCT ud.user_id) AS n_users,
+        |  count(CASE WHEN ud.d - cohort_d = 7 THEN 1 END) AS d7_retained,
+        |  count(CASE WHEN ud.d - cohort_d = 14 THEN 1 END) AS d14_retained
+        |FROM f JOIN ud ON f.user_id = ud.user_id
+        |GROUP BY cohort_d ORDER BY cohort_day""".stripMargin,
     // window starts = the event's 15-min slot minus k slides, k = 0..3
     // (length/slide = 4 overlapping windows per event), epoch-aligned
     // exactly like Spark's window()

@@ -271,7 +271,32 @@ object TextQueries {
       .orderBy($"lang", $"rn")
   }
 
+  /** BPE merge-candidate table (the statistic behind the first BPE
+    * iteration): per language, the five most frequent within-word adjacent
+    * character pairs, weighted by word occurrence (per-word multiplicity
+    * collapsed by the kernel's distinct — the standard "count words, not
+    * positions" formulation). Two generator fan-outs (words, then pairs)
+    * happen map-side; only (lang, pair) count rows shuffle.
+    */
+  def q96BpePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.NativeKernels.charNgrams
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"pair")
+    Tables.documents(s, dir)
+      .select($"lang", explode(tokens($"text")).as("word"))
+      .filter(length($"word") >= 2)
+      .select($"lang", explode(charNgrams(lower($"word"), 2)).as("pair"))
+      .groupBy($"lang", $"pair")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"lang", $"rn", $"pair", $"n")
+      .orderBy($"lang", $"rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_bpe_pairs" -> (q96BpePairs _),
     "q89_bigram_lm" -> (q89BigramLm _),
     "q78_doc_chunks" -> (q78DocChunks _),
     "q79_text_normalize" -> (q79TextNormalize _),
@@ -304,6 +329,24 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // list_distinct mirrors the charNgrams kernel's per-word dedup;
+    // words shorter than 2 chars are filtered in both engines
+    "q96_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+        |), p AS (
+        |  SELECT lang, unnest(list_distinct(list_transform(
+        |    range(1, length(word)),
+        |    i -> substr(lower(word), CAST(i AS INTEGER), 2)))) AS pair
+        |  FROM w WHERE length(word) >= 2
+        |), c AS (
+        |  SELECT lang, pair, count(*) AS n FROM p GROUP BY lang, pair
+        |), r AS (
+        |  SELECT lang, pair, n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair) AS rn
+        |  FROM c
+        |)
+        |SELECT lang, rn, pair, n FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
     // the CASE mirrors TextFunctions.shingles' degenerate: < 2 tokens →
     // one gram holding the whole text
     "q89_bigram_lm" ->
