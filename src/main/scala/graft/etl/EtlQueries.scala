@@ -122,7 +122,30 @@ object EtlQueries {
       .orderBy($"v", $"status")
   }
 
+  /** Range-clustered layout (CLUSTER BY's write path, Z-order's 1-D
+    * cousin): repartitionByRange + sortWithinPartitions on the filter
+    * column before the write gives each output file a tight min/max range
+    * on `o_orderdate`, so a later range-filtered read prunes whole files /
+    * row groups via parquet statistics instead of scanning. The re-read
+    * aggregate proves fidelity; EtlSinksSpec pins the file count and the
+    * pushed filter.
+    */
+  def q97RangeClusteredWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = s"/root/repo/target/tmp/range_clustered_${math.abs(dir.hashCode)}"
+    Tables.orders(s, dir)
+      .repartitionByRange(8, $"o_orderdate")
+      .sortWithinPartitions($"o_orderdate")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter($"o_orderdate" >= lit("1997-01-01") && $"o_orderdate" < lit("1997-07-01"))
+      .groupBy(month($"o_orderdate").cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+      .orderBy($"mo")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_range_clustered" -> (q97RangeClusteredWrite _),
     "q88_schema_merge" -> (q88SchemaMerge _),
     "q46_json_roundtrip" -> (q46JsonRoundtrip _),
     "q21_etl_roundtrip" -> (q21EtlRoundtrip _),
@@ -131,6 +154,13 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_range_clustered" ->
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY mo ORDER BY mo""".stripMargin,
     "q88_schema_merge" ->
       """SELECT CAST(1 AS BIGINT) AS v, '(absent)' AS status,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total_price

@@ -433,7 +433,49 @@ object AdvancedQueries {
         |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin)
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * semantics dirty-key data needs — NULL keys MATCH each other instead
+    * of silently dropping. Keys are derived with a null-injecting bucket
+    * (`nullif(x % 7, 0)`); the output proves the null-null bucket joins.
+    * Planner note: `<=>` keys still hash-partition (null is one key), so
+    * this stays an equi-join, not a nested loop — but the null bucket is
+    * a guaranteed hot key at scale (every null row lands in one
+    * partition); q52's salting is the mitigation when nulls are common.
+    */
+  def q98NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .select(nullif($"c_nationkey" % 7, lit(0)).as("ck"))
+    val sup = Tables.supplier(s, dir)
+      .select(nullif($"s_nationkey" % 7, lit(0)).as("sk"))
+    c.join(sup, $"ck" <=> $"sk")
+      .groupBy(coalesce($"ck".cast("string"), lit("(null)")).as("key"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"key")
+  }
+
+  /** try_* error-tolerant functions (the ANSI-safe surface for dirty
+    * data): try_cast of extracted digits, try_divide's null-on-zero, and
+    * try_element_at's null-out-of-bounds — each poison-proof where the
+    * strict form would throw or x-fail the job 90 TB in. All map-side,
+    * codegen'd.
+    */
+  def q99TryFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .filter($"c_custkey" % 25 === 0)
+      .select(
+        $"c_custkey",
+        expr("try_cast(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT)").as("parsed_id"),
+        try_divide(lit(100), $"c_custkey" % 3).as("inv3"),
+        try_element_at(split($"c_name", "#"), lit(3)).as("missing_part"),
+        try_element_at(split($"c_name", "#"), lit(2)).as("id_part"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_null_safe_join" -> (q98NullSafeJoin _),
+    "q99_try_funcs" -> (q99TryFuncs _),
     "q93_range_frame" -> (q93RangeFrame _),
     "q94_lateral" -> (q94Lateral _),
     "q84_funnel" -> (q84Funnel _),
@@ -457,6 +499,20 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_null_safe_join" ->
+      """WITH c AS (SELECT nullif(c_nationkey % 7, 0) AS ck FROM customer),
+        |s AS (SELECT nullif(s_nationkey % 7, 0) AS sk FROM supplier)
+        |SELECT coalesce(CAST(ck AS VARCHAR), '(null)') AS key, count(*) AS n_pairs
+        |FROM c JOIN s ON c.ck IS NOT DISTINCT FROM s.sk
+        |GROUP BY key ORDER BY key""".stripMargin,
+    "q99_try_funcs" ->
+      """SELECT c_custkey,
+        |  TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS parsed_id,
+        |  CASE WHEN c_custkey % 3 = 0 THEN NULL
+        |       ELSE 100.0 / (c_custkey % 3) END AS inv3,
+        |  string_split(c_name, '#')[3] AS missing_part,
+        |  string_split(c_name, '#')[2] AS id_part
+        |FROM customer WHERE c_custkey % 25 = 0 ORDER BY c_custkey""".stripMargin,
     "q93_range_frame" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderkey, epoch(o_orderdate) AS epoch_s,

@@ -101,4 +101,30 @@ class BreadthSpec extends AnyFunSuite {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(n == Tables.orders(spark, sf).count())
   }
+
+  test("q97 range-clustered layout: 8 range-partitioned files, filter pushed on re-read") {
+    import spark.implicits._
+    assert(graft.etl.EtlQueries.q97RangeClusteredWrite(spark, sf).count() > 0)
+    val out = s"/root/repo/target/tmp/range_clustered_${math.abs(sf.hashCode)}"
+    val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length == 8, s"want 8 range partitions, got ${files.length}")
+    val rd = spark.read.parquet(out)
+      .filter($"o_orderdate" >= lit("1997-01-01") && $"o_orderdate" < lit("1997-07-01"))
+    val scan = rd.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"range filter must reach the parquet scan:\n$scan")
+  }
+
+  test("observe(): named metrics are collected during execution, no extra pass") {
+    import spark.implicits._
+    val df = Tables.lineitem(spark, sf)
+      .observe("li_metrics", count(lit(1)).as("n_rows"), sum($"l_quantity").as("qty"))
+      .filter($"l_quantity" > 25)
+    // the action must run THIS queryExecution (count() would plan a new one)
+    val kept = df.collect().length
+    val m = df.queryExecution.observedMetrics("li_metrics")
+    val total = m.getAs[Long]("n_rows")
+    assert(total > kept && kept > 0) // metric saw pre-filter rows in the same pass
+    assert(m.getAs[Double]("qty") > 0)
+  }
 }
