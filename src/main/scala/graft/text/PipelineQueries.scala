@@ -148,7 +148,47 @@ object PipelineQueries {
       .orderBy($"token_id")
   }
 
+  /** Capstone: the full corpus → training-sequences pipeline in one plan —
+    * quality gate (≥20 tokens, lang-ID agreement, q14/q17's criteria) →
+    * exact dedup with a DETERMINISTIC survivor (min doc_id per
+    * fingerprint, the q91 compaction shape over q15's fingerprints) →
+    * chunk counting (q78's 128/96 arithmetic) → train/valid/test split
+    * (q57's portable buckets) → per-(split, lang) totals. Every stage is
+    * individually oracle-verified elsewhere; this query verifies their
+    * COMPOSITION end-to-end. Scale shape: gates and chunk math are
+    * map-side; the dedup window shuffles 32-byte fingerprints; the rollup
+    * shuffles pre-aggregated (split, lang) rows.
+    */
+  def q100CorpusToSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{fingerprint, langId}
+    val K = 128; val S = 96
+    val surv = Tables.documents(s, dir)
+      .filter(size(tokens($"text")) >= 20)
+      .filter(langId($"text") === $"lang")
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    val uniq = surv
+      .withColumn("fp", fingerprint($"text"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+    uniq
+      .withColumn("n", size(tokens($"text")).cast("long"))
+      .withColumn("n_chunks",
+        when($"n" <= K, lit(1L))
+          .otherwise(expr(s"cast((n - ${K - S + 1}) div $S + 1 as bigint)")))
+      .withColumn("split",
+        when(hashBucket("split:", $"doc_id") < 80, "train")
+          .when(hashBucket("split:", $"doc_id") < 90, "valid").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chunks").as("n_chunks"),
+        sum($"n").as("n_tokens"))
+      .orderBy($"split", $"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_corpus_to_sequences" -> (q100CorpusToSequences _),
     "q68_vocab_build" -> (q68VocabBuild _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
     "q61_token_histogram" -> (q61TokenHistogram _),
@@ -157,6 +197,31 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q100_corpus_to_sequences" ->
+      s"""WITH surv AS (
+         |  SELECT * FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 20
+         |    AND (${TextQueries.langCase}) = lang
+         |), uniq AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
+         |                                 ORDER BY doc_id) AS rn
+         |    FROM surv
+         |  ) WHERE rn = 1
+         |), ch AS (
+         |  SELECT lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |    CASE WHEN len(string_split(text, ' ')) <= 128 THEN 1
+         |         ELSE (len(string_split(text, ' ')) - 33) // 96 + 1 END AS n_chunks,
+         |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+         |  FROM uniq
+         |)
+         |SELECT CASE WHEN bucket < 80 THEN 'train'
+         |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+         |  lang, count(*) AS n_docs,
+         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens
+         |FROM ch GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q68_vocab_build" ->
       """WITH c AS (
         |  SELECT token, count(*) AS cnt FROM (
