@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("feature_hash_vector"),
       info("feature_hash_vector", "feature_hash_vector(shingles, dims) - signed feature-hashed float vector"),
       (args: Seq[Expression]) => FeatureHashVector(args(0), intLit(args(1), "dims"))))
+    ext.injectFunction((FunctionIdentifier("minhash_portable"),
+      info("minhash_portable", "minhash_portable(shingles, k) - md5-derived (oracle-reproducible) MinHash signature"),
+      (args: Seq[Expression]) => MinHashPortable(args(0), intLit(args(1), "k"))))
     ext.injectFunction((FunctionIdentifier("random_project"),
       info("random_project", "random_project(vec, outDims) - signed +/-1 random projection to outDims"),
       (args: Seq[Expression]) => RandomProjection(args(0), intLit(args(1), "outDims"))))

@@ -113,6 +113,12 @@ object NativeKernels {
   def featureHashVector(shingles: Column, dims: Int): Column =
     c(FeatureHashVector(ColumnBridge.expression(shingles), dims))
 
+  /** Portable (md5-derived, oracle-reproducible) MinHash signature — the
+    * cross-engine-verifiable sibling of [[minhashSignature]].
+    */
+  def minhashPortable(shingles: Column, k: Int): Column =
+    c(MinHashPortable(ColumnBridge.expression(shingles), k))
+
   /** Signed ±1 random projection to `outDims` dimensions (JL lemma): the
     * dimensionality-reduction step before LSH/ANN when 64 dims is already
     * too wide to shuffle. Deterministic md5-derived sign matrix shared by
@@ -438,6 +444,31 @@ object KernelOps {
     out
   }
 
+  /** Portable MinHash: mins(j) = min over shingles s of
+    * h60("mh:<j>:" + s). Unlike [[minhashSignature]] (xxhash64, fast,
+    * Spark-only) this derivation is md5-based so a SQL oracle can
+    * recompute every value — the cross-engine-verifiable variant used by
+    * the corpus-sketch aggregation (q101).
+    */
+  def minhashPortable(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var j = 0
+        while (j < k) {
+          val h = h60(UTF8String.fromString("mh:" + j + ":" + s))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Sign matrix for [[randomProject]]: ±1 from bit 59 of
     * h60("rp:<i>:<j>") — deterministic, engine-independent (the DuckDB
     * oracle recomputes the same md5-derived signs), cached per shape
@@ -502,6 +533,18 @@ object KernelOps {
     }
     UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }
+}
+
+case class MinHashPortable(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("minhashPortable", Seq(child.dataType), Seq(ArrayType(StringType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.minhashPortable(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.minhashPortable($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
 case class RandomProjection(child: Expression, outDims: Int) extends UnaryExpression {

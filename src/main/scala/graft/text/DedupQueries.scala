@@ -334,9 +334,36 @@ object DedupQueries {
       .orderBy($"cluster_id")
   }
 
+  /** Corpus-level MinHash sketches per source, built by sketch UNION: each
+    * document reduces map-side to a 32-hash PORTABLE signature
+    * (md5-derived — the oracle recomputes every value), then
+    * [[graft.operators.SignatureMin]] element-wise-mins them per source.
+    * min distributes over set union, so the aggregate equals the signature
+    * of the union of the source's shingle sets — the incremental
+    * corpus-similarity index you keep per shard/source at 100 TB (state:
+    * 32 longs per group, mergeable; documents never shuffle). Output pins
+    * the whole signature via exact integer sum + two sampled positions.
+    */
+  def q101CorpusSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 32
+    val sigMin = udaf(graft.operators.SignatureMin)
+    Tables.documents(s, dir)
+      .select($"source", minhashPortable(wordShingles($"text", ShingleK), K).as("sig"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sigMin($"sig").as("ssig"))
+      .select(
+        $"source", $"n_docs",
+        aggregate($"ssig", lit(0L), _ + _).as("sig_sum"),
+        element_at($"ssig", 1).as("sig0"),
+        element_at($"ssig", 2).as("sig1"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q69_dedup_clusters" -> (q69DedupClusters _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
+    "q101_corpus_sketch" -> (q101CorpusSketch _),
     "q40_corpus_clean" -> (q40CorpusClean _),
     "q20_dedup_minhash" -> (q20DedupMinhash _),
     "q26_dedup_simhash" -> (q26DedupSimhash _),
@@ -357,6 +384,29 @@ object DedupQueries {
   private val shingleCte = shingleCteFrom("documents")
 
   val oracles: Map[String, String] = Map(
+    // source-level min over DISTINCT (source, shingle) == elementwise min
+    // of per-doc signatures (min distributes over union); h60 spelled as
+    // the usual '0x'||substr(md5) 60-bit derivation
+    "q101_corpus_sketch" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split(text, ' ') AS t FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT source, array_to_string(t[i:i+${ShingleK - 1}], ' ') AS s
+         |  FROM toks, UNNEST(range(1, greatest(len(t) - ${ShingleK - 1}, 1) + 1)) AS u(i)
+         |), hj AS (
+         |  SELECT source, j,
+         |    min(CAST('0x' || substr(md5('mh:' || j || ':' || s), 1, 15) AS BIGINT)) AS m
+         |  FROM sh, UNNEST(range(0, 32)) AS v(j)
+         |  GROUP BY source, j
+         |), nd AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+         |)
+         |SELECT hj.source, any_value(nd.n_docs) AS n_docs,
+         |  CAST(sum(m) AS BIGINT) AS sig_sum,
+         |  max(CASE WHEN j = 0 THEN m END) AS sig0,
+         |  max(CASE WHEN j = 1 THEN m END) AS sig1
+         |FROM hj JOIN nd ON hj.source = nd.source
+         |GROUP BY hj.source ORDER BY hj.source""".stripMargin,
     // filter-first composition: the shingle/dedup CTEs run over `surv`,
     // matching the Spark side's gate-then-dedup order
     "q40_corpus_clean" ->

@@ -102,4 +102,27 @@ class PropertySpec extends AnyFunSuite {
       assert(df.na.drop("any", Seq("k")).count() == keys.count(_.isDefined).toLong)
     }
   }
+
+  test("SignatureMin aggregator: partitioning-invariant and equal to the explode+min rewrite") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val sigMin = udaf(graft.operators.SignatureMin)
+    val sigs = Tables.documents(spark2, "/root/testdata/sf0.001")
+      .select($"source", minhashPortable(wordShingles($"text", 3), 16).as("sig"))
+      .cache()
+    def run(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      df.groupBy($"source").agg(sigMin($"sig").as("s")).collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val one = run(sigs)
+    val thirteen = run(sigs.repartition(13)) // merge() must be associative/commutative
+    assert(one == thirteen)
+    // explode rewrite as the executable spec
+    val viaExplode = sigs.select($"source", posexplode($"sig"))
+      .groupBy($"source", $"pos").agg(min($"col").as("m"))
+      .collect().groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        src -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(one == viaExplode)
+    assert(one.values.forall(_.length == 16))
+  }
 }
