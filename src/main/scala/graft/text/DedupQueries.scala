@@ -360,7 +360,31 @@ object DedupQueries {
       .orderBy($"source")
   }
 
+  /** The q101 sketches put to use: estimated Jaccard between every source
+    * pair = fraction of equal signature positions, top-10. The pairwise
+    * comparison runs over 20 sketch rows of 32 longs — corpus similarity
+    * at the cost of comparing SKETCHES, the entire point of building them.
+    * Estimates are exact multiples of 1/32, so the oracle matches exactly.
+    */
+  def q102SourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val K = 32
+    val sigMin = udaf(graft.operators.SignatureMin)
+    val sk = Tables.documents(s, dir)
+      .select($"source", minhashPortable(wordShingles($"text", ShingleK), K).as("sig"))
+      .groupBy($"source").agg(sigMin($"sig").as("ssig"))
+    val a = sk.select($"source".as("src_a"), $"ssig".as("sa"))
+    val b = sk.select($"source".as("src_b"), $"ssig".as("sb"))
+    a.join(b, $"src_a" < $"src_b")
+      .select($"src_a", $"src_b",
+        round(size(filter(zip_with($"sa", $"sb", _ === _), x => x))
+          .cast("double") / K, 4).as("est_jaccard"))
+      .orderBy($"est_jaccard".desc, $"src_a", $"src_b")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_source_similarity" -> (q102SourceSimilarity _),
     "q69_dedup_clusters" -> (q69DedupClusters _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q101_corpus_sketch" -> (q101CorpusSketch _),
@@ -407,6 +431,25 @@ object DedupQueries {
          |  max(CASE WHEN j = 1 THEN m END) AS sig1
          |FROM hj JOIN nd ON hj.source = nd.source
          |GROUP BY hj.source ORDER BY hj.source""".stripMargin,
+    "q102_source_similarity" ->
+      s"""WITH toks AS (
+         |  SELECT source, string_split(text, ' ') AS t FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT source, array_to_string(t[i:i+${ShingleK - 1}], ' ') AS s
+         |  FROM toks, UNNEST(range(1, greatest(len(t) - ${ShingleK - 1}, 1) + 1)) AS u(i)
+         |), hj AS (
+         |  SELECT source, j,
+         |    min(CAST('0x' || substr(md5('mh:' || j || ':' || s), 1, 15) AS BIGINT)) AS m
+         |  FROM sh, UNNEST(range(0, 32)) AS v(j)
+         |  GROUP BY source, j
+         |), p AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    round(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) / 32.0, 4) AS est_jaccard
+         |  FROM hj a JOIN hj b ON a.j = b.j AND a.source < b.source
+         |  GROUP BY src_a, src_b
+         |)
+         |SELECT src_a, src_b, est_jaccard FROM p
+         |ORDER BY est_jaccard DESC, src_a, src_b LIMIT 10""".stripMargin,
     // filter-first composition: the shingle/dedup CTEs run over `surv`,
     // matching the Spark side's gate-then-dedup order
     "q40_corpus_clean" ->
