@@ -144,7 +144,34 @@ object EtlQueries {
       .orderBy($"mo")
   }
 
+  /** Calendar-dimension generation (the reference's `time` table built
+    * from NOTHING — `sequence` + `explode` instead of extracting dates
+    * from a fact scan): one row per 2024 day with the derived attributes.
+    * Generated dims are how a lake gets a complete calendar (no gaps on
+    * days with no facts); the whole plan is a generator, zero input IO.
+    * Weekday is ISO (0 = Monday) — the portable convention both engines
+    * express exactly; the reference's own `date_format('F')` weekday bug
+    * (etl.py:163) is documented at SURVEY §2.9 F5.
+    */
+  def q103CalendarDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(1)
+      .select(explode(expr(
+        "sequence(to_date('2024-01-01'), to_date('2024-12-31'), interval 1 day)")).as("d"))
+      .select(
+        date_format($"d", "yyyy-MM-dd").as("date_str"),
+        year($"d").cast("long").as("yr"),
+        month($"d").cast("long").as("mo"),
+        dayofmonth($"d").cast("long").as("dom"),
+        weekofyear($"d").cast("long").as("wk"),
+        expr("weekday(d)").cast("long").as("wd"),
+        quarter($"d").cast("long").as("qtr"),
+        when(expr("weekday(d)") >= 5, 1L).otherwise(0L).as("is_weekend"))
+      .orderBy($"date_str")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_calendar_dim" -> (q103CalendarDim _),
     "q97_range_clustered" -> (q97RangeClusteredWrite _),
     "q88_schema_merge" -> (q88SchemaMerge _),
     "q46_json_roundtrip" -> (q46JsonRoundtrip _),
@@ -154,6 +181,17 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q103_calendar_dim" ->
+      """SELECT strftime(d, '%Y-%m-%d') AS date_str,
+        |  CAST(year(d) AS BIGINT) AS yr,
+        |  CAST(month(d) AS BIGINT) AS mo,
+        |  CAST(day(d) AS BIGINT) AS dom,
+        |  CAST(weekofyear(d) AS BIGINT) AS wk,
+        |  CAST(isodow(d) - 1 AS BIGINT) AS wd,
+        |  CAST(quarter(d) AS BIGINT) AS qtr,
+        |  CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend
+        |FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) AS t(d)
+        |ORDER BY date_str""".stripMargin,
     "q97_range_clustered" ->
       """SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total

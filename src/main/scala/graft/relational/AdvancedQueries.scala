@@ -328,25 +328,29 @@ object AdvancedQueries {
 
   /** Column profiling (the ANALYZE pass run before planning a migration or
     * a training run): per column, null count, distinct count, min/max as
-    * strings. Four independent aggregates over one cached scan, unioned —
-    * each is a standard partial+final agg; the union is plan-level, not a
-    * shuffle. At 100 TB the exact distinct swaps for approx_count_distinct
-    * (q37 covers that sketch); the exact form is the verification shape.
+    * strings — computed in ONE pass over the table (a per-column-union
+    * formulation scans N× for N columns; at 100 TB that is N extra reads).
+    * The three exact countDistincts plan as a single multi-distinct Expand
+    * (×3 map-side row amplification, still one scan); at scale each swaps
+    * for approx_count_distinct (q37's sketch tier) and the Expand
+    * disappears. The 1-row aggregate then melts to rows via `stack` —
+    * plan-level, no shuffle.
     */
   def q85Profile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val o = Tables.orders(s, dir)
-    def prof(colName: String): DataFrame =
-      o.agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col(colName).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col(colName)).as("n_distinct"),
-        min(col(colName).cast("string")).as("min_str"),
-        max(col(colName).cast("string")).as("max_str"))
-        .select(lit(colName).as("column_name"), $"n_rows", $"n_nulls", $"n_distinct",
-          $"min_str", $"max_str")
-    Seq("o_orderstatus", "o_orderpriority", "o_custkey")
-      .map(prof).reduce(_ unionByName _)
+    def statsOf(c: String, p: String) = Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nulls"),
+      countDistinct(col(c)).as(s"${p}_d"),
+      min(col(c).cast("string")).as(s"${p}_min"),
+      max(col(c).cast("string")).as(s"${p}_max"))
+    val cols = Seq("o_custkey" -> "ck", "o_orderpriority" -> "pr", "o_orderstatus" -> "st")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, p) => statsOf(c, p) }
+    val stackArgs = cols.map { case (c, p) =>
+      s"'$c', n_rows, ${p}_nulls, ${p}_d, ${p}_min, ${p}_max" }.mkString(", ")
+    Tables.orders(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs)" +
+        " AS (column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"))
       .orderBy($"column_name")
   }
 
