@@ -477,7 +477,27 @@ object AdvancedQueries {
       .orderBy($"c_custkey")
   }
 
+  /** Linear-regression aggregates (regr_slope/intercept/r2/count): the
+    * one-pass OLS fit per group — like q74's moments these are mergeable
+    * fixed-size state, so the shuffle carries one state row per group.
+    * The fit of quantity → extended price per return flag; inputs are
+    * exact (integral quantities, 2-decimal prices), so 4-decimal rounding
+    * absorbs the double-summation-order slack across engines.
+    */
+  def q104RegressionAggs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 4).as("slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 4).as("intercept"),
+        round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+        regr_count($"l_extendedprice", $"l_quantity").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_regression_aggs" -> (q104RegressionAggs _),
     "q98_null_safe_join" -> (q98NullSafeJoin _),
     "q99_try_funcs" -> (q99TryFuncs _),
     "q93_range_frame" -> (q93RangeFrame _),
@@ -503,6 +523,13 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q104_regression_aggs" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q98_null_safe_join" ->
       """WITH c AS (SELECT nullif(c_nationkey % 7, 0) AS ck FROM customer),
         |s AS (SELECT nullif(s_nationkey % 7, 0) AS sk FROM supplier)
