@@ -496,7 +496,51 @@ object AdvancedQueries {
       .orderBy($"l_returnflag")
   }
 
+  /** Deterministic mode per group: most frequent order priority per
+    * status, ties broken by the larger value — Spark's built-in `mode()`
+    * is tie-arbitrary (useless under a hash-compare gate and any
+    * reproducibility requirement), so the engine's mode is the explicit
+    * count → top-1 window, which WindowGroupLimit keeps cheap.
+    */
+  def q105Mode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"n".desc, $"o_orderpriority".desc)
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_orderstatus", $"o_orderpriority".as("mode_priority"), $"n")
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Inter-event gap statistics per event type (telemetry cadence): lag
+    * over (type, time) gives each event's distance to its predecessor;
+    * gaps are whole seconds (second-truncated timestamps → integer
+    * diffs), so min/max/avg/median are exact cross-engine. One shuffle on
+    * event_type; the per-type sort is the window's in-partition sort.
+    */
+  def q106EventGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts_s", $"event_id")
+    graft.Tables.events(s, dir)
+      .select($"event_id", $"event_type",
+        unix_timestamp(date_trunc("second", $"ts")).as("ts_s"))
+      .withColumn("gap", $"ts_s" - lag($"ts_s", 1).over(w))
+      .filter($"gap".isNotNull)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min($"gap").as("min_gap"),
+        max($"gap").as("max_gap"),
+        round(avg($"gap"), 2).as("avg_gap"),
+        percentile($"gap", lit(0.5)).as("median_gap"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_mode" -> (q105Mode _),
+    "q106_event_gaps" -> (q106EventGaps _),
     "q104_regression_aggs" -> (q104RegressionAggs _),
     "q98_null_safe_join" -> (q98NullSafeJoin _),
     "q99_try_funcs" -> (q99TryFuncs _),
@@ -523,6 +567,31 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q105_mode" ->
+      """SELECT o_orderstatus, mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY count(*) DESC, o_orderpriority DESC) AS rn
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |) WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "q106_event_gaps" ->
+      """WITH t AS (
+        |  SELECT event_id, event_type,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |), g AS (
+        |  SELECT event_type,
+        |    ts_s - lag(ts_s, 1) OVER (PARTITION BY event_type
+        |                              ORDER BY ts_s, event_id) AS gap
+        |  FROM t
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap,
+        |  CAST(max(gap) AS BIGINT) AS max_gap,
+        |  round(avg(gap), 2) AS avg_gap,
+        |  quantile_cont(gap, 0.5) AS median_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q104_regression_aggs" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
