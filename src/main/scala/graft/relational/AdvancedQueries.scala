@@ -538,7 +538,55 @@ object AdvancedQueries {
       .orderBy($"event_type")
   }
 
+  /** The analytic-window functions q42 left out: percent_rank, cume_dist,
+    * nth_value and first/last_value over an explicit full-partition frame.
+    * All evaluated in the same single WindowExec pass; the (price,
+    * orderkey) ordering is a total order, so every value is deterministic.
+    */
+  def q107WindowAnalytics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter($"o_custkey" % 20 === 0)
+      .select(
+        $"o_custkey", $"o_orderkey",
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        round(nth_value($"o_totalprice", 2).over(full), 2).as("second_cheapest"),
+        round(first_value($"o_totalprice").over(full), 2).as("cheapest"),
+        round(last_value($"o_totalprice").over(full), 2).as("priciest"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Array set algebra over token sets (the candidate-overlap primitives
+    * under dedup/decontamination): union/intersect/except cardinalities +
+    * overlap test between each document's first- and second-half token
+    * sets. Sizes only — set order is engine-internal, cardinalities are
+    * not. Map-side per row.
+    */
+  def q108ArraySetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", split($"text", " ", -1).as("toks"))
+      .withColumn("h", expr("size(toks) div 2").cast("int"))
+      .select($"doc_id",
+        array_distinct(slice($"toks", lit(1), $"h")).as("a"),
+        array_distinct(expr("slice(toks, h + 1, size(toks) - h)")).as("b"))
+      .select($"doc_id",
+        size($"a").cast("long").as("n_a"),
+        size($"b").cast("long").as("n_b"),
+        size(array_union($"a", $"b")).cast("long").as("n_union"),
+        size(array_intersect($"a", $"b")).cast("long").as("n_intersect"),
+        size(array_except($"a", $"b")).cast("long").as("n_a_only"),
+        arrays_overlap($"a", $"b").as("overlaps"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_window_analytics" -> (q107WindowAnalytics _),
+    "q108_array_setops" -> (q108ArraySetOps _),
     "q105_mode" -> (q105Mode _),
     "q106_event_gaps" -> (q106EventGaps _),
     "q104_regression_aggs" -> (q104RegressionAggs _),
@@ -567,6 +615,38 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q107_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  round(nth_value(o_totalprice, 2) OVER wf, 2) AS second_cheapest,
+        |  round(first_value(o_totalprice) OVER wf, 2) AS cheapest,
+        |  round(last_value(o_totalprice) OVER wf, 2) AS priciest
+        |FROM orders WHERE o_custkey % 20 = 0
+        |WINDOW
+        |  w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q108_array_setops" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) // 2 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), ab AS (
+        |  SELECT doc_id,
+        |    list_distinct(toks[1:h]) AS a,
+        |    list_distinct(toks[h+1:len(toks)]) AS b
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  CAST(len(a) AS BIGINT) AS n_a,
+        |  CAST(len(b) AS BIGINT) AS n_b,
+        |  CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+        |  CAST(len(list_intersect(a, b)) AS BIGINT) AS n_intersect,
+        |  CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS BIGINT) AS n_a_only,
+        |  len(list_intersect(a, b)) > 0 AS overlaps
+        |FROM ab ORDER BY doc_id""".stripMargin,
     "q105_mode" ->
       """SELECT o_orderstatus, mode_priority, n FROM (
         |  SELECT o_orderstatus, o_orderpriority AS mode_priority, count(*) AS n,
