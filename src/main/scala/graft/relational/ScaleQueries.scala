@@ -192,7 +192,49 @@ object ScaleQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** Salted join under TOTAL key skew: `l_returnflag` has three values, so
+    * a plain shuffle join lands the entire fact on three tasks;
+    * [[graft.operators.Salting.saltedJoin]] spreads each key over 8 salt
+    * partitions by replicating the (3-row) build side — the skew rewrite
+    * for the case AQE's skew-split doesn't cover (build side too wide to
+    * broadcast, key cardinality too low to spread naturally). Oracle is
+    * the plain join: the rewrite is result-identical by construction.
+    */
+  def q109SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("A", "returned"), ("N", "active"), ("R", "refunded"))
+      .toDF("l_returnflag", "flag_name")
+    graft.operators.Salting
+      .saltedJoin(Tables.lineitem(s, dir).select($"l_returnflag", $"l_quantity"), dim,
+        "l_returnflag", salts = 8)
+      .groupBy($"flag_name")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"flag_name")
+  }
+
+  /** Blocked fuzzy matching (the blocking strategy behind fuzzy dedup):
+    * candidate pairs come from an equi-join on the block key (nation) plus
+    * a bounded id distance — never all-pairs — and only candidates pay the
+    * `levenshtein` comparison. Output is the edit-distance histogram of
+    * candidate pairs.
+    */
+  def q110FuzzyPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .filter($"c_custkey" % 5 === 0)
+      .select($"c_custkey", $"c_nationkey", $"c_name")
+    val a = c.select($"c_custkey".as("ka"), $"c_nationkey".as("na"), $"c_name".as("name_a"))
+    val b = c.select($"c_custkey".as("kb"), $"c_nationkey".as("nb"), $"c_name".as("name_b"))
+    a.join(b, $"na" === $"nb" && $"ka" < $"kb" && $"kb" - $"ka" <= 50)
+      .select(levenshtein($"name_a", $"name_b").cast("long").as("dist"))
+      .groupBy($"dist")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"dist")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_salted_join" -> (q109SaltedJoin _),
+    "q110_fuzzy_pairs" -> (q110FuzzyPairs _),
     "q91_latest_wins" -> (q91LatestWins _),
     "q76_star_join" -> (q76StarJoin _),
     "q77_runtime_filter_join" -> (q77RuntimeFilterJoin _),
@@ -201,6 +243,22 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q109_salted_join" ->
+      """WITH dim AS (
+        |  SELECT * FROM (VALUES ('A', 'returned'), ('N', 'active'), ('R', 'refunded'))
+        |    AS t(l_returnflag, flag_name)
+        |)
+        |SELECT flag_name, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN dim USING (l_returnflag)
+        |GROUP BY flag_name ORDER BY flag_name""".stripMargin,
+    "q110_fuzzy_pairs" ->
+      """SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+        |  count(*) AS n_pairs
+        |FROM (SELECT * FROM customer WHERE c_custkey % 5 = 0) a
+        |JOIN (SELECT * FROM customer WHERE c_custkey % 5 = 0) b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND a.c_custkey < b.c_custkey AND b.c_custkey - a.c_custkey <= 50
+        |GROUP BY dist ORDER BY dist""".stripMargin,
     "q91_latest_wins" ->
       """WITH all_rows AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders
