@@ -187,7 +187,75 @@ object PipelineQueries {
       .orderBy($"split", $"lang")
   }
 
+  /** Padding-waste report: if each document were batched alone at a
+    * 512-token boundary (no packing), how many pad tokens does each
+    * language pay? The report that justifies q62's sequence packing.
+    * All integer arithmetic; one partial-aggregated rollup.
+    */
+  def q111PaddingWaste(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang", size(tokens($"text")).cast("long").as("n"))
+      .withColumn("padded", expr("((n + 511) div 512) * 512"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n").as("total_tokens"),
+        sum($"padded").as("total_padded"),
+        round((sum($"padded") - sum($"n")).cast("double") / sum($"padded") * 100, 2)
+          .as("waste_pct"))
+      .orderBy($"lang")
+  }
+
+  /** Split-contamination rate: the eval-hygiene check after q57's
+    * train/test split — what fraction of test documents share any word
+    * 8-gram with ANY training document. Inverted-index shape like q63:
+    * distinct train grams build one side, the test (doc, gram) relation
+    * semi-joins on the gram — work scales with real collisions, never
+    * test × train.
+    */
+  def q112SplitContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val G = 8
+    val bucket = hashBucket("split:", $"doc_id")
+    val docs = Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test"))
+    val trainGrams = docs.filter($"split" === "train")
+      .select(explode(wordShingles($"text", G)).as("g")).distinct()
+    val test = docs.filter($"split" === "test")
+    val contaminated = test
+      .select($"doc_id", explode(wordShingles($"text", G)).as("g"))
+      .join(trainGrams, Seq("g"), "left_semi")
+      .select($"doc_id").distinct()
+    test.select(count(lit(1)).as("n_test")).crossJoin(
+        contaminated.select(count(lit(1)).as("n_contaminated")))
+      .select($"n_test", $"n_contaminated",
+        round($"n_contaminated".cast("double") / $"n_test", 4).as("rate"))
+  }
+
+  /** Temperature-weighted source-mixing weights (τ = 0.5 spelled as sqrt —
+    * IEEE sqrt is correctly rounded, so the weights are bit-stable across
+    * engines in a way pow(x, 0.7) is not): upweights small sources,
+    * downweights large ones, the standard multi-source sampling scheme.
+    * 20-row aggregate; the normalizing total comes from an unordered
+    * window sum over those 20 rows.
+    */
+  def q113MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", sqrt($"n_docs".cast("double")))
+    counts
+      .withColumn("w", $"w_raw" / sum($"w_raw").over(Window.partitionBy()))
+      .select($"source", $"n_docs", round($"w", 6).as("weight"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_padding_waste" -> (q111PaddingWaste _),
+    "q112_split_contamination" -> (q112SplitContamination _),
+    "q113_mixture_weights" -> (q113MixtureWeights _),
     "q100_corpus_to_sequences" -> (q100CorpusToSequences _),
     "q68_vocab_build" -> (q68VocabBuild _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
@@ -197,6 +265,61 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q111_padding_waste" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), p AS (
+        |  SELECT lang, n, ((n + 511) // 512) * 512 AS padded FROM t
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens,
+        |  CAST(sum(padded) AS BIGINT) AS total_padded,
+        |  round(CAST(sum(padded) - sum(n) AS DOUBLE) / CAST(sum(padded) AS DOUBLE) * 100, 2)
+        |    AS waste_pct
+        |FROM p GROUP BY lang ORDER BY lang""".stripMargin,
+    // word 8-grams with the wordShingles degenerate (< 8 tokens → the
+    // whole text as one gram); DISTINCT per doc matches the kernel
+    "q112_split_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        |  FROM d
+        |), g AS (
+        |  SELECT split, doc_id,
+        |    CASE WHEN len(string_split(text, ' ')) < 8
+        |      THEN [array_to_string(string_split(text, ' '), ' ')]
+        |      ELSE list_distinct(list_transform(
+        |        range(1, len(string_split(text, ' ')) - 6),
+        |        i -> array_to_string(string_split(text, ' ')[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')))
+        |    END AS grams
+        |  FROM sp WHERE split != 'valid'
+        |), e AS (
+        |  SELECT split, doc_id, unnest(grams) AS gram FROM g
+        |), contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM e t JOIN (SELECT DISTINCT gram FROM e WHERE split = 'train') tr
+        |    ON t.gram = tr.gram
+        |  WHERE t.split = 'test'
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM sp WHERE split = 'test') AS n_test,
+        |  (SELECT count(*) FROM contaminated) AS n_contaminated,
+        |  round(CAST((SELECT count(*) FROM contaminated) AS DOUBLE)
+        |    / (SELECT count(*) FROM sp WHERE split = 'test'), 4) AS rate""".stripMargin,
+    "q113_mixture_weights" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS w_raw FROM c
+        |)
+        |SELECT source, n_docs,
+        |  round(w_raw / sum(w_raw) OVER (), 6) AS weight
+        |FROM w ORDER BY source""".stripMargin,
     "q100_corpus_to_sequences" ->
       s"""WITH surv AS (
          |  SELECT * FROM documents
