@@ -584,7 +584,88 @@ object AdvancedQueries {
       .orderBy($"doc_id")
   }
 
+  /** Discrete percentiles (percentile_disc): always an actual data value,
+    * never an interpolation — the right quantile for "show me a real
+    * example row at p50/p90". Completes the quantile family next to q39's
+    * continuous form and q37's sketch.
+    */
+  def q114PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90_disc"),
+        count(lit(1)).as("n"))
+      .select($"o_orderpriority",
+        round($"p50_disc", 2).as("p50_disc"), round($"p90_disc", 2).as("p90_disc"), $"n")
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Gap-filled daily time series: the generated calendar (q103's shape)
+    * LEFT-joined to daily event counts, so days with zero events appear
+    * as zeros instead of vanishing — the difference between a correct and
+    * a silently-wrong dashboard. The calendar is a generator (broadcast
+    * side); the fact aggregates BEFORE the join, so the join sees one row
+    * per day, not per event.
+    */
+  def q115GapFilledDaily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = s.range(1).select(explode(expr(
+      "sequence(to_date('2024-01-01'), to_date('2024-02-10'), interval 1 day)")).as("d"))
+    val daily = graft.Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+    days.join(daily, Seq("d"), "left_outer")
+      .select(
+        date_format($"d", "yyyy-MM-dd").as("day"),
+        coalesce($"n", lit(0L)).as("n_events"))
+      .orderBy($"day")
+  }
+
+  /** max_by / min_by with an explicitly UNIQUE ordering key: canonical-row
+    * selection per group (longest doc per language; ties broken by
+    * doc_id through the composite key) — the survivor-selection idiom for
+    * dedup clusters. Plain max_by on a tied key is nondeterministic, the
+    * same trap as built-in mode() (q105).
+    */
+  def q116MaxBy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = $"n_chars" * 1000000L + $"doc_id" // unique: doc_id < 1e6
+    Tables.documents(s, dir)
+      .groupBy($"lang")
+      .agg(
+        max_by($"doc_id", key).as("longest_doc"),
+        min_by($"doc_id", key).as("shortest_doc"),
+        max($"n_chars").as("max_chars"),
+        count(lit(1)).as("n"))
+      .orderBy($"lang")
+  }
+
+  /** Bitwise aggregates (bit_or/bit_and/bit_xor): per-entity flag rollups
+    * — "which event types has each user-bucket ever produced" as one long
+    * per group instead of a distinct-set. Fixed-size mergeable state.
+    */
+  def q117BitAggs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flag = when($"event_type" === "click", 1L).when($"event_type" === "view", 2L)
+      .when($"event_type" === "purchase", 4L).when($"event_type" === "signup", 8L)
+      .otherwise(16L)
+    graft.Tables.events(s, dir)
+      .select(($"user_id" % 10).as("bucket"), flag.as("f"))
+      .groupBy($"bucket")
+      .agg(
+        bit_or($"f").as("types_seen"),
+        bit_and($"f").as("types_always"),
+        count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_percentile_disc" -> (q114PercentileDisc _),
+    "q115_gap_filled_daily" -> (q115GapFilledDaily _),
+    "q116_max_by" -> (q116MaxBy _),
+    "q117_bit_aggs" -> (q117BitAggs _),
     "q107_window_analytics" -> (q107WindowAnalytics _),
     "q108_array_setops" -> (q108ArraySetOps _),
     "q105_mode" -> (q105Mode _),
@@ -615,6 +696,42 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q114_percentile_disc" ->
+      """SELECT o_orderpriority,
+        |  round(quantile_disc(o_totalprice, 0.5), 2) AS p50_disc,
+        |  round(quantile_disc(o_totalprice, 0.9), 2) AS p90_disc,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q115_gap_filled_daily" ->
+      """WITH days AS (
+        |  SELECT CAST(d AS DATE) AS d
+        |  FROM generate_series(DATE '2024-01-01', DATE '2024-02-10', INTERVAL 1 DAY) AS t(d)
+        |), daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+        |)
+        |SELECT strftime(days.d, '%Y-%m-%d') AS day,
+        |  CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+        |FROM days LEFT JOIN daily ON days.d = daily.d
+        |ORDER BY day""".stripMargin,
+    "q116_max_by" ->
+      """SELECT lang,
+        |  max_by(doc_id, n_chars * 1000000 + doc_id) AS longest_doc,
+        |  min_by(doc_id, n_chars * 1000000 + doc_id) AS shortest_doc,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |  count(*) AS n
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q117_bit_aggs" ->
+      """WITH f AS (
+        |  SELECT user_id % 10 AS bucket,
+        |    CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 ELSE 16 END AS fl
+        |  FROM events
+        |)
+        |SELECT bucket,
+        |  CAST(bit_or(fl) AS BIGINT) AS types_seen,
+        |  CAST(bit_and(fl) AS BIGINT) AS types_always,
+        |  count(*) AS n
+        |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q107_window_analytics" ->
       """SELECT o_custkey, o_orderkey,
         |  round(percent_rank() OVER w, 6) AS pct_rank,
