@@ -661,7 +661,47 @@ object AdvancedQueries {
       .orderBy($"bucket")
   }
 
+  /** Array predicate HOFs (exists / forall) + positional ops
+    * (array_position, array_remove, array_compact): the membership and
+    * cleanup primitives over token arrays that q45's
+    * filter/transform/aggregate tier left out. Map-side.
+    */
+  def q119ArrayPredicates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", split($"text", " ", -1).as("toks"))
+      .select($"doc_id",
+        exists($"toks", t => length(t) > 10).as("has_long"),
+        forall($"toks", t => length(t) < 30).as("all_short"),
+        array_position($"toks", "the").cast("long").as("first_the"),
+        size(array_remove($"toks", "the")).cast("long").as("n_without_the"),
+        size($"toks").cast("long").as("n_toks"))
+      .orderBy($"doc_id")
+  }
+
+  /** 7-day moving average over the daily event series — the smoothing
+    * window every metrics pipeline runs. Aggregate-then-window: the frame
+    * operates over one row per day (an already-reduced relation), and the
+    * integer daily counts make the averaged sums exact before the one
+    * final division.
+    */
+  def q120MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"d").rowsBetween(-6, 0)
+    graft.Tables.events(s, dir)
+      .groupBy(to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format($"d", "yyyy-MM-dd").as("day"), $"n",
+        round(avg($"n").over(w), 2).as("ma7"),
+        count(lit(1)).over(w).as("window_n"))
+      .orderBy($"day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_array_predicates" -> (q119ArrayPredicates _),
+    "q120_moving_avg" -> (q120MovingAvg _),
     "q114_percentile_disc" -> (q114PercentileDisc _),
     "q115_gap_filled_daily" -> (q115GapFilledDaily _),
     "q116_max_by" -> (q116MaxBy _),
@@ -696,6 +736,28 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q119_array_predicates" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT doc_id,
+        |  len(list_filter(toks, x -> length(x) > 10)) > 0 AS has_long,
+        |  len(list_filter(toks, x -> NOT (length(x) < 30))) = 0 AS all_short,
+        |  CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS first_the,
+        |  CAST(len(list_filter(toks, x -> x != 'the')) AS BIGINT) AS n_without_the,
+        |  CAST(len(toks) AS BIGINT) AS n_toks
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q120_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+        |)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, n,
+        |  round(avg(n) OVER w, 2) AS ma7,
+        |  count(*) OVER w AS window_n
+        |FROM daily
+        |WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin,
     "q114_percentile_disc" ->
       """SELECT o_orderpriority,
         |  round(quantile_disc(o_totalprice, 0.5), 2) AS p50_disc,

@@ -266,7 +266,35 @@ object EventQueries {
       .orderBy($"cohort_day")
   }
 
+  /** Map-typed column transforms (map_filter / transform_values /
+    * map_keys) over the parsed `props` map: keep numeric-looking entries,
+    * scale values, then aggregate extracted scalars — the typed-map
+    * mid-layer between raw JSON (q11/q41) and columns. All map lambdas run
+    * once per row, map-side.
+    */
+  def q118MapTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val m = from_json($"props", MapType(StringType, StringType)).as("m")
+    Tables.events(s, dir)
+      .select($"event_type", m)
+      .select($"event_type",
+        map_filter($"m", (k, _) => k === "k").as("mk"),
+        size(map_keys($"m")).cast("long").as("n_keys"))
+      .select($"event_type", $"n_keys",
+        transform_values($"mk", (_, v) => v.cast("long") * 2).as("doubled"))
+      .select($"event_type", $"n_keys",
+        element_at($"doubled", "k").as("k2"))
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"n_keys").as("total_keys"),
+        sum($"k2").as("sum_k2"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_map_transform" -> (q118MapTransform _),
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q92_sliding_window_twin" -> (q92SlidingWindowTwin _),
     "q83_stream_static_twin" -> (q83StreamStaticTwin _),
@@ -283,6 +311,11 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_map_transform" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(len(json_keys(props)) AS BIGINT)) AS BIGINT) AS total_keys,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2) AS BIGINT) AS sum_k2
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q83_stream_static_twin" ->
       """WITH dim AS (
         |  SELECT * FROM (VALUES
