@@ -47,7 +47,7 @@ object Bench {
     def short(name: String): String = name.takeWhile(_ != '_')
     require(results.keys.map(short).toSet.size == results.size,
       "query numeric prefixes must be unique for the compact bench line")
-    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
