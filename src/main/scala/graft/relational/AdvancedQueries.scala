@@ -699,7 +699,67 @@ object AdvancedQueries {
       .orderBy($"day")
   }
 
+  /** Date arithmetic breadth (the F-family beyond extraction):
+    * date_add / add_months / last_day / months_between / datediff /
+    * quarter-trunc — the complete derivation set for date dimension and
+    * SLA math. All codegen'd built-ins, map-side.
+    */
+  def q121DateArithmetic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey", to_date($"o_orderdate").as("d"))
+      .select(
+        $"o_orderkey",
+        date_format($"d", "yyyy-MM-dd").as("order_day"),
+        date_format(date_add($"d", 30), "yyyy-MM-dd").as("due_30d"),
+        date_format(add_months($"d", 3), "yyyy-MM-dd").as("plus_3mo"),
+        date_format(last_day($"d"), "yyyy-MM-dd").as("month_end"),
+        (lit(2002L * 12 + 1) - (year($"d") * 12 + month($"d"))).cast("long").as("months_to_2002"),
+        datediff(lit("2002-01-01").cast("date"), $"d").cast("long").as("days_to_2002"),
+        date_format(date_trunc("quarter", $"d"), "yyyy-MM-dd").as("quarter_start"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Conditional/boolean aggregates (count_if / bool_or / bool_and): the
+    * predicate-rollup shorthands — one pass, no CASE scaffolding, same
+    * partial+final plan as any algebraic aggregate.
+    */
+  def q122ConditionalAggs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        count_if($"value" > 100.0).as("n_big"),
+        count_if($"value" <= 100.0).as("n_small"),
+        bool_or($"value" > 400.0).as("any_huge"),
+        bool_and($"value" > 0.0).as("all_positive"))
+      .orderBy($"event_type")
+  }
+
+  /** Pattern-occurrence statistics via regexp_extract_all + size: numeric
+    * literals per document rolled up per language — the portable-RE2
+    * pattern class shared with the PII scrubber (q70). Map-side counts,
+    * one rollup.
+    */
+  def q123NumberExtraction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"lang",
+        size(regexp_extract_all($"text", lit("[0-9]+"), lit(0))).cast("long").as("n_nums"))
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_nums").as("total_nums"),
+        max($"n_nums").as("max_nums"),
+        count_if($"n_nums" > 0).as("docs_with_nums"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_date_arithmetic" -> (q121DateArithmetic _),
+    "q122_conditional_aggs" -> (q122ConditionalAggs _),
+    "q123_number_extraction" -> (q123NumberExtraction _),
     "q119_array_predicates" -> (q119ArrayPredicates _),
     "q120_moving_avg" -> (q120MovingAvg _),
     "q114_percentile_disc" -> (q114PercentileDisc _),
@@ -736,6 +796,38 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_date_arithmetic" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderkey,
+        |  strftime(d, '%Y-%m-%d') AS order_day,
+        |  strftime(d + 30, '%Y-%m-%d') AS due_30d,
+        |  strftime(CAST(d + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus_3mo,
+        |  strftime(last_day(d), '%Y-%m-%d') AS month_end,
+        |  CAST((2002 * 12 + 1) - (year(d) * 12 + month(d)) AS BIGINT) AS months_to_2002,
+        |  CAST(date_diff('day', d, DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+        |  strftime(CAST(date_trunc('quarter', d) AS DATE), '%Y-%m-%d') AS quarter_start
+        |FROM t ORDER BY o_orderkey""".stripMargin,
+    "q122_conditional_aggs" ->
+      """SELECT event_type,
+        |  CAST(count(*) FILTER (value > 100.0) AS BIGINT) AS n_big,
+        |  CAST(count(*) FILTER (value <= 100.0) AS BIGINT) AS n_small,
+        |  bool_or(value > 400.0) AS any_huge,
+        |  bool_and(value > 0.0) AS all_positive
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q123_number_extraction" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_nums) AS BIGINT) AS total_nums,
+        |  CAST(max(n_nums) AS BIGINT) AS max_nums,
+        |  CAST(count(*) FILTER (n_nums > 0) AS BIGINT) AS docs_with_nums
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q119_array_predicates" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks
