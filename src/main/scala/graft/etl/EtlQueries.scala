@@ -170,7 +170,58 @@ object EtlQueries {
       .orderBy($"date_str")
   }
 
+  /** Malformed-input tolerance at the SOURCE level — the two-layer
+    * cleaning recipe dirty CSV actually needs: DROPMALFORMED removes
+    * structurally-broken lines (arity overflow), while truncated/
+    * type-garbage lines null-fill (PERMISSIVE-style) and are cleared by
+    * the reference's own `na.drop` idiom (etl.py:70/86/137) on the key
+    * columns. Either layer alone leaks bad rows (verified: DROPMALFORMED
+    * keeps null-padded short rows); together the aggregate equals the
+    * clean subset, which is what the oracle computes from the source.
+    */
+  def q124MalformedCsv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val out = s"/root/repo/target/tmp/malformed_csv_${math.abs(dir.hashCode)}"
+    val good = Tables.customer(s, dir)
+      .select(concat_ws(",", $"c_custkey", $"c_name", $"c_nationkey",
+        $"c_acctbal", $"c_mktsegment").as("line"))
+    val bad = s.createDataset(Seq(
+      "not,a,number,row",            // c_custkey fails the LongType cast
+      "1,only-two-fields",           // truncated
+      ",,,,,,too,many,fields,here",  // arity overflow
+      "xyz"))                        // single garbage token
+    good.unionByName(bad.toDF("line"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    s.read.schema(schema).option("mode", "DROPMALFORMED").csv(out)
+      .na.drop("any", Seq("c_custkey", "c_mktsegment"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** File-lineage metadata (`_metadata` hidden column): every parquet row
+    * tagged with the file it came from — the provenance column a lake
+    * audit joins on. Zero-cost: the value comes from the reader, not the
+    * data.
+    */
+  def q125FileMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/orders.parquet")
+      .select(regexp_extract(col("_metadata.file_name"), "([^/]+)$", 1).as("file"),
+        $"o_orderkey")
+      .groupBy($"file")
+      .agg(count(lit(1)).as("n_rows"), max($"o_orderkey").as("max_key"))
+      .orderBy($"file")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_malformed_csv" -> (q124MalformedCsv _),
+    "q125_file_metadata" -> (q125FileMetadata _),
     "q103_calendar_dim" -> (q103CalendarDim _),
     "q97_range_clustered" -> (q97RangeClusteredWrite _),
     "q88_schema_merge" -> (q88SchemaMerge _),
@@ -181,6 +232,16 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // c_name contains no commas, so the CSV round trip is field-exact and
+    // the clean subset is the whole customer table
+    "q124_malformed_csv" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q125_file_metadata" ->
+      """SELECT 'orders.parquet' AS file, count(*) AS n_rows,
+        |  max(o_orderkey) AS max_key
+        |FROM orders""".stripMargin,
     "q103_calendar_dim" ->
       """SELECT strftime(d, '%Y-%m-%d') AS date_str,
         |  CAST(year(d) AS BIGINT) AS yr,

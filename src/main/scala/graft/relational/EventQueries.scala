@@ -293,7 +293,32 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** User journey paths (product analytics): each user's first five event
+    * types in time order, joined into a path string, counted across
+    * users. Ordering inside the group is made deterministic by collecting
+    * (ts, event_id, type) STRUCTS and sort_array-ing them — a bare
+    * collect_list order is partition-dependent and would flake the hash
+    * gate. Per-user state is bounded (≤5 after the slice); the path
+    * rollup shuffles one short string per user.
+    */
+  def q126UserPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id",
+        struct(date_trunc("second", $"ts").as("t"), $"event_id", $"event_type").as("e"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list($"e")).as("es"))
+      .select(
+        concat_ws(">", transform(slice($"es", 1, 5), e => e.getField("event_type")))
+          .as("path"))
+      .groupBy($"path")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"n_users".desc, $"path")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_user_paths" -> (q126UserPaths _),
     "q118_map_transform" -> (q118MapTransform _),
     "q95_cohort_retention" -> (q95CohortRetention _),
     "q92_sliding_window_twin" -> (q92SlidingWindowTwin _),
@@ -311,6 +336,20 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q126_user_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY date_trunc('second', ts), event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM o WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT path, count(*) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
     "q118_map_transform" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(len(json_keys(props)) AS BIGINT)) AS BIGINT) AS total_keys,
