@@ -383,7 +383,30 @@ object DedupQueries {
       .limit(10)
   }
 
+  /** Corpus novelty: per source, the fraction of its (distinct-per-doc)
+    * word 8-grams that first appear in one of ITS documents — first
+    * occurrence attributed by global min doc_id per gram. The redundancy
+    * curve that says which sources still add new text. Inverted-index
+    * shape: grams aggregate to (gram, first_doc) once, documents join
+    * back by gram; totals are exact integers with one final division.
+    */
+  def q127GramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", $"source", explode(wordShingles($"text", 8)).as("g"))
+    val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    grams.join(firstSeen, "g")
+      .groupBy($"source")
+      .agg(
+        count(lit(1)).as("total_grams"),
+        count(when($"doc_id" === $"first_doc", 1)).as("novel_grams"))
+      .select($"source", $"total_grams", $"novel_grams",
+        round($"novel_grams".cast("double") / $"total_grams", 4).as("novelty_rate"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_gram_novelty" -> (q127GramNovelty _),
     "q102_source_similarity" -> (q102SourceSimilarity _),
     "q69_dedup_clusters" -> (q69DedupClusters _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
@@ -431,6 +454,24 @@ object DedupQueries {
          |  max(CASE WHEN j = 1 THEN m END) AS sig1
          |FROM hj JOIN nd ON hj.source = nd.source
          |GROUP BY hj.source ORDER BY hj.source""".stripMargin,
+    // 8-gram variant of the shingle CTE, wordShingles degenerate included
+    "q127_gram_novelty" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    array_to_string(t[i:i+7], ' ') AS g
+         |  FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)
+         |), fs AS (
+         |  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g
+         |)
+         |SELECT source,
+         |  count(*) AS total_grams,
+         |  CAST(count(CASE WHEN sh.doc_id = fs.first_doc THEN 1 END) AS BIGINT) AS novel_grams,
+         |  round(CAST(count(CASE WHEN sh.doc_id = fs.first_doc THEN 1 END) AS DOUBLE)
+         |    / count(*), 4) AS novelty_rate
+         |FROM sh JOIN fs ON sh.g = fs.g
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q102_source_similarity" ->
       s"""WITH toks AS (
          |  SELECT source, string_split(text, ' ') AS t FROM documents
