@@ -252,7 +252,33 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** Zipf-law fit: slope of log(frequency) against log(rank) over the top
+    * 500 corpus tokens (natural text ≈ −1; synthetic/templated corpora
+    * deviate — a quick generation-health check). Token counts
+    * partial-aggregate (corpus text never shuffles); the ranked relation
+    * is 500 rows, so the regression runs over a vocabulary-sized input.
+    * Per-group, the regression state is mergeable OLS moments (q104).
+    */
+  def q128ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"freq".desc, $"tok")).cast("long"))
+      .filter($"rank" <= 500)
+    ranked
+      .select(log($"rank".cast("double")).as("lr"), log($"freq".cast("double")).as("lf"))
+      .agg(
+        round(regr_slope($"lf", $"lr"), 4).as("zipf_slope"),
+        round(regr_r2($"lf", $"lr"), 4).as("r2"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_zipf_fit" -> (q128ZipfFit _),
     "q111_padding_waste" -> (q111PaddingWaste _),
     "q112_split_contamination" -> (q112SplitContamination _),
     "q113_mixture_weights" -> (q113MixtureWeights _),
@@ -265,6 +291,19 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q128_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT t AS tok, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        |  ) WHERE t != '' GROUP BY t
+        |), r AS (
+        |  SELECT freq, row_number() OVER (ORDER BY freq DESC, tok) AS rank FROM c
+        |)
+        |SELECT
+        |  round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+        |  round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS r2,
+        |  count(*) AS n_tokens
+        |FROM r WHERE rank <= 500""".stripMargin,
     "q111_padding_waste" ->
       """WITH t AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
