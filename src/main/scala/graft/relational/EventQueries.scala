@@ -317,7 +317,28 @@ object EventQueries {
       .limit(10)
   }
 
+  /** Activity churn contingency (opening window × closing window, 2×2):
+    * the retained / churned / resurrected / absent split product
+    * analytics reads weekly. Both membership flags come from ONE pass
+    * over events (conditional max per user), then a ≤4-row rollup. The
+    * windows are 6-hour slices so the synthetic corpus actually populates
+    * multiple cells.
+    */
+  def q130ActivityChurn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id",
+        (dayofmonth($"ts") === 1 && hour($"ts") < 6).as("w1"),
+        (dayofmonth($"ts") === 28 && hour($"ts") < 6).as("w4"))
+      .groupBy($"user_id")
+      .agg(max($"w1").as("active_w1"), max($"w4").as("active_w4"))
+      .groupBy($"active_w1", $"active_w4")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"active_w1", $"active_w4")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_activity_churn" -> (q130ActivityChurn _),
     "q126_user_paths" -> (q126UserPaths _),
     "q118_map_transform" -> (q118MapTransform _),
     "q95_cohort_retention" -> (q95CohortRetention _),
@@ -336,6 +357,16 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q130_activity_churn" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN day(ts) = 1 AND hour(ts) < 6 THEN 1 ELSE 0 END) = 1 AS active_w1,
+        |    max(CASE WHEN day(ts) = 28 AND hour(ts) < 6 THEN 1 ELSE 0 END) = 1 AS active_w4
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT active_w1, active_w4, count(*) AS n_users
+        |FROM u GROUP BY active_w1, active_w4
+        |ORDER BY active_w1, active_w4""".stripMargin,
     "q126_user_paths" ->
       """WITH o AS (
         |  SELECT user_id, event_type,

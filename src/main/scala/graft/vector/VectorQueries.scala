@@ -275,7 +275,28 @@ object VectorQueries {
       .orderBy($"vec_id")
   }
 
+  /** Per-label embedding norm statistics — the quality profile run before
+    * trusting a vector corpus (collapsed or exploding norms flag a bad
+    * encoder batch). Norms via the native dot kernel, once per row;
+    * min/max are order-independent and the mean divides an
+    * order-independent double sum of well-separated magnitudes, stable at
+    * 4 decimals (the q18-family precedent).
+    */
+  def q129NormStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"label", sqrt(dotF($"embedding", $"embedding")).as("nrm"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min($"nrm"), 4).as("min_norm"),
+        round(max($"nrm"), 4).as("max_norm"),
+        round(avg($"nrm"), 4).as("avg_norm"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_norm_stats" -> (q129NormStats _),
     "q90_random_projection" -> (q90RandomProjection _),
     "q80_embedding_quantize" -> (q80EmbeddingQuantize _),
     "q18_knn_topk" -> (q18KnnTopk _),
@@ -299,6 +320,17 @@ object VectorQueries {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q129_norm_stats" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT CAST(label AS INTEGER) AS label, count(*) AS n,
+        |  round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm,
+        |  round(avg(nrm), 4) AS avg_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     // sign(i, j) = ±1 from bit 59 of the first 15 md5 hex chars of
     // "rp:<i>:<j>" — the exact NativeKernels.h60 derivation
     "q90_random_projection" ->
