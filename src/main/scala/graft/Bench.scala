@@ -9,7 +9,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
+      .config("spark.sql.warehouse.dir", Scratch.path("warehouse"))
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
@@ -47,12 +47,17 @@ object Bench {
     def short(name: String): String = name.takeWhile(_ != '_')
     require(results.keys.map(short).toSet.size == results.size,
       "query numeric prefixes must be unique for the compact bench line")
-    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + f"$v%.2f" }
+    // Locale.ROOT formatting: the f-interpolator uses the default locale,
+    // which renders 0.28 as "0,28" under e.g. de_DE and breaks the JSON
+    // parse of the one line the harness keeps (ADVICE r5).
+    def fmt(v: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
       .mkString("[", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     spark.stop()
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
   }
 }

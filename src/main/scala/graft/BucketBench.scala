@@ -17,7 +17,7 @@ object BucketBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/root/repo/target/tmp/warehouse")
+      .config("spark.sql.warehouse.dir", Scratch.path("warehouse"))
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
@@ -32,7 +32,7 @@ object BucketBench {
     relational.ScaleQueries.q81BucketedJoin(spark, sfDir).count()
     println(f"[bucketbench] bucketed write + first join: ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
-    val tag = math.abs(sfDir.hashCode).toString
+    val tag = Scratch.tag(sfDir)
     def agg(items: DataFrame, orders: DataFrame): DataFrame =
       items.join(orders, $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderstatus")

@@ -19,7 +19,7 @@ object EtlQueries {
     */
   def q21EtlRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"/root/repo/target/tmp/etl_roundtrip_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.path(s"etl_roundtrip_${graft.Scratch.tag(dir)}")
     // repartition on the partition columns → one file per (year, month)
     // dir instead of one per (task × dir): fewer, bigger files — the
     // layout a downstream reader wants (and measurably faster to write
@@ -45,7 +45,7 @@ object EtlQueries {
   def q47CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types._
-    val out = s"/root/repo/target/tmp/csv_roundtrip_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.path(s"csv_roundtrip_${graft.Scratch.tag(dir)}")
     Tables.customer(s, dir)
       .write.mode("overwrite").option("header", "true").csv(out)
     val schema = StructType(Seq(
@@ -63,7 +63,7 @@ object EtlQueries {
     */
   def q48OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"/root/repo/target/tmp/orc_roundtrip_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.path(s"orc_roundtrip_${graft.Scratch.tag(dir)}")
     Tables.supplier(s, dir).write.mode("overwrite").orc(out)
     s.read.orc(out)
       .groupBy($"s_nationkey".cast("long").as("s_nationkey"))
@@ -81,7 +81,7 @@ object EtlQueries {
   def q46JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types._
-    val out = s"/root/repo/target/tmp/json_roundtrip_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.path(s"json_roundtrip_${graft.Scratch.tag(dir)}")
     Tables.orders(s, dir).write.mode("overwrite").json(out)
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
@@ -107,7 +107,7 @@ object EtlQueries {
     */
   def q88SchemaMerge(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"/root/repo/target/tmp/schema_merge_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.path(s"schema_merge_${graft.Scratch.tag(dir)}")
     val o = Tables.orders(s, dir)
     o.filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_totalprice")
@@ -132,7 +132,7 @@ object EtlQueries {
     */
   def q97RangeClusteredWrite(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = s"/root/repo/target/tmp/range_clustered_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.path(s"range_clustered_${graft.Scratch.tag(dir)}")
     Tables.orders(s, dir)
       .repartitionByRange(8, $"o_orderdate")
       .sortWithinPartitions($"o_orderdate")
@@ -182,7 +182,7 @@ object EtlQueries {
   def q124MalformedCsv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types._
-    val out = s"/root/repo/target/tmp/malformed_csv_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.path(s"malformed_csv_${graft.Scratch.tag(dir)}")
     val good = Tables.customer(s, dir)
       .select(concat_ws(",", $"c_custkey", $"c_name", $"c_nationkey",
         $"c_acctbal", $"c_mktsegment").as("line"))

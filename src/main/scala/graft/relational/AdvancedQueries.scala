@@ -628,10 +628,20 @@ object AdvancedQueries {
     * doc_id through the composite key) — the survivor-selection idiom for
     * dedup clusters. Plain max_by on a tied key is nondeterministic, the
     * same trap as built-in mode() (q105).
+    *
+    * The key is the zero-padded `(n_chars, doc_id)` concatenation:
+    * lexicographic order on fixed-width digit strings == numeric order, so
+    * the key is unique and correctly ordered for ALL non-negative longs —
+    * the previous `n_chars * 1e6 + doc_id` arithmetic silently collided
+    * once doc_id reached 1e6 (ADVICE r5). Neither engine has a composite
+    * (struct) max_by ordering type, so the string spelling is the portable
+    * composite key.
     */
   def q116MaxBy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = $"n_chars" * 1000000L + $"doc_id" // unique: doc_id < 1e6
+    val key = concat(
+      lpad($"n_chars".cast("string"), 19, "0"),
+      lpad($"doc_id".cast("string"), 19, "0"))
     Tables.documents(s, dir)
       .groupBy($"lang")
       .agg(
@@ -869,8 +879,10 @@ object AdvancedQueries {
         |ORDER BY day""".stripMargin,
     "q116_max_by" ->
       """SELECT lang,
-        |  max_by(doc_id, n_chars * 1000000 + doc_id) AS longest_doc,
-        |  min_by(doc_id, n_chars * 1000000 + doc_id) AS shortest_doc,
+        |  max_by(doc_id, lpad(CAST(n_chars AS VARCHAR), 19, '0')
+        |    || lpad(CAST(doc_id AS VARCHAR), 19, '0')) AS longest_doc,
+        |  min_by(doc_id, lpad(CAST(n_chars AS VARCHAR), 19, '0')
+        |    || lpad(CAST(doc_id AS VARCHAR), 19, '0')) AS shortest_doc,
         |  CAST(max(n_chars) AS BIGINT) AS max_chars,
         |  count(*) AS n
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

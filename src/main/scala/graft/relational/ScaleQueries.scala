@@ -89,7 +89,10 @@ object ScaleQueries {
     */
   def q81BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tag = math.abs(dir.hashCode).toString
+    // md5 path tag: abs(hashCode) collides across dirs (and stays negative
+    // on Int.MinValue), which let two sf dirs clobber each other's tables
+    // through the recursive delete below (ADVICE r5)
+    val tag = graft.Scratch.tag(dir)
     val ordersTbl = s"graft_bkt_orders_$tag"
     val itemsTbl = s"graft_bkt_items_$tag"
     // the in-memory catalog forgets tables across sessions but the

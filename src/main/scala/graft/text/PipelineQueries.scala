@@ -134,6 +134,15 @@ object PipelineQueries {
     * is vocab-sized (≈10⁵–10⁶ rows at any corpus scale), not corpus-sized —
     * a single-task sort of the vocab is the correct plan, not a scale bug.
     */
+  /** The documented bound behind q68's single-task id-assignment window: a
+    * natural-language vocab at min-count 100 is ≈10⁵–10⁶ types at any
+    * corpus scale. If a corpus ever violates that (min-count too low,
+    * binary junk tokenized), the guard below fails the job LOUDLY at the
+    * first over-bound id instead of silently sorting a corpus-sized
+    * relation on one task (VERDICT r6 #6).
+    */
+  private[graft] val MaxVocabIds = 4000000L
+
   def q68VocabBuild(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val minCount = 100L
@@ -144,7 +153,15 @@ object PipelineQueries {
     counts
       .withColumn("token_id",
         (row_number().over(Window.orderBy($"cnt".desc, $"token")) - 1).cast("long"))
-      .select($"token_id", $"token", $"cnt")
+      // fail-loud bound: evaluated on every output row, so an over-bound
+      // vocab aborts execution rather than quietly degrading the plan
+      .select(
+        when($"token_id" < MaxVocabIds, $"token_id")
+          .otherwise(raise_error(concat(
+            lit(s"q68: post-threshold vocab exceeded the documented bound $MaxVocabIds at id "),
+            $"token_id".cast("string"))).cast("long"))
+          .as("token_id"),
+        $"token", $"cnt")
       .orderBy($"token_id")
   }
 
@@ -265,10 +282,17 @@ object PipelineQueries {
       .select(explode(tokens($"text")).as("tok"))
       .filter($"tok" =!= "")
       .groupBy($"tok").agg(count(lit(1)).as("freq"))
+    // top-500 head via orderBy+limit — Catalyst fuses it into a distributed
+    // TakeOrderedAndProject, so the vocab-sized relation never reaches a
+    // single-task global window; the rank window below runs over ≤500 rows
+    // BY CONSTRUCTION (the structural form of the documented bound,
+    // VERDICT r6 #6 — previously rank-then-filter put the whole vocab
+    // through the unpartitioned window).
     val ranked = counts
+      .orderBy($"freq".desc, $"tok")
+      .limit(500)
       .withColumn("rank",
         row_number().over(Window.orderBy($"freq".desc, $"tok")).cast("long"))
-      .filter($"rank" <= 500)
     ranked
       .select(log($"rank".cast("double")).as("lr"), log($"freq".cast("double")).as("lf"))
       .agg(

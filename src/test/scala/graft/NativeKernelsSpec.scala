@@ -266,18 +266,34 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(viaSql.head.getSeq[Double](0).forall(v => v == 1.0 || v == -1.0))
   }
 
-  test("q78 chunking arithmetic: 300 tokens → 3 chunks of 128/128/108 with 32-token overlap") {
+  test("q78 chunk rows equal an independent per-doc recomputation (count, lengths, md5)") {
     import spark.implicits._
-    val text = (1 to 300).map(i => s"t$i").mkString(" ")
-    Seq(text).toDF("text").createOrReplaceTempView("graft_chunk_doc")
-    val rows = graft.text.TextQueries.q78DocChunks(spark, "/root/testdata/sf0.001")
-    // registry query runs on real docs; the arithmetic itself is checked here:
-    val k = 128; val s = 96; val n = 300
-    val nChunks = if (n <= k) 1 else (n - (k - s + 1)) / s + 1
-    assert(nChunks == 3)
-    val lens = (0 until nChunks).map(i => math.min(k, n - i * s))
-    assert(lens == Seq(128, 128, 108))
-    assert(lens.sum == n + (nChunks - 1) * (k - s)) // token conservation + overlap
-    assert(rows.groupBy("doc_id").count().collect().nonEmpty)
+    // exercise the REGISTERED query end-to-end (the previous version of
+    // this test re-derived the chunk arithmetic beside the query instead of
+    // through it — ADVICE r5) and check every output row against a plain
+    // Scala recomputation from the same documents table.
+    val k = 128; val stride = 96
+    val rows = graft.text.TextQueries.q78DocChunks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf).filter($"doc_id" % 5 === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet)
+    for ((id, rs) <- byDoc) {
+      val toks = docs(id); val n = toks.size
+      val expChunks = if (n <= k) 1 else (n - (k - stride + 1)) / stride + 1
+      assert(rs.length == expChunks, s"doc $id: ${rs.length} chunks, want $expChunks")
+      for ((r, i) <- rs.sortBy(_.getLong(1)).zipWithIndex) {
+        assert(r.getLong(1) == i)
+        val exp = toks.slice(i * stride, i * stride + k)
+        assert(r.getLong(2) == exp.length, s"doc $id chunk $i length")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(exp.mkString(" ").getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        assert(r.getString(3) == md, s"doc $id chunk $i payload")
+      }
+      // token conservation: chunks cover the doc with (nChunks-1)*(k-stride) overlap
+      assert(rs.map(_.getLong(2)).sum == n + (expChunks - 1) * (k - stride))
+    }
   }
 }

@@ -54,7 +54,7 @@ class ScaleQueriesSpec extends AnyFunSuite {
     // run once to (re)create the bucketed tables
     assert(ScaleQueries.q81BucketedJoin(spark, sf).count() > 0)
     import spark.implicits._
-    val tag = math.abs(sf.hashCode).toString
+    val tag = Scratch.tag(sf)
     // at test SF the planner would broadcast (and skip the bucketed read
     // entirely); disable it to see the shuffle-join regime the bucketing
     // exists for — the regime both sides are in at 100 TB
@@ -80,7 +80,7 @@ class ScaleQueriesSpec extends AnyFunSuite {
   }
 
   test("q81 bucketed tables hold one file per bucket") {
-    val tag = math.abs(sf.hashCode).toString
+    val tag = Scratch.tag(sf)
     for (t <- Seq(s"graft_bkt_items_$tag", s"graft_bkt_orders_$tag")) {
       val loc = new java.io.File(
         spark.sessionState.catalog
