@@ -159,8 +159,8 @@ object AdvancedQueries {
   /** Exact percentiles (sort-based `percentile`, linear interpolation) —
     * deterministic here because l_quantity is integral-valued, so the
     * interpolated points are exact in double in both engines. At 100 TB the
-    * approx_percentile sketch replaces this; the exact form is the
-    * verification baseline.
+    * approx_percentile sketch (q131) replaces this; the exact form is the
+    * verification baseline q131's spec measures against.
     */
   def q39Quantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -170,6 +170,32 @@ object AdvancedQueries {
         percentile($"l_quantity", lit(0.5)).as("median"),
         percentile($"l_quantity", lit(0.9)).as("p90"),
         round(avg($"l_quantity"), 4).as("mean"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Guaranteed rank error of q131's sketch: ≤ n/accuracy positions. */
+  private[graft] val ApproxQuantileAccuracy = 10000
+
+  /** Sketch-tier quantiles — the 100 TB path beside exact q39. The
+    * Greenwald-Khanna sketch behind `approx_percentile` keeps a bounded
+    * summary per group, merges associatively across partitions (one small
+    * state row crosses the shuffle, like q37's HLL), and bounds RANK error
+    * at n/accuracy — the trade a petabyte percentile has to make, since the
+    * exact form is a per-group sort. Sketch internals are engine-specific,
+    * so there is no SQL oracle (the q37 pattern: rows-only check here,
+    * with ScaleSpec asserting the answer lies inside the exact rank band
+    * that q39's machinery computes).
+    */
+  def q131ApproxQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_percentile($"l_quantity", lit(0.5), lit(ApproxQuantileAccuracy))
+          .as("approx_median"),
+        approx_percentile($"l_quantity", lit(0.9), lit(ApproxQuantileAccuracy))
+          .as("approx_p90"),
+        count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
   }
 
@@ -773,6 +799,7 @@ object AdvancedQueries {
     "q119_array_predicates" -> (q119ArrayPredicates _),
     "q120_moving_avg" -> (q120MovingAvg _),
     "q114_percentile_disc" -> (q114PercentileDisc _),
+    "q131_approx_quantiles" -> (q131ApproxQuantiles _),
     "q115_gap_filled_daily" -> (q115GapFilledDaily _),
     "q116_max_by" -> (q116MaxBy _),
     "q117_bit_aggs" -> (q117BitAggs _),

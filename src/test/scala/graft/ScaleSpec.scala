@@ -190,6 +190,35 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q131 approx_percentile lands inside the exact rank band (n/accuracy guarantee)") {
+    import spark.implicits._
+    val acc = relational.AdvancedQueries.ApproxQuantileAccuracy
+    val approx = relational.AdvancedQueries.q131ApproxQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(approx.nonEmpty)
+    // exact sorted values per group, computed independently driver-side
+    val vals = Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)].collect()
+      .toSeq.groupBy(_._1).map { case (k, kv) => k -> kv.map(_._2).sorted }
+    assert(approx.keySet == vals.keySet)
+    for ((flag, (m, p90, n)) <- approx) {
+      val sorted = vals(flag)
+      assert(n == sorted.size)
+      // the sketch guarantees a value whose RANK is within n/accuracy of
+      // the target rank; translate that to the admissible value band
+      val err = math.ceil(sorted.size.toDouble / acc).toInt + 1
+      def band(p: Double): (Double, Double) = {
+        val target = math.ceil(p * sorted.size).toInt - 1
+        (sorted(math.max(0, target - err)),
+          sorted(math.min(sorted.size - 1, target + err)))
+      }
+      val (mLo, mHi) = band(0.5)
+      assert(m >= mLo && m <= mHi, s"$flag median $m outside [$mLo, $mHi]")
+      val (pLo, pHi) = band(0.9)
+      assert(p90 >= pLo && p90 <= pHi, s"$flag p90 $p90 outside [$pLo, $pHi]")
+    }
+  }
+
   test("q37 approx_count_distinct stays within 5% of exact (2% rsd configured)") {
     val rows = relational.AdvancedQueries.q37ApproxDistinct(spark, sf).collect()
     assert(rows.nonEmpty)
