@@ -204,6 +204,97 @@ object EtlQueries {
       .orderBy($"c_mktsegment")
   }
 
+  // --- q132: partition-scoped MERGE-style upsert -------------------------
+
+  private[graft] def upsertLakePath(dir: String): String =
+    graft.Scratch.path(s"upsert_lake_${graft.Scratch.tag(dir)}")
+
+  /** The maintained lake table: orders hive-partitioned by (o_year,
+    * o_month) — the reference's partitioned-write layout (etl.py:167–169,
+    * 203–204), here as the BASE a CDC stream incrementally updates rather
+    * than a write-once artifact.
+    */
+  private[graft] def writeUpsertBase(s: SparkSession, dir: String, out: String): Unit = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .withColumn("o_month", month($"o_orderdate"))
+      .repartition($"o_year", $"o_month")
+      .write.mode("overwrite").partitionBy("o_year", "o_month").parquet(out)
+  }
+
+  /** Deterministic CDC batch confined to the 1997-01/02 partitions:
+    * updates (key % 10 == 0 → status U, price bumped $5 via exact cents,
+    * the q91 derivation) plus inserts (key % 100 == 0 re-keyed past the
+    * base key range → status I). Rows carry their partition columns — the
+    * upsert contract; a row changing partitions is a delete+insert, which
+    * this path (like Hive-style partition overwrite generally) does not
+    * cover.
+    */
+  private[graft] def upsertCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val window = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === 1997 && month($"o_orderdate") <= 2)
+      .withColumn("o_year", year($"o_orderdate"))
+      .withColumn("o_month", month($"o_orderdate"))
+    val updates = window.filter($"o_orderkey" % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice",
+        (round($"o_totalprice" * 100).cast("long") + 500L) / 100.0)
+    val inserts = window.filter($"o_orderkey" % 100 === 0)
+      .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+      .withColumn("o_orderstatus", lit("I"))
+      .withColumn("o_totalprice", lit(1000.0))
+    updates.unionByName(inserts)
+  }
+
+  /** MERGE-shape apply, partition-scoped: read ONLY the touched partitions
+    * (static partition pruning via the partition-column predicate), compact
+    * base ∪ CDC latest-wins per key (q91's WindowGroupLimit shape), and
+    * write back under DYNAMIC partition overwrite — only partitions present
+    * in the merged result are replaced, so at 100 TB the cost is
+    * proportional to the partitions the batch touches, never the table.
+    * Untouched partition files are not even opened (UpsertSpec pins
+    * byte-identity). localCheckpoint materializes the merge because Spark
+    * (correctly) refuses to overwrite a path still referenced by the plan
+    * reading it.
+    */
+  private[graft] def applyUpsert(
+      s: SparkSession, out: String, cdc: DataFrame,
+      touched: org.apache.spark.sql.Column): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderkey").orderBy($"version".desc)
+    val merged = s.read.parquet(out).filter(touched)
+      .withColumn("version", lit(0L))
+      .unionByName(cdc.withColumn("version", lit(1L)))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .drop("rn", "version")
+    merged.localCheckpoint()
+      .repartition($"o_year", $"o_month")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year", "o_month").parquet(out)
+  }
+
+  /** The registered end-to-end upsert: build the partitioned lake, apply
+    * the CDC batch partition-scoped, then aggregate the WHOLE re-read table
+    * — the oracle recomputes the merged state from the source, so a bug in
+    * the merge, the partition scoping, or the overwrite breaks the hash.
+    */
+  def q132PartitionUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = upsertLakePath(dir)
+    writeUpsertBase(s, dir, out)
+    applyUpsert(s, out, upsertCdc(s, dir), $"o_year" === 1997 && $"o_month" <= 2)
+    s.read.parquet(out)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total_price"),
+        max($"o_orderkey").as("max_key"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** File-lineage metadata (`_metadata` hidden column): every parquet row
     * tagged with the file it came from — the provenance column a lake
     * audit joins on. Zero-cost: the value comes from the reader, not the
@@ -222,6 +313,7 @@ object EtlQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q124_malformed_csv" -> (q124MalformedCsv _),
     "q125_file_metadata" -> (q125FileMetadata _),
+    "q132_partition_upsert" -> (q132PartitionUpsert _),
     "q103_calendar_dim" -> (q103CalendarDim _),
     "q97_range_clustered" -> (q97RangeClusteredWrite _),
     "q88_schema_merge" -> (q88SchemaMerge _),
@@ -232,6 +324,29 @@ object EtlQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the merged lake state, recomputed from the source: base rows minus
+    // the updated slice, plus the update and insert images
+    "q132_partition_upsert" ->
+      """WITH final AS (
+        |  SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS price FROM orders
+        |  WHERE NOT (year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
+        |             AND o_orderkey % 10 = 0)
+        |  UNION ALL
+        |  SELECT o_orderkey, 'U',
+        |    (CAST(round(o_totalprice * 100) AS BIGINT) + 500) / 100.0
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
+        |    AND o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', 1000.0
+        |  FROM orders
+        |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
+        |    AND o_orderkey % 100 = 0
+        |)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  round(sum(price), 2) AS total_price,
+        |  max(o_orderkey) AS max_key
+        |FROM final GROUP BY st ORDER BY st""".stripMargin,
     // c_name contains no commas, so the CSV round trip is field-exact and
     // the clean subset is the whole customer table
     "q124_malformed_csv" ->
