@@ -195,6 +195,50 @@ object ScaleQueries {
       .orderBy($"o_orderstatus")
   }
 
+  /** Dynamic partition pruning, exercised and plan-pinned (SURVEY §4's
+    * to-preserve list): the fact is the hive-partitioned lake (orders
+    * rewritten `partitionBy(o_year)`), the dim is a per-year rollup
+    * filtered on its COUNT — a data-dependent predicate on a non-key
+    * attribute (parity stands in for any post-aggregation audit flag), so
+    * `InferFiltersFromConstraints` cannot derive any static `o_year`
+    * filter and the only way the fact scan avoids reading every year's
+    * files is Catalyst's injected DPP subquery: the dim's broadcast result
+    * prunes the fact's partition list at RUNTIME.
+    * ScaleQueriesSpec asserts the `dynamicpruning` expression on the scan
+    * and that the scan's partition count equals the dim's year count, not
+    * the table's; the oracle verifies the join result itself. At 100 TB
+    * this is the difference between scanning the whole fact and scanning
+    * the partitions the dim selects — the reason partitioned layouts
+    * exist. (The dim predicate must stay a plain Filter: a window-derived
+    * dim defeats the planner's broadcast-reuse matching and the pruning
+    * expression degrades to a no-op `true` — measured here.)
+    */
+  def q133DppStarProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.Scratch.path(s"dpp_lake_${graft.Scratch.tag(dir)}")
+    Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .repartition($"o_year")
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    val dim = Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("yr"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter($"n_orders" % 2 === 1)
+    // explicit broadcast: the dim is calendar-bounded (≤ tens of year
+    // rows at ANY corpus size) but sits behind an aggregate, whose
+    // unknown static size estimate would otherwise push the planner to a
+    // shuffle join — and DPP only prunes for free when it can reuse the
+    // join's own broadcast (reuseBroadcastOnly default); without the hint
+    // the pruning expression degrades to the no-op `true` literal.
+    s.read.parquet(out)
+      .join(broadcast(dim), $"o_year" === $"yr")
+      .groupBy($"yr".cast("long").as("yr"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"yr")
+  }
+
   /** Salted join under TOTAL key skew: `l_returnflag` has three values, so
     * a plain shuffle join lands the entire fact on three tasks;
     * [[graft.operators.Salting.saltedJoin]] spreads each key over 8 salt
@@ -239,6 +283,7 @@ object ScaleQueries {
     "q109_salted_join" -> (q109SaltedJoin _),
     "q110_fuzzy_pairs" -> (q110FuzzyPairs _),
     "q91_latest_wins" -> (q91LatestWins _),
+    "q133_dpp_star_probe" -> (q133DppStarProbe _),
     "q76_star_join" -> (q76StarJoin _),
     "q77_runtime_filter_join" -> (q77RuntimeFilterJoin _),
     "q81_bucketed_join" -> (q81BucketedJoin _),
@@ -262,6 +307,16 @@ object ScaleQueries {
         |  ON a.c_nationkey = b.c_nationkey
         | AND a.c_custkey < b.c_custkey AND b.c_custkey - a.c_custkey <= 50
         |GROUP BY dist ORDER BY dist""".stripMargin,
+    "q133_dpp_star_probe" ->
+      """WITH dim AS (
+        |  SELECT year(o_orderdate) AS yr, count(*) AS n_orders
+        |  FROM orders GROUP BY 1 HAVING count(*) % 2 = 1
+        |)
+        |SELECT CAST(f.yr AS BIGINT) AS yr, count(*) AS n,
+        |  round(sum(f.o_totalprice), 2) AS total_price
+        |FROM (SELECT year(o_orderdate) AS yr, o_totalprice FROM orders) f
+        |JOIN dim ON f.yr = dim.yr
+        |GROUP BY 1 ORDER BY yr""".stripMargin,
     "q91_latest_wins" ->
       """WITH all_rows AS (
         |  SELECT o_orderkey, o_orderstatus, o_totalprice, 0 AS version FROM orders

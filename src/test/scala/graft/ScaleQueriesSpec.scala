@@ -91,6 +91,45 @@ class ScaleQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q133 fact scan is dynamically partition-pruned by the dim subquery") {
+    import spark.implicits._
+    val df = ScaleQueries.q133DppStarProbe(spark, sf)
+    df.collect() // AQE finalizes the plan (and DPP metrics) at execution
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("dynamicpruning"),
+      s"expected a DPP subquery on the fact scan:\n${plan.toString.take(2000)}")
+    // and the pruning is real: the fact scan read 2 of the 7 year
+    // partitions (metrics come from the executed scan). After AQE
+    // finalizes, leaf scans live inside materialized query stages, which
+    // neither children-traversal nor collectWithSubqueries descends into —
+    // walk the wrappers explicitly.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    def allScans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val kids: Seq[SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      (p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }) ++
+        kids.flatMap(allScans) ++ p.subqueries.flatMap(allScans)
+    }
+    val scans = allScans(plan).filter(
+      _.partitionFilters.exists(_.toString.contains("dynamicpruning")))
+    assert(scans.nonEmpty, "no dynamically-pruned file scan found")
+    // pruning is real: the scan read exactly the dim's years, not the table's
+    val o = Tables.orders(spark, sf)
+    val dimYears = o.groupBy(year($"o_orderdate")).count()
+      .filter($"count" % 2 === 1).count()
+    val allYears = o.select(year($"o_orderdate")).distinct().count()
+    assert(dimYears > 0 && dimYears < allYears, "fixture must make pruning observable")
+    val read = scans.head.metrics("numPartitions").value
+    assert(read == dimYears,
+      s"DPP should leave $dimYears of $allYears partitions, got $read; " +
+        s"filters=${scans.head.partitionFilters.mkString(" | ")}")
+  }
+
   test("q91 compaction plan uses WindowGroupLimit (top-1 pushed into the sort)") {
     val plan = ScaleQueries.q91LatestWins(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
