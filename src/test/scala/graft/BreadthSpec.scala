@@ -105,7 +105,7 @@ class BreadthSpec extends AnyFunSuite {
   test("q97 range-clustered layout: 8 range-partitioned files, filter pushed on re-read") {
     import spark.implicits._
     assert(graft.etl.EtlQueries.q97RangeClusteredWrite(spark, sf).count() > 0)
-    val out = s"/root/repo/target/tmp/range_clustered_${math.abs(sf.hashCode)}"
+    val out = Scratch.path(s"range_clustered_${Scratch.tag(sf)}")
     val files = new java.io.File(out).listFiles().filter(_.getName.startsWith("part-"))
     assert(files.length == 8, s"want 8 range partitions, got ${files.length}")
     val rd = spark.read.parquet(out)

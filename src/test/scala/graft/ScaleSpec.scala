@@ -50,7 +50,7 @@ class ScaleSpec extends AnyFunSuite {
 
   test("hive-partitioned layout prunes: a year filter reads only that year's files") {
     import spark.implicits._
-    val out = "target/tmp/prune_orders"
+    val out = Scratch.path("prune_orders")
     Tables.orders(spark, sf)
       .withColumn("o_year", year($"o_orderdate"))
       .write.mode("overwrite").partitionBy("o_year").parquet(out)

@@ -20,6 +20,19 @@ class VectorLawsSpec extends AnyFunSuite {
       s"missing=${(exact -- ivfAll).take(3)} extra=${(ivfAll -- exact).take(3)}")
   }
 
+  test("IVF k-means: Lloyd SSE descends monotonically across training rounds") {
+    // mean-update + L2-assignment is the textbook Lloyd step, so the sum of
+    // squared distances to assigned centroids cannot increase; the epsilon
+    // covers the 2^-20 mean quantization + float narrowing
+    val sse = (0 to vector.VectorQueries.IvfIters).map(i =>
+      vector.VectorQueries.kmeansSseDf(spark, sf, i).collect()(0).getDouble(0))
+    for (i <- 1 until sse.size) {
+      assert(sse(i) <= sse(i - 1) * (1 + 1e-9) + 1e-6,
+        s"SSE rose at round $i: ${sse.mkString(" -> ")}")
+    }
+    assert(sse.last < sse.head, s"training should improve on the raw seeds: $sse")
+  }
+
   test("incremental dedup == all-pairs dedup restricted to cross-split pairs") {
     val full = text.DedupQueries.q20DedupMinhash(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
