@@ -115,6 +115,51 @@ object VectorQueries {
       .orderBy($"vec_id")
   }
 
+  /** Plane set for LSH table `t`: the base comparator pairs shifted by t —
+    * four tables see four independent 6-bit views of the vector, so a true
+    * neighbor missed by one table's bucketing gets three more chances
+    * (recall 1−(1−p)^L for per-table collision probability p).
+    */
+  private[graft] val LshTables = 4
+  private def lshBucketT(emb: Column, t: Int): Column =
+    ComparatorPlanes.map { case (a, b) => (a + t, b + t) }.zipWithIndex.map {
+      case ((a, b), i) =>
+        when(element_at(emb, a) > element_at(emb, b), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Multi-table LSH ANN — q19's production shape: candidates are the UNION
+    * of in-bucket pairs across L=4 independent hash tables (the standard
+    * recall knob: L tables trade linear index cost for exponentially fewer
+    * missed neighbors — VectorLawsSpec measures recall against exact q18).
+    * The banded relation carries only (vec_id, tbl, bucket); candidate ids
+    * are deduplicated BEFORE vectors are fetched back by two hash joins, so
+    * neither the band join nor the distinct ever shuffles embeddings, and
+    * no pair outside a shared bucket is ever scored. Per-vector top-1 via
+    * the map-side-combining max(struct) (q28's idiom), not a window.
+    */
+  def q134MultiLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val banded = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode(
+        array((0 until LshTables).map(t => lshBucketT($"embedding", t)): _*)))
+      .select($"vec_id", $"pos".as("tbl"), $"col".as("bucket"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nn_id"))
+      .distinct()
+    val ea = e.select($"vec_id", $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+    val eb = e.select($"vec_id".as("nn_id"), $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+    pairs.join(ea, "vec_id").join(eb, "nn_id")
+      .select($"vec_id", $"nn_id",
+        cosine($"a_emb", $"b_emb", $"a_nrm", $"b_nrm").as("sim"))
+      .groupBy($"vec_id")
+      .agg(max(struct($"sim", (-$"nn_id").as("neg_id"))).as("m"))
+      .select($"vec_id", (-$"m.neg_id").as("nn_id"), round($"m.sim", 4).as("sim"))
+      .orderBy($"vec_id")
+  }
+
   /** Brute-force global top-20 most-similar pairs — the exact baseline the
     * bucketed variants approximate. Quadratic on purpose (n·(n−1)/2 scored
     * pairs via a broadcast nested-loop join) and fused into
@@ -387,6 +432,7 @@ object VectorQueries {
     "q80_embedding_quantize" -> (q80EmbeddingQuantize _),
     "q18_knn_topk" -> (q18KnnTopk _),
     "q19_ann_lsh" -> (q19AnnLsh _),
+    "q134_multi_lsh" -> (q134MultiLsh _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q54_ivf_search" -> (q54IvfSearch _),
@@ -449,10 +495,12 @@ object VectorQueries {
     init + rounds
   }
 
-  private val bucketSql: String =
-    ComparatorPlanes.zipWithIndex.map { case ((a, b), i) =>
-      s"(CASE WHEN embedding[$a] > embedding[$b] THEN ${1L << i} ELSE 0 END)"
+  private def bucketSqlT(t: Int): String =
+    ComparatorPlanes.map { case (a, b) => (a + t, b + t) }.zipWithIndex.map {
+      case ((a, b), i) =>
+        s"(CASE WHEN embedding[$a] > embedding[$b] THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+  private val bucketSql: String = bucketSqlT(0)
 
   val oracles: Map[String, String] = Map(
     "q129_norm_stats" ->
@@ -516,6 +564,29 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q134_multi_lsh" -> {
+      val bands = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS tbl, CAST(${bucketSqlT(t)} AS BIGINT) AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH b AS (
+         |  $bands
+         |), pairs AS (
+         |  SELECT DISTINCT x.vec_id AS vec_id, y.vec_id AS nn_id
+         |  FROM b x JOIN b y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id != y.vec_id
+         |), scored AS (
+         |  SELECT p.vec_id, p.nn_id, ${cosSql("ea.embedding", "eb.embedding")} AS sim
+         |  FROM pairs p
+         |  JOIN embeddings ea ON p.vec_id = ea.vec_id
+         |  JOIN embeddings eb ON p.nn_id = eb.vec_id
+         |), ranked AS (
+         |  SELECT vec_id, nn_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
+         |  FROM scored
+         |)
+         |SELECT vec_id, nn_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
     "q19_ann_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings
