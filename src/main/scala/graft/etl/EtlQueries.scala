@@ -295,6 +295,130 @@ object EtlQueries {
       .orderBy($"o_orderstatus")
   }
 
+  // --- q135: manifest-based versioned lake (time travel) -----------------
+
+  private[graft] def versionedLakePath(dir: String): String =
+    graft.Scratch.path(s"versioned_lake_${graft.Scratch.tag(dir)}")
+
+  /** Data files of a directory, sorted — the unit a manifest names. */
+  private def dataFiles(dirPath: String): Seq[String] = {
+    val d = new java.io.File(dirPath)
+    if (!d.exists()) Seq.empty
+    else d.listFiles()
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .map(_.getAbsolutePath).sorted.toSeq
+  }
+
+  private def writeManifest(path: String, files: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, files.mkString("\n"))
+  }
+
+  private[graft] def readManifest(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+  }
+
+  /** Two commits of a versioned lake on PLAIN parquet: data files are
+    * immutable and only manifests advance — the snapshot-isolation recipe
+    * a table format packages, built from the primitives. v1 = the base
+    * split into untouched/touched file sets; v2 = copy-on-write, the q132
+    * CDC batch merged into the touched slice as NEW files, with the
+    * untouched files REUSED by reference in manifest 2. Manifest IO is
+    * driver-side metadata work (the analogue of a format's log replay),
+    * metadata-sized, never data-sized.
+    */
+  private[graft] def commitVersions(s: SparkSession, dir: String, out: String): Unit = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val touched = year($"o_orderdate") === 1997 && month($"o_orderdate") <= 2
+    val base = Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .withColumn("o_month", month($"o_orderdate"))
+    base.filter(!touched).write.mode("overwrite").parquet(s"$out/data/v1u")
+    base.filter(touched).write.mode("overwrite").parquet(s"$out/data/v1t")
+    writeManifest(s"$out/manifests/1",
+      dataFiles(s"$out/data/v1u") ++ dataFiles(s"$out/data/v1t"))
+    val w = Window.partitionBy($"o_orderkey").orderBy($"version".desc)
+    val merged = s.read.parquet(s"$out/data/v1t").withColumn("version", lit(0L))
+      .unionByName(upsertCdc(s, dir).withColumn("version", lit(1L)))
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .drop("rn", "version")
+    merged.write.mode("overwrite").parquet(s"$out/data/v2t")
+    writeManifest(s"$out/manifests/2",
+      dataFiles(s"$out/data/v1u") ++ dataFiles(s"$out/data/v2t"))
+  }
+
+  /** Snapshot read "as of" version v: scan exactly the files the manifest
+    * names. Old versions stay readable after new commits forever (or
+    * until a retention pass deletes unreferenced files).
+    */
+  private[graft] def readVersion(s: SparkSession, out: String, v: Int): DataFrame =
+    s.read.parquet(readManifest(s"$out/manifests/$v"): _*)
+
+  /** Registered time-travel query: commit v1 and v2, then aggregate BOTH
+    * snapshots — the oracle recomputes each version's state from the
+    * source, so a manifest naming a wrong file set breaks the hash.
+    * UpsertSpec additionally pins the physical claims (file immutability,
+    * untouched-file reuse across manifests).
+    */
+  def q135TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = versionedLakePath(dir)
+    commitVersions(s, dir, out)
+    def snap(v: Int) = readVersion(s, out, v)
+      .groupBy(lit(v.toLong).as("version"), $"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total_price"))
+    snap(1).unionByName(snap(2)).orderBy($"version", $"o_orderstatus")
+  }
+
+  // --- q136: Z-order clustered layout ------------------------------------
+
+  /** Z-order (Morton-interleaved) clustered write — q97's 1-D range
+    * clustering generalized to TWO filter dimensions: interleaving the
+    * bits of (customer key, day index) makes each output file a compact
+    * rectangle-ish region of the (customer, date) plane, so parquet
+    * min/max statistics prune files/row-groups for range filters on
+    * EITHER dimension — the layout answer when a 100 TB fact is filtered
+    * sometimes by customer, sometimes by date, and a single sort key can
+    * only serve one of them. Both dimensions are first normalized to the
+    * SAME 10-bit index against their data bounds (1-row broadcast) —
+    * interleaving unequal bit widths degenerates to a 1-D sort on the
+    * wider dimension's high bits. The z column exists only to drive
+    * repartitionByRange + sortWithinPartitions and is dropped before the
+    * write; UpsertSpec pins the per-file min/max tightness on BOTH
+    * dimensions; the oracle pins the rectangle-filtered aggregate.
+    */
+  def q136ZorderWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.Scratch.path(s"zorder_${graft.Scratch.tag(dir)}")
+    val Bits = 10
+    val days = datediff($"o_orderdate", lit("1995-01-01")).cast("long")
+    val bounds = Tables.orders(s, dir).agg(
+      max($"o_custkey").as("maxc"), max(days).as("maxd"))
+    val src = Tables.orders(s, dir).crossJoin(broadcast(bounds))
+      .withColumn("ckey",
+        floor($"o_custkey" * (1L << Bits) / ($"maxc" + 1)).cast("long"))
+      .withColumn("dkey",
+        floor(days * (1L << Bits) / ($"maxd" + 1)).cast("long"))
+    val z = (0 until Bits).map { i =>
+      (shiftright($"ckey", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright($"dkey", i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    src.withColumn("z", z)
+      .repartitionByRange(8, $"z")
+      .sortWithinPartitions($"z")
+      .drop("z", "ckey", "dkey", "maxc", "maxd")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter($"o_custkey" < 100 &&
+        $"o_orderdate" >= lit("1997-01-01") && $"o_orderdate" < lit("1998-01-01"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** File-lineage metadata (`_metadata` hidden column): every parquet row
     * tagged with the file it came from — the provenance column a lake
     * audit joins on. Zero-cost: the value comes from the reader, not the
@@ -314,6 +438,8 @@ object EtlQueries {
     "q124_malformed_csv" -> (q124MalformedCsv _),
     "q125_file_metadata" -> (q125FileMetadata _),
     "q132_partition_upsert" -> (q132PartitionUpsert _),
+    "q135_time_travel" -> (q135TimeTravel _),
+    "q136_zorder_write" -> (q136ZorderWrite _),
     "q103_calendar_dim" -> (q103CalendarDim _),
     "q97_range_clustered" -> (q97RangeClusteredWrite _),
     "q88_schema_merge" -> (q88SchemaMerge _),
@@ -323,30 +449,52 @@ object EtlQueries {
     "q48_orc_roundtrip" -> (q48OrcRoundtrip _),
   )
 
+  // the merged lake state recomputed from the source — base rows minus the
+  // updated slice, plus the update and insert images; shared by the q132
+  // (partition overwrite) and q135 (copy-on-write manifests) oracles,
+  // which both must converge to this state
+  private val mergedStateCte: String =
+    """final AS (
+      |  SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS price FROM orders
+      |  WHERE NOT (year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
+      |             AND o_orderkey % 10 = 0)
+      |  UNION ALL
+      |  SELECT o_orderkey, 'U',
+      |    (CAST(round(o_totalprice * 100) AS BIGINT) + 500) / 100.0
+      |  FROM orders
+      |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
+      |    AND o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'I', 1000.0
+      |  FROM orders
+      |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
+      |    AND o_orderkey % 100 = 0
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // the merged lake state, recomputed from the source: base rows minus
-    // the updated slice, plus the update and insert images
     "q132_partition_upsert" ->
-      """WITH final AS (
-        |  SELECT o_orderkey, o_orderstatus AS st, o_totalprice AS price FROM orders
-        |  WHERE NOT (year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
-        |             AND o_orderkey % 10 = 0)
-        |  UNION ALL
-        |  SELECT o_orderkey, 'U',
-        |    (CAST(round(o_totalprice * 100) AS BIGINT) + 500) / 100.0
-        |  FROM orders
-        |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
-        |    AND o_orderkey % 10 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey + 100000000, 'I', 1000.0
-        |  FROM orders
-        |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) <= 2
-        |    AND o_orderkey % 100 = 0
-        |)
-        |SELECT st AS o_orderstatus, count(*) AS n,
-        |  round(sum(price), 2) AS total_price,
-        |  max(o_orderkey) AS max_key
-        |FROM final GROUP BY st ORDER BY st""".stripMargin,
+      s"""WITH $mergedStateCte
+         |SELECT st AS o_orderstatus, count(*) AS n,
+         |  round(sum(price), 2) AS total_price,
+         |  max(o_orderkey) AS max_key
+         |FROM final GROUP BY st ORDER BY st""".stripMargin,
+    "q135_time_travel" ->
+      s"""WITH $mergedStateCte
+         |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total_price
+         |FROM orders GROUP BY o_orderstatus
+         |UNION ALL
+         |SELECT 2, st, count(*), round(sum(price), 2)
+         |FROM final GROUP BY st
+         |ORDER BY version, o_orderstatus""".stripMargin,
+    "q136_zorder_write" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_custkey < 100
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // c_name contains no commas, so the CSV round trip is field-exact and
     // the clean subset is the whole customer table
     "q124_malformed_csv" ->

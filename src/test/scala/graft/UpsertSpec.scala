@@ -66,4 +66,55 @@ class UpsertSpec extends AnyFunSuite {
       assert(cur.count() == baseN + expI)
     } finally cur.unpersist()
   }
+
+  test("q135 versioned lake: copy-on-write reuse, and v1 stays intact after the v2 commit") {
+    import spark.implicits._
+    val out = EtlQueries.versionedLakePath(sf)
+    EtlQueries.commitVersions(spark, sf, out)
+    val m1 = EtlQueries.readManifest(s"$out/manifests/1").toSet
+    val m2 = EtlQueries.readManifest(s"$out/manifests/2").toSet
+    // copy-on-write: untouched data files are shared BY REFERENCE between
+    // versions; each version additionally owns its touched slice
+    val shared = m1.intersect(m2)
+    assert(shared.nonEmpty && shared.forall(_.contains("/data/v1u/")))
+    assert((m1 -- m2).forall(_.contains("/data/v1t/")))
+    assert((m2 -- m1).forall(_.contains("/data/v2t/")))
+    assert((m1 -- m2).nonEmpty && (m2 -- m1).nonEmpty)
+    // snapshot isolation: reading v1 AFTER the v2 commit still yields the
+    // base state — no U/I images, full original row count
+    val v1 = EtlQueries.readVersion(spark, out, 1)
+    assert(v1.count() == Tables.orders(spark, sf).count())
+    assert(v1.filter($"o_orderstatus".isin("U", "I")).count() == 0)
+    // v2 is the merged state (update/insert counts match the CDC derivation)
+    val window = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === 1997 && month($"o_orderdate") <= 2)
+    val v2 = EtlQueries.readVersion(spark, out, 2)
+    assert(v2.filter($"o_orderstatus" === "U").count() ==
+      window.filter($"o_orderkey" % 10 === 0).count())
+    assert(v2.count() == Tables.orders(spark, sf).count() +
+      window.filter($"o_orderkey" % 100 === 0).count())
+  }
+
+  test("q136 z-order layout: per-file min/max are tight on BOTH filter dimensions") {
+    import org.apache.spark.sql.functions.{floor => _, _}
+    import spark.implicits._
+    assert(EtlQueries.q136ZorderWrite(spark, sf).collect().nonEmpty)
+    val out = Scratch.path(s"zorder_${Scratch.tag(sf)}")
+    val days = datediff($"o_orderdate", lit("1995-01-01")).cast("long")
+    val stats = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        (max($"o_custkey") - min($"o_custkey")).as("cw"),
+        (max(days) - min(days)).as("dw"))
+      .collect()
+    assert(stats.length == 8, s"want 8 z-range files, got ${stats.length}")
+    val bounds = Tables.orders(spark, sf)
+      .agg(max($"o_custkey").cast("double"), max(days).cast("double")).collect()(0)
+    val cAvg = stats.map(_.getAs[Long]("cw")).sum.toDouble / stats.length
+    val dAvg = stats.map(_.getAs[Long]("dw")).sum.toDouble / stats.length
+    // a 1-D sort leaves the OTHER dimension at ~full width per file; the
+    // interleave must constrain both — the whole point of the layout
+    assert(cAvg <= 0.7 * bounds.getDouble(0), s"custkey width $cAvg vs ${bounds.getDouble(0)}")
+    assert(dAvg <= 0.7 * bounds.getDouble(1), s"date width $dAvg vs ${bounds.getDouble(1)}")
+  }
 }
