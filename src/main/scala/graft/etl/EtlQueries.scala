@@ -373,6 +373,59 @@ object EtlQueries {
     snap(1).unionByName(snap(2)).orderBy($"version", $"o_orderstatus")
   }
 
+  /** Retention vacuum — the lifecycle end of the versioned lake: delete
+    * every data file not referenced by any manifest ≥ `keepFrom`. Returns
+    * the deleted paths. Versions older than the horizon become
+    * unreadable; kept versions are untouched (UpsertSpec pins both).
+    * Destructive BY DESIGN, so it is a library helper with a spec, not a
+    * registered query. Driver-side file listing is metadata-sized — the
+    * same work a table format's VACUUM does.
+    */
+  private[graft] def vacuum(out: String, keepFrom: Int): Seq[String] = {
+    val manifestDir = new java.io.File(s"$out/manifests")
+    val versions = manifestDir.listFiles().map(_.getName.toInt).sorted.toSeq
+    val keep = versions.filter(_ >= keepFrom)
+      .flatMap(v => readManifest(s"$out/manifests/$v")).toSet
+    val dataRoot = new java.io.File(s"$out/data")
+    val all = dataRoot.listFiles().filter(_.isDirectory)
+      .flatMap(d => dataFiles(d.getAbsolutePath)).toSeq
+    val dead = all.filterNot(keep)
+    dead.foreach(f => new java.io.File(f).delete())
+    dead
+  }
+
+  /** Small-file compaction — the maintenance pass that keeps a partitioned
+    * lake readable after many small incremental commits (every CDC batch
+    * adds a file per touched partition; a year of hourly batches is ~10⁴
+    * small files per partition and a scan planner drowning in footers).
+    * Fragment the lake deliberately (16 writer tasks per partition), then
+    * compact by repartitioning ON the partition columns so each (year,
+    * month) directory collapses to ONE full-size file — content-invariant
+    * by construction, which the oracle checks by aggregating the compacted
+    * re-read against the source. UpsertSpec pins the file counts
+    * before/after. At 100 TB the same pass runs per-partition with the
+    * target file size (not 1) as the knob.
+    */
+  def q137Compaction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frag = graft.Scratch.path(s"compaction_frag_${graft.Scratch.tag(dir)}")
+    val out = graft.Scratch.path(s"compaction_out_${graft.Scratch.tag(dir)}")
+    Tables.orders(s, dir)
+      .withColumn("o_year", year($"o_orderdate"))
+      .withColumn("o_month", month($"o_orderdate"))
+      .repartition(16) // deliberate fragmentation: ≤16 files per partition dir
+      .write.mode("overwrite").partitionBy("o_year", "o_month").parquet(frag)
+    s.read.parquet(frag)
+      .repartition($"o_year", $"o_month")
+      .write.mode("overwrite").partitionBy("o_year", "o_month").parquet(out)
+    s.read.parquet(out)
+      .groupBy($"o_year".cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("total_price"))
+      .orderBy($"o_year")
+  }
+
   // --- q136: Z-order clustered layout ------------------------------------
 
   /** Z-order (Morton-interleaved) clustered write — q97's 1-D range
@@ -440,6 +493,7 @@ object EtlQueries {
     "q132_partition_upsert" -> (q132PartitionUpsert _),
     "q135_time_travel" -> (q135TimeTravel _),
     "q136_zorder_write" -> (q136ZorderWrite _),
+    "q137_compaction" -> (q137Compaction _),
     "q103_calendar_dim" -> (q103CalendarDim _),
     "q97_range_clustered" -> (q97RangeClusteredWrite _),
     "q88_schema_merge" -> (q88SchemaMerge _),
@@ -487,6 +541,10 @@ object EtlQueries {
          |SELECT 2, st, count(*), round(sum(price), 2)
          |FROM final GROUP BY st
          |ORDER BY version, o_orderstatus""".stripMargin,
+    "q137_compaction" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
     "q136_zorder_write" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total_price

@@ -32,6 +32,30 @@ case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
   */
 object StreamingOps {
 
+  /** Streaming lake maintenance — q132's partition-scoped MERGE driven
+    * from a CDC STREAM: `foreachBatch` is the documented pattern for
+    * multi-step merge sinks (streaming writers cannot express a read-
+    * merge-overwrite transaction). Per micro-batch: list the batch's
+    * touched (o_year, o_month) partitions — a driver-side, metadata-sized
+    * collect of the PARTITION LIST, never rows — and apply the identical
+    * latest-wins partition-scoped upsert the batch path uses. Replay-safe
+    * under foreachBatch's at-least-once contract: re-applying a batch
+    * converges to the same state (the merge is idempotent), which is what
+    * makes this sink correct without a transaction log. UpsertSpec asserts
+    * the streamed result equals the one-shot batch merge.
+    */
+  def cdcUpsertSink(cdc: DataFrame, lakePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    cdc.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      val s = batch.sparkSession
+      import s.implicits._
+      val parts = batch.select($"o_year", $"o_month").distinct().collect()
+      if (parts.nonEmpty) {
+        val touched = parts.map(r =>
+          $"o_year" === r.getInt(0) && $"o_month" === r.getInt(1)).reduce(_ || _)
+        graft.etl.EtlQueries.applyUpsert(s, lakePath, batch.toDF(), touched)
+      }
+    }
+
   /** Tumbling 1-hour (window_start, event_type) counts + value sums. */
   def hourlyTypeCounts(events: DataFrame): DataFrame =
     events

@@ -1,8 +1,13 @@
 package graft
 
-import org.apache.spark.sql.functions.{month, year}
+import org.apache.spark.sql.functions.{month, round, year}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.etl.EtlQueries
+
+/** One CDC row in the orders-lake schema (for the MemoryStream source). */
+case class CdcRow(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+    o_totalprice: Double, o_orderdate: java.time.LocalDateTime,
+    o_orderpriority: String, o_year: Int, o_month: Int)
 
 /** The partition-scoping claim of q132's MERGE path is physical: a CDC
   * batch touching (1997, 1–2) must leave every other partition's files
@@ -93,6 +98,72 @@ class UpsertSpec extends AnyFunSuite {
       window.filter($"o_orderkey" % 10 === 0).count())
     assert(v2.count() == Tables.orders(spark, sf).count() +
       window.filter($"o_orderkey" % 100 === 0).count())
+  }
+
+  test("streaming CDC sink: two micro-batches of foreachBatch upserts == one batch merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // reference: the one-shot batch merge
+    val ref = EtlQueries.upsertLakePath(sf) + "_ref"
+    EtlQueries.writeUpsertBase(spark, sf, ref)
+    EtlQueries.applyUpsert(spark, ref, EtlQueries.upsertCdc(spark, sf),
+      $"o_year" === 1997 && $"o_month" <= 2)
+    // streamed: the same CDC rows split across two micro-batches with
+    // OVERLAPPING partitions (batch 2 must preserve batch 1's changes)
+    val streamed = EtlQueries.upsertLakePath(sf) + "_stream"
+    EtlQueries.writeUpsertBase(spark, sf, streamed)
+    val cdc = EtlQueries.upsertCdc(spark, sf).as[CdcRow].collect().toSeq
+    val (b1, b2) = cdc.partition(_.o_orderkey % 20 == 0)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val source = MemoryStream[CdcRow](
+      implicitly[org.apache.spark.sql.Encoder[CdcRow]], spark.sqlContext)
+    val q = graft.streaming.StreamingOps
+      .cdcUpsertSink(source.toDF(), streamed).start()
+    try {
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    def state(p: String): Seq[String] =
+      spark.read.parquet(p)
+        .select($"o_orderkey", $"o_orderstatus", round($"o_totalprice", 2))
+        .collect().map(_.toString).sorted.toSeq
+    assert(state(streamed) == state(ref), "streamed merge must equal the batch merge")
+  }
+
+  test("q137 compaction: fragmented partitions collapse to one file each, content invariant") {
+    assert(EtlQueries.q137Compaction(spark, sf).collect().nonEmpty)
+    def filesPerDir(root: String): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val rootPath = new java.io.File(root).toPath
+      walk(new java.io.File(root))
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+        .groupBy(f => rootPath.relativize(f.getParentFile.toPath).toString)
+        .view.mapValues(_.size).toMap
+    }
+    val frag = filesPerDir(Scratch.path(s"compaction_frag_${Scratch.tag(sf)}"))
+    val out = filesPerDir(Scratch.path(s"compaction_out_${Scratch.tag(sf)}"))
+    assert(frag.values.max > 1, s"fixture must be fragmented: $frag")
+    assert(out.values.forall(_ == 1), s"compaction must leave one file per partition: $out")
+    assert(out.keySet == frag.keySet, "compaction must preserve the partition set")
+    // content invariance beyond the oracle's aggregate: row multisets match
+    assert(spark.read.parquet(Scratch.path(s"compaction_out_${Scratch.tag(sf)}")).count() ==
+      Tables.orders(spark, sf).count())
+  }
+
+  test("vacuum deletes only files below the retention horizon; kept versions stay readable") {
+    val out = EtlQueries.versionedLakePath(sf) + "_vac"
+    EtlQueries.commitVersions(spark, sf, out)
+    val v2Before = EtlQueries.readVersion(spark, out, 2).count()
+    val dead = EtlQueries.vacuum(out, keepFrom = 2)
+    // exactly v1's exclusive files die: the touched slice superseded by v2
+    assert(dead.nonEmpty && dead.forall(_.contains("/data/v1t/")), dead.take(3).toString)
+    assert(dead.forall(f => !new java.io.File(f).exists()))
+    // v2 untouched and still readable; v1 is gone past the horizon
+    assert(EtlQueries.readVersion(spark, out, 2).count() == v2Before)
+    intercept[Exception] {
+      EtlQueries.readVersion(spark, out, 1).count()
+    }
   }
 
   test("q136 z-order layout: per-file min/max are tight on BOTH filter dimensions") {
