@@ -229,9 +229,15 @@ object VectorQueries {
     * rows — always broadcastable.
     */
   private[graft] def trainedCentroids(s: SparkSession, dir: String,
-      iters: Int = IvfIters): DataFrame = {
-    import s.implicits._
-    val e = withN2(Tables.embeddings(s, dir))
+      iters: Int = IvfIters): DataFrame =
+    lloyd(withN2(Tables.embeddings(s, dir)), iters)
+
+  /** The Lloyd loop itself, over any (vec_id, embedding, n2) relation —
+    * the IVF quantizer trains it on full vectors, the PQ codebooks (q138)
+    * on 16-dim subvector slices. Seeds = the vec_id < IvfCells rows.
+    */
+  private[graft] def lloyd(e: DataFrame, iters: Int): DataFrame = {
+    import e.sparkSession.implicits._
     var cents = withC2(
       e.filter($"vec_id" < IvfCells)
         .select($"vec_id".cast("long").as("cell"), $"embedding".as("c_emb")))
@@ -318,6 +324,70 @@ object VectorQueries {
       .select($"probe_id", posexplode($"nn"))
       .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
         $"col._2".as("vec_id"), round($"col._1", 4).as("sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+
+  // ---- PQ: product quantization + ADC search ----------------------------
+
+  private[graft] val PqSubspaces = 4
+  private[graft] val PqSubDim = 16 // 64 dims / 4 subspaces
+  private[graft] val PqIters = 1
+
+  /** Subspace m of the corpus: 16-dim slices with their own n2. */
+  private def subspace(s: SparkSession, dir: String, m: Int): DataFrame = {
+    import s.implicits._
+    withN2(Tables.embeddings(s, dir)
+      .select($"vec_id", slice($"embedding", m * PqSubDim + 1, PqSubDim).as("embedding")))
+  }
+
+  /** Product quantization + asymmetric-distance (ADC) search — the
+    * compression standard behind IVF-PQ (Jégou et al. '11): split vectors
+    * into 4 independent 16-dim subspaces, Lloyd-train an 8-code codebook
+    * per subspace (the same exact-arithmetic [[lloyd]] the IVF tier uses,
+    * so the oracle replays all four trainings), store each vector as FOUR
+    * BYTES of code ids, and answer probes by summing per-subspace
+    * code-to-probe distances from a tiny lookup table. Scale shape: the
+    * corpus-side relation that survives is (vec_id, m, code) — the 16×
+    * compression that makes a 100 TB embedding lake scannable; the probe
+    * LUT is probes × m × k rows (broadcast); the ADC scan is one cheap
+    * join + fixed-order 4-term sum per (probe, vector), normally run
+    * within IVF cells (compose with q54) rather than exhaustively. The
+    * 4-term ADC sum is pivoted to columns and added in PINNED order —
+    * a plain `sum()` over the m-rows would re-associate the doubles and
+    * break the cross-engine hash. VectorLawsSpec measures ADC recall vs
+    * exact top-5.
+    */
+  def q138PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val spaces = (0 until PqSubspaces).map { m =>
+      val e = subspace(s, dir, m)
+      (m, e, lloyd(e, PqIters))
+    }
+    val vecCodes = spaces.map { case (m, e, cb) =>
+      assignCells(e, cb).select($"vec_id", lit(m).as("m"), $"cell")
+    }.reduce(_ unionByName _)
+    val lut = spaces.map { case (m, e, cb) =>
+      e.filter(probePredicate($"vec_id"))
+        .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+        .crossJoin(broadcast(cb))
+        .select($"probe_id", lit(m).as("m"), $"cell",
+          dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
+    }.reduce(_ unionByName _)
+    val topk = udaf(TopKByScore(5))
+    vecCodes.join(broadcast(lut), Seq("m", "cell"))
+      .filter($"vec_id" =!= $"probe_id")
+      .groupBy($"probe_id", $"vec_id")
+      .agg(
+        sum(when($"m" === 0, $"pd2")).as("d0"),
+        sum(when($"m" === 1, $"pd2")).as("d1"),
+        sum(when($"m" === 2, $"pd2")).as("d2"),
+        sum(when($"m" === 3, $"pd2")).as("d3"))
+      .select($"probe_id", $"vec_id",
+        ((($"d0" + $"d1") + $"d2") + $"d3").as("adc"))
+      .groupBy($"probe_id").agg(topk(-$"adc", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round(-$"col._1", 4).as("adc"))
       .orderBy($"probe_id", $"rank")
   }
 
@@ -433,6 +503,7 @@ object VectorQueries {
     "q18_knn_topk" -> (q18KnnTopk _),
     "q19_ann_lsh" -> (q19AnnLsh _),
     "q134_multi_lsh" -> (q134MultiLsh _),
+    "q138_pq_adc_search" -> (q138PqAdcSearch _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q54_ivf_search" -> (q54IvfSearch _),
@@ -458,42 +529,45 @@ object VectorQueries {
     * `.cast("float")`) and re-widened for the next round's double dots.
     * Empty cells coalesce to the previous centroid, as in Scala.
     */
-  private val kmeansCtes: String = {
+  private def kmeansCtesFor(p: String, sliceSql: String, iters: Int): String = {
     val init =
-      s"""emb0 AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         |    ${dotD.format("embedding", "embedding")} AS n2
+      s"""${p}emb0 AS (
+         |  SELECT vec_id, $sliceSql AS emb,
+         |    list_dot_product($sliceSql, $sliceSql) AS n2
          |  FROM embeddings
-         |), c0 AS (
+         |), ${p}c0 AS (
          |  SELECT CAST(vec_id AS BIGINT) AS cell, emb AS ce, n2 AS cn2
-         |  FROM emb0 WHERE vec_id < $IvfCells
+         |  FROM ${p}emb0 WHERE vec_id < $IvfCells
          |)""".stripMargin
-    val rounds = (1 to IvfIters).map { i =>
-      s""", a$i AS (
+    val rounds = (1 to iters).map { i =>
+      s""", ${p}a$i AS (
          |  SELECT vec_id, emb, cell FROM (
          |    SELECT e.vec_id, e.emb, c.cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
-         |    FROM emb0 e CROSS JOIN c${i - 1} c
+         |    FROM ${p}emb0 e CROSS JOIN ${p}c${i - 1} c
          |  ) WHERE rn = 1
-         |), m$i AS (
+         |), ${p}m$i AS (
          |  SELECT cell, j, count(*) AS n,
          |    CAST(sum(CAST(floor(emb[CAST(j + 1 AS INTEGER)] * $Q) AS BIGINT)) AS BIGINT) AS qsum
-         |  FROM a$i, UNNEST(range(0, len(emb))) AS t(j)
+         |  FROM ${p}a$i, UNNEST(range(0, len(emb))) AS t(j)
          |  GROUP BY cell, j
-         |), n$i AS (
+         |), ${p}n$i AS (
          |  SELECT cell,
          |    CAST(CAST(list(CAST(qsum AS DOUBLE) / CAST(n * $Q AS DOUBLE) ORDER BY j)
          |      AS REAL[]) AS DOUBLE[]) AS ce
-         |  FROM m$i GROUP BY cell
-         |), c$i AS (
+         |  FROM ${p}m$i GROUP BY cell
+         |), ${p}c$i AS (
          |  SELECT p.cell, coalesce(nc.ce, p.ce) AS ce,
          |    list_dot_product(coalesce(nc.ce, p.ce), coalesce(nc.ce, p.ce)) AS cn2
-         |  FROM c${i - 1} p LEFT JOIN n$i nc ON p.cell = nc.cell
+         |  FROM ${p}c${i - 1} p LEFT JOIN ${p}n$i nc ON p.cell = nc.cell
          |)""".stripMargin
     }.mkString
     init + rounds
   }
+
+  private val kmeansCtes: String =
+    kmeansCtesFor("", "CAST(embedding AS DOUBLE[])", IvfIters)
 
   private def bucketSqlT(t: Int): String =
     ComparatorPlanes.map { case (a, b) => (a + t, b + t) }.zipWithIndex.map {
@@ -564,6 +638,49 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q138_pq_adc_search" -> {
+      val chains = (0 until PqSubspaces).map { m =>
+        val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+        kmeansCtesFor(s"s$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters)
+      }.mkString(", ")
+      val codes = (0 until PqSubspaces).map { m =>
+        s"""code$m AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
+           |    FROM s${m}emb0 e CROSS JOIN s${m}c$PqIters c
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val luts = (0 until PqSubspaces).map { m =>
+        s"""lut$m AS (
+           |  SELECT p.vec_id AS probe_id, c.cell,
+           |    ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")} AS pd2
+           |  FROM s${m}emb0 p CROSS JOIN s${m}c$PqIters c
+           |  WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH $chains, $codes, $luts, scored AS (
+         |  SELECT l0.probe_id, c0.vec_id,
+         |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
+         |  FROM code0 c0
+         |  JOIN code1 c1 ON c1.vec_id = c0.vec_id
+         |  JOIN code2 c2 ON c2.vec_id = c0.vec_id
+         |  JOIN code3 c3 ON c3.vec_id = c0.vec_id
+         |  JOIN lut0 l0 ON l0.cell = c0.cell
+         |  JOIN lut1 l1 ON l1.cell = c1.cell AND l1.probe_id = l0.probe_id
+         |  JOIN lut2 l2 ON l2.cell = c2.cell AND l2.probe_id = l0.probe_id
+         |  JOIN lut3 l3 ON l3.cell = c3.cell AND l3.probe_id = l0.probe_id
+         |  WHERE c0.vec_id != l0.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, rank, vec_id, round(adc, 4) AS adc
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+    },
     "q134_multi_lsh" -> {
       val bands = (0 until LshTables).map(t =>
         s"SELECT vec_id, $t AS tbl, CAST(${bucketSqlT(t)} AS BIGINT) AS bucket FROM embeddings")

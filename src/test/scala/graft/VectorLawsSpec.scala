@@ -68,6 +68,28 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(rMulti >= 0.15, f"multi-table recall floor: $rMulti%.3f")
   }
 
+  test("PQ ADC search: top-5 overlap vs exact kNN clears the measured floor (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top5(vector.VectorQueries.q18KnnTopk(spark, sf01))
+    val pq = top5(vector.VectorQueries.q138PqAdcSearch(spark, sf01))
+    assert(pq.keySet == exact.keySet, "same bounded probe set on both sides")
+    val overlap = exact.map { case (p, ex) =>
+      (ex intersect pq(p)).size.toDouble / ex.size
+    }.sum / exact.size
+    info(f"PQ ADC recall@5 vs exact: $overlap%.3f")
+    // 4×8-code PQ is a 64-float→4-byte compression; on near-random vectors
+    // quantization distortion dominates, so the honest law is relative to
+    // chance: a random 5-set overlaps ~5/(n−1) ≈ 1%. Measured 0.16 — the
+    // codes carry ~15× chance-level signal even here (and more training
+    // rounds overfit the noise: 2 iters measured 0.08). Pinned at ≥10×.
+    val n = Tables.embeddings(spark, sf01).count()
+    val chance = 5.0 / (n - 1)
+    assert(overlap >= 10 * chance, f"ADC recall collapsed: $overlap%.3f vs chance $chance%.4f")
+  }
+
   test("incremental dedup == all-pairs dedup restricted to cross-split pairs") {
     val full = text.DedupQueries.q20DedupMinhash(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
