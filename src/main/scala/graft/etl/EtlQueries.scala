@@ -410,7 +410,11 @@ object EtlQueries {
     import s.implicits._
     val frag = graft.Scratch.path(s"compaction_frag_${graft.Scratch.tag(dir)}")
     val out = graft.Scratch.path(s"compaction_out_${graft.Scratch.tag(dir)}")
+    // one year's partitions suffice to exercise the pass (compaction runs
+    // per-partition anyway — a real run scopes to the partitions whose
+    // file counts crossed a threshold, not the whole table)
     Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === 1997)
       .withColumn("o_year", year($"o_orderdate"))
       .withColumn("o_month", month($"o_orderdate"))
       .repartition(16) // deliberate fragmentation: ≤16 files per partition dir
@@ -419,11 +423,11 @@ object EtlQueries {
       .repartition($"o_year", $"o_month")
       .write.mode("overwrite").partitionBy("o_year", "o_month").parquet(out)
     s.read.parquet(out)
-      .groupBy($"o_year".cast("long").as("o_year"))
+      .groupBy($"o_month".cast("long").as("o_month"))
       .agg(
         count(lit(1)).as("n_orders"),
         round(sum($"o_totalprice"), 2).as("total_price"))
-      .orderBy($"o_year")
+      .orderBy($"o_month")
   }
 
   // --- q136: Z-order clustered layout ------------------------------------
@@ -542,9 +546,10 @@ object EtlQueries {
          |FROM final GROUP BY st
          |ORDER BY version, o_orderstatus""".stripMargin,
     "q137_compaction" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      """SELECT CAST(month(o_orderdate) AS BIGINT) AS o_month,
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
-        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin,
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
     "q136_zorder_write" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total_price

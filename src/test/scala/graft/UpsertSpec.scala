@@ -146,9 +146,11 @@ class UpsertSpec extends AnyFunSuite {
     assert(frag.values.max > 1, s"fixture must be fragmented: $frag")
     assert(out.values.forall(_ == 1), s"compaction must leave one file per partition: $out")
     assert(out.keySet == frag.keySet, "compaction must preserve the partition set")
-    // content invariance beyond the oracle's aggregate: row multisets match
+    // content invariance beyond the oracle's aggregate: row counts match
+    // the compacted scope (the 1997 partitions)
+    import spark.implicits._
     assert(spark.read.parquet(Scratch.path(s"compaction_out_${Scratch.tag(sf)}")).count() ==
-      Tables.orders(spark, sf).count())
+      Tables.orders(spark, sf).filter(year($"o_orderdate") === 1997).count())
   }
 
   test("vacuum deletes only files below the retention horizon; kept versions stay readable") {
