@@ -316,7 +316,39 @@ object PipelineQueries {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Deterministic corpus shuffle — the reproducible global permutation a
+    * pretraining dataloader consumes (and the step between q57's split and
+    * q62's packing). Shard = portable md5 hash of the doc id (map-side,
+    * q57's recipe with the full 60-bit value); position within shard =
+    * rank by (hash, doc_id) inside the shard — a PER-SHARD window, never a
+    * global sort, so at 100 TB each shard sorts independently and the
+    * permutation is identical on any cluster layout. The per-shard
+    * `sum(pos · doc_id)` output is a permutation FINGERPRINT: one exact
+    * integer per shard that changes if any document changes rank, so the
+    * oracle pins the entire ordering, not just counts. Guarantee is
+    * reproducibility (same corpus ⇒ same permutation), not stability
+    * under growth — appends reshuffle, as a fresh training run wants.
+    */
+  def q139CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hv = conv(substring(md5(concat(lit("shuffle:"), $"doc_id".cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy($"shard").orderBy($"hv", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", hv.as("hv"))
+      .withColumn("shard", pmod($"hv", lit(8L)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min_by($"doc_id", $"pos").as("first_doc"),
+        max_by($"doc_id", $"pos").as("last_doc"),
+        sum($"pos" * $"doc_id").as("perm_fingerprint"))
+      .orderBy($"shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_corpus_shuffle" -> (q139CorpusShuffle _),
     "q128_zipf_fit" -> (q128ZipfFit _),
     "q111_padding_waste" -> (q111PaddingWaste _),
     "q112_split_contamination" -> (q112SplitContamination _),
@@ -330,6 +362,21 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q139_corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, hv, hv % 8 AS shard,
+        |    row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) - 1 AS pos
+        |  FROM h
+        |)
+        |SELECT shard, count(*) AS n_docs,
+        |  min_by(doc_id, pos) AS first_doc,
+        |  max_by(doc_id, pos) AS last_doc,
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS perm_fingerprint
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "q128_zipf_fit" ->
       """WITH c AS (
         |  SELECT t AS tok, count(*) AS freq FROM (
