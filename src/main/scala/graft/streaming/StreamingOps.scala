@@ -49,6 +49,12 @@ object StreamingOps {
       val s = batch.sparkSession
       import s.implicits._
       val parts = batch.select($"o_year", $"o_month").distinct().collect()
+      // the collect above is metadata-sized BY CONTRACT (a micro-batch
+      // touches the partitions its rows live in, bounded by batch span ×
+      // partition granularity); fail loud if a misconfigured source ever
+      // violates that instead of silently materializing a huge driver list
+      require(parts.length <= 10000,
+        s"CDC micro-batch touches ${parts.length} partitions - partition list is no longer metadata-sized")
       if (parts.nonEmpty) {
         val touched = parts.map(r =>
           $"o_year" === r.getInt(0) && $"o_month" === r.getInt(1)).reduce(_ || _)
