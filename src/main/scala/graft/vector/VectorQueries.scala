@@ -391,6 +391,65 @@ object VectorQueries {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** IVF-PQ search — the production ANN composition (FAISS's default
+    * index shape): the trained coarse quantizer (q35/q54's machinery)
+    * restricts the scan to the probes' nprobe=2 cells, and PQ codes
+    * (q138's machinery) make the scan itself 16× cheaper — candidates are
+    * scored from 4 code bytes via the broadcast LUT, never from raw
+    * vectors. Scale shape: the only corpus-sized relations that move are
+    * (vec_id, cell) and (vec_id, m, code); candidate work is
+    * nprobe/ncells of the corpus × 4 LUT lookups; probe-side structures
+    * are all bounded broadcasts. The oracle replays the full-vector
+    * training AND all four subspace trainings, then the cell-restricted
+    * pinned-order ADC.
+    */
+  def q140IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withN2(Tables.embeddings(s, dir))
+    val centroids = trainedCentroids(s, dir)
+    val index = assignCells(e, centroids).select($"vec_id", $"cell")
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+    val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
+      .select($"probe_id", $"cell")
+    val spaces = (0 until PqSubspaces).map { m =>
+      val se = subspace(s, dir, m)
+      (m, se, lloyd(se, PqIters))
+    }
+    val vecCodes = spaces.map { case (m, se, cb) =>
+      assignCells(se, cb).select($"vec_id", lit(m).as("m"), $"cell".as("code"))
+    }.reduce(_ unionByName _)
+    val lut = spaces.map { case (m, se, cb) =>
+      se.filter(probePredicate($"vec_id"))
+        .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+        .crossJoin(broadcast(cb))
+        .select($"probe_id", lit(m).as("m"), $"cell".as("code"),
+          dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
+    }.reduce(_ unionByName _)
+    val cand = index.join(broadcast(probeCells), Seq("cell"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id")
+    val topk = udaf(TopKByScore(5))
+    cand.join(vecCodes, Seq("vec_id"))
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy($"probe_id", $"vec_id")
+      .agg(
+        sum(when($"m" === 0, $"pd2")).as("d0"),
+        sum(when($"m" === 1, $"pd2")).as("d1"),
+        sum(when($"m" === 2, $"pd2")).as("d2"),
+        sum(when($"m" === 3, $"pd2")).as("d3"))
+      .select($"probe_id", $"vec_id",
+        ((($"d0" + $"d1") + $"d2") + $"d3").as("adc"))
+      .groupBy($"probe_id").agg(topk(-$"adc", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round(-$"col._1", 4).as("adc"))
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Per-label centroid components — the embedding-analytics op a labeled
     * corpus needs (class prototypes for classification / drift monitoring).
     * posexplode → (label, dim) partial aggregation: the shuffle carries one
@@ -504,6 +563,7 @@ object VectorQueries {
     "q19_ann_lsh" -> (q19AnnLsh _),
     "q134_multi_lsh" -> (q134MultiLsh _),
     "q138_pq_adc_search" -> (q138PqAdcSearch _),
+    "q140_ivf_pq_search" -> (q140IvfPqSearch _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q54_ivf_search" -> (q54IvfSearch _),
@@ -568,6 +628,73 @@ object VectorQueries {
 
   private val kmeansCtes: String =
     kmeansCtesFor("", "CAST(embedding AS DOUBLE[])", IvfIters)
+
+  /** Fragments shared by the q54 (IVF flat) and q140 (IVF-PQ) oracles —
+    * both derive from the same trained coarse quantizer.
+    */
+  private lazy val ivfAssignCte: String =
+    s"""assign AS (
+       |  SELECT vec_id, emb, n2, cell FROM (
+       |    SELECT e.vec_id, e.emb, e.n2, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
+       |    FROM emb0 e CROSS JOIN c$IvfIters c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  private lazy val ivfProbeCellsCte: String =
+    s"""pc AS (
+       |  SELECT probe_id, p_emb, p_n2, cell FROM (
+       |    SELECT p.vec_id AS probe_id, p.emb AS p_emb, p.n2 AS p_n2, c.cell,
+       |      row_number() OVER (PARTITION BY p.vec_id
+       |        ORDER BY ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")}, c.cell) AS rn
+       |    FROM emb0 p CROSS JOIN c$IvfIters c
+       |    WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
+       |  ) WHERE rn <= 2
+       |)""".stripMargin
+
+  /** Fragments shared by the q138 (exhaustive ADC) and q140 (IVF-PQ)
+    * oracles: the four subspace trainings, per-vector codes, and the
+    * probe-to-code distance LUTs.
+    */
+  private lazy val pqChains: String = (0 until PqSubspaces).map { m =>
+    val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+    kmeansCtesFor(s"s$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters)
+  }.mkString(", ")
+
+  private lazy val pqCodeCtes: String = (0 until PqSubspaces).map { m =>
+    s"""code$m AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
+       |    FROM s${m}emb0 e CROSS JOIN s${m}c$PqIters c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }.mkString(", ")
+
+  private lazy val pqLutCtes: String = (0 until PqSubspaces).map { m =>
+    s"""lut$m AS (
+       |  SELECT p.vec_id AS probe_id, c.cell,
+       |    ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")} AS pd2
+       |  FROM s${m}emb0 p CROSS JOIN s${m}c$PqIters c
+       |  WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
+       |)""".stripMargin
+  }.mkString(", ")
+
+  /** The 4-term pinned-order ADC join shared by q138/q140 scored CTEs.
+    * Aliases are k0..k3 — c0..c3 would collide with the full-vector
+    * k-means chain's CTE names when both appear in one query (q140).
+    */
+  private def adcJoinSql(vecIdExpr: String, probeIdExpr: String): String =
+    s"""  JOIN code0 k0 ON k0.vec_id = $vecIdExpr
+       |  JOIN code1 k1 ON k1.vec_id = $vecIdExpr
+       |  JOIN code2 k2 ON k2.vec_id = $vecIdExpr
+       |  JOIN code3 k3 ON k3.vec_id = $vecIdExpr
+       |  JOIN lut0 l0 ON l0.cell = k0.cell AND l0.probe_id = $probeIdExpr
+       |  JOIN lut1 l1 ON l1.cell = k1.cell AND l1.probe_id = $probeIdExpr
+       |  JOIN lut2 l2 ON l2.cell = k2.cell AND l2.probe_id = $probeIdExpr
+       |  JOIN lut3 l3 ON l3.cell = k3.cell AND l3.probe_id = $probeIdExpr""".stripMargin
 
   private def bucketSqlT(t: Int): String =
     ComparatorPlanes.map { case (a, b) => (a + t, b + t) }.zipWithIndex.map {
@@ -638,49 +765,40 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-    "q138_pq_adc_search" -> {
-      val chains = (0 until PqSubspaces).map { m =>
-        val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
-        kmeansCtesFor(s"s$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters)
-      }.mkString(", ")
-      val codes = (0 until PqSubspaces).map { m =>
-        s"""code$m AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT e.vec_id, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
-           |    FROM s${m}emb0 e CROSS JOIN s${m}c$PqIters c
-           |  ) WHERE rn = 1
-           |)""".stripMargin
-      }.mkString(", ")
-      val luts = (0 until PqSubspaces).map { m =>
-        s"""lut$m AS (
-           |  SELECT p.vec_id AS probe_id, c.cell,
-           |    ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")} AS pd2
-           |  FROM s${m}emb0 p CROSS JOIN s${m}c$PqIters c
-           |  WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
-           |)""".stripMargin
-      }.mkString(", ")
-      s"""WITH $chains, $codes, $luts, scored AS (
-         |  SELECT l0.probe_id, c0.vec_id,
+    // l0's probe anchor is itself, so its probe condition is trivially true
+    // — identical semantics to joining lut0 on cell alone
+    "q138_pq_adc_search" ->
+      s"""WITH $pqChains, $pqCodeCtes, $pqLutCtes, base AS (
+         |  SELECT vec_id FROM code0
+         |), scored AS (
+         |  SELECT l0.probe_id, base.vec_id,
          |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
-         |  FROM code0 c0
-         |  JOIN code1 c1 ON c1.vec_id = c0.vec_id
-         |  JOIN code2 c2 ON c2.vec_id = c0.vec_id
-         |  JOIN code3 c3 ON c3.vec_id = c0.vec_id
-         |  JOIN lut0 l0 ON l0.cell = c0.cell
-         |  JOIN lut1 l1 ON l1.cell = c1.cell AND l1.probe_id = l0.probe_id
-         |  JOIN lut2 l2 ON l2.cell = c2.cell AND l2.probe_id = l0.probe_id
-         |  JOIN lut3 l3 ON l3.cell = c3.cell AND l3.probe_id = l0.probe_id
-         |  WHERE c0.vec_id != l0.probe_id
+         |  FROM base
+         |${adcJoinSql("base.vec_id", "l0.probe_id")}
+         |  WHERE base.vec_id != l0.probe_id
          |), ranked AS (
          |  SELECT probe_id, vec_id, adc,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
          |  FROM scored
          |)
          |SELECT probe_id, rank, vec_id, round(adc, 4) AS adc
-         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
-    },
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    "q140_ivf_pq_search" ->
+      s"""WITH $kmeansCtes, $pqChains, $ivfAssignCte, $ivfProbeCellsCte,
+         |$pqCodeCtes, $pqLutCtes, scored AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
+         |  FROM pc
+         |  JOIN assign a ON pc.cell = a.cell
+         |${adcJoinSql("a.vec_id", "pc.probe_id")}
+         |  WHERE a.vec_id != pc.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, rank, vec_id, round(adc, 4) AS adc
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q134_multi_lsh" -> {
       val bands = (0 until LshTables).map(t =>
         s"SELECT vec_id, $t AS tbl, CAST(${bucketSqlT(t)} AS BIGINT) AS bucket FROM embeddings")
@@ -735,22 +853,7 @@ object VectorQueries {
          |  ORDER BY sim DESC, id_a, id_b LIMIT 20
          |)""".stripMargin,
     "q54_ivf_search" ->
-      s"""WITH $kmeansCtes, assign AS (
-         |  SELECT vec_id, emb, n2, cell FROM (
-         |    SELECT e.vec_id, e.emb, e.n2, c.cell,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
-         |    FROM emb0 e CROSS JOIN c$IvfIters c
-         |  ) WHERE rn = 1
-         |), pc AS (
-         |  SELECT probe_id, p_emb, p_n2, cell FROM (
-         |    SELECT p.vec_id AS probe_id, p.emb AS p_emb, p.n2 AS p_n2, c.cell,
-         |      row_number() OVER (PARTITION BY p.vec_id
-         |        ORDER BY ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")}, c.cell) AS rn
-         |    FROM emb0 p CROSS JOIN c$IvfIters c
-         |    WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
-         |  ) WHERE rn <= 2
-         |), scored AS (
+      s"""WITH $kmeansCtes, $ivfAssignCte, $ivfProbeCellsCte, scored AS (
          |  SELECT pc.probe_id, a.vec_id,
          |    list_dot_product(pc.p_emb, a.emb) / (sqrt(pc.p_n2) * sqrt(a.n2)) AS sim
          |  FROM pc JOIN assign a ON pc.cell = a.cell
