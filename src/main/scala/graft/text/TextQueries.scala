@@ -271,6 +271,73 @@ object TextQueries {
       .orderBy($"lang", $"rn")
   }
 
+  /** Bigram-LM cross-entropy scoring — the perplexity-based quality filter
+    * q89 builds the statistics for (reference analog: LM-based corpus
+    * filtering as in CCNet/Gopher). The model is the conditional MLE
+    * p(w2|w1) = n(w1 w2) / n(w1 ·) per language, trained on the corpus
+    * itself; each document is then scored by the weighted mean negative
+    * log-probability of its bigrams (its cross-entropy under the model —
+    * perplexity's log). High cross-entropy = surprising under the corpus
+    * distribution = quality-filter candidate.
+    *
+    * Scale shape: the corpus-positions relation collapses map-side to
+    * per-doc distinct grams with multiplicity (`tf`) before anything
+    * joins; the model and context tables are observed-vocabulary-sized
+    * aggregates of `tf`, never corpus-sized. The only corpus-scale
+    * shuffles are the tf groupBy and the tf⋈model equi-join on
+    * (lang, bigram) — both hash-partitioned on their keys, no broadcast
+    * of anything that grows with the corpus. (A production variant that
+    * truncates the model to top-M bigrams could broadcast it; the full
+    * MLE model is kept here because the oracle replays it exactly.)
+    */
+  def q141DocPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", explode(shingles(tokens($"text"), 2)).as("bigram"))
+      .groupBy($"doc_id", $"lang", $"bigram")
+      .agg(count(lit(1)).as("tf"))
+    val model = tf.groupBy($"lang", $"bigram").agg(sum($"tf").as("n2"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+    val ctx = model.groupBy($"lang", $"w1").agg(sum($"n2").as("n1"))
+    val scored = model.join(ctx, Seq("lang", "w1"))
+      .select($"lang", $"bigram", log($"n2".cast("double") / $"n1").as("lp"))
+    tf.join(scored, Seq("lang", "bigram"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").cast("long").as("n_bigrams"),
+        round(-sum($"lp" * $"tf") / sum($"tf"), 4).as("cross_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  /** Heavy hitters over an unbounded key domain — the sketch-then-recount
+    * pattern. A plain groupBy-count shuffles every distinct key (fine for
+    * a bounded vocab, fatal for open domains: URLs, user ids, raw grams at
+    * 100 TB). Instead a [[graft.operators.MisraGries]] summary (k=64)
+    * partial-aggregates map-side, so the shuffle carries one ≤64-entry map
+    * per (lang × partition); its guarantee (no false negatives above
+    * n/(k+1) ≈ 1.5%) makes the candidate set a superset of every token at
+    * the reported 3% threshold. Candidates (≤64/lang) broadcast back as a
+    * semi-join filter and are recounted EXACTLY, so the sketch prunes the
+    * shuffle but never decides a number — the output is exact and
+    * partitioning-invariant, which is what lets a SQL oracle replay it
+    * with a plain GROUP BY + HAVING.
+    */
+  def q142HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mg = udaf(new graft.operators.MisraGries(64))
+    val toks = Tables.documents(s, dir)
+      .select($"lang", explode(tokens($"text")).as("tok"))
+    val candidates = toks.groupBy($"lang").agg(mg($"tok").as("sketch"))
+      .select($"lang", explode(map_keys($"sketch")).as("tok"))
+    val totals = toks.groupBy($"lang").agg(count(lit(1)).as("n_toks"))
+    toks.join(broadcast(candidates), Seq("lang", "tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), "lang")
+      .filter($"n" * 100 >= $"n_toks" * 3) // exact integer 3% threshold
+      .select($"lang", $"tok", $"n")
+      .orderBy($"lang", $"tok")
+  }
+
   /** BPE merge-candidate table (the statistic behind the first BPE
     * iteration): per language, the five most frequent within-word adjacent
     * character pairs, weighted by word occurrence (per-word multiplicity
@@ -296,6 +363,8 @@ object TextQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_doc_perplexity" -> (q141DocPerplexity _),
+    "q142_heavy_hitters" -> (q142HeavyHitters _),
     "q96_bpe_pairs" -> (q96BpePairs _),
     "q89_bigram_lm" -> (q89BigramLm _),
     "q78_doc_chunks" -> (q78DocChunks _),
@@ -329,6 +398,50 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // mirrors q89's gram construction (incl. the <2-token degenerate) and
+    // replays the MLE training exactly; ln + round(4) as in q38
+    "q141_doc_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN n < 2 THEN [array_to_string(toks, ' ')]
+        |    ELSE list_transform(range(1, n),
+        |      i -> array_to_string(toks[CAST(i AS INTEGER):CAST(i + 1 AS INTEGER)], ' '))
+        |    END AS grams
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, lang, unnest(grams) AS bigram FROM g
+        |), tf AS (
+        |  SELECT doc_id, lang, bigram, count(*) AS tf
+        |  FROM e GROUP BY doc_id, lang, bigram
+        |), m AS (
+        |  SELECT lang, bigram, split_part(bigram, ' ', 1) AS w1, sum(tf) AS n2
+        |  FROM tf GROUP BY lang, bigram
+        |), c AS (
+        |  SELECT lang, w1, sum(n2) AS n1 FROM m GROUP BY lang, w1
+        |), s AS (
+        |  SELECT m.lang, m.bigram, ln(CAST(n2 AS DOUBLE) / n1) AS lp
+        |  FROM m JOIN c ON m.lang = c.lang AND m.w1 = c.w1
+        |)
+        |SELECT tf.doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(-sum(lp * tf) / sum(tf), 4) AS cross_entropy
+        |FROM tf JOIN s ON tf.lang = s.lang AND tf.bigram = s.bigram
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    // exact recount semantics: the MG sketch only prunes candidates, so the
+    // oracle is the plain exact formulation
+    "q142_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tot AS (
+        |  SELECT lang, count(*) AS n_toks FROM toks GROUP BY lang
+        |), c AS (
+        |  SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok
+        |)
+        |SELECT c.lang, c.tok, c.n FROM c JOIN tot ON c.lang = tot.lang
+        |WHERE c.n * 100 >= tot.n_toks * 3 ORDER BY c.lang, c.tok""".stripMargin,
     // list_distinct mirrors the charNgrams kernel's per-word dedup;
     // words shorter than 2 chars are filtered in both engines
     "q96_bpe_pairs" ->

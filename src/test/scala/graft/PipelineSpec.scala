@@ -65,4 +65,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(res(100L)._2 > 0L)
     assert(res(200L) == (0L, 0L), s"disjoint eval doc must be clean: $res")
   }
+
+  test("q141 scores every doc, ce >= 0, and n_bigrams = max(n_tokens - 1, 1)") {
+    import spark.implicits._
+    val scored = graft.text.TextQueries.q141DocPerplexity(spark, sf)
+    val expected = Tables.documents(spark, sf)
+      .select($"doc_id",
+        greatest(size(split($"text", " ", -1)) - 1, lit(1)).cast("long").as("want"))
+    // MLE probabilities are <= 1, so -mean(log p) is >= 0; a doc whose every
+    // bigram is corpus-unique within a unique context scores exactly 0
+    val joined = scored.join(expected, "doc_id")
+    assert(joined.count() == Tables.documents(spark, sf).count())
+    assert(joined.filter($"cross_entropy" < 0 || $"n_bigrams" =!= $"want").count() == 0)
+  }
 }

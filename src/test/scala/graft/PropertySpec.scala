@@ -125,4 +125,51 @@ class PropertySpec extends AnyFunSuite {
     assert(one == viaExplode)
     assert(one.values.forall(_.length == 16))
   }
+
+  test("MisraGries laws: no false negatives above n/(k+1), estimates within bound, any split") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val k = 64
+    val mg = udaf(new graft.operators.MisraGries(k))
+    val toks = Tables.documents(spark2, "/root/testdata/sf0.001")
+      .select($"lang", explode(split($"text", " ", -1)).as("tok")).cache()
+    val exact = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = exact.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    // the guarantee must actually be exercised: some key sits above the bound
+    assert(exact.exists { case ((l, _), n) => n > totals(l) / (k + 1).toDouble })
+    for (parts <- Seq(1, 13)) { // summary contents may differ by merge tree; the bound may not
+      val sketches = toks.repartition(parts).groupBy($"lang").agg(mg($"tok").as("s"))
+        .collect().map(r => r.getString(0) -> r.getMap[String, Long](1)).toMap
+      for ((lang, m) <- sketches) {
+        val bound = totals(lang) / (k + 1).toDouble
+        val missing = exact.collect {
+          case ((l, t), n) if l == lang && n > bound && !m.contains(t) => (t, n)
+        }
+        assert(missing.isEmpty, s"parts=$parts $lang missing $missing (bound $bound)")
+        m.foreach { case (t, est) =>
+          val truth = exact((lang, t))
+          assert(est <= truth && est >= truth - bound,
+            s"parts=$parts $lang/$t est=$est truth=$truth bound=$bound")
+        }
+        assert(m.size <= k)
+      }
+    }
+  }
+
+  test("q142 equals the exact groupBy+threshold formulation (sketch never decides a number)") {
+    val spark2 = SparkTestSession.spark
+    import spark2.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.text.TextQueries.q142HeavyHitters(spark2, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val toks = Tables.documents(spark2, sf)
+      .select($"lang", explode(split($"text", " ", -1)).as("tok"))
+    val tot = toks.groupBy($"lang").agg(count(lit(1)).as("n_toks"))
+    val want = toks.groupBy($"lang", $"tok").agg(count(lit(1)).as("n"))
+      .join(tot, "lang").filter($"n" * 100 >= $"n_toks" * 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "3% threshold must report something on the test corpus")
+  }
 }
