@@ -337,7 +337,42 @@ object EventQueries {
       .orderBy($"active_w1", $"active_w4")
   }
 
+  /** Point-in-time-correct training-feature backfill: every event becomes
+    * a supervised example `(features from the user's STRICTLY EARLIER
+    * events, label = this event's type)` — the leakage-free feature
+    * snapshot an ML pipeline materializes before training. All features
+    * come from one cumulative window frame ending at `1 PRECEDING`, so
+    * by construction no example can see its own label or any future event
+    * (the classic train-serve-skew / label-leakage bug, made structurally
+    * impossible).
+    *
+    * Scale shape: a single shuffle on user_id, then one in-partition
+    * ordered pass with O(1) running state per row — no join, no second
+    * shuffle, linear in events. Time arithmetic stays in integer
+    * microseconds (the session's parquet-nanos truncation) so the oracle
+    * replays it exactly from DuckDB's nanosecond reads.
+    */
+  def q144FeatureBackfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        unix_micros($"ts").as("us"))
+      .select(
+        $"event_id", $"user_id", $"event_type".as("label"),
+        count(lit(1)).over(prior).as("n_prior"),
+        round(coalesce(sum($"value").over(prior), lit(0.0)), 2).as("sum_prior_value"),
+        lag($"us", 1).over(w).as("prev_us"), $"us")
+      // `div`, not `/`: long division must not widen to double (see Tables)
+      .select($"event_id", $"user_id", $"label", $"n_prior", $"sum_prior_value",
+        coalesce(expr("(us - prev_us) div 1000000"), lit(-1L)).as("secs_since_prev"))
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_feature_backfill" -> (q144FeatureBackfill _),
     "q130_activity_churn" -> (q130ActivityChurn _),
     "q126_user_paths" -> (q126UserPaths _),
     "q118_map_transform" -> (q118MapTransform _),
@@ -357,6 +392,28 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // integer-microsecond time arithmetic replays Spark's nanos-truncated
+    // reads exactly; (us, event_id) ordering is tie-free on this data but
+    // pinned anyway so the prefix frames agree by construction
+    "q144_feature_backfill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events
+        |), f AS (
+        |  SELECT event_id, user_id, event_type AS label,
+        |    count(*) OVER prior AS n_prior,
+        |    round(COALESCE(sum(value) OVER prior, 0.0), 2) AS sum_prior_value,
+        |    COALESCE((us - lag(us, 1) OVER w) // 1000000, -1) AS secs_since_prev
+        |  FROM e
+        |  WINDOW
+        |    w AS (PARTITION BY user_id ORDER BY us, event_id),
+        |    prior AS (PARTITION BY user_id ORDER BY us, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_id, user_id, label, CAST(n_prior AS BIGINT) AS n_prior,
+        |  sum_prior_value, CAST(secs_since_prev AS BIGINT) AS secs_since_prev
+        |FROM f ORDER BY event_id""".stripMargin,
     "q130_activity_churn" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -338,6 +338,39 @@ object TextQueries {
       .orderBy($"lang", $"tok")
   }
 
+  /** Composite rule-based quality filter (Gopher/C4-style heuristic gate):
+    * document length, mean word length, alphabetic-word fraction, symbol
+    * density, and stopword presence, composed into a single keep/drop
+    * decision. Every rule is EXACT INTEGER arithmetic (`4·n_words ≤
+    * n_chars` instead of `mean ≥ 4.0`), so the flags are hash-stable
+    * across engines and the whole gate is one codegen'd map-side
+    * projection — at 100 TB this is the embarrassingly-parallel first
+    * pass that runs before any shuffle-bearing dedup tier.
+    */
+  def q143QualityRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nWords = size(toks).cast("long")
+    val nCharsNs = length(regexp_replace($"text", " ", "")).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(toks,
+      w => w.isin("the", "a", "of", "and", "to", "in", "is"))).cast("long")
+    val nSym = size(regexp_extract_all($"text", lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "r_len" -> ($"n_words" >= 30 && $"n_words" <= 100000),
+      "r_word_len" -> ($"n_chars_ns" >= $"n_words" * 4 && $"n_chars_ns" <= $"n_words" * 10),
+      "r_alpha" -> ($"n_alpha" * 5 >= $"n_words" * 4),
+      "r_symbols" -> ($"n_sym" * 10 < $"n_chars_ns"),
+      "r_stopwords" -> ($"n_stop" >= 2))
+    Tables.documents(s, dir)
+      .select($"doc_id", nWords.as("n_words"), nCharsNs.as("n_chars_ns"),
+        nAlpha.as("n_alpha"), nStop.as("n_stop"), nSym.as("n_sym"))
+      .select($"doc_id" +:
+        rules.map { case (n, c) => c.cast("long").as(n) } :+
+        rules.map(_._2).reduce(_ && _).cast("long").as("keep"): _*)
+      .orderBy($"doc_id")
+  }
+
   /** BPE merge-candidate table (the statistic behind the first BPE
     * iteration): per language, the five most frequent within-word adjacent
     * character pairs, weighted by word occurrence (per-word multiplicity
@@ -365,6 +398,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_doc_perplexity" -> (q141DocPerplexity _),
     "q142_heavy_hitters" -> (q142HeavyHitters _),
+    "q143_quality_rules" -> (q143QualityRules _),
     "q96_bpe_pairs" -> (q96BpePairs _),
     "q89_bigram_lm" -> (q89BigramLm _),
     "q78_doc_chunks" -> (q78DocChunks _),
@@ -442,6 +476,31 @@ object TextQueries {
         |)
         |SELECT c.lang, c.tok, c.n FROM c JOIN tot ON c.lang = tot.lang
         |WHERE c.n * 100 >= tot.n_toks * 3 ORDER BY c.lang, c.tok""".stripMargin,
+    // every rule is integer arithmetic — flags are hash-exact by construction
+    "q143_quality_rules" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    length(replace(text, ' ', '')) AS n_chars_ns,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+        |    len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the','a','of','and','to','in','is'))) AS n_stop,
+        |    len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(n_words >= 30 AND n_words <= 100000 AS BIGINT) AS r_len,
+        |  CAST(n_chars_ns >= n_words * 4 AND n_chars_ns <= n_words * 10 AS BIGINT) AS r_word_len,
+        |  CAST(n_alpha * 5 >= n_words * 4 AS BIGINT) AS r_alpha,
+        |  CAST(n_sym * 10 < n_chars_ns AS BIGINT) AS r_symbols,
+        |  CAST(n_stop >= 2 AS BIGINT) AS r_stopwords,
+        |  CAST(n_words >= 30 AND n_words <= 100000
+        |    AND n_chars_ns >= n_words * 4 AND n_chars_ns <= n_words * 10
+        |    AND n_alpha * 5 >= n_words * 4
+        |    AND n_sym * 10 < n_chars_ns
+        |    AND n_stop >= 2 AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     // list_distinct mirrors the charNgrams kernel's per-word dedup;
     // words shorter than 2 chars are filtered in both engines
     "q96_bpe_pairs" ->

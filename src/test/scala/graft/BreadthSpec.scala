@@ -127,4 +127,31 @@ class BreadthSpec extends AnyFunSuite {
     assert(total > kept && kept > 0) // metric saw pre-filter rows in the same pass
     assert(m.getAs[Double]("qty") > 0)
   }
+
+  test("q143 rules discriminate (both keep classes present) and keep = AND of flags") {
+    import spark.implicits._
+    val df = graft.text.TextQueries.q143QualityRules(spark, sf).cache()
+    assert(df.filter($"keep" === 1).count() > 0)
+    assert(df.filter($"keep" === 0).count() > 0)
+    val inconsistent = df.filter(
+      $"keep" =!= ($"r_len" === 1 && $"r_word_len" === 1 && $"r_alpha" === 1 &&
+        $"r_symbols" === 1 && $"r_stopwords" === 1).cast("long")).count()
+    assert(inconsistent == 0)
+  }
+
+  test("q144 is leakage-free by construction: per user, n_prior is exactly 0..n-1") {
+    import spark.implicits._
+    val df = graft.relational.EventQueries.q144FeatureBackfill(spark, sf).cache()
+    // every user's examples carry prior-counts forming a dense 0..n-1 ramp —
+    // each example saw exactly the events before it, never itself or later
+    val bad = df.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), min($"n_prior").as("lo"),
+        max($"n_prior").as("hi"), countDistinct($"n_prior").as("d"))
+      .filter($"lo" =!= 0 || $"hi" =!= $"n" - 1 || $"d" =!= $"n")
+      .count()
+    assert(bad == 0)
+    // the first example of every user has seen nothing
+    assert(df.filter($"n_prior" === 0 &&
+      ($"sum_prior_value" =!= 0.0 || $"secs_since_prev" =!= -1L)).count() == 0)
+  }
 }
