@@ -371,8 +371,48 @@ object EventQueries {
       .orderBy($"event_id")
   }
 
+  /** Sequence-example generation: each 30-minute-gap session becomes one
+    * supervised pair `(prefix = all event types but the last, label =
+    * the last type)` — the next-action-prediction dataset builder (the
+    * sequence-model sibling of q144's point-feature examples). Session
+    * assignment is the gaps-and-islands form (lag + running sum) rather
+    * than `session_window`, because the oracle must replay the identical
+    * integer-microsecond arithmetic; q24 already proves the two
+    * formulations equivalent. In-session order is pinned by collecting
+    * (us, event_id, type) structs and sort_array-ing — bare collect_list
+    * order is partition-dependent and would flake the hash gate (q126).
+    *
+    * Scale shape: one shuffle on user_id serves both windows and the
+    * session rollup; per-session state is the session's own events only
+    * (bounded by the gap), never the user's history.
+    */
+  def q146SessionSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("new_sess",
+        when($"us" - lag($"us", 1).over(w) <= gapUs, 0L).otherwise(1L))
+      .withColumn("sess", sum($"new_sess").over(w))
+      .groupBy($"user_id", $"sess")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"us").as("start_us"),
+        sort_array(collect_list(struct($"us", $"event_id", $"event_type"))).as("es"))
+      .select(
+        $"user_id", $"start_us", $"n_events",
+        concat_ws(">",
+          transform(slice($"es", lit(1), ($"n_events" - 1).cast("int")),
+            e => e.getField("event_type"))).as("prefix"),
+        element_at($"es", -1).getField("event_type").as("label"))
+      .orderBy($"user_id", $"start_us")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_feature_backfill" -> (q144FeatureBackfill _),
+    "q146_session_sequences" -> (q146SessionSequences _),
     "q130_activity_churn" -> (q130ActivityChurn _),
     "q126_user_paths" -> (q126UserPaths _),
     "q118_map_transform" -> (q118MapTransform _),
@@ -414,6 +454,31 @@ object EventQueries {
         |SELECT event_id, user_id, label, CAST(n_prior AS BIGINT) AS n_prior,
         |  sum_prior_value, CAST(secs_since_prev AS BIGINT) AS secs_since_prev
         |FROM f ORDER BY event_id""".stripMargin,
+    // gaps-and-islands sessions in the same integer microseconds; list(...
+    // ORDER BY) replays the sorted-struct collection; a NULL lag lands in
+    // ELSE 1 in both engines (new session at each user's first event)
+    "q146_session_sequences" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN us - lag(us) OVER w <= 1800000000
+        |    THEN 0 ELSE 1 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), sx AS (
+        |  SELECT *, sum(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS sess
+        |  FROM m
+        |), g AS (
+        |  SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us,
+        |    list(event_type ORDER BY us, event_id) AS types
+        |  FROM sx GROUP BY user_id, sess
+        |)
+        |SELECT user_id, CAST(start_us AS BIGINT) AS start_us,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  COALESCE(array_to_string(types[1:CAST(n_events - 1 AS INTEGER)], '>'), '') AS prefix,
+        |  types[-1] AS label
+        |FROM g ORDER BY user_id, start_us""".stripMargin,
     "q130_activity_churn" ->
       """WITH u AS (
         |  SELECT user_id,

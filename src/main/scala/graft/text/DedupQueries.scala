@@ -309,6 +309,21 @@ object DedupQueries {
     */
   def q69DedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    componentLabels(s, dir).groupBy($"comp".as("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"),
+        max($"id").as("max_member"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Min-label-propagation fixpoint over the verified near-dup pair graph:
+    * (id, comp) for every CLUSTERED document, comp = the component's
+    * minimum doc_id. Extracted from q69 so the apply step (q145) shares
+    * the exact clustering the report step summarizes.
+    */
+  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val pairs = verifiedPairs(s, shingleSets(s, dir))
       .select($"id_a", $"id_b").localCheckpoint()
     val edges = pairs.union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
@@ -337,12 +352,37 @@ object DedupQueries {
     }
     require(converged,
       s"label propagation did not converge in $maxRounds rounds — component diameter exceeds the bound")
-    labels.groupBy($"comp".as("cluster_id"))
+    labels
+  }
+
+  /** The dedup APPLY step q69 reports on: canonical-survivor selection.
+    * Policy: first-seen wins — each near-dup cluster keeps its minimum
+    * doc_id (deterministic, order-free); every unclustered document
+    * survives untouched. Output is the per-source before/after accounting
+    * plus an exact survivor-id-sum fingerprint, so the oracle pins the
+    * SET of survivors, not just their count.
+    *
+    * Scale shape: `dropped` is (clustered docs − clusters)-sized — tiny
+    * against the corpus — and joins back on doc_id as a plain equi-join;
+    * at 100 TB AQE turns it into a broadcast join when it fits, and the
+    * corpus never shuffles on anything but that key.
+    */
+  def q145DedupApply(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // comp IS the component's min doc_id at the fixpoint, so the canonical
+    // survivor test is id == comp — no extra aggregate or join
+    val dropped = componentLabels(s, dir)
+      .filter($"id" =!= $"comp").select($"id".as("drop_id"))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source")
+      .join(dropped, $"doc_id" === $"drop_id", "left")
+      .groupBy($"source")
       .agg(
-        count(lit(1)).as("n_members"),
-        (count(lit(1)) - 1).as("n_dropped"),
-        max($"id").as("max_member"))
-      .orderBy($"cluster_id")
+        count(lit(1)).as("n_before"),
+        sum(when($"drop_id".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"drop_id".isNull, 1L).otherwise(0L)).as("n_after"),
+        sum(when($"drop_id".isNull, $"doc_id")).as("survivor_id_sum"))
+      .orderBy($"source")
   }
 
   /** Corpus-level MinHash sketches per source, built by sketch UNION: each
@@ -420,6 +460,7 @@ object DedupQueries {
     "q127_gram_novelty" -> (q127GramNovelty _),
     "q102_source_similarity" -> (q102SourceSimilarity _),
     "q69_dedup_clusters" -> (q69DedupClusters _),
+    "q145_dedup_apply" -> (q145DedupApply _),
     "q67_incremental_dedup" -> (q67IncrementalDedup _),
     "q101_corpus_sketch" -> (q101CorpusSketch _),
     "q40_corpus_clean" -> (q40CorpusClean _),
@@ -549,6 +590,34 @@ object DedupQueries {
          |SELECT comp AS cluster_id, count(*) AS n_members,
          |  CAST(count(*) - 1 AS BIGINT) AS n_dropped, max(id) AS max_member
          |FROM comps GROUP BY comp ORDER BY cluster_id""".stripMargin,
+    // q69's recursive-CTE components + first-seen-wins survivor policy;
+    // survivor_id_sum pins the survivor SET exactly
+    "q145_dedup_apply" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+         |  WHERE c * 1.0 / (na.n + nb.n - c) >= $JaccardThreshold
+         |), edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, reach.r FROM reach JOIN edges e ON e.src = reach.id
+         |), comps AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+         |dropped AS (SELECT id FROM comps WHERE id != comp)
+         |SELECT d.source, count(*) AS n_before,
+         |  CAST(sum(CASE WHEN dr.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(CASE WHEN dr.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         |  CAST(sum(CASE WHEN dr.id IS NULL THEN d.doc_id END) AS BIGINT) AS survivor_id_sum
+         |FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     // cross-set restatement of the q20 oracle: pairs straddling the
     // new/corpus split (recall argument identical to q20's)
     "q67_incremental_dedup" ->

@@ -154,4 +154,26 @@ class BreadthSpec extends AnyFunSuite {
     assert(df.filter($"n_prior" === 0 &&
       ($"sum_prior_value" =!= 0.0 || $"secs_since_prev" =!= -1L)).count() == 0)
   }
+
+  test("q145 accounting ties to q69: dropped-per-run equals sum of (n_members - 1)") {
+    import spark.implicits._
+    val applied = graft.text.DedupQueries.q145DedupApply(spark, sf)
+      .agg(sum($"n_dropped"), sum($"n_before"), sum($"n_after")).head()
+    val clusters = graft.text.DedupQueries.q69DedupClusters(spark, sf)
+      .agg(sum($"n_dropped")).head()
+    assert(applied.getLong(0) == clusters.getLong(0))
+    assert(applied.getLong(1) == applied.getLong(2) + applied.getLong(0))
+  }
+
+  test("q146 sessions agree with q24's session_window count; prefix has n_events-1 types") {
+    import spark.implicits._
+    val seqs = graft.relational.EventQueries.q146SessionSequences(spark, sf).cache()
+    val viaSessionWindow = graft.relational.EventQueries.q24Sessionization(spark, sf).count()
+    assert(seqs.count() == viaSessionWindow) // gaps-and-islands ≡ session_window
+    val badPrefix = seqs.filter(
+      when($"n_events" === 1, $"prefix" =!= "")
+        .otherwise(size(split($"prefix", ">", -1)) =!= $"n_events" - 1)).count()
+    assert(badPrefix == 0)
+    assert(seqs.filter($"label" === "" || $"label".isNull).count() == 0)
+  }
 }
