@@ -190,6 +190,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q144/q146 example generation shuffles once: a single hash exchange on user_id") {
+    // the scaladoc claim made structural: features/sessions come from ONE
+    // shuffle; the only other exchange is the final oracle-determinism sort
+    // (rangepartitioning), which production variants drop
+    for ((name, df) <- Seq(
+      "q144" -> relational.EventQueries.q144FeatureBackfill(spark, sf),
+      "q146" -> relational.EventQueries.q146SessionSequences(spark, sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(hashExchanges == 1, s"$name expected exactly 1 hash exchange:\n$plan")
+    }
+  }
+
   test("q131 approx_percentile lands inside the exact rank band (n/accuracy guarantee)") {
     import spark.implicits._
     val acc = relational.AdvancedQueries.ApproxQuantileAccuracy
