@@ -141,7 +141,9 @@ class BreadthSpec extends AnyFunSuite {
 
   test("q144 is leakage-free by construction: per user, n_prior is exactly 0..n-1") {
     import spark.implicits._
-    val df = graft.relational.EventQueries.q144FeatureBackfill(spark, sf).cache()
+    // NOT cached: a lingering InMemoryRelation would swallow the plan that
+    // ScaleSpec's exchange-count test inspects for the same query
+    val df = graft.relational.EventQueries.q144FeatureBackfill(spark, sf)
     // every user's examples carry prior-counts forming a dense 0..n-1 ramp —
     // each example saw exactly the events before it, never itself or later
     val bad = df.groupBy($"user_id")
@@ -167,7 +169,7 @@ class BreadthSpec extends AnyFunSuite {
 
   test("q146 sessions agree with q24's session_window count; prefix has n_events-1 types") {
     import spark.implicits._
-    val seqs = graft.relational.EventQueries.q146SessionSequences(spark, sf).cache()
+    val seqs = graft.relational.EventQueries.q146SessionSequences(spark, sf) // not cached, see q144 note
     val viaSessionWindow = graft.relational.EventQueries.q24Sessionization(spark, sf).count()
     assert(seqs.count() == viaSessionWindow) // gaps-and-islands ≡ session_window
     val badPrefix = seqs.filter(
