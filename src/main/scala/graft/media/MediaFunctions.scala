@@ -88,6 +88,40 @@ object MediaFunctions {
     }
   }
 
+  /** Perceptual fingerprint (id, ahash). */
+  case class PerceptualHash(id: Long, ahash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint: bit j is set iff
+    * "pixel" j is strictly brighter than the item's mean. The real
+    * algorithm runs on an 8×8 grayscale downsample; here the pixels are
+    * the first `bits` bytes of the (already resize-bounded) payload — the
+    * STUB stands in for the decode+downsample, while the mean-threshold
+    * bit derivation, the integer-exact determinism (`byte·n > Σbytes`,
+    * no float mean), and the fixed-width mergeable output are the real
+    * contract. 60 bits so 4×15-bit banding (q26's constants) applies
+    * downstream with sign-free shifts in both engines.
+    */
+  def aHashes(records: Dataset[MediaRecord], bits: Int = 60): Dataset[PerceptualHash] = {
+    import records.sparkSession.implicits._
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60]: $bits")
+    records.mapPartitions { it =>
+      // real pipeline: decoder/downsampler init here, once per partition
+      it.map { r =>
+        val n = math.min(r.payload.length, bits)
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += (r.payload(i) & 0xffL); i += 1 }
+        var h = 0L
+        i = 0
+        while (i < n) {
+          if ((r.payload(i) & 0xffL) * n > sum) h |= 1L << i
+          i += 1
+        }
+        PerceptualHash(r.id, h)
+      }
+    }
+  }
+
   /** Feature extraction over opaque payloads: one fixed-width vector per
     * item — the embed-the-modality step between decode and the vector tier.
     * The feature here is a 16-bin byte histogram (high nibble), a REAL

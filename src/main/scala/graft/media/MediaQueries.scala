@@ -130,7 +130,36 @@ object MediaQueries {
       .orderBy($"bin")
   }
 
+  /** Image near-duplicate detection: resize-bounded payloads → aHash
+    * perceptual fingerprints → 4×15-bit LSH banding (q26's SimHash
+    * recipe, same pigeonhole recall-1 argument at hamming ≤ 3) → exact
+    * Hamming verify. The multimodal member of the dedup tier: at 100 TB
+    * originals never shuffle (the thumbnail is ≤64 bytes BEFORE any
+    * exchange, the fingerprint 8); candidates come from band equi-joins,
+    * never all-pairs. The oracle replays thumbnail subsampling, the
+    * integer mean-threshold bits, and verifies ALL pairs — valid as the
+    * gate because banding at this threshold provably misses nothing.
+    */
+  def q147ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashes = MediaFunctions.aHashes(
+        MediaFunctions.resizePayloads(asRecords(s, dir), cap = 64)).toDF()
+    val banded = hashes.select($"id", $"ahash",
+      posexplode(array((0 until 4).map(i =>
+        shiftright($"ahash", 15 * i).bitwiseAND(lit(0x7fffL))): _*)))
+      .select($"id", $"ahash", $"pos".as("band"), $"col".as("band_key"))
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        bit_count($"a.ahash".bitwiseXOR($"b.ahash")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
     "q23_binary_metadata" -> (q23BinaryMetadata _),
     "q55_media_decode" -> (q55MediaDecode _),
@@ -160,6 +189,31 @@ object MediaQueries {
          |       j -> ord(substr(text, CAST(j AS INTEGER), 1))::HUGEINT)""".stripMargin)
 
   val oracles: Map[String, String] = Map(
+    // thumbnail subsample = q66's CTEs (unfiltered, capped at 60 pixels);
+    // bit j = pixel·n > Σpixels (integer, no float mean); ALL pairs verified
+    // — sound because 4×15-bit banding provably misses nothing at hamming ≤ 3
+    "q147_image_neardup" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    greatest((length(text) + 63) // 64, 1) AS stride
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, least((len + stride - 1) // stride, 60)),
+        |      j -> ord(substr(text, CAST(j * stride + 1 AS INTEGER), 1))::BIGINT) AS px
+        |  FROM p
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, len(px)),
+        |      j -> CASE WHEN px[CAST(j + 1 AS INTEGER)] * len(px) > list_sum(px)
+        |           THEN (1::BIGINT << CAST(j AS INTEGER)) ELSE 0 END)) AS BIGINT) AS ahash
+        |  FROM b
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // documents are ASCII (ord == byte, the q49/q55 identity); the grid CTE
     // restores the zero-count (doc, bin) cells posexplode emits
     "q75_media_features" ->

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.lit
 import graft.media.MediaFunctions
 import graft.media.MediaFunctions.MediaRecord
 
@@ -93,5 +94,32 @@ class MediaSpec extends AnyFunSuite {
     val again = MediaFunctions.extractFeatures(records()).collect()
       .sortBy(_.id).map(_.hist.toSeq).toSeq
     assert(again == feats.sortBy(_.id).map(_.hist.toSeq).toSeq)
+  }
+
+  test("aHash: values stay in 60-bit range and exact duplicates collide") {
+    val hs = MediaFunctions.aHashes(records()).collect().map(h => h.id -> h.ahash).toMap
+    assert(hs.values.forall(h => h >= 0 && h < (1L << 60)))
+    // identical payloads must produce identical fingerprints
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    for ((a, ta) <- texts; (b, tb) <- texts if a < b && ta == tb)
+      assert(hs(a) == hs(b), s"exact dup $a/$b must collide")
+  }
+
+  test("q147 banding finds every pair all-pairs Hamming finds (recall 1 at <= 3)") {
+    import spark.implicits._
+    val got = graft.media.MediaQueries.q147ImageNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = MediaFunctions.aHashes(
+      MediaFunctions.resizePayloads(
+        Tables.documents(spark, sf).select($"doc_id".as("id"),
+          $"text".cast("binary").as("payload"), lit("fake").as("format"))
+          .as[MediaFunctions.MediaRecord], cap = 64)).collect()
+    val want = (for {
+      a <- hs; b <- hs if a.id < b.id
+      d = java.lang.Long.bitCount(a.ahash ^ b.ahash) if d <= 3
+    } yield (a.id, b.id, d.toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "test corpus must contain at least one near-dup pair")
   }
 }
