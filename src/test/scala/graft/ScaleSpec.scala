@@ -190,6 +190,41 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE skew join: a hot key makes OptimizeSkewedJoin split the partition (skew=true)") {
+    import spark.implicits._
+    // salting (q52/q109) is the MANUAL skew rewrite; this pins the AUTOMATIC
+    // one so a regression in session confs can't silently disable it at
+    // 100 TB. Thresholds shrink so test-scale data crosses the skew bar.
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val hot = spark.range(50000).select(
+        when($"id" % 10 === 0, $"id").otherwise(lit(7L)).as("k"),
+        $"id".as("payload"))
+      val dim = spark.range(200).select($"id".as("k"), ($"id" * 2).as("attr"))
+      val joined = hot.join(dim, "k")
+      // collect() executes THIS queryExecution through AdaptiveSparkPlanExec
+      // (.rdd/.foreach bypass AQE; a write/count plans a fresh execution)
+      assert(joined.collect().length > 40000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected a skew-split join:\n$plan")
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("q144/q146 example generation shuffles once: a single hash exchange on user_id") {
     // the scaladoc claim made structural: features/sessions come from ONE
     // shuffle; the only other exchange is the final oracle-determinism sort
