@@ -450,6 +450,74 @@ object VectorQueries {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** ANN index as a PERSISTED artifact: train once, write the index
+    * (centroids + coarse cells + PQ codebooks + codes) to the lake, then
+    * answer the q140 search READING ONLY ARTIFACTS plus the probe
+    * vectors — the train-once/serve-many split every production vector
+    * store runs on (the raw corpus is not touched on the serve path).
+    * Coding runs against the RE-READ codebooks, so parquet roundtrip
+    * fidelity of the float arrays is itself under the gate: any
+    * serialization drift would shift a code or an ADC term and break the
+    * hash compare. Artifact sizes at any corpus scale: centroids 8 rows,
+    * codebooks 4×8 rows, codes/cells one narrow row per vector (the 16×
+    * compressed scan q138 argues). Oracle: q140's — identical by
+    * construction, which is the point.
+    */
+  def q148AnnIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Scratch.path("annindex_" + graft.Scratch.tag(dir))
+    // ---- build: train + persist every artifact ----
+    val e = withN2(Tables.embeddings(s, dir))
+    trainedCentroids(s, dir).write.mode("overwrite").parquet(s"$root/centroids")
+    val cents = s.read.parquet(s"$root/centroids")
+    assignCells(e, cents).select($"vec_id", $"cell")
+      .write.mode("overwrite").parquet(s"$root/cells")
+    (0 until PqSubspaces).foreach { m =>
+      lloyd(subspace(s, dir, m), PqIters)
+        .write.mode("overwrite").parquet(s"$root/codebook_$m")
+    }
+    (0 until PqSubspaces).map { m =>
+        assignCells(subspace(s, dir, m), s.read.parquet(s"$root/codebook_$m"))
+          .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
+      }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/codes")
+    // ---- serve: artifacts + probe vectors only ----
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+    val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
+      .select($"probe_id", $"cell")
+    val lut = (0 until PqSubspaces).map { m =>
+        subspace(s, dir, m).filter(probePredicate($"vec_id"))
+          .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+          .crossJoin(broadcast(s.read.parquet(s"$root/codebook_$m")))
+          .select($"probe_id", lit(m).as("m"), $"cell".as("code"),
+            dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
+      }.reduce(_ unionByName _)
+    val cand = s.read.parquet(s"$root/cells")
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id")
+    val topk = udaf(TopKByScore(5))
+    cand.join(s.read.parquet(s"$root/codes"), Seq("vec_id"))
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy($"probe_id", $"vec_id")
+      .agg(
+        sum(when($"m" === 0, $"pd2")).as("d0"),
+        sum(when($"m" === 1, $"pd2")).as("d1"),
+        sum(when($"m" === 2, $"pd2")).as("d2"),
+        sum(when($"m" === 3, $"pd2")).as("d3"))
+      .select($"probe_id", $"vec_id",
+        ((($"d0" + $"d1") + $"d2") + $"d3").as("adc"))
+      .groupBy($"probe_id").agg(topk(-$"adc", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round(-$"col._1", 4).as("adc"))
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Per-label centroid components — the embedding-analytics op a labeled
     * corpus needs (class prototypes for classification / drift monitoring).
     * posexplode → (label, dim) partial aggregation: the shuffle carries one
@@ -564,6 +632,7 @@ object VectorQueries {
     "q134_multi_lsh" -> (q134MultiLsh _),
     "q138_pq_adc_search" -> (q138PqAdcSearch _),
     "q140_ivf_pq_search" -> (q140IvfPqSearch _),
+    "q148_ann_index_roundtrip" -> (q148AnnIndexRoundtrip _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q54_ivf_search" -> (q54IvfSearch _),
@@ -703,7 +772,7 @@ object VectorQueries {
     }.mkString(" + ")
   private val bucketSql: String = bucketSqlT(0)
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q129_norm_stats" ->
       """WITH n AS (
         |  SELECT label,
@@ -882,4 +951,10 @@ object VectorQueries {
         |  GROUP BY label, dim
         |) ORDER BY label, dim""".stripMargin,
   )
+
+  // q148 answers the SAME search as q140, from persisted artifacts — the
+  // oracle is q140's by construction; any serialization drift in an
+  // artifact shifts a code or ADC term and breaks this compare
+  val oracles: Map[String, String] =
+    baseOracles + ("q148_ann_index_roundtrip" -> baseOracles("q140_ivf_pq_search"))
 }

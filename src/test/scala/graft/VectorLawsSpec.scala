@@ -104,4 +104,17 @@ class VectorLawsSpec extends AnyFunSuite {
       s"missing=${(crossOnly -- incremental).take(3)} extra=${(incremental -- crossOnly).take(3)}")
     assert(crossOnly.nonEmpty, "fixture should contain cross-split near-dup pairs")
   }
+
+  test("serving from persisted index artifacts reproduces q140 exactly (q148)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val fromArtifacts = rows(vector.VectorQueries.q148AnnIndexRoundtrip(spark, sf))
+    val inMemory = rows(vector.VectorQueries.q140IvfPqSearch(spark, sf))
+    assert(fromArtifacts == inMemory) // parquet roundtrip of every artifact is value-exact
+    assert(fromArtifacts.nonEmpty)
+    val root = new java.io.File(Scratch.path("annindex_" + Scratch.tag(sf)))
+    val parts = root.listFiles().map(_.getName).toSet
+    assert(Seq("centroids", "cells", "codes", "codebook_0", "codebook_3")
+      .forall(parts.contains), s"missing artifacts in $parts")
+  }
 }
