@@ -296,15 +296,38 @@ object VectorQueries {
   def q54IvfSearch(s: SparkSession, dir: String): DataFrame =
     ivfSearch(s, dir, nprobe = 2)
 
+  /** Metadata-filtered ANN — the production retrieval shape (every vector
+    * store pairs a payload filter with the similarity search): the q54 IVF
+    * search restricted to vectors whose DOCUMENT passes a relational
+    * predicate, applied as a PRE-filter — the keep-list semi-joins the
+    * index BEFORE any distance work, so filtered-out vectors cost nothing
+    * to score (the post-filter alternative wastes k·selectivity⁻¹ distance
+    * evaluations and can return < k rows). At 100 TB the keep-list is a
+    * narrow id relation co-keyed with the index — an equi-join Catalyst
+    * can broadcast or co-partition; probes are NOT filtered (queries come
+    * from anywhere).
+    */
+  def q149FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keep = Tables.documents(s, dir)
+      .filter($"lang" === "en" && $"n_chars" >= 200)
+      .select($"doc_id".as("vec_id"))
+    ivfSearch(s, dir, nprobe = 2, keepCandidates = Some(keep))
+  }
+
   /** The parameterized core. With nprobe = ncells the search degenerates to
     * exact kNN (every cell probed) — VectorLawsSpec asserts that identity
     * against q18, which pins the whole train/assign/probe/search machinery.
+    * `keepCandidates` (q149) pre-filters the INDEX side by a semi-join
+    * before any distance evaluation.
     */
-  private[graft] def ivfSearch(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private[graft] def ivfSearch(s: SparkSession, dir: String, nprobe: Int,
+      keepCandidates: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val e = withN2(Tables.embeddings(s, dir))
     val centroids = trainedCentroids(s, dir)
-    val index = assignCells(e, centroids)
+    val index = keepCandidates.foldLeft(assignCells(e, centroids))(
+        (idx, keep) => idx.join(keep, Seq("vec_id"), "left_semi"))
       .select($"vec_id", $"embedding", sqrt($"n2").as("nrm"), $"cell")
     // each probe searches its nprobe closest cells (probe set bounded by
     // probePredicate — the broadcast probe-cell pairs are ≤ MaxProbes·nprobe)
@@ -633,6 +656,7 @@ object VectorQueries {
     "q138_pq_adc_search" -> (q138PqAdcSearch _),
     "q140_ivf_pq_search" -> (q140IvfPqSearch _),
     "q148_ann_index_roundtrip" -> (q148AnnIndexRoundtrip _),
+    "q149_filtered_ann" -> (q149FilteredAnn _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q54_ivf_search" -> (q54IvfSearch _),
@@ -921,6 +945,24 @@ object VectorQueries {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |  ORDER BY sim DESC, id_a, id_b LIMIT 20
          |)""".stripMargin,
+    // q54 with the candidate keep-list applied BEFORE scoring (pre-filter)
+    "q149_filtered_ann" ->
+      s"""WITH $kmeansCtes, $ivfAssignCte, $ivfProbeCellsCte, keep AS (
+         |  SELECT doc_id AS vec_id FROM documents
+         |  WHERE lang = 'en' AND n_chars >= 200
+         |), scored AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |    list_dot_product(pc.p_emb, a.emb) / (sqrt(pc.p_n2) * sqrt(a.n2)) AS sim
+         |  FROM pc JOIN assign a ON pc.cell = a.cell
+         |  JOIN keep k ON k.vec_id = a.vec_id
+         |  WHERE a.vec_id != pc.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q54_ivf_search" ->
       s"""WITH $kmeansCtes, $ivfAssignCte, $ivfProbeCellsCte, scored AS (
          |  SELECT pc.probe_id, a.vec_id,

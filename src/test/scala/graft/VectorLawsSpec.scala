@@ -117,4 +117,24 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(Seq("centroids", "cells", "codes", "codebook_0", "codebook_3")
       .forall(parts.contains), s"missing artifacts in $parts")
   }
+
+  test("q149 filtered ANN: results satisfy the predicate; agrees with q54 on kept ids") {
+    import spark.implicits._
+    val keep = Tables.documents(spark, sf)
+      .filter($"lang" === "en" && $"n_chars" >= 200)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val filtered = vector.VectorQueries.q149FilteredAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(filtered.nonEmpty)
+    assert(filtered.forall { case (_, _, id, _) => keep(id) }) // pre-filter held
+    // consistency: any kept id q54 already ranked must appear in q149 at
+    // least as early (same probed cells, same scoring, smaller candidate set)
+    val unfiltered = vector.VectorQueries.q54IvfSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val fRank = filtered.map { case (p, rk, id, _) => (p, id) -> rk }.toMap
+    for ((p, rk, id, _) <- unfiltered if keep(id)) {
+      assert(fRank.get((p, id)).exists(_ <= rk),
+        s"probe $p: kept id $id ranked $rk unfiltered but ${fRank.get((p, id))} filtered")
+    }
+  }
 }
