@@ -347,7 +347,47 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
+  /** Distribution-drift report: population stability index of each
+    * source's document-length distribution against the whole corpus —
+    * the standard training-data health metric (PSI > 0.2 is the classic
+    * "investigate" bar) a pipeline runs per ingest batch to catch a
+    * source whose content shifted. Fixed equal-width bins with add-one
+    * smoothing (a zero bin would make the log-ratio singular); the grid
+    * join restores empty (source, bin) cells so every PSI sums over the
+    * SAME six bins.
+    *
+    * Scale shape: one corpus scan collapsing to (source × 6 bins) counts
+    * — everything after the first groupBy is arithmetic over a
+    * sources-sized relation with broadcast joins (the totals are 20, 6,
+    * and 1 rows). The probabilities divide identical integers in both
+    * engines, so only the final 6-term sum needs the round(4) guard.
+    */
+  def q150DriftPsi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"source", least(expr("n_chars div 100"), lit(5L)).as("bin"))
+    val grid = docs.select($"source").distinct()
+      .crossJoin(broadcast(s.range(6).select($"id".as("bin"))))
+    val full = grid.join(
+        docs.groupBy($"source", $"bin").agg(count(lit(1)).as("c")),
+        Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+    val ns = full.groupBy($"source").agg(sum($"c").as("n_s"))
+    val cb = full.groupBy($"bin").agg(sum($"c").as("c_b"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val q = ($"c" + 1).cast("double") / ($"n_s" + 6)
+    val p = ($"c_b" + 1).cast("double") / ($"n" + 6)
+    full.join(broadcast(ns), "source").join(broadcast(cb), "bin")
+      .crossJoin(broadcast(tot))
+      .groupBy($"source")
+      .agg(
+        round(sum((q - p) * log(q / p)), 4).as("psi"),
+        max($"n_s").cast("long").as("n_docs"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_drift_psi" -> (q150DriftPsi _),
     "q139_corpus_shuffle" -> (q139CorpusShuffle _),
     "q128_zipf_fit" -> (q128ZipfFit _),
     "q111_padding_waste" -> (q111PaddingWaste _),
@@ -362,6 +402,31 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer divisions feed ln in both engines; the grid CTE
+    // restores empty (source, bin) cells exactly like the Spark side
+    "q150_drift_psi" ->
+      """WITH d AS (
+        |  SELECT source, least(n_chars // 100, 5) AS bin FROM documents
+        |), grid AS (
+        |  SELECT DISTINCT source, u.b AS bin FROM d, UNNEST(range(0, 6)) AS u(b)
+        |), c AS (
+        |  SELECT source, bin, count(*) AS c FROM d GROUP BY source, bin
+        |), f AS (
+        |  SELECT g.source, g.bin, COALESCE(c.c, 0) AS c
+        |  FROM grid g LEFT JOIN c ON g.source = c.source AND g.bin = c.bin
+        |), ns AS (SELECT source, sum(c) AS n_s FROM f GROUP BY source),
+        |cb AS (SELECT bin, sum(c) AS c_b FROM f GROUP BY bin),
+        |tot AS (SELECT count(*) AS n FROM d)
+        |SELECT f.source,
+        |  round(sum(
+        |    (CAST(f.c + 1 AS DOUBLE) / (ns.n_s + 6)
+        |      - CAST(cb.c_b + 1 AS DOUBLE) / (tot.n + 6))
+        |    * ln((CAST(f.c + 1 AS DOUBLE) / (ns.n_s + 6))
+        |      / (CAST(cb.c_b + 1 AS DOUBLE) / (tot.n + 6)))), 4) AS psi,
+        |  CAST(max(ns.n_s) AS BIGINT) AS n_docs
+        |FROM f JOIN ns ON f.source = ns.source JOIN cb ON f.bin = cb.bin
+        |CROSS JOIN tot
+        |GROUP BY f.source ORDER BY f.source""".stripMargin,
     "q139_corpus_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

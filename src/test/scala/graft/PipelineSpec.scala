@@ -66,6 +66,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(res(200L) == (0L, 0L), s"disjoint eval doc must be clean: $res")
   }
 
+  test("q150 PSI is non-negative for every source (each term has matching signs)") {
+    import spark.implicits._
+    val psi = graft.text.PipelineQueries.q150DriftPsi(spark, sf)
+    val n = Tables.documents(spark, sf).select($"source").distinct().count()
+    assert(psi.count() == n) // every source reported
+    // (q−p)·ln(q/p) ≥ 0 term-wise, so a negative PSI means the arithmetic broke
+    assert(psi.filter($"psi" < 0).count() == 0)
+    assert(psi.filter($"psi" > 0).count() > 0, "sources differ from the corpus mix")
+  }
+
   test("q141 scores every doc, ce >= 0, and n_bigrams = max(n_tokens - 1, 1)") {
     import spark.implicits._
     val scored = graft.text.TextQueries.q141DocPerplexity(spark, sf)
