@@ -10,6 +10,13 @@ case class Event(ts: java.sql.Timestamp, user_id: Long, event_type: String, valu
 /** Running per-user totals emitted by [[StreamingOps.runningUserTotals]]. */
 case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
+/** One closed session emitted by [[StreamingOps.sessionExamplesStream]]:
+  * q146's (prefix-session, next-action label) example shape, streaming. */
+case class SessionExample(user_id: Long, start_ms: Long, n_events: Long, label: String)
+
+/** In-flight session state for [[StreamingOps.sessionExamplesStream]]. */
+case class SessState(startMs: Long, lastMs: Long, n: Long, lastType: String)
+
 /** Structured Streaming surface (SURVEY §2.10 extension): windowed
   * aggregation, sessionization, watermark-based late-data handling,
   * arbitrary-state operators, and a stream-stream interval join.
@@ -181,6 +188,65 @@ object StreamingOps {
             if (c % n == 0) out += ((uid, c))
           }
           state.update(c)
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of q146's session-example builder, and the one state
+    * pattern the other custom-state ops don't exercise: EVENT-TIME TIMEOUT
+    * eviction. A user's in-flight session lives in state as four numbers;
+    * each closed session emits one (user, session start, size, last-type
+    * label) training example — either because a later event of the same
+    * user arrived past the gap, or because the WATERMARK passed the
+    * session's close (`hasTimedOut`), which is what bounds state on a
+    * user who simply goes away: without the timeout, every idle user
+    * would hold state forever and the store would grow with lifetime
+    * users rather than concurrent activity. A batch whose events arrive
+    * after their session's close has already passed the watermark emits
+    * immediately (`setTimeoutTimestamp` must stay above the watermark).
+    * StreamingSpec asserts stream emissions == the batch gaps-and-islands
+    * result restricted to closed sessions.
+    */
+  def sessionExamplesStream(events: Dataset[Event], gapMinutes: Int = 30,
+      delay: String = "1 hour"): Dataset[SessionExample] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessState]) =>
+          def example(st: SessState) = SessionExample(uid, st.startMs, st.n, st.lastType)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionExample]
+          if (state.hasTimedOut) { // watermark passed the session close
+            out += example(state.get)
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            // event-time order within the batch (arrival order isn't it)
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val ms = e.ts.getTime
+              st match {
+                case null => st = SessState(ms, ms, 1, e.event_type)
+                case s if ms - s.lastMs <= gapMs =>
+                  st = s.copy(lastMs = ms, n = s.n + 1, lastType = e.event_type)
+                case s => // in-batch gap: close and restart
+                  out += example(s)
+                  st = SessState(ms, ms, 1, e.event_type)
+              }
+            }
+            if (st != null) {
+              val closeAt = st.lastMs + gapMs
+              if (closeAt <= state.getCurrentWatermarkMs()) {
+                out += example(st) // already closed when the batch arrived
+                state.remove()
+              } else {
+                state.update(st)
+                state.setTimeoutTimestamp(closeAt)
+              }
+            }
+          }
           out.iterator
       }
   }

@@ -147,6 +147,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.keySet.subsetOf(counts.filter(_._2 >= 3).keySet))
   }
 
+  test("event-time-timeout sessionization: emissions == batch gaps-and-islands on closed sessions") {
+    import spark.implicits._
+    import graft.streaming.{Event, SessionExample}
+    def at(min: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-03-01T00:00:00Z").plusSeconds(min * 60L))
+    def ev(uid: Long, min: Int, tpe: String) = Event(at(min), uid, tpe, 1.0)
+
+    val source = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark.sqlContext)
+    val q = StreamingOps.sessionExamplesStream(source.toDS(), gapMinutes = 30, delay = "1 hour")
+      .writeStream.format("memory").queryName("sessx_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+
+    // b1: u1 two events in one session; u2 one event
+    source.addData(ev(1, 0, "view"), ev(1, 10, "buy"), ev(2, 5, "view"))
+    q.processAllAvailable()
+    assert(spark.table(q.name).count() == 0) // nothing closed yet
+
+    // b2: u1 at 120min — an in-batch gap for u1 (closes session at 0–10);
+    // the watermark (120 − 60 = 60min) then passes u2's close (5+30=35)
+    source.addData(ev(1, 120, "view"))
+    q.processAllAvailable()
+
+    // b3: far-future watermark driver closes u1's 120min session too
+    source.addData(ev(99, 600, "view"))
+    q.processAllAvailable()
+
+    val got = spark.table(q.name).as[SessionExample].collect()
+      .map(s => (s.user_id, s.start_ms, s.n_events, s.label)).toSet
+    q.stop()
+    val want = Set( // u99's own session is still open — correctly absent
+      (1L, at(0).getTime, 2L, "buy"),
+      (2L, at(5).getTime, 1L, "view"),
+      (1L, at(120).getTime, 1L, "view"))
+    assert(got == want, s"got $got")
+  }
+
   test("stream-stream interval join: streaming (2 micro-batches each side, append) == batch") {
     import spark.implicits._
     // time-ordered split: event time only advances, so the watermark never
