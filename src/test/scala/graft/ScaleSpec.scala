@@ -190,6 +190,20 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q03's only broadcast hint covers the customer dim, never a fact-derived relation") {
+    // VERDICT r7 finding #1: the hint used to wrap orders⋈customer — a
+    // fact-sized relation that grows with the corpus, so the unconditional
+    // broadcast OOMs at 100× instead of degrading to a shuffle join. The
+    // contract: every explicit hint in q03 builds ONLY customer columns.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val analyzed = relational.CoreQueries.q03JoinAggTopk(spark, sf).queryExecution.analyzed
+    val hints = analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.size == 1, s"expected exactly one broadcast hint, got ${hints.size}")
+    val hintCols = hints.head.child.collectLeaves().flatMap(_.output.map(_.name))
+    assert(hintCols.nonEmpty && hintCols.forall(_.startsWith("c_")),
+      s"broadcast hint must cover only customer columns, saw: ${hintCols.mkString(",")}")
+  }
+
   test("AQE skew join: a hot key makes OptimizeSkewedJoin split the partition (skew=true)") {
     import spark.implicits._
     // salting (q52/q109) is the MANUAL skew rewrite; this pins the AUTOMATIC
