@@ -49,19 +49,24 @@ object StreamingOps {
     * under foreachBatch's at-least-once contract: re-applying a batch
     * converges to the same state (the merge is idempotent), which is what
     * makes this sink correct without a transaction log. UpsertSpec asserts
-    * the streamed result equals the one-shot batch merge.
+    * the streamed result equals the one-shot batch merge, and that a batch
+    * over `maxPartitionsPerBatch` fails the query rather than materializing
+    * an unbounded driver list.
     */
-  def cdcUpsertSink(cdc: DataFrame, lakePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  def cdcUpsertSink(cdc: DataFrame, lakePath: String,
+      maxPartitionsPerBatch: Int = 10000): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     cdc.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
       val s = batch.sparkSession
       import s.implicits._
-      val parts = batch.select($"o_year", $"o_month").distinct().collect()
-      // the collect above is metadata-sized BY CONTRACT (a micro-batch
+      // the collect below is metadata-sized BY CONTRACT (a micro-batch
       // touches the partitions its rows live in, bounded by batch span ×
-      // partition granularity); fail loud if a misconfigured source ever
-      // violates that instead of silently materializing a huge driver list
-      require(parts.length <= 10000,
-        s"CDC micro-batch touches ${parts.length} partitions - partition list is no longer metadata-sized")
+      // partition granularity); cap the LIST SIZE inside the query so a
+      // misconfigured source fails loudly before the driver materializes
+      // an unbounded list — limit(cap+1) bounds the collect itself
+      val parts = batch.select($"o_year", $"o_month").distinct()
+        .limit(maxPartitionsPerBatch + 1).collect()
+      require(parts.length <= maxPartitionsPerBatch,
+        s"CDC micro-batch touches > $maxPartitionsPerBatch partitions - partition list is no longer metadata-sized")
       if (parts.nonEmpty) {
         val touched = parts.map(r =>
           $"o_year" === r.getInt(0) && $"o_month" === r.getInt(1)).reduce(_ || _)
@@ -206,6 +211,16 @@ object StreamingOps {
     * immediately (`setTimeoutTimestamp` must stay above the watermark).
     * StreamingSpec asserts stream emissions == the batch gaps-and-islands
     * result restricted to closed sessions.
+    *
+    * Out-of-order handling (ADVICE r7): the carried state and the batch's
+    * events are merged ORDER-INSENSITIVELY — the state interval
+    * [startMs, lastMs] and each event join one sorted gaps-and-islands
+    * fold, so an in-watermark event OLDER than state.lastMs (late arrival
+    * in a later micro-batch) extends the session downward/inward without
+    * rewinding lastMs, and lastType stays the type of the time-maximal
+    * event. A late event chain more than `gap` BEFORE the carried start
+    * correctly forms (and immediately closes) its own earlier session
+    * rather than corrupting the in-flight one.
     */
   def sessionExamplesStream(events: Dataset[Event], gapMinutes: Int = 30,
       delay: String = "1 hour"): Dataset[SessionExample] = {
@@ -223,26 +238,31 @@ object StreamingOps {
             out += example(state.get)
             state.remove()
           } else {
-            var st = state.getOption.orNull
-            // event-time order within the batch (arrival order isn't it)
-            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val ms = e.ts.getTime
-              st match {
-                case null => st = SessState(ms, ms, 1, e.event_type)
-                case s if ms - s.lastMs <= gapMs =>
-                  st = s.copy(lastMs = ms, n = s.n + 1, lastType = e.event_type)
-                case s => // in-batch gap: close and restart
-                  out += example(s)
-                  st = SessState(ms, ms, 1, e.event_type)
+            // state interval + point events, sorted by (start, end): one
+            // gaps-and-islands fold over the union. Islands followed by a
+            // >gap hole are closed by event time regardless of arrival
+            // order; only the time-maximal island stays in flight.
+            val items = state.getOption.toSeq ++
+              it.map(e => SessState(e.ts.getTime, e.ts.getTime, 1, e.event_type))
+            var cur: SessState = null
+            items.sortBy(s => (s.startMs, s.lastMs)).foreach { s =>
+              cur match {
+                case null => cur = s
+                case c if s.startMs - c.lastMs <= gapMs =>
+                  cur = SessState(c.startMs, math.max(c.lastMs, s.lastMs), c.n + s.n,
+                    if (s.lastMs >= c.lastMs) s.lastType else c.lastType)
+                case c => // gap: the earlier island is closed
+                  out += example(c)
+                  cur = s
               }
             }
-            if (st != null) {
-              val closeAt = st.lastMs + gapMs
+            if (cur != null) {
+              val closeAt = cur.lastMs + gapMs
               if (closeAt <= state.getCurrentWatermarkMs()) {
-                out += example(st) // already closed when the batch arrived
+                out += example(cur) // already closed when the batch arrived
                 state.remove()
               } else {
-                state.update(st)
+                state.update(cur)
                 state.setTimeoutTimestamp(closeAt)
               }
             }

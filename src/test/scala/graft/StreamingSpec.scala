@@ -183,6 +183,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("sessionization merges late-but-in-watermark events order-insensitively (ADVICE r7)") {
+    import spark.implicits._
+    import graft.streaming.{Event, SessionExample}
+    def at(min: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-03-01T00:00:00Z").plusSeconds(min * 60L))
+    def ev(uid: Long, min: Int, tpe: String) = Event(at(min), uid, tpe, 1.0)
+
+    val source = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark.sqlContext)
+    val q = StreamingOps.sessionExamplesStream(source.toDS(), gapMinutes = 30, delay = "1 hour")
+      .writeStream.format("memory").queryName("sessoo_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+
+    // b1: u1 [0,10]; u2 [60,60]. Watermark after b1 = 60 − 60 = 0min.
+    source.addData(ev(1, 0, "view"), ev(1, 10, "buy"), ev(2, 60, "view"))
+    q.processAllAvailable()
+
+    // b2, both events strictly inside the watermark (> 0min):
+    //  u1 at 40 — within gap of lastMs=10, extends forward: [0,40], label "end"
+    //  u2 at 35 — OLDER than state.lastMs=60 (cross-batch out-of-order):
+    //   must extend the session DOWNWARD to start 35 and keep label "view"
+    //   (the pre-fix code rewound lastMs to 35 and overwrote the label)
+    source.addData(ev(1, 40, "end"), ev(2, 35, "early"))
+    q.processAllAvailable()
+
+    // far-future watermark closes both in-flight sessions
+    source.addData(ev(99, 600, "view"))
+    q.processAllAvailable()
+
+    val got = spark.table(q.name).as[SessionExample].collect()
+      .map(s => (s.user_id, s.start_ms, s.n_events, s.label)).toSet
+    q.stop()
+    val want = Set(
+      (1L, at(0).getTime, 3L, "end"),
+      (2L, at(35).getTime, 2L, "view"))
+    assert(got == want, s"got $got")
+  }
+
+  test("checkpoint restart: sessionizer state survives stop/resume; output == uninterrupted run") {
+    import spark.implicits._
+    import graft.streaming.{Event, SessionExample}
+    def at(min: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-04-01T00:00:00Z").plusSeconds(min * 60L))
+    def ev(uid: Long, min: Int, tpe: String) = Event(at(min), uid, tpe, 1.0)
+    val b1 = Seq(ev(1, 0, "view"), ev(1, 10, "buy"), ev(2, 5, "view"))
+    val b2 = Seq(ev(1, 120, "view")) // closes u1's first session via gap
+    val b3 = Seq(ev(99, 600, "end")) // watermark-closes everything else
+
+    // every production stream restarts: the run must resume from the
+    // checkpointed offsets + state store, not recompute or drop sessions
+    def run(interrupt: Boolean): Set[(Long, Long, Long, String)] = {
+      val id = System.nanoTime()
+      val cp = Scratch.path(s"sess_cp_$id")
+      val outDir = Scratch.path(s"sess_out_$id")
+      val source = MemoryStream[Event](
+        implicitly[org.apache.spark.sql.Encoder[Event]], spark.sqlContext)
+      def start() = StreamingOps.sessionExamplesStream(source.toDS())
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", cp)
+        .outputMode(OutputMode.Append()).start()
+      var q = start()
+      source.addData(b1); q.processAllAvailable()
+      if (interrupt) { q.stop(); q = start() } // kill mid-stream, resume from cp
+      source.addData(b2); q.processAllAvailable()
+      if (interrupt) { q.stop(); q = start() }
+      source.addData(b3); q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(outDir).as[SessionExample].collect()
+        .map(s => (s.user_id, s.start_ms, s.n_events, s.label)).toSet
+    }
+
+    val restarted = run(interrupt = true)
+    val clean = run(interrupt = false)
+    assert(restarted == clean, s"restarted $restarted vs clean $clean")
+    // and both equal the batch gaps-and-islands closed sessions
+    assert(clean == Set(
+      (1L, at(0).getTime, 2L, "buy"),
+      (2L, at(5).getTime, 1L, "view"),
+      (1L, at(120).getTime, 1L, "view")))
+  }
+
+  test("checkpoint restart: windowed agg (append) resumes and emits each window exactly once") {
+    import spark.implicits._
+    def ev(min: Int, v: Double) = Ev(Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(min * 60L)), 1L, "a", v)
+    val id = System.nanoTime()
+    val cp = Scratch.path(s"wm_cp_$id")
+    val outDir = Scratch.path(s"wm_out_$id")
+    val source = MemoryStream[Ev](implicitly[org.apache.spark.sql.Encoder[Ev]], spark.sqlContext)
+    def start() = StreamingOps.hourlyTypeCountsStream(source.toDF(), "10 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start()
+    var q = start()
+    source.addData(ev(0, 1.0), ev(30, 2.0)) // hour-0 window open
+    q.processAllAvailable()
+    q.stop(); q = start() // restart with the window still in state
+    source.addData(ev(75, 4.0)) // watermark 65min: hour-0 closes post-restart
+    q.processAllAvailable()
+    q.stop(); q = start()
+    source.addData(ev(130, 8.0)) // closes hour-1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(outDir)
+      .as[(Timestamp, String, Long, Double)].collect().sortBy(_._1.getTime)
+    // exactly-once across restarts: each closed window appears ONCE with
+    // the full pre-restart + post-restart contents
+    assert(rows.length == 2, s"got ${rows.toSeq}")
+    assert(rows(0)._3 == 2L && rows(0)._4 == 3.0)
+    assert(rows(1)._3 == 1L && rows(1)._4 == 4.0)
+  }
+
   test("stream-stream interval join: streaming (2 micro-batches each side, append) == batch") {
     import spark.implicits._
     // time-ordered split: event time only advances, so the watermark never

@@ -130,6 +130,52 @@ class UpsertSpec extends AnyFunSuite {
     assert(state(streamed) == state(ref), "streamed merge must equal the batch merge")
   }
 
+  test("cdc sink replay: re-delivering an already-applied batch leaves the lake state unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // foreachBatch is at-least-once: after a crash between the merge and
+    // the offset commit, the SAME micro-batch is re-delivered on restart.
+    // The sink's correctness claim (StreamingOps.cdcUpsertSink scaladoc)
+    // is that re-applying converges — latest-wins makes the merge
+    // idempotent, so the replayed run must reproduce the state exactly.
+    val path = EtlQueries.upsertLakePath(sf) + "_replay"
+    EtlQueries.writeUpsertBase(spark, sf, path)
+    val cdc = EtlQueries.upsertCdc(spark, sf).as[CdcRow].collect().toSeq
+    def deliver(): Unit = {
+      val source = MemoryStream[CdcRow](
+        implicitly[org.apache.spark.sql.Encoder[CdcRow]], spark.sqlContext)
+      val q = graft.streaming.StreamingOps.cdcUpsertSink(source.toDF(), path).start()
+      try { source.addData(cdc); q.processAllAvailable() } finally q.stop()
+    }
+    def state(): Seq[String] =
+      spark.read.parquet(path)
+        .select($"o_orderkey", $"o_orderstatus", round($"o_totalprice", 2))
+        .collect().map(_.toString).sorted.toSeq
+    deliver()
+    val first = state()
+    deliver() // full re-delivery of the same batch
+    assert(state() == first, "replayed batch must converge to the same lake state")
+  }
+
+  test("cdc sink fails loudly when a batch exceeds the partition-list cap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    // 5 distinct (o_year, o_month) partitions against a cap of 3: the sink
+    // must fail the query instead of materializing an unbounded driver list
+    val rows = (1 to 5).map(m => CdcRow(m.toLong, 1L, "U", 1.0,
+      java.time.LocalDateTime.of(1997, m, 1, 0, 0), "P", 1997, m))
+    val source = MemoryStream[CdcRow](
+      implicitly[org.apache.spark.sql.Encoder[CdcRow]], spark.sqlContext)
+    val q = graft.streaming.StreamingOps.cdcUpsertSink(
+      source.toDF(), EtlQueries.upsertLakePath(sf) + "_cap", maxPartitionsPerBatch = 3).start()
+    val ex = intercept[Exception] {
+      try { source.addData(rows); q.processAllAvailable() } finally q.stop()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(messages.contains("metadata-sized"), s"unexpected failure: $messages")
+  }
+
   test("q137 compaction: fragmented partitions collapse to one file each, content invariant") {
     assert(EtlQueries.q137Compaction(spark, sf).collect().nonEmpty)
     def filesPerDir(root: String): Map[String, Int] = {
