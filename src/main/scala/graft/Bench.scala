@@ -32,11 +32,19 @@ object Bench {
     Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly", "q40_corpus_clean")
       .foreach(q => run(SparkEntry.queries(q)(spark, warmDir)))
     // failed queries report -1 (never a plausible elapsed time) and land in
-    // "errors" — a regression must not masquerade as a fast success
+    // "errors" — a regression must not masquerade as a fast success.
+    // Min-of-N (N=2): single-run timings drifted +25% round-over-round on
+    // untouched code (VERDICT r7 #2) — environment noise, not plan changes.
+    // The min of two runs is the steady-state cost of the PLAN (what a
+    // regression gate needs); it costs ~2× bench wall-time.
+    val reps = 2
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     // The harness keeps only the last ~2000 chars of output and parses one
     // JSON line out of it. Full query names at ns precision overflow that
@@ -59,10 +67,13 @@ object Bench {
     val qs = results.map { case (k, v) =>
       "\"" + short(k) + "\":" + fmt(v, if (v >= 1.0 || v < 0) 1 else 2)
     }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
-      .mkString("[", ",", "]")
+    // "errors" appears only when non-empty — saves line chars against the
+    // driver's 2000-char parse window in the (normal) all-green case
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + short(k) + "\"" }
+    val errs = if (failed.isEmpty) ""
+      else failed.mkString(""","errors":[""", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$errs,"sf":"$sfDir"}""")
   }
 }
