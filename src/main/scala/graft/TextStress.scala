@@ -26,8 +26,12 @@ object TextStress {
 
     val dir10 = Scratch.path("stress10x_" + Scratch.tag(sfDir))
     val docs = Tables.documents(spark, sfDir)
+    // offset by the corpus's own id span — a hard-coded constant silently
+    // collides ids (skewing dedup-sensitive numbers) once any corpus has
+    // doc_id past it (ADVICE r7)
+    val span = docs.agg(max($"doc_id")).head.getLong(0) + 1L
     (0 until 10)
-      .map(i => docs.withColumn("doc_id", $"doc_id" + i * 10000000L))
+      .map(i => docs.withColumn("doc_id", $"doc_id" + i * span))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir10/documents.parquet")
 

@@ -724,16 +724,30 @@ object AdvancedQueries {
     * by construction (one row per day: a century of telemetry is ~4·10⁴
     * rows), not data-bounded — the documented-bound case where the
     * single-task window is the correct plan at any corpus scale
-    * (VERDICT r6 #6; q68/q128 carry the data-dependent guards).
+    * (VERDICT r6 #6; q68/q128 carry the data-dependent guards). The guard
+    * below makes the calendar bound fail LOUDLY if it ever erodes (a
+    * sub-daily grain slipping into the groupBy key is the realistic
+    * erosion): row_number over the SAME ordering rides the existing
+    * WindowExec pass — zero extra sort — and raise_error aborts past
+    * MaxWindowDays instead of quietly single-task-sorting a data-sized
+    * relation.
     */
+  private[graft] val MaxWindowDays = 100000L // ~270 years of daily rows
+
   def q120MovingAvg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.orderBy($"d").rowsBetween(-6, 0)
     graft.Tables.events(s, dir)
       .groupBy(to_date($"ts").as("d"))
       .agg(count(lit(1)).as("n"))
+      .withColumn("_rn", row_number().over(Window.orderBy($"d")).cast("long"))
       .select(
-        date_format($"d", "yyyy-MM-dd").as("day"), $"n",
+        date_format($"d", "yyyy-MM-dd").as("day"),
+        when($"_rn" <= MaxWindowDays, $"n")
+          .otherwise(raise_error(concat(
+            lit(s"q120: daily series exceeded the calendar bound $MaxWindowDays at row "),
+            $"_rn".cast("string"))).cast("long"))
+          .as("n"),
         round(avg($"n").over(w), 2).as("ma7"),
         count(lit(1)).over(w).as("window_n"))
       .orderBy($"day")
