@@ -356,12 +356,15 @@ object VectorQueries {
   private[graft] val PqSubDim = 16 // 64 dims / 4 subspaces
   private[graft] val PqIters = 1
 
-  /** Subspace m of the corpus: 16-dim slices with their own n2. */
-  private def subspace(s: SparkSession, dir: String, m: Int): DataFrame = {
-    import s.implicits._
-    withN2(Tables.embeddings(s, dir)
-      .select($"vec_id", slice($"embedding", m * PqSubDim + 1, PqSubDim).as("embedding")))
+  /** Subspace m of a (vec_id, embedding) relation: 16-dim slices + n2. */
+  private def subspaceOf(df: DataFrame, m: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    withN2(df.select($"vec_id", slice($"embedding", m * PqSubDim + 1, PqSubDim).as("embedding")))
   }
+
+  /** Subspace m of the corpus: 16-dim slices with their own n2. */
+  private def subspace(s: SparkSession, dir: String, m: Int): DataFrame =
+    subspaceOf(Tables.embeddings(s, dir), m)
 
   /** Product quantization + asymmetric-distance (ADC) search — the
     * compression standard behind IVF-PQ (Jégou et al. '11): split vectors
@@ -486,25 +489,65 @@ object VectorQueries {
     * compressed scan q138 argues). Oracle: q140's — identical by
     * construction, which is the point.
     */
-  def q148AnnIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val root = graft.Scratch.path("annindex_" + graft.Scratch.tag(dir))
-    // ---- build: train + persist every artifact ----
-    val e = withN2(Tables.embeddings(s, dir))
-    trainedCentroids(s, dir).write.mode("overwrite").parquet(s"$root/centroids")
-    val cents = s.read.parquet(s"$root/centroids")
-    assignCells(e, cents).select($"vec_id", $"cell")
-      .write.mode("overwrite").parquet(s"$root/cells")
+  /** Index root for q148/q151 artifacts — scoped by data dir AND process id
+    * so concurrent JVMs (a bench run next to a test suite, ADVICE r7)
+    * cannot overwrite each other's artifacts mid-read; within one process,
+    * query execution is serial, which is the single-writer contract.
+    */
+  private[graft] def annIndexRoot(dir: String): String =
+    graft.Scratch.path(
+      s"annindex_${graft.Scratch.tag(dir)}_p${ProcessHandle.current().pid()}")
+
+  /** Build half of the persisted index: Lloyd-train the coarse quantizer
+    * and the four PQ codebooks over `raw` and write them under `root`.
+    * Training is the expensive, corpus-scan part — the thing incremental
+    * maintenance (q151) exists to NOT repeat per batch.
+    */
+  private[graft] def trainIndexArtifacts(s: SparkSession, root: String, raw: DataFrame): Unit = {
+    lloyd(withN2(raw), IvfIters).write.mode("overwrite").parquet(s"$root/centroids")
     (0 until PqSubspaces).foreach { m =>
-      lloyd(subspace(s, dir, m), PqIters)
+      lloyd(subspaceOf(raw, m), PqIters)
         .write.mode("overwrite").parquet(s"$root/codebook_$m")
     }
+  }
+
+  /** Coding half: assign `raw` to the PERSISTED centroids and codebooks
+    * (read back from `root` — no retraining) and write (vec_id, cell) +
+    * (vec_id, m, code) rows in `mode`. With mode=append this IS the
+    * incremental index update: per-batch cost is one broadcast-assign pass
+    * over the batch, corpus-independent.
+    */
+  private[graft] def codeIntoIndex(s: SparkSession, root: String, raw: DataFrame,
+      mode: String): Unit = {
+    import s.implicits._
+    assignCells(withN2(raw), s.read.parquet(s"$root/centroids"))
+      .select($"vec_id", $"cell")
+      .write.mode(mode).parquet(s"$root/cells")
     (0 until PqSubspaces).map { m =>
-        assignCells(subspace(s, dir, m), s.read.parquet(s"$root/codebook_$m"))
+        assignCells(subspaceOf(raw, m), s.read.parquet(s"$root/codebook_$m"))
           .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
       }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$root/codes")
+      .write.mode(mode).parquet(s"$root/codes")
+  }
+
+  def q148AnnIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = annIndexRoot(dir)
+    // ---- build: train + persist every artifact ----
+    val raw = Tables.embeddings(s, dir)
+    trainIndexArtifacts(s, root, raw)
+    codeIntoIndex(s, root, raw, "overwrite")
     // ---- serve: artifacts + probe vectors only ----
+    serveFromArtifacts(s, dir, root)
+  }
+
+  /** Serve half shared by q148/q151: answer the q140 search reading ONLY
+    * the artifacts under `root` plus the probe vectors.
+    */
+  private[graft] def serveFromArtifacts(s: SparkSession, dir: String, root: String): DataFrame = {
+    import s.implicits._
+    val e = withN2(Tables.embeddings(s, dir))
+    val cents = s.read.parquet(s"$root/centroids")
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
     val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
@@ -539,6 +582,44 @@ object VectorQueries {
       .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
         $"col._2".as("vec_id"), round(-$"col._1", 4).as("adc"))
       .orderBy($"probe_id", $"rank")
+  }
+
+  // ---- q151: incremental maintenance of the persisted index -------------
+
+  /** The new-arrivals slice a production vector store ingests daily —
+    * disjoint from the Lloyd seeds (vec_id < 8) and the probe set
+    * (vec_id % 100 == 0), so training and querying are unaffected by
+    * whether these rows were present at build time.
+    */
+  private[graft] def isIncrement(vecId: Column): Column = vecId % 10 === 9
+  private val IncrementWhere = "WHERE vec_id % 10 != 9"
+
+  /** Incremental ANN index update — what a production vector store does
+    * daily (VERDICT r7 missing #3): the q148 index is TRAINED once on the
+    * base corpus; a later batch of new vectors is assigned to the EXISTING
+    * centroids and coded against the EXISTING codebooks — one broadcast
+    * pass over the batch, cost ∝ batch size, corpus-independent — and
+    * APPENDED to the cells/codes artifacts (immutable data files, the
+    * q135 lake discipline). The serve path then answers over base ∪
+    * increment. Mirrors q67's incremental dedup: only the increment is
+    * processed, nothing is retrained or rewritten. VectorLawsSpec asserts
+    * the appended index serves IDENTICALLY to a full one-shot re-code of
+    * the corpus against the same trained artifacts; the oracle replays
+    * base-only training + full-corpus coding in SQL. (Centroid DRIFT
+    * handling — retrain when batch distribution shifts, detectable via
+    * q150's PSI — is the scheduled maintenance pass on top, out of scope
+    * for the per-batch path.)
+    */
+  def q151IncrementalAnnUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = annIndexRoot(dir) + "_incr"
+    val raw = Tables.embeddings(s, dir)
+    // build: train + code the BASE only (the state before the batch lands)
+    trainIndexArtifacts(s, root, raw.filter(!isIncrement($"vec_id")))
+    codeIntoIndex(s, root, raw.filter(!isIncrement($"vec_id")), "overwrite")
+    // incremental update: the new batch against the persisted artifacts
+    codeIntoIndex(s, root, raw.filter(isIncrement($"vec_id")), "append")
+    serveFromArtifacts(s, dir, root)
   }
 
   /** Per-label centroid components — the embedding-analytics op a labeled
@@ -657,6 +738,7 @@ object VectorQueries {
     "q140_ivf_pq_search" -> (q140IvfPqSearch _),
     "q148_ann_index_roundtrip" -> (q148AnnIndexRoundtrip _),
     "q149_filtered_ann" -> (q149FilteredAnn _),
+    "q151_incremental_ann" -> (q151IncrementalAnnUpdate _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q54_ivf_search" -> (q54IvfSearch _),
@@ -682,12 +764,13 @@ object VectorQueries {
     * `.cast("float")`) and re-widened for the next round's double dots.
     * Empty cells coalesce to the previous centroid, as in Scala.
     */
-  private def kmeansCtesFor(p: String, sliceSql: String, iters: Int): String = {
+  private def kmeansCtesFor(p: String, sliceSql: String, iters: Int,
+      where: String = ""): String = {
     val init =
       s"""${p}emb0 AS (
          |  SELECT vec_id, $sliceSql AS emb,
          |    list_dot_product($sliceSql, $sliceSql) AS n2
-         |  FROM embeddings
+         |  FROM embeddings $where
          |), ${p}c0 AS (
          |  SELECT CAST(vec_id AS BIGINT) AS cell, emb AS ce, n2 AS cn2
          |  FROM ${p}emb0 WHERE vec_id < $IvfCells
@@ -994,9 +1077,84 @@ object VectorQueries {
         |) ORDER BY label, dim""".stripMargin,
   )
 
+  /** q151's oracle: the q140 replay with TRAINING restricted to the base
+    * corpus (the increment excluded, exactly like the Scala build half)
+    * and assignment/coding/probing over ALL vectors — so a wrong append
+    * (missed rows, re-trained centroids, double-coded batch) breaks the
+    * hash. Chains are prefixed b/u0..u3 to keep them disjoint from the
+    * q140 CTE names.
+    */
+  private lazy val q151Oracle: String = {
+    val bChain = kmeansCtesFor("b", "CAST(embedding AS DOUBLE[])", IvfIters, IncrementWhere)
+    val subChains = (0 until PqSubspaces).map { m =>
+      val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+      kmeansCtesFor(s"u$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters, IncrementWhere)
+    }.mkString(", ")
+    val aemb =
+      """aemb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS n2
+        |  FROM embeddings
+        |)""".stripMargin
+    val assign =
+      s"""assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
+         |    FROM aemb e CROSS JOIN bc$IvfIters c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    val pc =
+      s"""pc AS (
+         |  SELECT probe_id, cell FROM (
+         |    SELECT p.vec_id AS probe_id, c.cell,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")}, c.cell) AS rn
+         |    FROM aemb p CROSS JOIN bc$IvfIters c
+         |    WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
+         |  ) WHERE rn <= 2
+         |)""".stripMargin
+    val subRels = (0 until PqSubspaces).map { m =>
+      val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+      val sl = s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]"
+      s"""a${m}emb AS (
+         |  SELECT vec_id, $sl AS emb, list_dot_product($sl, $sl) AS n2
+         |  FROM embeddings
+         |), code$m AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
+         |    FROM a${m}emb e CROSS JOIN u${m}c$PqIters c
+         |  ) WHERE rn = 1
+         |), lut$m AS (
+         |  SELECT p.vec_id AS probe_id, c.cell,
+         |    ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")} AS pd2
+         |  FROM a${m}emb p CROSS JOIN u${m}c$PqIters c
+         |  WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $bChain, $subChains, $aemb, $assign, $pc, $subRels, scored AS (
+       |  SELECT pc.probe_id, a.vec_id,
+       |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
+       |  FROM pc
+       |  JOIN assign a ON pc.cell = a.cell
+       |${adcJoinSql("a.vec_id", "pc.probe_id")}
+       |  WHERE a.vec_id != pc.probe_id
+       |), ranked AS (
+       |  SELECT probe_id, vec_id, adc,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, rank, vec_id, round(adc, 4) AS adc
+       |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
+
   // q148 answers the SAME search as q140, from persisted artifacts — the
   // oracle is q140's by construction; any serialization drift in an
   // artifact shifts a code or ADC term and breaks this compare
   val oracles: Map[String, String] =
-    baseOracles + ("q148_ann_index_roundtrip" -> baseOracles("q140_ivf_pq_search"))
+    baseOracles + ("q148_ann_index_roundtrip" -> baseOracles("q140_ivf_pq_search")) +
+      ("q151_incremental_ann" -> q151Oracle)
 }

@@ -112,10 +112,31 @@ class VectorLawsSpec extends AnyFunSuite {
     val inMemory = rows(vector.VectorQueries.q140IvfPqSearch(spark, sf))
     assert(fromArtifacts == inMemory) // parquet roundtrip of every artifact is value-exact
     assert(fromArtifacts.nonEmpty)
-    val root = new java.io.File(Scratch.path("annindex_" + Scratch.tag(sf)))
+    val root = new java.io.File(vector.VectorQueries.annIndexRoot(sf))
     val parts = root.listFiles().map(_.getName).toSet
     assert(Seq("centroids", "cells", "codes", "codebook_0", "codebook_3")
       .forall(parts.contains), s"missing artifacts in $parts")
+  }
+
+  test("q151 incremental append serves identically to a full re-code against the same artifacts") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val incremental = rows(vector.VectorQueries.q151IncrementalAnnUpdate(spark, sf))
+    assert(incremental.nonEmpty)
+    // the batch really is in the served index: cells/codes cover the corpus
+    val root = vector.VectorQueries.annIndexRoot(sf) + "_incr"
+    val n = Tables.embeddings(spark, sf).count()
+    assert(spark.read.parquet(s"$root/cells").count() == n)
+    assert(spark.read.parquet(s"$root/codes").count() == n * 4)
+    // full rebuild of the CODE tables: same base-trained quantizers, the
+    // whole corpus assigned+coded in one overwrite — must serve byte-equal
+    val root2 = vector.VectorQueries.annIndexRoot(sf) + "_rebuild"
+    val raw = Tables.embeddings(spark, sf)
+    vector.VectorQueries.trainIndexArtifacts(spark, root2, raw.filter($"vec_id" % 10 =!= 9))
+    vector.VectorQueries.codeIntoIndex(spark, root2, raw, "overwrite")
+    val rebuilt = rows(vector.VectorQueries.serveFromArtifacts(spark, sf, root2))
+    assert(incremental == rebuilt)
   }
 
   test("q149 filtered ANN: results satisfy the predicate; agrees with q54 on kept ids") {
