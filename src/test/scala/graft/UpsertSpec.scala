@@ -199,6 +199,71 @@ class UpsertSpec extends AnyFunSuite {
       Tables.orders(spark, sf).filter(year($"o_orderdate") === 1997).count())
   }
 
+  test("optimistic concurrency: a losing writer detects the conflict, rebases, and no update is lost") {
+    import spark.implicits._
+    def clean(root: String): Unit = {
+      val d = new java.io.File(root)
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => p.toFile.delete())
+      }
+    }
+    // manifests 3/4 from a previous run of THIS test would survive in
+    // scratch and shift currentVersion — start from a clean lake
+    val out = EtlQueries.versionedLakePath(sf) + "_occ"
+    clean(out)
+    EtlQueries.commitVersions(spark, sf, out) // v1 (base) + v2 (merged) exist
+    assert(EtlQueries.currentVersion(out) == 2)
+    // two writers' APPENDS: immutable data files written up front — only
+    // the manifest publish is contended
+    Seq((900000001L, "A")).toDF("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$out/data/occA")
+    Seq((900000002L, "B"), (900000003L, "B")).toDF("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$out/data/occB")
+    val filesA = EtlQueries.dataFiles(s"$out/data/occA")
+    val filesB = EtlQueries.dataFiles(s"$out/data/occB")
+    assert(filesA.nonEmpty && filesB.nonEmpty)
+
+    // a stale CAS from an old snapshot must fail, not clobber: writer A
+    // already advanced 2 → 3, so B's publish of 3 conflicts
+    val v3 = EtlQueries.casCommit(out, 2,
+      EtlQueries.readManifest(s"$out/manifests/2") ++ filesA)
+    assert(v3 == 3)
+    intercept[EtlQueries.CommitConflictException] {
+      EtlQueries.casCommit(out, 2, EtlQueries.readManifest(s"$out/manifests/2") ++ filesB)
+    }
+    // manifest 3 is exactly A's commit — B's failed CAS left no trace
+    assert(EtlQueries.readManifest(s"$out/manifests/3").toSet ==
+      (EtlQueries.readManifest(s"$out/manifests/2") ++ filesA).toSet)
+
+    // the retry loop: B prepares from v2, loses the race to a writer that
+    // commits mid-flight, rebases onto the winner's snapshot, commits v+1
+    val occOut = EtlQueries.versionedLakePath(sf) + "_occ2"
+    clean(occOut)
+    EtlQueries.commitVersions(spark, sf, occOut)
+    var interleaved = false
+    val prepared = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val vB = EtlQueries.commitWithRetry(occOut) { base =>
+      prepared += base
+      val mine = EtlQueries.readManifest(s"$occOut/manifests/$base") ++ filesB
+      if (!interleaved) { // writer A sneaks in between B's prepare and CAS
+        interleaved = true
+        EtlQueries.casCommit(occOut, base,
+          EtlQueries.readManifest(s"$occOut/manifests/$base") ++ filesA)
+      }
+      mine
+    }
+    assert(prepared.toSeq == Seq(2, 3), s"expected a rebase, prepared from $prepared")
+    assert(vB == 4)
+    val m4 = EtlQueries.readManifest(s"$occOut/manifests/4").toSet
+    assert(filesA.toSet.subsetOf(m4) && filesB.toSet.subsetOf(m4),
+      "the final snapshot must contain BOTH writers' updates")
+    // and the committed snapshot is readable with both appends present
+    val v4 = EtlQueries.readVersion(spark, occOut, 4)
+    assert(v4.filter($"o_orderkey" >= 900000001L).count() == 3)
+  }
+
   test("vacuum deletes only files below the retention horizon; kept versions stay readable") {
     val out = EtlQueries.versionedLakePath(sf) + "_vac"
     EtlQueries.commitVersions(spark, sf, out)
