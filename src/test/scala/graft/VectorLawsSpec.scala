@@ -134,7 +134,7 @@ class VectorLawsSpec extends AnyFunSuite {
     val root2 = vector.VectorQueries.annIndexRoot(sf) + "_rebuild"
     val raw = Tables.embeddings(spark, sf)
     vector.VectorQueries.trainIndexArtifacts(spark, root2, raw.filter($"vec_id" % 10 =!= 9))
-    vector.VectorQueries.codeIntoIndex(spark, root2, raw, "overwrite")
+    vector.VectorQueries.codeIntoIndex(spark, root2, raw, "full")
     val rebuilt = rows(vector.VectorQueries.serveFromArtifacts(spark, sf, root2))
     assert(incremental == rebuilt)
   }
