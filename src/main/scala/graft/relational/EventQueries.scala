@@ -162,6 +162,26 @@ object EventQueries {
       .orderBy($"event_id", $"p_ts_s")
   }
 
+  /** Batch twin of the stream-stream LEFT OUTER interval join
+    * ([[graft.streaming.StreamingOps.errorsWithRecentPurchasesOuter]]):
+    * q53's relation plus one null-extended row per error with no purchase
+    * in its preceding hour — the rows the inner join drops and an
+    * attribution pipeline most wants. StreamingSpec asserts stream ≡ batch
+    * (outer rows emit once the watermark proves no match can arrive);
+    * this twin puts the null semantics under the DuckDB hash.
+    */
+  def q152OuterJoinTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", date_trunc("second", $"ts").as("ts"))
+    val errors = ev.filter($"event_type" === "error").select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase").select($"user_id", $"ts")
+    graft.streaming.StreamingOps.errorsWithRecentPurchasesOuter(errors, purchases)
+      .select($"event_id", $"user_id",
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("p_ts_s"))
+      .orderBy($"event_id", $"p_ts_s")
+  }
+
   /** Batch twin of the bounded-state streaming dedup
     * ([[graft.streaming.StreamingOps.dedupedEvents]]). Spark rejects
     * `dropDuplicatesWithinWatermark` on batch plans, so the twin is the
@@ -429,6 +449,7 @@ object EventQueries {
     "q29_stream_hourly_twin" -> (q29StreamHourlyTwin _),
     "q51_range_join" -> (q51RangeJoin _),
     "q53_stream_join_twin" -> (q53StreamJoinTwin _),
+    "q152_outer_join_twin" -> (q152OuterJoinTwin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -598,6 +619,15 @@ object EventQueries {
         |p AS (SELECT user_id, ts AS p_ts FROM ev WHERE event_type = 'purchase')
         |SELECT e.event_id, e.user_id, strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s
         |FROM err e JOIN p ON e.user_id = p.user_id
+        |  AND p.p_ts > e.ts - INTERVAL 1 HOUR AND p.p_ts <= e.ts
+        |ORDER BY e.event_id, p_ts_s""".stripMargin,
+    "q152_outer_join_twin" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts FROM events
+        |), err AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+        |p AS (SELECT user_id, ts AS p_ts FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s
+        |FROM err e LEFT JOIN p ON e.user_id = p.user_id
         |  AND p.p_ts > e.ts - INTERVAL 1 HOUR AND p.p_ts <= e.ts
         |ORDER BY e.event_id, p_ts_s""".stripMargin,
     // The oracle states the range join directly (DuckDB plans an IEJoin);

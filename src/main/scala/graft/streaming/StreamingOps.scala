@@ -147,6 +147,28 @@ object StreamingOps {
         col("p.ts").as("p_ts"))
   }
 
+  /** Stream-stream interval LEFT OUTER join — the attribution shape the
+    * inner variant silently gets wrong: the unmatched errors are usually
+    * the interesting rows, and an inner join drops exactly those. Same
+    * watermark + time-bound state eviction as
+    * [[errorsWithRecentPurchases]]; the null-extended row for an unmatched
+    * error can only emit once the watermark proves no matching purchase
+    * can still arrive, so outer results trail inner ones by the horizon —
+    * the price of exactly-once null semantics on an unbounded stream. In
+    * batch mode the watermarks are no-ops and this is a plain left-outer
+    * range join (q152's oracle-verified twin).
+    */
+  def errorsWithRecentPurchasesOuter(errors: DataFrame, purchases: DataFrame,
+      delay: String = "1 hour"): DataFrame = {
+    val e = errors.withWatermark("ts", delay).alias("e")
+    val p = purchases.withWatermark("ts", delay).alias("p")
+    e.join(p, expr(
+        "e.user_id = p.user_id AND p.ts > e.ts - interval 1 hour AND p.ts <= e.ts"),
+        "left_outer")
+      .select(col("e.event_id").as("event_id"), col("e.user_id").as("user_id"),
+        col("p.ts").as("p_ts"))
+  }
+
   /** Stream-static enrichment join: the streaming fact joined to a static
     * dimension. STATELESS — unlike the stream-stream join above there is
     * no watermark and no join state; the static side is planned as a fixed

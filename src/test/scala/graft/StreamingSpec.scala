@@ -328,6 +328,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("left-outer interval join: unmatched errors emit nulls once the watermark proves no match") {
+    import spark.implicits._
+    def at(min: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-07-01T00:00:00Z").plusSeconds(min * 60L))
+    // u1's error has a purchase 20min before (match); u2's has none (the
+    // row an inner join drops). Sentinels (ids >= 90) push the watermark
+    // far past both errors' horizons so the null-extended row can emit.
+    val errs = Seq((1L, 1L, at(30)), (2L, 2L, at(40)))
+    val purs = Seq((1L, at(10)))
+
+    val se = MemoryStream[(Long, Long, Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long, Timestamp)]], spark.sqlContext)
+    val sp = MemoryStream[(Long, Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp)]], spark.sqlContext)
+    val q = StreamingOps.errorsWithRecentPurchasesOuter(
+        se.toDF().toDF("event_id", "user_id", "ts"),
+        sp.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("ssoj_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+    se.addData(errs); sp.addData(purs); q.processAllAvailable()
+    se.addData((99L, 99L, at(2000))); sp.addData((98L, at(2000)))
+    q.processAllAvailable()
+    // a second watermark advance flushes outer state finalized by the first
+    se.addData((97L, 97L, at(4000))); sp.addData((96L, at(4000)))
+    q.processAllAvailable()
+    val got = spark.table(q.name).as[(Long, Long, Option[Timestamp])].collect()
+      .filter(_._1 < 90).toSet
+    q.stop()
+
+    val batch = StreamingOps.errorsWithRecentPurchasesOuter(
+        errs.toDF("event_id", "user_id", "ts"), purs.toDF("user_id", "ts"))
+      .as[(Long, Long, Option[Timestamp])].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got == Set((1L, 1L, Some(at(10))), (2L, 2L, None)))
+  }
+
   test("dropDuplicatesWithinWatermark: re-delivered events dedupe inside the horizon") {
     import spark.implicits._
     def ev(min: Int, v: Double) = Ev(Timestamp.from(
