@@ -12,6 +12,40 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("observe: quality counters ride the action — correct values, no extra scan or exchange") {
+    import spark.implicits._
+    import graft.operators.PipelineObservability
+    val docs = Tables.documents(spark, sf)
+    val (instrumented, obs) = PipelineObservability.observedCorpus(docs)
+    // CollectMetrics is a map-side node on the existing plan: exactly one
+    // scan, zero exchanges — the zero-extra-pass claim, structurally
+    val plan = instrumented.queryExecution.executedPlan.toString
+    assert(plan.contains("CollectMetrics"))
+    assert(!plan.contains("Exchange"), s"metrics must not add a shuffle:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length == 1, s"metrics must not add a scan:\n$plan")
+    instrumented.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    // counters equal an independent recomputation
+    assert(m("n_rows") == docs.count())
+    assert(m("n_empty_text") ==
+      docs.filter($"text".isNull || length($"text") === 0).count())
+    assert(m("n_null_lang") == docs.filter($"lang".isNull).count())
+    assert(m("min_doc_id") == docs.agg(min($"doc_id")).head.getLong(0))
+    assert(m("max_doc_id") == docs.agg(max($"doc_id")).head.getLong(0))
+    // the gate passes on clean data and returns the metrics
+    val gate = PipelineObservability.writeWithQualityGate(
+      docs, Scratch.path("observed_write_" + Scratch.tag(sf)))
+    assert(gate("n_rows") == m("n_rows"))
+    // and fails loudly on dirty data
+    val dirty = docs.unionByName(
+      Seq((999999L, null: String, "en", "web", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    intercept[IllegalArgumentException] {
+      PipelineObservability.writeWithQualityGate(
+        dirty, Scratch.path("observed_dirty_" + Scratch.tag(sf)))
+    }
+  }
+
   test("q62 packing conserves tokens: per-lang chunk sums equal per-lang totals") {
     import spark.implicits._
     val packed = PipelineQueries.q62SequencePacking(spark, sf)
