@@ -264,6 +264,40 @@ class UpsertSpec extends AnyFunSuite {
     assert(v4.filter($"o_orderkey" >= 900000001L).count() == 3)
   }
 
+  test("optimistic concurrency under real contention: 8 threads all commit, none lost") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val out = EtlQueries.versionedLakePath(sf) + "_occ_mt"
+    val d = new java.io.File(out)
+    if (d.exists()) {
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder()).forEach(p => p.toFile.delete())
+    }
+    // 8 writers race from an empty table; each append is one fake file
+    // path (the CAS contends on the manifest, not the data). Every writer
+    // must eventually land on its own version with every predecessor's
+    // delta carried forward.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 8).map { i =>
+        Future {
+          EtlQueries.commitWithRetry(out, maxAttempts = 100) { base =>
+            val prev = if (base == 0) Seq.empty
+              else EtlQueries.readManifest(s"$out/manifests/$base")
+            prev :+ s"/delta/file_$i"
+          }
+        }
+      }
+      val versions = Await.result(Future.sequence(futures), 60.seconds)
+      assert(versions.sorted == (1 to 8), s"got versions $versions")
+      val last = EtlQueries.readManifest(s"$out/manifests/8")
+      assert((1 to 8).forall(i => last.contains(s"/delta/file_$i")),
+        s"lost an update: $last")
+      assert(last.size == 8)
+    } finally pool.shutdown()
+  }
+
   test("vacuum deletes only files below the retention horizon; kept versions stay readable") {
     val out = EtlQueries.versionedLakePath(sf) + "_vac"
     EtlQueries.commitVersions(spark, sf, out)
