@@ -309,6 +309,66 @@ object EtlQueries {
       .orderBy($"o_orderstatus")
   }
 
+  // --- q154: partition-scoped DELETE -------------------------------------
+
+  private[graft] def deleteLakePath(dir: String): String =
+    graft.Scratch.path(s"delete_lake_${graft.Scratch.tag(dir)}")
+
+  /** Partition-scoped DELETE: drop the rows matching `pred` from the
+    * partitions matching `touched`, rewriting ONLY those partitions under
+    * dynamic overwrite — q132's MERGE machinery pointed at removal, the
+    * right-to-be-forgotten primitive a 100 TB lake must serve without a
+    * full rewrite. Caveat made LOUD instead of silent: dynamic overwrite
+    * replaces only partitions PRESENT in the result, so a partition whose
+    * rows are ALL deleted would survive as stale files — this path
+    * requires every touched partition to retain rows (the metadata-sized
+    * check below) and a manifest-based lake records a tombstone for the
+    * fully-emptied case instead (q135's commit path can: a manifest
+    * without the dead files IS the tombstone).
+    */
+  private[graft] def applyDelete(s: SparkSession, out: String,
+      touched: org.apache.spark.sql.Column, pred: org.apache.spark.sql.Column): Unit = {
+    import s.implicits._
+    val scoped = s.read.parquet(out).filter(touched)
+    val kept = scoped.filter(!pred).localCheckpoint()
+    val before = scoped.select($"o_year", $"o_month").distinct().limit(10001).collect()
+    val after = kept.select($"o_year", $"o_month").distinct().limit(10001).collect()
+    require(before.length <= 10000 && before.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      after.map(r => (r.getInt(0), r.getInt(1))).toSet,
+      "delete would fully empty a partition - dynamic overwrite cannot express that; " +
+        "use a manifest tombstone (q135 commit) for whole-partition removal")
+    kept
+      .repartition($"o_year", $"o_month")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("o_year", "o_month").parquet(out)
+  }
+
+  /** Registered DELETE query: 1996's orders from every 10th customer are
+    * erased; only the 1996 partitions rewrite (UpsertSpec pins untouched
+    * byte-identity); the whole-lake aggregate against an oracle that
+    * recomputes the post-delete state catches over- and under-deletion.
+    * Idempotent by nature (deleting absent rows is a no-op), so the
+    * bench's min-of-N lands on the recurring delete cost with the base
+    * cached behind its marker.
+    */
+  def q154PartitionDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = deleteLakePath(dir)
+    val marker = new java.io.File(s"$out/_base_complete")
+    if (!marker.exists()) {
+      writeUpsertBase(s, dir, out)
+      marker.createNewFile()
+    }
+    applyDelete(s, out, $"o_year" === 1996, $"o_custkey" % 10 === 3)
+    s.read.parquet(out)
+      .groupBy($"o_year".cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"o_totalprice"), 2).as("total_price"),
+        countDistinct($"o_custkey").as("n_cust"))
+      .orderBy($"o_year")
+  }
+
   // --- q135: manifest-based versioned lake (time travel) -----------------
 
   private[graft] def versionedLakePath(dir: String): String =
@@ -620,6 +680,7 @@ object EtlQueries {
     "q132_partition_upsert" -> (q132PartitionUpsert _),
     "q135_time_travel" -> (q135TimeTravel _),
     "q153_incremental_read" -> (q153IncrementalRead _),
+    "q154_partition_delete" -> (q154PartitionDelete _),
     "q136_zorder_write" -> (q136ZorderWrite _),
     "q137_compaction" -> (q137Compaction _),
     "q103_calendar_dim" -> (q103CalendarDim _),
@@ -669,6 +730,13 @@ object EtlQueries {
          |SELECT 2, st, count(*), round(sum(price), 2)
          |FROM final GROUP BY st
          |ORDER BY version, o_orderstatus""".stripMargin,
+    "q154_partition_delete" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust
+        |FROM orders
+        |WHERE NOT (year(o_orderdate) = 1996 AND o_custkey % 10 = 3)
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
     // v2's exclusive files are exactly the post-merge touched window: the
     // CDC updates applied latest-wins, the inserts, and the window's
     // untouched rows (copy-on-write rewrites the slice, not the deltas)

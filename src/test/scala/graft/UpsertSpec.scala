@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{month, round, year}
+import org.apache.spark.sql.functions.{lit, month, round, year}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.etl.EtlQueries
 
@@ -70,6 +70,37 @@ class UpsertSpec extends AnyFunSuite {
       assert(cur.filter($"o_orderstatus" === "I").count() == expI)
       assert(cur.count() == baseN + expI)
     } finally cur.unpersist()
+  }
+
+  test("q154 delete rewrites only the 1996 partitions; untouched files byte-identical; rows gone") {
+    import spark.implicits._
+    val out = EtlQueries.deleteLakePath(sf)
+    // fresh base so the byte-identity baseline is the pre-delete lake
+    // (a prior q154 run leaves the marker + an already-deleted lake)
+    EtlQueries.writeUpsertBase(spark, sf, out)
+    new java.io.File(s"$out/_base_complete").createNewFile()
+    val root = new java.io.File(out)
+    val before = snapshot(root)
+    val baseN = spark.read.parquet(out).count()
+    val expDeleted = Tables.orders(spark, sf)
+      .filter(year($"o_orderdate") === 1996 && $"o_custkey" % 10 === 3).count()
+    assert(expDeleted > 0, "fixture must delete something")
+
+    EtlQueries.applyDelete(spark, out, $"o_year" === 1996, $"o_custkey" % 10 === 3)
+    val after = snapshot(root)
+    def touched(p: String) = p.startsWith("o_year=1996/")
+    assert(before.filterNot(kv => touched(kv._1)) == after.filterNot(kv => touched(kv._1)),
+      "untouched partition files must be byte-identical across the delete")
+    assert(before.keys.exists(touched) && after.keys.exists(touched))
+    assert(before.view.filterKeys(touched).toMap != after.view.filterKeys(touched).toMap)
+
+    val cur = spark.read.parquet(out)
+    assert(cur.filter($"o_year" === 1996 && $"o_custkey" % 10 === 3).count() == 0)
+    assert(cur.count() == baseN - expDeleted)
+    // a delete that would fully empty a touched partition fails loudly
+    intercept[IllegalArgumentException] {
+      EtlQueries.applyDelete(spark, out, $"o_year" === 1996, lit(true))
+    }
   }
 
   test("q135 versioned lake: copy-on-write reuse, and v1 stays intact after the v2 commit") {
