@@ -57,10 +57,11 @@ object Bench {
     // The harness keeps only the last ~2000 chars of output and parses one
     // JSON line out of it. Full query names at ns precision overflow that
     // window once the registry passes ~60 queries (BENCH_r01–r04 all ended
-    // up unparsed). Emit the compact form: "qNN" keys (the unique numeric
-    // prefix of every registry name — see README.md query table for the
-    // mapping) and ms precision, as the very last line before exit.
-    def short(name: String): String = name.takeWhile(_ != '_')
+    // up unparsed). Emit the compact form: bare numeric keys ("132" for
+    // q132_* — the unique numeric prefix of every registry name, `q`
+    // stripped since round 8 for line headroom; see README.md query table
+    // for the mapping) and ms precision, as the very last line before exit.
+    def short(name: String): String = name.takeWhile(_ != '_').stripPrefix("q")
     require(results.keys.map(short).toSet.size == results.size,
       "query numeric prefixes must be unique for the compact bench line")
     // Locale.ROOT formatting: the f-interpolator uses the default locale,
