@@ -16,6 +16,7 @@ object SparkEntry {
       (relational.AdvancedQueries.queries, relational.AdvancedQueries.oracles),
       (relational.ScaleQueries.queries, relational.ScaleQueries.oracles),
       (relational.EventQueries.queries, relational.EventQueries.oracles),
+      (relational.GraphQueries.queries, relational.GraphQueries.oracles),
       (text.TextQueries.queries, text.TextQueries.oracles),
       (text.DedupQueries.queries, text.DedupQueries.oracles),
       (text.PipelineQueries.queries, text.PipelineQueries.oracles),

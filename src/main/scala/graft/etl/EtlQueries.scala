@@ -674,7 +674,46 @@ object EtlQueries {
       .orderBy($"file")
   }
 
+  /** Orderless per-partition table checksum — the anti-entropy
+    * fingerprint two replicas (or a table before/after migration,
+    * compaction, or engine swap) compare to prove byte-equal content
+    * without shipping rows. Per order-year: XOR of 60-bit row hashes
+    * (md5 over a canonical `|`-joined rendering of the integer/string
+    * columns — doubles excluded: engines disagree on float→string
+    * rendering, never on ints), plus count/min/max of the hash to catch
+    * what XOR alone cancels (an even number of identical changes). Every
+    * reducer is commutative+associative, so the checksum is independent
+    * of row order, partitioning, and engine — this DuckDB gate literally
+    * IS the cross-engine replica comparison the operator exists for.
+    *
+    * Scale shape: map-side hash, partial-aggregated rollup to
+    * |years| rows; zero joins, zero sorts. The q136/q137 rewrite paths
+    * would run this before/after to certify content preservation.
+    */
+  def q161TableChecksum(s: SparkSession, dir: String): DataFrame =
+    checksumOf(Tables.orders(s, dir))
+
+  /** The checksum transform behind q161, on any `orders`-shaped relation —
+    * separated so EtlSpec can assert the layout-invariance law (identical
+    * fingerprint after arbitrary repartition/reorder). */
+  private[graft] def checksumOf(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val h = conv(substring(md5(concat_ws("|",
+        $"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority")),
+      1, 15), 16, 10).cast("long")
+    orders
+      .select(year($"o_orderdate").cast("long").as("yr"), h.as("h"))
+      .groupBy($"yr")
+      .agg(
+        expr("bit_xor(h)").as("xor_sig"),
+        count(lit(1)).as("n_rows"),
+        min($"h").as("min_h"),
+        max($"h").as("max_h"))
+      .orderBy($"yr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_table_checksum" -> (q161TableChecksum _),
     "q124_malformed_csv" -> (q124MalformedCsv _),
     "q125_file_metadata" -> (q125FileMetadata _),
     "q132_partition_upsert" -> (q132PartitionUpsert _),
@@ -715,6 +754,19 @@ object EtlQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same 60-bit md5 construction as PipelineQueries.hashBucket; every
+    // aggregate is orderless so the comparison is layout-independent
+    "q161_table_checksum" ->
+      """WITH h AS (
+        |  SELECT year(o_orderdate) AS yr,
+        |    CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_custkey,
+        |           o_orderstatus, o_orderpriority)), 1, 15) AS BIGINT) AS h
+        |  FROM orders
+        |)
+        |SELECT CAST(yr AS BIGINT) AS yr, CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(h) AS BIGINT) AS min_h, CAST(max(h) AS BIGINT) AS max_h
+        |FROM h GROUP BY yr ORDER BY yr""".stripMargin,
     "q132_partition_upsert" ->
       s"""WITH $mergedStateCte
          |SELECT st AS o_orderstatus, count(*) AS n,

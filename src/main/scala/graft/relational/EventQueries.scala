@@ -430,7 +430,105 @@ object EventQueries {
       .orderBy($"user_id", $"start_us")
   }
 
+  /** SCD Type-2 dimension build from an event stream: per user, collapse
+    * the event-type history into validity intervals — a new row whenever
+    * the type CHANGES (lag-compare), `valid_to_us` = the next change's
+    * timestamp (−1 on the open current row). The classic
+    * change-data-capture → slowly-changing-dimension materialization
+    * (Kimball SCD2), the write path q91's latest-wins compaction reads
+    * back. Interval endpoints stay in integer microseconds (the session's
+    * parquet-nanos truncation, same recipe as q144) so the DuckDB oracle
+    * replays the arithmetic exactly.
+    *
+    * Scale shape: one shuffle on user_id serves both windows (change
+    * detection + next-change lookahead); per-row state is O(1), linear in
+    * events, no join. At 100 TB the dimension would land partitioned by
+    * `is_current` so point lookups read only the open rows.
+    */
+  def q155Scd2Build(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+      .withColumn("changed",
+        lag($"event_type", 1).over(w).isNull ||
+          lag($"event_type", 1).over(w) =!= $"event_type")
+      .where($"changed")
+      .select($"user_id", $"event_type".as("state"), $"us".as("valid_from_us"),
+        coalesce(lead($"us", 1).over(
+            Window.partitionBy($"user_id").orderBy($"us", $"event_id")),
+          lit(-1L)).as("valid_to_us"))
+      .withColumn("is_current", ($"valid_to_us" === -1L).cast("int"))
+      .orderBy($"user_id", $"valid_from_us")
+  }
+
+  /** Recency-decayed engagement score per user: each event's value decays
+    * by half per 3 days of age (`cents >> (age_days div 3)`) — the
+    * feature-store "recency-weighted activity" signal. Deliberately
+    * binary half-life on integer cents instead of `exp(-λ·age)` on
+    * doubles: shifts and integer sums are associative and exact, so the
+    * score is bit-identical across engines, partitionings and replays —
+    * the same reproducibility contract as q157's fixed-point ranks (an
+    * exp/double spelling would drift in the last ulp with summation
+    * order). `floor`, not `round`, for the cents conversion: engines
+    * disagree on double rounding modes, never on floor.
+    *
+    * Scale shape: the anchor timestamp is a 1-row aggregate broadcast
+    * into the scan (bounded by construction); everything else is one
+    * map-side shift + one partial-aggregated groupBy on user_id.
+    */
+  def q159DecayedScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).select(
+      $"user_id", unix_micros($"ts").as("us"),
+      floor($"value" * 100).cast("long").as("cents"))
+    val anchor = ev.agg(max($"us").as("anchor_us"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("shift",
+        least(expr("(anchor_us - us) div 259200000000"), lit(20L)).cast("int"))
+      .groupBy($"user_id")
+      .agg(
+        sum(expr("shiftright(cents, shift)")).as("score_cents"),
+        count(lit(1)).as("n_events"),
+        max($"us").as("last_seen_us"))
+      .orderBy($"user_id")
+  }
+
+  /** Last-touch purchase attribution: each purchase is credited to the
+    * most recent preceding non-purchase event of the same user (the
+    * marketing "which channel gets the conversion" query; `signup`-first
+    * purchases with no prior touch credit `none`). The carry-forward is
+    * `last(..., ignoreNulls)` over an unbounded-preceding frame — one
+    * window, no self-join (the naive spelling is an inequality self-join
+    * of purchases × events, quadratic per user). Revenue in integer
+    * cents (floor, same recipe as q159) so sums are order-exact.
+    *
+    * Scale shape: one shuffle on user_id; the frame carries O(1) state
+    * (last non-null) per row; final rollup is ≤|event types| rows.
+    */
+  def q160Attribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type",
+        unix_micros($"ts").as("us"),
+        floor($"value" * 100).cast("long").as("cents"))
+      .withColumn("touch",
+        last(when($"event_type" =!= "purchase", $"event_type"), ignoreNulls = true)
+          .over(w))
+      .where($"event_type" === "purchase")
+      .groupBy(coalesce($"touch", lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("revenue_cents"))
+      .orderBy($"channel")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_attribution" -> (q160Attribution _),
+    "q159_decayed_score" -> (q159DecayedScore _),
+    "q155_scd2_build" -> (q155Scd2Build _),
     "q144_feature_backfill" -> (q144FeatureBackfill _),
     "q146_session_sequences" -> (q146SessionSequences _),
     "q130_activity_churn" -> (q130ActivityChurn _),
@@ -456,6 +554,58 @@ object EventQueries {
     // integer-microsecond time arithmetic replays Spark's nanos-truncated
     // reads exactly; (us, event_id) ordering is tie-free on this data but
     // pinned anyway so the prefix frames agree by construction
+    "q160_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), t AS (
+        |  SELECT event_type, cents,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e
+        |)
+        |SELECT COALESCE(touch, 'none') AS channel,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+    // binary shifts on integer cents: exact in both engines (see scaladoc)
+    "q159_decayed_score" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), a AS (SELECT max(us) AS anchor_us FROM e)
+        |SELECT user_id,
+        |  CAST(sum(cents >> CAST(least((anchor_us - us) // 259200000000, 20)
+        |                         AS INTEGER)) AS BIGINT) AS score_cents,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(us) AS BIGINT) AS last_seen_us
+        |FROM e CROSS JOIN a
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q155_scd2_build" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS changed
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), f AS (
+        |  SELECT user_id, event_type AS state, us AS valid_from_us,
+        |    COALESCE(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+        |             -1) AS valid_to_us
+        |  FROM c WHERE changed = 1
+        |)
+        |SELECT user_id, state, CAST(valid_from_us AS BIGINT) AS valid_from_us,
+        |  CAST(valid_to_us AS BIGINT) AS valid_to_us,
+        |  CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS is_current
+        |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
     "q144_feature_backfill" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -279,7 +279,44 @@ object ScaleQueries {
       .orderBy($"dist")
   }
 
+  /** Incremental materialized-view maintenance (algebraic aggregates):
+    * the stored base summary (shipments before 1998-06-01, pre-aggregated
+    * per (returnflag, linestatus)) is refreshed with a delta batch (the
+    * rest) by aggregating ONLY the delta and merging via full-outer join
+    * — `sum` and `count` add; `avg` is reconstructed from (sum, n) at
+    * read time, the standard algebraic-aggregate decomposition (Gray et
+    * al., Data Cube, ICDE'96). The DuckDB oracle is the FULL recompute
+    * over the whole table, so the hash gate itself proves
+    * incremental-refresh ≡ rebuild. Quantities are summed as exact longs
+    * (TPC-H quantities are integral) so partial+merge is associative to
+    * the bit in both engines.
+    *
+    * Scale shape: at 100 TB the base summary is a stored group-sized
+    * table — a refresh scans the delta partition only (date predicate
+    * pushed to the scan) and joins two group-cardinality relations;
+    * refresh cost ∝ delta, never the corpus.
+    */
+  def q158IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cut = lit("1998-06-01").cast("timestamp")
+    def summarize(df: DataFrame): DataFrame =
+      df.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum($"l_quantity".cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    val li = Tables.lineitem(s, dir)
+      .select($"l_shipdate", $"l_returnflag", $"l_linestatus", $"l_quantity")
+    val base = summarize(li.where($"l_shipdate" < cut)).as("b")
+    val delta = summarize(li.where($"l_shipdate" >= cut)).as("d")
+    base.join(delta, Seq("l_returnflag", "l_linestatus"), "full_outer")
+      .select($"l_returnflag", $"l_linestatus",
+        (coalesce($"b.sum_qty", lit(0L)) + coalesce($"d.sum_qty", lit(0L))).as("sum_qty"),
+        (coalesce($"b.n", lit(0L)) + coalesce($"d.n", lit(0L))).as("n"))
+      .withColumn("avg_qty", round($"sum_qty" / $"n", 2))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_incremental_agg" -> (q158IncrementalAgg _),
     "q109_salted_join" -> (q109SaltedJoin _),
     "q110_fuzzy_pairs" -> (q110FuzzyPairs _),
     "q91_latest_wins" -> (q91LatestWins _),
@@ -291,6 +328,15 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the full recompute — hash-matching it proves the incremental merge
+    "q158_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*), 2)
+        |    AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q109_salted_join" ->
       """WITH dim AS (
         |  SELECT * FROM (VALUES ('A', 'returned'), ('N', 'active'), ('R', 'refunded'))

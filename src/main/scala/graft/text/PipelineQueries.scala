@@ -386,7 +386,30 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** Per-source corpus cap: keep at most 10 documents per source, best
+    * first (longest; doc_id tiebreak) — the RefinedWeb/C4-style
+    * "per-domain cap" that stops one over-crawled site from dominating
+    * the training mixture. Returns the capped corpus itself (doc + rank),
+    * not a summary — this is the relation the next pipeline stage reads.
+    *
+    * Scale shape: the `rank <= 10` filter on a `row_number` window is the
+    * WindowGroupLimit pattern — Spark pushes the limit into the
+    * per-source sort, so each task keeps a 10-row heap per source key
+    * instead of fully ranking every source's documents. One shuffle on
+    * source; output is |sources| × 10, corpus-size-independent.
+    */
+  def q156SourceCap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= 10)
+      .orderBy($"source", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_source_cap" -> (q156SourceCap _),
     "q150_drift_psi" -> (q150DriftPsi _),
     "q139_corpus_shuffle" -> (q139CorpusShuffle _),
     "q128_zipf_fit" -> (q128ZipfFit _),
@@ -402,6 +425,15 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q156_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
     // identical integer divisions feed ln in both engines; the grid CTE
     // restores empty (source, bin) cells exactly like the Spark side
     "q150_drift_psi" ->

@@ -164,4 +164,39 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty)
   }
+
+  test("q158 incremental merge equals the direct full aggregation (IVM law)") {
+    import spark.implicits._
+    val got = ScaleQueries.q158IncrementalAgg(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast("long")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("q156's per-source cap plans as WindowGroupLimit, not a full ranking") {
+    // the scale claim: rank<=10 is pushed into the per-source sort so a
+    // task holds a 10-row heap per key, never a source's full doc list
+    val df = graft.text.PipelineQueries.q156SourceCap(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected group-limit pushdown in:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the cap binds: no source exceeds 10 kept documents
+    val perSource = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(perSource.values.forall(_ <= 10))
+  }
+
+  test("q161 checksum is layout-invariant: shuffled input, identical fingerprint") {
+    val base = Tables.orders(spark, sf)
+    val a = graft.etl.EtlQueries.checksumOf(base).collect().toSeq
+    val b = graft.etl.EtlQueries.checksumOf(
+      base.repartition(7).sortWithinPartitions(col("o_totalprice").desc))
+      .collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }
