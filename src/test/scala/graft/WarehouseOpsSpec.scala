@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Algebraic invariants of the late-round-8 warehouse-ops tier
+  * (q155–q161) — properties that survive a data refresh, complementing
+  * the DuckDB hash gate (which pins one dataset's values):
+  * SCD2 interval chaining, PageRank's damping floor, decay domination,
+  * attribution mass conservation.
+  */
+class WarehouseOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q155 SCD2 intervals chain gaplessly per user and never repeat a state") {
+    val rows = relational.EventQueries.q155Scd2Build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, hist) =>
+      // output is ordered (user_id, valid_from_us); each row: user_id,
+      // state, valid_from_us, valid_to_us, is_current
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) == b.getLong(2),
+            "valid_to must equal the next interval's valid_from")
+          assert(a.getString(1) != b.getString(1),
+            "consecutive intervals must change state")
+        case _ => ()
+      }
+      // exactly one open (current) interval per user, and it is the last
+      assert(hist.count(_.getLong(3) == -1L) == 1)
+      assert(hist.last.getInt(4) == 1)
+    }
+  }
+
+  test("q157 ranks respect the damping floor and the top-20 total order") {
+    val rows = relational.GraphQueries.q157GraphPagerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    // 0.15 teleport mass in ×10⁶ fixed-point: no connected node sinks below
+    assert(rows.forall(_._2 >= 150000L))
+    // orderBy(rank desc, key asc) is a total order
+    assert(rows.sameElements(rows.sortBy { case (k, v) => (-v, k) }))
+  }
+
+  test("q159 decayed score never exceeds the undecayed cent sum per user") {
+    import spark.implicits._
+    val got = relational.EventQueries.q159DecayedScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val raw = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(sum(floor($"value" * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == raw.keySet)
+    got.foreach { case (u, (score, n)) =>
+      assert(score <= raw(u)._1, s"user $u: decayed $score > raw ${raw(u)._1}")
+      assert(score >= 0L && n == raw(u)._2)
+    }
+  }
+
+  test("q160 attribution conserves purchase count and revenue mass") {
+    import spark.implicits._
+    val rows = relational.EventQueries.q160Attribution(spark, sf).collect()
+    val (nAttr, revAttr) = (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum)
+    val direct = Tables.events(spark, sf)
+      .where($"event_type" === "purchase")
+      .agg(count(lit(1)), sum(floor($"value" * 100).cast("long")))
+      .head()
+    assert(nAttr == direct.getLong(0), "every purchase lands in exactly one channel")
+    assert(revAttr == direct.getLong(1), "revenue mass is conserved across channels")
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+}
