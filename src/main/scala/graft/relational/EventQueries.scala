@@ -525,7 +525,33 @@ object EventQueries {
       .orderBy($"channel")
   }
 
+  /** Conversion-lag distribution: hours from a user's first `view` to
+    * their first subsequent `purchase`, bucketed into an hourly histogram
+    * — the time-to-convert curve behind funnel SLAs (q84 counts stages;
+    * this measures the latency between them). Two conditional-min
+    * aggregates per user (no window, no self-join), then a tiny rollup;
+    * lag arithmetic in integer microseconds (q144's recipe).
+    *
+    * Scale shape: one user_id shuffle with partial aggregation, then a
+    * ≤|hours| bucket rollup — linear in events, output bounded.
+    */
+  def q162ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "view", $"us")).as("v_us"),
+        min(when($"event_type" === "purchase", $"us")).as("p_us"))
+      .where($"v_us".isNotNull && $"p_us".isNotNull && $"p_us" > $"v_us")
+      .select(expr("(p_us - v_us) div 3600000000").as("lag_hours"))
+      .groupBy($"lag_hours")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"lag_hours")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_conversion_lag" -> (q162ConversionLag _),
     "q160_attribution" -> (q160Attribution _),
     "q159_decayed_score" -> (q159DecayedScore _),
     "q155_scd2_build" -> (q155Scd2Build _),
@@ -551,6 +577,21 @@ object EventQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // conditional-min aggregates + integer-µs floor division: both engines
+    // compute identical bigint bucket ids (both operands positive)
+    "q162_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+        |), u AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN us END) AS v_us,
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) AS p_us
+        |  FROM e GROUP BY user_id
+        |)
+        |SELECT CAST((p_us - v_us) // 3600000000 AS BIGINT) AS lag_hours,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us > v_us
+        |GROUP BY lag_hours ORDER BY lag_hours""".stripMargin,
     // integer-microsecond time arithmetic replays Spark's nanos-truncated
     // reads exactly; (us, event_id) ordering is tie-free on this data but
     // pinned anyway so the prefix frames agree by construction

@@ -315,7 +315,50 @@ object ScaleQueries {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Referential-integrity audit: every FK edge of the star schema checked
+    * for orphan child rows (FK value with no matching parent key) in one
+    * pass — the data-quality gate a warehouse runs before publishing a
+    * snapshot. One row per edge: child rows audited, orphan rows, distinct
+    * orphan keys. The synthetic generator produces a consistent schema, so
+    * orphan counts are 0 — the row totals keep the oracle hash non-trivial
+    * and any future orphan flips the hash.
+    *
+    * Scale shape: each edge is a key-shuffle left join of the child's FK
+    * column (pruned to one column at the scan) against the parent's
+    * deduped PK; AQE broadcasts the genuinely small parents (region,
+    * nation, supplier) and leaves lineitem⋈orders as SMJ. No fact-derived
+    * relation is hint-broadcast. Output is |edges| rows — constant.
+    */
+  def q163RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def edge(rel: String, child: DataFrame, fk: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(fk).as("k")).where($"k".isNotNull)
+      // distinct guards the row count against a (would-be-broken) duplicate
+      // parent key; it is a partial-agg shuffle of the key column only
+      val p = parent.select(col(pk).as("k")).distinct().withColumn("hit", lit(1))
+      c.join(p, Seq("k"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when($"hit".isNull, lit(1))).as("n_orphan_rows"),
+          countDistinct(when($"hit".isNull, $"k")).as("n_orphan_keys"))
+        .select(lit(rel).as("relation"), $"n_rows", $"n_orphan_rows", $"n_orphan_keys")
+    }
+    val li = Tables.lineitem(s, dir); val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir); val nat = Tables.nation(s, dir)
+    Seq(
+      edge("customer.c_nationkey->nation", cust, "c_nationkey", nat, "n_nationkey"),
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey", Tables.part(s, dir), "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"),
+      edge("nation.n_regionkey->region", nat, "n_regionkey", Tables.region(s, dir), "r_regionkey"),
+      edge("orders.o_custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+      edge("supplier.s_nationkey->nation", Tables.supplier(s, dir), "s_nationkey", nat, "n_nationkey"),
+    ).reduce(_.unionAll(_)).orderBy($"relation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_ref_integrity" -> (q163RefIntegrity _),
     "q158_incremental_agg" -> (q158IncrementalAgg _),
     "q109_salted_join" -> (q109SaltedJoin _),
     "q110_fuzzy_pairs" -> (q110FuzzyPairs _),
@@ -328,6 +371,25 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // one UNION ALL branch per FK edge, same left-join-deduped-PK shape
+    "q163_ref_integrity" -> {
+      def edge(rel: String, child: String, fk: String,
+               parent: String, pk: String): String =
+        s"""SELECT '$rel' AS relation, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT) AS n_orphan_rows,
+           |  CAST(count(DISTINCT CASE WHEN p.k IS NULL THEN c.k END) AS BIGINT) AS n_orphan_keys
+           |FROM (SELECT $fk AS k FROM $child WHERE $fk IS NOT NULL) c
+           |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON c.k = p.k""".stripMargin
+      Seq(
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY relation")
+    },
     // the full recompute — hash-matching it proves the incremental merge
     "q158_incremental_agg" ->
       """SELECT l_returnflag, l_linestatus,
