@@ -447,10 +447,21 @@ object EventQueries {
     */
   def q155Scd2Build(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    scd2Segments(s, Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us")))
+      .orderBy($"user_id", $"valid_from_us")
+  }
+
+  /** Gaps-and-islands SCD2 segment builder over `(user_id, event_id,
+    * event_type, us)` rows — the shared core of q155 (full rebuild) and
+    * q164 (incremental merge). One user_id shuffle, two frames over the
+    * same window spec (Catalyst evaluates them in a single WindowExec).
+    */
+  private def scd2Segments(s: SparkSession, ev: DataFrame): DataFrame = {
+    import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-    Tables.events(s, dir)
-      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+    ev
       .withColumn("changed",
         lag($"event_type", 1).over(w).isNull ||
           lag($"event_type", 1).over(w) =!= $"event_type")
@@ -460,6 +471,49 @@ object EventQueries {
             Window.partitionBy($"user_id").orderBy($"us", $"event_id")),
           lit(-1L)).as("valid_to_us"))
       .withColumn("is_current", ($"valid_to_us" === -1L).cast("int"))
+  }
+
+  /** Incremental SCD2 maintenance — the daily job q155's full rebuild
+    * implies: apply the delta of events at/after a cut to the SCD2 table
+    * built from events before it, touching only delta users' rows.
+    * Closed segments are immutable by construction (delta timestamps are
+    * all ≥ the cut > every old valid_from), so only each delta user's
+    * current row can change; it is re-derived by seeding the island
+    * rebuild with that row as a pseudo-event `(state, valid_from_us)` —
+    * a same-state first delta event then extends the old segment (no
+    * `changed` boundary), a different state closes it, exactly as the
+    * full rebuild would. The DuckDB oracle is q155's full recompute over
+    * ALL events, so the hash gate proves incremental ≡ rebuild (same
+    * contract as q158's IVM merge).
+    *
+    * Scale shape: the island rebuild runs over seeds + delta only (∝
+    * delta users' new events); untouched-user rows pass through a
+    * left-anti join against the delta-user key set (at 100 TB the table
+    * is partitioned by `is_current`, so the rewrite touches the current
+    * partition only — q132's partition-scoped MERGE posture; the closed
+    * partition is carried, never rewritten). Seed event_id is -1: seed
+    * valid_from is strictly before the cut and every delta event is at
+    * or after it, so the tiebreak can never fire.
+    */
+  def q164Scd2Merge(s: SparkSession, dir: String): DataFrame =
+    scd2Merge(s, dir, 1706054400000000L) // 2024-01-24T00:00:00Z
+
+  private[graft] def scd2Merge(s: SparkSession, dir: String, cutUs: Long): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
+    val old = scd2Segments(s, ev.where($"us" < cutUs))
+    val delta = ev.where($"us" >= cutUs)
+    val deltaUsers = delta.select($"user_id").distinct()
+    val seeds = old.where($"is_current" === 1)
+      .join(deltaUsers, Seq("user_id"), "left_semi")
+      .select($"user_id", lit(-1L).as("event_id"), $"state".as("event_type"),
+        $"valid_from_us".as("us"))
+    val rebuilt = scd2Segments(s, seeds.unionAll(delta))
+    val untouched = old.join(deltaUsers, Seq("user_id"), "left_anti")
+    val closedOfDelta = old.where($"is_current" === 0)
+      .join(deltaUsers, Seq("user_id"), "left_semi")
+    untouched.unionAll(closedOfDelta).unionAll(rebuilt)
       .orderBy($"user_id", $"valid_from_us")
   }
 
@@ -555,6 +609,7 @@ object EventQueries {
     "q160_attribution" -> (q160Attribution _),
     "q159_decayed_score" -> (q159DecayedScore _),
     "q155_scd2_build" -> (q155Scd2Build _),
+    "q164_scd2_merge" -> (q164Scd2Merge _),
     "q144_feature_backfill" -> (q144FeatureBackfill _),
     "q146_session_sequences" -> (q146SessionSequences _),
     "q130_activity_churn" -> (q130ActivityChurn _),
@@ -575,6 +630,29 @@ object EventQueries {
     "q53_stream_join_twin" -> (q53StreamJoinTwin _),
     "q152_outer_join_twin" -> (q152OuterJoinTwin _),
   )
+
+  /** Full SCD2 recompute over all events — oracle for both q155 (direct
+    * rebuild) and q164 (incremental merge must hash-match the rebuild). */
+  private val Scd2RebuildSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+      |  FROM events
+      |), c AS (
+      |  SELECT user_id, event_id, event_type, us,
+      |    CASE WHEN lag(event_type) OVER w IS NULL
+      |           OR lag(event_type) OVER w <> event_type
+      |         THEN 1 ELSE 0 END AS changed
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      |), f AS (
+      |  SELECT user_id, event_type AS state, us AS valid_from_us,
+      |    COALESCE(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+      |             -1) AS valid_to_us
+      |  FROM c WHERE changed = 1
+      |)
+      |SELECT user_id, state, CAST(valid_from_us AS BIGINT) AS valid_from_us,
+      |  CAST(valid_to_us AS BIGINT) AS valid_to_us,
+      |  CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS is_current
+      |FROM f ORDER BY user_id, valid_from_us""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // conditional-min aggregates + integer-µs floor division: both engines
@@ -627,26 +705,10 @@ object EventQueries {
         |  CAST(max(us) AS BIGINT) AS last_seen_us
         |FROM e CROSS JOIN a
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q155_scd2_build" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
-        |  FROM events
-        |), c AS (
-        |  SELECT user_id, event_id, event_type, us,
-        |    CASE WHEN lag(event_type) OVER w IS NULL
-        |           OR lag(event_type) OVER w <> event_type
-        |         THEN 1 ELSE 0 END AS changed
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-        |), f AS (
-        |  SELECT user_id, event_type AS state, us AS valid_from_us,
-        |    COALESCE(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
-        |             -1) AS valid_to_us
-        |  FROM c WHERE changed = 1
-        |)
-        |SELECT user_id, state, CAST(valid_from_us AS BIGINT) AS valid_from_us,
-        |  CAST(valid_to_us AS BIGINT) AS valid_to_us,
-        |  CASE WHEN valid_to_us = -1 THEN 1 ELSE 0 END AS is_current
-        |FROM f ORDER BY user_id, valid_from_us""".stripMargin,
+    "q155_scd2_build" -> Scd2RebuildSql,
+    // the SAME full-rebuild SQL: hash-matching it from the incremental
+    // plan proves merge ≡ rebuild (q158's IVM contract)
+    "q164_scd2_merge" -> Scd2RebuildSql,
     "q144_feature_backfill" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -33,6 +33,21 @@ class WarehouseOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q164 incremental SCD2 merge equals the full rebuild at any cut") {
+    val full = relational.EventQueries.q155Scd2Build(spark, sf).collect()
+      .map(_.toSeq).toSet
+    // sweep cuts: mid-corpus, before everything (all-delta, no seeds),
+    // after everything (empty delta, pure pass-through)
+    Seq(1705276800000000L, // 2024-01-15
+        1704067200000000L, // 2024-01-01 (≤ min ts)
+        1706659200000000L  // 2024-01-31 (> max ts)
+    ).foreach { cut =>
+      val merged = relational.EventQueries.scd2Merge(spark, sf, cut).collect()
+        .map(_.toSeq).toSet
+      assert(merged == full, s"merge at cut=$cut diverged from rebuild")
+    }
+  }
+
   test("q157 ranks respect the damping floor and the top-20 total order") {
     val rows = relational.GraphQueries.q157GraphPagerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
