@@ -357,7 +357,45 @@ object ScaleQueries {
     ).reduce(_.unionAll(_)).orderBy($"relation")
   }
 
+  /** Market-basket co-occurrence mining: the top-25 part pairs most often
+    * bought in the same order — the candidate-generation pass of frequent
+    * -itemset mining (and the shape behind "users also bought"
+    * co-occurrence features). Pairs come from an equi-self-join on the
+    * basket key with `part_a < part_b`, so each unordered pair counts
+    * once per order; (orderkey, partkey) is deduped first so a part
+    * appearing on two lines of one order doesn't double-count.
+    *
+    * Scale shape: the join is equi on l_orderkey — co-partitioned, and
+    * zero-shuffle under q81's bucketed layout; per-order fanout is
+    * basket² and TPC-H baskets are ≤7 lines, but open data isn't — the
+    * declared basket cap (64) drops pathological baskets BEFORE the
+    * join, bounding any row's fanout at 64²/2 (the same anti-domination
+    * policy as q156's source cap; at this cap a 100k-item "basket" —
+    * one bad crawl record — cannot emit 5·10⁹ pairs). The top-25 under
+    * a total order plans as TakeOrderedAndProject: a 25-row heap per
+    * partition, never a global sort.
+    */
+  def q165CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MaxBasket = 64L
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val small = li.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("basket_n"))
+      .where($"basket_n" <= MaxBasket)
+      .select($"l_orderkey")
+    val ok = li.join(small, Seq("l_orderkey"))
+    ok.as("a").join(ok.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
+      .groupBy($"part_a", $"part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b")
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_copurchase_pairs" -> (q165CopurchasePairs _),
     "q163_ref_integrity" -> (q163RefIntegrity _),
     "q158_incremental_agg" -> (q158IncrementalAgg _),
     "q109_salted_join" -> (q109SaltedJoin _),
@@ -371,6 +409,19 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same dedup → basket-cap → a<b self-join; (n DESC, a, b) total order
+    "q165_copurchase_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (
+        |  SELECT l_orderkey FROM li GROUP BY l_orderkey HAVING count(*) <= 64
+        |)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM li a
+        |JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |JOIN ok ON a.l_orderkey = ok.l_orderkey
+        |GROUP BY part_a, part_b
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 25""".stripMargin,
     // one UNION ALL branch per FK edge, same left-join-deduped-PK shape
     "q163_ref_integrity" -> {
       def edge(rel: String, child: String, fk: String,
