@@ -394,7 +394,57 @@ object ScaleQueries {
       .limit(25)
   }
 
+  /** Data-contract check suite — the dbt-test triad (`unique`,
+    * `not_null`, `accepted_values`) evaluated in one report, completing
+    * the quality tier next to q163's `relationships` audit: one row per
+    * declared contract with rows checked and violations found (0 on this
+    * generator; the non-trivial checked-counts keep the oracle hash
+    * honest and any future violation flips it).
+    *
+    * Scale shape: `not_null`/`accepted_values` are map-side partial
+    * aggregates over one pruned column; `unique` is one key shuffle per
+    * declared key (sum(cnt) recovers rows-checked from the same pass —
+    * the table is scanned once per check, never twice). Output is
+    * |contracts| rows; nothing is collected or hint-broadcast.
+    */
+  def q166ContractChecks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def unique(rel: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+        .agg(sum($"cnt").as("n_checked"),
+          coalesce(sum(when($"cnt" > 1, $"cnt")), lit(0L)).as("n_violations"))
+        .select(lit(s"unique:$rel").as("contract"), $"n_checked", $"n_violations")
+    def notNull(rel: String, df: DataFrame, c: String): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          count(when(col(c).isNull, lit(1))).as("n_violations"))
+        .select(lit(s"not_null:$rel").as("contract"), $"n_checked", $"n_violations")
+    def accepted(rel: String, df: DataFrame, c: String, vals: Seq[String]): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          count(when(!col(c).isin(vals: _*) || col(c).isNull, lit(1)))
+            .as("n_violations"))
+        .select(lit(s"accepted:$rel").as("contract"), $"n_checked", $"n_violations")
+    val li = Tables.lineitem(s, dir); val ord = Tables.orders(s, dir)
+    Seq(
+      unique("orders.o_orderkey", ord, Seq("o_orderkey")),
+      unique("lineitem.l_orderkey+l_linenumber", li, Seq("l_orderkey", "l_linenumber")),
+      unique("customer.c_custkey", Tables.customer(s, dir), Seq("c_custkey")),
+      unique("events.event_id", Tables.events(s, dir), Seq("event_id")),
+      unique("documents.doc_id", Tables.documents(s, dir), Seq("doc_id")),
+      notNull("orders.o_custkey", ord, "o_custkey"),
+      notNull("lineitem.l_orderkey", li, "l_orderkey"),
+      notNull("documents.text", Tables.documents(s, dir), "text"),
+      accepted("lineitem.l_returnflag", li, "l_returnflag", Seq("A", "N", "R")),
+      accepted("lineitem.l_linestatus", li, "l_linestatus", Seq("O", "F")),
+      accepted("orders.o_orderstatus", ord, "o_orderstatus", Seq("O", "F", "P")),
+      accepted("events.event_type", Tables.events(s, dir), "event_type",
+        Seq("click", "error", "purchase", "signup", "view")),
+      accepted("documents.lang", Tables.documents(s, dir), "lang",
+        Seq("de", "en", "es", "fr", "zh")),
+    ).reduce(_.unionAll(_)).orderBy($"contract")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_contract_checks" -> (q166ContractChecks _),
     "q165_copurchase_pairs" -> (q165CopurchasePairs _),
     "q163_ref_integrity" -> (q163RefIntegrity _),
     "q158_incremental_agg" -> (q158IncrementalAgg _),
@@ -409,6 +459,38 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same triad per contract; sum(cnt) recovers rows-checked from
+    // the unique pass exactly as the Spark plan does
+    "q166_contract_checks" -> {
+      def unique(rel: String, t: String, keys: String): String =
+        s"""SELECT 'unique:$rel' AS contract, CAST(sum(cnt) AS BIGINT) AS n_checked,
+           |  CAST(COALESCE(sum(CASE WHEN cnt > 1 THEN cnt END), 0) AS BIGINT) AS n_violations
+           |FROM (SELECT count(*) AS cnt FROM $t GROUP BY $keys)""".stripMargin
+      def notNull(rel: String, t: String, c: String): String =
+        s"""SELECT 'not_null:$rel' AS contract, CAST(count(*) AS BIGINT) AS n_checked,
+           |  CAST(count(CASE WHEN $c IS NULL THEN 1 END) AS BIGINT) AS n_violations
+           |FROM $t""".stripMargin
+      def accepted(rel: String, t: String, c: String, vals: String): String =
+        s"""SELECT 'accepted:$rel' AS contract, CAST(count(*) AS BIGINT) AS n_checked,
+           |  CAST(count(CASE WHEN $c IS NULL OR $c NOT IN ($vals) THEN 1 END) AS BIGINT) AS n_violations
+           |FROM $t""".stripMargin
+      Seq(
+        unique("orders.o_orderkey", "orders", "o_orderkey"),
+        unique("lineitem.l_orderkey+l_linenumber", "lineitem", "l_orderkey, l_linenumber"),
+        unique("customer.c_custkey", "customer", "c_custkey"),
+        unique("events.event_id", "events", "event_id"),
+        unique("documents.doc_id", "documents", "doc_id"),
+        notNull("orders.o_custkey", "orders", "o_custkey"),
+        notNull("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        notNull("documents.text", "documents", "text"),
+        accepted("lineitem.l_returnflag", "lineitem", "l_returnflag", "'A','N','R'"),
+        accepted("lineitem.l_linestatus", "lineitem", "l_linestatus", "'O','F'"),
+        accepted("orders.o_orderstatus", "orders", "o_orderstatus", "'O','F','P'"),
+        accepted("events.event_type", "events", "event_type",
+          "'click','error','purchase','signup','view'"),
+        accepted("documents.lang", "documents", "lang", "'de','en','es','fr','zh'"),
+      ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY contract")
+    },
     // same dedup → basket-cap → a<b self-join; (n DESC, a, b) total order
     "q165_copurchase_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
