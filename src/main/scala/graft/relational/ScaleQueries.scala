@@ -397,9 +397,12 @@ object ScaleQueries {
   /** Data-contract check suite — the dbt-test triad (`unique`,
     * `not_null`, `accepted_values`) evaluated in one report, completing
     * the quality tier next to q163's `relationships` audit: one row per
-    * declared contract with rows checked and violations found (0 on this
-    * generator; the non-trivial checked-counts keep the oracle hash
-    * honest and any future violation flips it).
+    * declared contract with rows checked and violations found. Twelve
+    * contracts hold on this generator; the thirteenth —
+    * unique(l_orderkey, l_linenumber) — is VIOLATED by construction (the
+    * synthetic generator draws line numbers randomly in 1–7, so ~20% of
+    * rows share a composite key): the live detection is the proof the
+    * detector detects, and the oracle pins the exact violation count.
     *
     * Scale shape: `not_null`/`accepted_values` are map-side partial
     * aggregates over one pruned column; `unique` is one key shuffle per

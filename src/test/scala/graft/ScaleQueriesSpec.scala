@@ -191,6 +191,44 @@ class ScaleQueriesSpec extends AnyFunSuite {
     assert(perSource.values.forall(_ <= 10))
   }
 
+  test("q163 integrity audit covers every edge with zero orphans and full row counts") {
+    val rows = ScaleQueries.q163RefIntegrity(spark, sf).collect()
+    assert(rows.length == 7)
+    val liRows = Tables.lineitem(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L && r.getLong(3) == 0L,
+        s"${r.getString(0)}: expected zero orphans on the consistent generator")
+      assert(r.getLong(1) > 0L)
+    }
+    // n_rows is the CHILD cardinality, not the join's: a duplicate-free
+    // parent must leave lineitem edges exactly lineitem-sized
+    assert(rows.filter(_.getString(0).startsWith("lineitem.")).forall(_.getLong(1) == liRows))
+  }
+
+  test("q165 pairs are canonical (a<b), counts positive, and order is total") {
+    val rows = ScaleQueries.q165CopurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall { case (a, b, n) => a < b && n >= 1 })
+    assert(rows.sameElements(rows.sortBy { case (a, b, n) => (-n, a, b) }))
+  }
+
+  test("q166: 12 contracts hold; the composite-key contract detects its violation") {
+    val rows = ScaleQueries.q166ContractChecks(spark, sf).collect()
+    assert(rows.length == 13)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, s"${r.getString(0)}: must check a non-empty set")
+    }
+    val (violated, held) =
+      rows.partition(_.getString(0) == "unique:lineitem.l_orderkey+l_linenumber")
+    held.foreach(r =>
+      assert(r.getLong(2) == 0L, s"${r.getString(0)}: violations must be 0"))
+    // the generator draws line numbers randomly — the duplicate composite
+    // keys are real, and the detector must see them
+    assert(violated.head.getLong(2) > 0L,
+      "the known-violated contract must be detected")
+  }
+
   test("q161 checksum is layout-invariant: shuffled input, identical fingerprint") {
     val base = Tables.orders(spark, sf)
     val a = graft.etl.EtlQueries.checksumOf(base).collect().toSeq
