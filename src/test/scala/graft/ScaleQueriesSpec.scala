@@ -206,7 +206,11 @@ class ScaleQueriesSpec extends AnyFunSuite {
   }
 
   test("q165 pairs are canonical (a<b), counts positive, and order is total") {
-    val rows = ScaleQueries.q165CopurchasePairs(spark, sf).collect()
+    val df = ScaleQueries.q165CopurchasePairs(spark, sf)
+    // the scale claim: top-25 under a total order is a per-partition heap,
+    // never a global sort of the pair-count relation
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val rows = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty && rows.length <= 25)
     assert(rows.forall { case (a, b, n) => a < b && n >= 1 })
