@@ -446,7 +446,50 @@ object ScaleQueries {
     ).reduce(_.unionAll(_)).orderBy($"contract")
   }
 
+  /** Row-level snapshot diff — the data-reconciliation report between two
+    * versions of a keyed table (Datafold-style data-diff): how many rows
+    * were added, removed, changed, and unchanged, plus the changed set's
+    * cent-exact price delta. Completes the reconciliation ladder: q161
+    * compares partitions by fingerprint, q153 diffs file manifests, this
+    * diffs ROWS by key. The "next" version is derived deterministically
+    * from the base (q91's recipe): price bump on key%10=0, delete of
+    * key%100=0, insert of negated key%97=0 — so both engines build the
+    * identical pair of snapshots.
+    *
+    * Value compare is on (status, integer cents), never on doubles or
+    * concatenated strings; the delta sums integer cents (associative ⇒
+    * order-exact). Scale shape: one full-outer key-shuffle join (bucket-
+    * local under q81's layout) + a 4-row rollup; nothing collected,
+    * nothing hint-broadcast — both sides are fact-sized by design.
+    */
+  def q167SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    val base = o
+    val next = o.where($"o_orderkey" % 100 =!= 0)                    // deletes
+      .select($"o_orderkey", $"o_orderstatus",
+        when($"o_orderkey" % 10 === 0, $"cents" + 500L).otherwise($"cents").as("cents"))
+      .unionByName(o.where($"o_orderkey" % 97 === 0)                 // inserts
+        // -(k+1), not -k: the generator contains key 0, and -0 would
+        // collide with it (a phantom "unchanged" swallowing an add+remove)
+        .select((-($"o_orderkey" + 1)).as("o_orderkey"), $"o_orderstatus", $"cents"))
+    base.as("b").join(next.as("n"), Seq("o_orderkey"), "full_outer")
+      .select(
+        when($"n.cents".isNull, "removed")
+          .when($"b.cents".isNull, "added")
+          .when($"b.cents" =!= $"n.cents" ||
+            $"b.o_orderstatus" =!= $"n.o_orderstatus", "changed")
+          .otherwise("unchanged").as("diff_class"),
+        (coalesce($"n.cents", lit(0L)) - coalesce($"b.cents", lit(0L))).as("delta"))
+      .groupBy($"diff_class")
+      .agg(count(lit(1)).as("n_rows"), sum($"delta").as("delta_cents"))
+      .orderBy($"diff_class")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_snapshot_diff" -> (q167SnapshotDiff _),
     "q166_contract_checks" -> (q166ContractChecks _),
     "q165_copurchase_pairs" -> (q165CopurchasePairs _),
     "q163_ref_integrity" -> (q163RefIntegrity _),
@@ -462,6 +505,31 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical deterministic next-version derivation, FOJ, 4-row rollup
+    "q167_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |), nx AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN cents + 500 ELSE cents END AS cents
+        |  FROM o WHERE o_orderkey % 100 <> 0
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), o_orderstatus, cents FROM o WHERE o_orderkey % 97 = 0
+        |), d AS (
+        |  SELECT
+        |    CASE WHEN n.cents IS NULL THEN 'removed'
+        |         WHEN b.cents IS NULL THEN 'added'
+        |         WHEN b.cents <> n.cents OR b.o_orderstatus <> n.o_orderstatus
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS diff_class,
+        |    COALESCE(n.cents, 0) - COALESCE(b.cents, 0) AS delta
+        |  FROM o b FULL OUTER JOIN nx n USING (o_orderkey)
+        |)
+        |SELECT diff_class, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(delta) AS BIGINT) AS delta_cents
+        |FROM d GROUP BY diff_class ORDER BY diff_class""".stripMargin,
     // the same triad per contract; sum(cnt) recovers rows-checked from
     // the unique pass exactly as the Spark plan does
     "q166_contract_checks" -> {

@@ -233,6 +233,23 @@ class ScaleQueriesSpec extends AnyFunSuite {
       "the known-violated contract must be detected")
   }
 
+  test("q167 diff classes conserve mass and the changed delta is exactly the bump") {
+    import org.apache.spark.sql.functions.col
+    val m = ScaleQueries.q167SnapshotDiff(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keys = Tables.orders(spark, sf).select(col("o_orderkey")).collect().map(_.getLong(0))
+    val added = keys.count(_ % 97 == 0)
+    val removed = keys.count(_ % 100 == 0)
+    val changed = keys.count(k => k % 10 == 0 && k % 100 != 0)
+    assert(m("added")._1 == added && m("removed")._1 == removed)
+    assert(m("changed")._1 == changed)
+    // every changed row is a +$5.00 bump, nothing else
+    assert(m("changed")._2 == 500L * changed)
+    assert(m("unchanged")._2 == 0L)
+    // mass: each base key lands in exactly one class; adds are extra
+    assert(m.values.map(_._1).sum == keys.length + added)
+  }
+
   test("q161 checksum is layout-invariant: shuffled input, identical fingerprint") {
     val base = Tables.orders(spark, sf)
     val a = graft.etl.EtlQueries.checksumOf(base).collect().toSeq
