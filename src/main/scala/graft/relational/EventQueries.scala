@@ -182,6 +182,24 @@ object EventQueries {
       .orderBy($"event_id", $"p_ts_s")
   }
 
+  /** Batch twin of the stream-stream FULL OUTER interval join
+    * ([[graft.streaming.StreamingOps.errorsWithRecentPurchasesFull]]):
+    * q152's relation plus one null-event_id row per purchase that no
+    * error followed within the hour — the negative class q152 still
+    * drops. StreamingSpec asserts stream ≡ batch; this twin puts the
+    * two-sided null semantics under the DuckDB hash.
+    */
+  def q168FullOuterJoinTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", date_trunc("second", $"ts").as("ts"))
+    val errors = ev.filter($"event_type" === "error").select($"event_id", $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase").select($"user_id", $"ts")
+    graft.streaming.StreamingOps.errorsWithRecentPurchasesFull(errors, purchases)
+      .select($"event_id", $"user_id",
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("p_ts_s"))
+  }
+
   /** Batch twin of the bounded-state streaming dedup
     * ([[graft.streaming.StreamingOps.dedupedEvents]]). Spark rejects
     * `dropDuplicatesWithinWatermark` on batch plans, so the twin is the
@@ -629,6 +647,7 @@ object EventQueries {
     "q51_range_join" -> (q51RangeJoin _),
     "q53_stream_join_twin" -> (q53StreamJoinTwin _),
     "q152_outer_join_twin" -> (q152OuterJoinTwin _),
+    "q168_full_outer_join_twin" -> (q168FullOuterJoinTwin _),
   )
 
   /** Full SCD2 recompute over all events — oracle for both q155 (direct
@@ -883,6 +902,18 @@ object EventQueries {
         |FROM err e LEFT JOIN p ON e.user_id = p.user_id
         |  AND p.p_ts > e.ts - INTERVAL 1 HOUR AND p.p_ts <= e.ts
         |ORDER BY e.event_id, p_ts_s""".stripMargin,
+    // two-sided nulls; the compare sorts rows, so no ORDER BY needed (and
+    // none is portable: Spark and DuckDB default null order differ)
+    "q168_full_outer_join_twin" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, date_trunc('second', ts) AS ts FROM events
+        |), err AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'error'),
+        |p AS (SELECT user_id, ts AS p_ts FROM ev WHERE event_type = 'purchase')
+        |SELECT e.event_id AS event_id,
+        |  COALESCE(e.user_id, p.user_id) AS user_id,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts_s
+        |FROM err e FULL OUTER JOIN p ON e.user_id = p.user_id
+        |  AND p.p_ts > e.ts - INTERVAL 1 HOUR AND p.p_ts <= e.ts""".stripMargin,
     // The oracle states the range join directly (DuckDB plans an IEJoin);
     // the Spark side's bucketed equi-join must produce the identical
     // relation — that equivalence is exactly what the hash compare checks.

@@ -169,6 +169,30 @@ object StreamingOps {
         col("p.ts").as("p_ts"))
   }
 
+  /** Stream-stream interval FULL OUTER join — both unmatched sides
+    * survive: errors with no purchase in their preceding hour (the
+    * left-outer rows of [[errorsWithRecentPurchasesOuter]]) AND purchases
+    * followed by no error within an hour (the healthy conversions — the
+    * rows a monitoring pipeline wants as its negative class). Same
+    * watermark + interval-bound state as the inner/left variants; each
+    * side's null-extended rows emit only once the watermark proves no
+    * match can arrive. In batch mode the watermarks are no-ops and this
+    * is a plain full-outer range join (q168's oracle-verified twin).
+    * `user_id` is coalesced across sides so every output row names its
+    * user; a null `event_id` marks an unmatched purchase.
+    */
+  def errorsWithRecentPurchasesFull(errors: DataFrame, purchases: DataFrame,
+      delay: String = "1 hour"): DataFrame = {
+    val e = errors.withWatermark("ts", delay).alias("e")
+    val p = purchases.withWatermark("ts", delay).alias("p")
+    e.join(p, expr(
+        "e.user_id = p.user_id AND p.ts > e.ts - interval 1 hour AND p.ts <= e.ts"),
+        "full_outer")
+      .select(col("e.event_id").as("event_id"),
+        coalesce(col("e.user_id"), col("p.user_id")).as("user_id"),
+        col("p.ts").as("p_ts"))
+  }
+
   /** Stream-static enrichment join: the streaming fact joined to a static
     * dimension. STATELESS — unlike the stream-stream join above there is
     * no watermark and no join state; the static side is planned as a fixed

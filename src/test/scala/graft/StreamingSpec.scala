@@ -364,6 +364,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1L, Some(at(10))), (2L, 2L, None)))
   }
 
+  test("full-outer interval join: both unmatched sides emit nulls past the watermark") {
+    import spark.implicits._
+    def at(min: Int) = Timestamp.from(
+      java.time.Instant.parse("2024-07-02T00:00:00Z").plusSeconds(min * 60L))
+    // u1: error matched by a purchase 20min earlier; u2: error with no
+    // purchase (left-null row); u3: purchase with no error in the
+    // following hour (right-null row — the one q152 still drops)
+    val errs = Seq((1L, 1L, at(30)), (2L, 2L, at(40)))
+    val purs = Seq((1L, at(10)), (3L, at(15)))
+
+    val se = MemoryStream[(Long, Long, Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long, Timestamp)]], spark.sqlContext)
+    val sp = MemoryStream[(Long, Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp)]], spark.sqlContext)
+    val q = StreamingOps.errorsWithRecentPurchasesFull(
+        se.toDF().toDF("event_id", "user_id", "ts"),
+        sp.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("ssfj_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+    se.addData(errs); sp.addData(purs); q.processAllAvailable()
+    // sentinels (ids >= 90) push the watermark far past both horizons;
+    // a second advance flushes outer state finalized by the first
+    se.addData((99L, 99L, at(2000))); sp.addData((98L, at(2000)))
+    q.processAllAvailable()
+    se.addData((97L, 97L, at(4000))); sp.addData((96L, at(4000)))
+    q.processAllAvailable()
+    val got = spark.table(q.name)
+      .as[(Option[Long], Long, Option[Timestamp])].collect()
+      .filter(r => r._1.forall(_ < 90) && r._2 < 90).toSet
+    q.stop()
+
+    val batch = StreamingOps.errorsWithRecentPurchasesFull(
+        errs.toDF("event_id", "user_id", "ts"), purs.toDF("user_id", "ts"))
+      .as[(Option[Long], Long, Option[Timestamp])].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got == Set(
+      (Some(1L), 1L, Some(at(10))),   // matched
+      (Some(2L), 2L, None),           // unmatched error
+      (None, 3L, Some(at(15)))))      // unmatched purchase
+  }
+
   test("dropDuplicatesWithinWatermark: re-delivered events dedupe inside the horizon") {
     import spark.implicits._
     def ev(min: Int, v: Double) = Ev(Timestamp.from(
