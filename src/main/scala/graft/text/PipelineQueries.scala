@@ -408,7 +408,38 @@ object PipelineQueries {
       .orderBy($"source", $"rank")
   }
 
+  /** Equal-frequency feature discretizer (quantile binning): documents
+    * bucketed into deciles of `n_chars` — the feature-engineering pass
+    * that turns a heavy-tailed raw length into a bounded categorical
+    * (curriculum stages, stratified eval slices, monotone-feature GBM
+    * inputs). Bin id = how many of the 9 decile boundaries the value
+    * exceeds; boundaries come from `percentile_disc` (an actual data
+    * value, integer-exact cross-engine — q114's recipe, vs q131's
+    * approx tier for when exactness isn't required).
+    *
+    * Scale shape: exact disc percentiles over an integer domain
+    * aggregate a count-map keyed by distinct value — state ∝ |distinct
+    * n_chars| (bounded by max doc length), not corpus size; the 1-row
+    * boundary relation broadcasts back onto the scan (bounded by
+    * construction) and binning is a map-side 9-element array filter.
+    */
+  def q169FeatureBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"n_chars")
+    val bcols = (1 to 9).map(d => expr(
+      s"percentile_disc(0.$d) WITHIN GROUP (ORDER BY n_chars)").as(s"b$d"))
+    val bounds = docs.agg(bcols.head, bcols.tail: _*)
+    docs.crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(
+        "size(filter(array(b1,b2,b3,b4,b5,b6,b7,b8,b9), b -> n_chars > b))").cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_feature_bins" -> (q169FeatureBins _),
     "q156_source_cap" -> (q156SourceCap _),
     "q150_drift_psi" -> (q150DriftPsi _),
     "q139_corpus_shuffle" -> (q139CorpusShuffle _),
@@ -436,6 +467,22 @@ object PipelineQueries {
         |FROM r WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
     // identical integer divisions feed ln in both engines; the grid CTE
     // restores empty (source, bin) cells exactly like the Spark side
+    // quantile_disc ≡ percentile_disc WITHIN GROUP (q114's proven pair);
+    // list_filter + len replays the array-filter bin id
+    "q169_feature_bins" ->
+      """WITH b AS (
+        |  SELECT [quantile_disc(n_chars, 0.1), quantile_disc(n_chars, 0.2),
+        |          quantile_disc(n_chars, 0.3), quantile_disc(n_chars, 0.4),
+        |          quantile_disc(n_chars, 0.5), quantile_disc(n_chars, 0.6),
+        |          quantile_disc(n_chars, 0.7), quantile_disc(n_chars, 0.8),
+        |          quantile_disc(n_chars, 0.9)] AS bs
+        |  FROM documents
+        |)
+        |SELECT CAST(len(list_filter(b.bs, x -> d.n_chars > x)) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
+        |FROM documents d CROSS JOIN b
+        |GROUP BY bin ORDER BY bin""".stripMargin,
     "q150_drift_psi" ->
       """WITH d AS (
         |  SELECT source, least(n_chars // 100, 5) AS bin FROM documents
