@@ -110,6 +110,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(psi.filter($"psi" > 0).count() > 0, "sources differ from the corpus mix")
   }
 
+  test("q169 bins partition the corpus, are ordered, and are near-equal-frequency") {
+    val rows = text.PipelineQueries.q169FeatureBins(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_._2).sum == total, "every document lands in exactly one bin")
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    // consecutive bins cannot overlap in value range
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"bin ${a._1} max > bin ${b._1} min")
+      case _ => ()
+    }
+    // equal-frequency up to ties: no bin above ~2x the ideal decile mass
+    assert(rows.forall(_._2 <= (total / 10) * 2 + 1),
+      s"a bin exceeds 2x the ideal mass: ${rows.mkString(",")}")
+  }
+
   test("q141 scores every doc, ce >= 0, and n_bigrams = max(n_tokens - 1, 1)") {
     import spark.implicits._
     val scored = graft.text.TextQueries.q141DocPerplexity(spark, sf)
