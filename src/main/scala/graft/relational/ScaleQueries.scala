@@ -377,14 +377,7 @@ object ScaleQueries {
     */
   def q165CopurchasePairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val MaxBasket = 64L
-    val li = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
-    val small = li.groupBy($"l_orderkey")
-      .agg(count(lit(1)).as("basket_n"))
-      .where($"basket_n" <= MaxBasket)
-      .select($"l_orderkey")
-    val ok = li.join(small, Seq("l_orderkey"))
+    val ok = cappedBaskets(s, dir)
     ok.as("a").join(ok.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
       .select($"a.l_partkey".as("part_a"), $"b.l_partkey".as("part_b"))
@@ -392,6 +385,50 @@ object ScaleQueries {
       .agg(count(lit(1)).as("n_orders"))
       .orderBy($"n_orders".desc, $"part_a", $"part_b")
       .limit(25)
+  }
+
+  /** (order, part) baskets deduped and capped at 64 items — the shared
+    * candidate base of q165 (pair mining) and q170 (rule scoring). */
+  private def cappedBaskets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val MaxBasket = 64L
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val small = li.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("basket_n"))
+      .where($"basket_n" <= MaxBasket)
+      .select($"l_orderkey")
+    li.join(small, Seq("l_orderkey"))
+  }
+
+  /** Association-rule scoring over q165's candidate pairs: confidence
+    * P(b|a) and lift P(a,b)/(P(a)P(b)) for the top-25 co-purchased part
+    * pairs — the step that turns raw co-occurrence into "users who bought
+    * a also bought b" recommendations (Apriori's rule stage over the
+    * already-mined candidates). Counts stay integers until the final
+    * 4-dp divisions (integer-ratio double division is bit-identical
+    * cross-engine; q104/q128's rounding precedent).
+    *
+    * Scale shape: item supports are a group-cardinality relation (≤
+    * |parts|); the 25-row pair side joins against it — AQE broadcasts
+    * the tiny side; the basket denominator is a 1-row aggregate
+    * broadcast (bounded by construction). Nothing fact-sized is
+    * hint-broadcast.
+    */
+  def q170AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ok = cappedBaskets(s, dir)
+    val nBaskets = ok.agg(countDistinct($"l_orderkey").as("nb"))
+    val item = ok.groupBy($"l_partkey").agg(count(lit(1)).as("n_i"))
+    val pairs = q165CopurchasePairs(s, dir)
+    pairs
+      .join(item.select($"l_partkey".as("part_a"), $"n_i".as("n_a")), Seq("part_a"))
+      .join(item.select($"l_partkey".as("part_b"), $"n_i".as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select($"part_a", $"part_b", $"n_orders",
+        round($"n_orders".cast("double") / $"n_a", 4).as("conf_a_to_b"),
+        round($"n_orders".cast("double") * $"nb" / ($"n_a" * $"n_b"), 4).as("lift"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b")
   }
 
   /** Data-contract check suite — the dbt-test triad (`unique`,
@@ -489,6 +526,7 @@ object ScaleQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_association_rules" -> (q170AssociationRules _),
     "q167_snapshot_diff" -> (q167SnapshotDiff _),
     "q166_contract_checks" -> (q166ContractChecks _),
     "q165_copurchase_pairs" -> (q165CopurchasePairs _),
@@ -505,6 +543,31 @@ object ScaleQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // rule metrics from the same capped baskets; integer counts until the
+    // final 4-dp divisions
+    "q170_association_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ok AS (
+        |  SELECT l_orderkey FROM li GROUP BY l_orderkey HAVING count(*) <= 64
+        |), lik AS (SELECT li.* FROM li JOIN ok USING (l_orderkey)),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM lik),
+        |item AS (SELECT l_partkey, count(*) AS n_i FROM lik GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_orders
+        |  FROM lik a JOIN lik b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY part_a, part_b
+        |  ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+        |)
+        |SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders,
+        |  round(CAST(n_orders AS DOUBLE) / ia.n_i, 4) AS conf_a_to_b,
+        |  round(CAST(n_orders AS DOUBLE) * n.nb / (ia.n_i * ib.n_i), 4) AS lift
+        |FROM pairs
+        |JOIN item ia ON part_a = ia.l_partkey
+        |JOIN item ib ON part_b = ib.l_partkey
+        |CROSS JOIN n
+        |ORDER BY n_orders DESC, part_a, part_b""".stripMargin,
     // identical deterministic next-version derivation, FOJ, 4-row rollup
     "q167_snapshot_diff" ->
       """WITH o AS (

@@ -233,6 +233,18 @@ class ScaleQueriesSpec extends AnyFunSuite {
       "the known-violated contract must be detected")
   }
 
+  test("q170 rule metrics are bounded: conf in (0,1], lift positive, pairs = q165's") {
+    val rules = ScaleQueries.q170AssociationRules(spark, sf).collect()
+    val pairs = ScaleQueries.q165CopurchasePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rules.map(r => (r.getLong(0), r.getLong(1))).toSet == pairs)
+    rules.foreach { r =>
+      val (conf, lift) = (r.getDouble(3), r.getDouble(4))
+      assert(conf > 0.0 && conf <= 1.0, s"conf out of range: $r")
+      assert(lift > 0.0, s"lift must be positive: $r")
+    }
+  }
+
   test("q167 diff classes conserve mass and the changed delta is exactly the bump") {
     import org.apache.spark.sql.functions.col
     val m = ScaleQueries.q167SnapshotDiff(spark, sf).collect()
