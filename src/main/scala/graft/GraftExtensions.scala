@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // declarative zip_with+aggregate dot products → native kernel
     ext.injectOptimizerRule(_ => graft.plans.AccelerateVectorOps)
+    // whole-operator extension: native as-of join (plans.AsOfJoinPlan)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((FunctionIdentifier("dot_f"),
       info("dot_f", "dot_f(a, b) - double dot product of two float arrays"),
       (args: Seq[Expression]) => DotProductFloat(args(0), args(1))))

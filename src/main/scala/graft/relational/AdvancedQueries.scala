@@ -129,6 +129,37 @@ object AdvancedQueries {
       .orderBy($"event_id")
   }
 
+  /** q33's semantics through the NATIVE as-of join operator
+    * (plans.AsOfJoinExec: custom LogicalPlan + planner strategy + merge
+    * SparkPlan — the whole-operator extension tier). Same answer as q33
+    * (AsOfJoinSpec asserts row-for-row equality and pins the plan to one
+    * AsOfJoinExec + two exchanges, no WindowExec); the physical shape
+    * differs: each side shuffles only its OWN columns and the per-
+    * partition merge carries one buffered row of state instead of a
+    * window frame over the padded union. Both inputs are projected to
+    * exactly the joined columns before the operator (it is opaque to
+    * ColumnPruning by design) and the purchase side is deduped so "the
+    * latest ≤ ts" is unique. Oracle: DuckDB's native ASOF LEFT JOIN —
+    * the same oracle text as q33.
+    */
+  def q171AsofNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val errors = Tables.events(s, dir)
+      .filter($"event_type" === "error")
+      .select($"user_id", date_trunc("second", $"ts").as("ts_s"), $"event_id")
+    // second scan → fresh attribute ids (the operator requires disjoint
+    // sides; see AsOf.joinAsOf) and a right side deduped on (key, time)
+    val purchases = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), date_trunc("second", $"ts").as("p_ts"))
+      .distinct()
+    graft.plans.AsOf.joinAsOf(
+        errors, purchases, Seq("user_id" -> "p_user"), "ts_s", "p_ts")
+      .select($"event_id", $"user_id",
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("last_purchase"))
+      .orderBy($"event_id")
+  }
+
   /** Approximate distinct counting (HLL++): the sketch tier a 100 TB engine
     * aggregates cardinalities with — mergeable, fixed-size state instead of
     * a distinct shuffle. Sketch estimates are engine-specific, so there is
@@ -848,6 +879,7 @@ object AdvancedQueries {
     "q31_pivot" -> (q31Pivot _),
     "q32_semi_anti" -> (q32SemiAnti _),
     "q33_asof_join" -> (q33AsofJoin _),
+    "q171_asof_native" -> (q171AsofNative _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1195,6 +1227,20 @@ object AdvancedQueries {
         |GROUP BY c_mktsegment
         |ORDER BY tag, c_mktsegment""".stripMargin,
     "q33_asof_join" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type FROM events
+        |), err AS (
+        |  SELECT user_id, ts_s, event_id FROM ev WHERE event_type = 'error'
+        |), p AS (
+        |  SELECT DISTINCT user_id, ts_s AS p_ts FROM ev WHERE event_type = 'purchase'
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS last_purchase
+        |FROM err e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND p.p_ts <= e.ts_s
+        |ORDER BY e.event_id""".stripMargin,
+    // identical oracle: q171 is q33 through the native operator
+    "q171_asof_native" ->
       """WITH ev AS (
         |  SELECT user_id, date_trunc('second', ts) AS ts_s, event_id, event_type FROM events
         |), err AS (

@@ -644,7 +644,140 @@ object EventQueries {
       .orderBy($"lag_hours")
   }
 
+  /** Discrete-time survival analysis of time-to-first-purchase with right
+    * censoring — the life-table the growth team reads hazard curves from
+    * (and the leakage-safe cousin of naive conversion rate: users who
+    * never converted contribute exactly their observed exposure, not
+    * zero). Per user: entry = first event, "death" = first purchase,
+    * censoring = last observed event. One user_id shuffle builds the
+    * 3-timestamp exits relation; everything after operates on the
+    * day-grain life table, whose row count is calendar-bounded (days of
+    * observation horizon, q120's documented-bound class — guarded with
+    * the same raise_error idiom). at-risk(d) = Σ exits − Σ exits(< d)
+    * rides ONE WindowExec pass (same ordering, two frames). The hazard
+    * is a single integer division, so it hash-matches DuckDB exactly.
+    */
+  def q172SurvivalHazard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val exits = Tables.events(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .groupBy($"user_id")
+      .agg(
+        min($"us").as("t0"),
+        min(when($"event_type" === "purchase", $"us")).as("conv_us"),
+        max($"us").as("end_us"))
+      .select(
+        when($"conv_us".isNotNull, expr("(conv_us - t0) div 86400000000"))
+          .otherwise(expr("(end_us - t0) div 86400000000")).as("day"),
+        when($"conv_us".isNotNull, lit(1L)).otherwise(lit(0L)).as("converted"))
+    val lifeTable = exits.groupBy($"day")
+      .agg(
+        sum($"converted").as("conversions"),
+        sum(lit(1L) - $"converted").as("censored"),
+        count(lit(1)).as("exits"))
+    val ord = Window.orderBy($"day")
+    val wAll = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wBefore = ord.rowsBetween(Window.unboundedPreceding, -1)
+    lifeTable
+      .withColumn("_rn", row_number().over(ord).cast("long"))
+      .select(
+        when($"_rn" <= relational.AdvancedQueries.MaxWindowDays, $"day")
+          .otherwise(raise_error(concat(
+            lit("q172: life table exceeded the calendar bound at row "),
+            $"_rn".cast("string"))).cast("long"))
+          .as("day"),
+        (sum($"exits").over(wAll) - coalesce(sum($"exits").over(wBefore), lit(0L)))
+          .as("at_risk"),
+        $"conversions", $"censored")
+      .withColumn("hazard",
+        round($"conversions".cast("double") / $"at_risk", 4))
+      .orderBy($"day")
+  }
+
+  /** Gini coefficient of engagement concentration ("do 1% of users
+    * generate 90% of events?") — the inequality audit run over any
+    * training corpus before per-user caps are chosen (q156's cap is the
+    * remediation; this measures whether it is needed). The textbook
+    * formula needs a GLOBAL rank of every user — a total sort. This
+    * plans without one: collapse users to the distinct-count domain
+    * first (|distinct engagement levels| ≤ max events/user — thousands,
+    * not billions), then recover each level's rank-run sum in closed
+    * form: ranks (p, p+cnt] contribute (hi·(hi+1) − lo·(lo−1))/2 with
+    * p = Σ cnt of smaller levels. The only window runs over the level
+    * relation (guarded), never over users. Products are carried in
+    * decimal(38,0) — rank sums reach n², past long at cluster-scale user
+    * counts. One final division ⇒ hash-exact vs the oracle.
+    */
+  def q173GiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val levels = Tables.events(s, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("x"))
+      .groupBy($"x").agg(count(lit(1)).as("cnt"))
+    val ord = Window.orderBy($"x")
+    val wBefore = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val guarded = levels
+      .withColumn("_rn", row_number().over(ord).cast("long"))
+      .withColumn("prev",
+        when($"_rn" <= MaxEngagementLevels, coalesce(sum($"cnt").over(wBefore), lit(0L)))
+          .otherwise(raise_error(concat(
+            lit(s"q173: engagement-level domain exceeded $MaxEngagementLevels at row "),
+            $"_rn".cast("string"))).cast("long")))
+      .select($"x", $"cnt",
+        expr("((prev + cnt) * (prev + cnt + 1)) div 2 - (prev * (prev + 1)) div 2")
+          .cast("decimal(38,0)").as("rank_sum"))
+    guarded.agg(
+        sum($"cnt").as("n"),
+        sum($"x" * $"cnt").as("total_events"),
+        sum($"x".cast("decimal(38,0)") * $"rank_sum").as("weighted"))
+      .select($"n", $"total_events",
+        round(
+          (lit(2.0) * $"weighted".cast("double")
+            - ($"n" + 1).cast("double") * $"total_events".cast("double"))
+          / ($"n".cast("double") * $"total_events".cast("double")), 4).as("gini"))
+  }
+
+  private[graft] val MaxEngagementLevels = 1000000L
+
+  /** Two-proportion z-test on a deterministic 50/50 user split — the
+    * experimentation primitive (here an A/A test: user_id parity is
+    * independent of behavior, so z should be small; the spec asserts
+    * |z| < 5 and the oracle pins the exact value). One user_id shuffle
+    * computes per-user conversion; the rest is a 2-row conditional
+    * rollup and scalar IEEE arithmetic. Cross-engine exactness: every
+    * step after the integer counts is a correctly-rounded double op
+    * (÷, ×, √) written in the SAME association order in both engines,
+    * so the rounded z hash-matches bit-for-bit.
+    */
+  def q174AbTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arms = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", lit(1L)).otherwise(lit(0L))).as("conv"))
+      .select(($"user_id" % 2).as("arm"), $"conv")
+      .groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+    arms.agg(
+        max(when($"arm" === 0, $"n")).as("n_a"),
+        max(when($"arm" === 0, $"c")).as("c_a"),
+        max(when($"arm" === 1, $"n")).as("n_b"),
+        max(when($"arm" === 1, $"c")).as("c_b"))
+      .withColumn("p_a", $"c_a".cast("double") / $"n_a")
+      .withColumn("p_b", $"c_b".cast("double") / $"n_b")
+      .withColumn("p_pool", ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b"))
+      .select(
+        $"n_a", $"c_a", round($"p_a", 4).as("rate_a"),
+        $"n_b", $"c_b", round($"p_b", 4).as("rate_b"),
+        round(($"p_a" - $"p_b")
+          / sqrt($"p_pool" * (lit(1.0) - $"p_pool")
+            * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4).as("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_survival_hazard" -> (q172SurvivalHazard _),
+    "q173_gini" -> (q173GiniConcentration _),
+    "q174_ab_test" -> (q174AbTest _),
     "q162_conversion_lag" -> (q162ConversionLag _),
     "q160_attribution" -> (q160Attribution _),
     "q159_decayed_score" -> (q159DecayedScore _),
