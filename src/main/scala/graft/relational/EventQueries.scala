@@ -682,7 +682,7 @@ object EventQueries {
     lifeTable
       .withColumn("_rn", row_number().over(ord).cast("long"))
       .select(
-        when($"_rn" <= relational.AdvancedQueries.MaxWindowDays, $"day")
+        when($"_rn" <= AdvancedQueries.MaxWindowDays, $"day")
           .otherwise(raise_error(concat(
             lit("q172: life table exceeded the calendar bound at row "),
             $"_rn".cast("string"))).cast("long"))
