@@ -27,22 +27,33 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; `spark.sql.legacy.parquet.nanosAsLong` maps it to LongType and we
-    * rebuild a (micro-truncated) timestamp column ourselves. That conf is set
-    * in the session builders (Verify/Bench/test session — session config
-    * belongs at session construction, not inside a loader); DuckDB reads the
-    * same file at full nanos, so oracle queries must only compare
-    * second-or-coarser derivations.
+  /** `events.ts` has shipped under two generator layouts, so the loader
+    * adapts to whichever schema the scan reports rather than assuming one:
+    *
+    *  - parquet `timestamp[us]` (current generator): Spark reads it as
+    *    TIMESTAMP_NTZ (no UTC-adjust flag in the file). All downstream
+    *    consumers (`unix_micros`, `window`, `withWatermark`, `date_trunc`)
+    *    and every DuckDB oracle treat `ts` as an instant in UTC, so we cast
+    *    NTZ → TIMESTAMP deliberately; sessions run with
+    *    `spark.sql.session.timeZone=UTC` (Verify/Bench/test builders), which
+    *    makes the cast a pure re-tag of the same micros value — no shift.
+    *  - parquet TIMESTAMP(NANOS) (old generator): Spark's vectorized reader
+    *    surfaces it as LongType under `spark.sql.legacy.parquet.nanosAsLong`;
+    *    rebuild a micro-truncated timestamp. `ts div 1000` — integer
+    *    division; `/` would widen the ns long to double (53-bit mantissa,
+    *    ulp ≈ 256 at 1.7e18) and round the microsecond by ±1 (q34).
+    *
+    * DuckDB reads either layout natively; `epoch_ns(ts) // 1000` in the
+    * oracles is exact on both.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true (see Verify/Bench builders)")
     import org.apache.spark.sql.functions._
-    // `ts div 1000` — integer division. `/` would widen the ns long to
-    // double (53-bit mantissa, ulp ≈ 256 at 1.7e18) and round the microsecond
-    // by ±1: invisible at second granularity, wrong at millisecond (q34).
-    p(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val df = p(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _             => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 }
