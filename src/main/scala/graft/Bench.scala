@@ -35,10 +35,18 @@ object Bench {
     // comparable to BENCH_r01/r02 for map-heavy queries.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    SparkEntry.entry(spark).count()
+    // Warm-ups are individually fenced: round 8's bench died with rc=1 and
+    // ZERO timings because one broken warm-up query threw before the
+    // measured loop started. A failed warm-up must cost its queries their
+    // warm cache, never the round's entire bench signal.
+    def warm(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
+      }
+    warm(SparkEntry.entry(spark).count())
     // q40 additionally warms the langid regexps + anti-join codegen paths
     Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly", "q40_corpus_clean")
-      .foreach(q => run(SparkEntry.queries(q)(spark, warmDir)))
+      .foreach(q => warm(run(SparkEntry.queries(q)(spark, warmDir))))
     // failed queries report -1 (never a plausible elapsed time) and land in
     // "errors" — a regression must not masquerade as a fast success.
     // Min-of-N (N=2): single-run timings drifted +25% round-over-round on
