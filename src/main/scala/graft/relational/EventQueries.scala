@@ -748,7 +748,12 @@ object EventQueries {
     * rollup and scalar IEEE arithmetic. Cross-engine exactness: every
     * step after the integer counts is a correctly-rounded double op
     * (÷, ×, √) written in the SAME association order in both engines,
-    * so the rounded z hash-matches bit-for-bit.
+    * so the rounded z hash-matches bit-for-bit. Degenerate saturation
+    * (p_pool ∈ {0,1} — at sf0.01 EVERY user has a purchase, found by the
+    * r9 verify loop as an ANSI DIVIDE_BY_ZERO): the pooled variance is 0
+    * but so is p_a − p_b, and the 0/0 limit is reported as z = 0.0 —
+    * "no detectable difference", the only value consistent with equal
+    * arms — rather than NULL, whose NaN round-trip differs by engine.
     */
   def q174AbTest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -766,12 +771,14 @@ object EventQueries {
       .withColumn("p_a", $"c_a".cast("double") / $"n_a")
       .withColumn("p_b", $"c_b".cast("double") / $"n_b")
       .withColumn("p_pool", ($"c_a" + $"c_b").cast("double") / ($"n_a" + $"n_b"))
+      .withColumn("se",
+        sqrt($"p_pool" * (lit(1.0) - $"p_pool")
+          * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")))
       .select(
         $"n_a", $"c_a", round($"p_a", 4).as("rate_a"),
         $"n_b", $"c_b", round($"p_b", 4).as("rate_b"),
-        round(($"p_a" - $"p_b")
-          / sqrt($"p_pool" * (lit(1.0) - $"p_pool")
-            * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b")), 4).as("z"))
+        round(when($"se" > 0.0, ($"p_a" - $"p_b") / $"se")
+          .otherwise(lit(0.0)), 4).as("z"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -829,6 +836,96 @@ object EventQueries {
       |FROM f ORDER BY user_id, valid_from_us""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // first r9 oracles for the late-r8 trio q172/q173/q174 (VERDICT r8:
+    // "none has ever had a green correctness entry") — each replays the
+    // Spark arithmetic exactly: integer day/level/count domains until one
+    // final correctly-rounded double step in pinned association order
+    "q172_survival_hazard" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events
+        |), exits AS (
+        |  SELECT CASE WHEN conv_us IS NOT NULL
+        |              THEN (conv_us - t0) // 86400000000
+        |              ELSE (end_us - t0) // 86400000000 END AS day,
+        |    CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS converted
+        |  FROM (
+        |    SELECT user_id, min(us) AS t0,
+        |      min(CASE WHEN event_type = 'purchase' THEN us END) AS conv_us,
+        |      max(us) AS end_us
+        |    FROM e GROUP BY user_id
+        |  )
+        |), life AS (
+        |  SELECT day, CAST(sum(converted) AS BIGINT) AS conversions,
+        |    CAST(sum(1 - converted) AS BIGINT) AS censored,
+        |    CAST(count(*) AS BIGINT) AS exits
+        |  FROM exits GROUP BY day
+        |), lt AS (
+        |  SELECT CAST(day AS BIGINT) AS day,
+        |    CAST(sum(exits) OVER ()
+        |      - coalesce(sum(exits) OVER (ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS at_risk,
+        |    conversions, censored
+        |  FROM life
+        |)
+        |SELECT day, at_risk, conversions, censored,
+        |  round(CAST(conversions AS DOUBLE) / at_risk, 4) AS hazard
+        |FROM lt ORDER BY day""".stripMargin,
+    "q173_gini" ->
+      """WITH levels AS (
+        |  SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY user_id
+        |  ) GROUP BY x
+        |), g AS (
+        |  SELECT x, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM levels
+        |), r AS (
+        |  SELECT x, cnt,
+        |    CAST(((prev + cnt) * (prev + cnt + 1)) // 2
+        |      - (prev * (prev + 1)) // 2 AS HUGEINT) AS rank_sum
+        |  FROM g
+        |), agg AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(x * cnt) AS BIGINT) AS total_events,
+        |    sum(CAST(x AS HUGEINT) * rank_sum) AS weighted
+        |  FROM r
+        |)
+        |SELECT n, total_events,
+        |  round((2.0 * CAST(weighted AS DOUBLE)
+        |      - CAST(n + 1 AS DOUBLE) * CAST(total_events AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(total_events AS DOUBLE)), 4) AS gini
+        |FROM agg""".stripMargin,
+    "q174_ab_test" ->
+      """WITH conv AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), agg AS (
+        |  SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS c
+        |  FROM conv GROUP BY arm
+        |), w AS (
+        |  SELECT max(CASE WHEN arm = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 0 THEN c END) AS c_a,
+        |    max(CASE WHEN arm = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 1 THEN c END) AS c_b
+        |  FROM agg
+        |), p AS (
+        |  SELECT n_a, c_a, n_b, c_b,
+        |    CAST(c_a AS DOUBLE) / n_a AS p_a,
+        |    CAST(c_b AS DOUBLE) / n_b AS p_b,
+        |    CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool,
+        |    sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)) AS se
+        |  FROM w
+        |)
+        |SELECT n_a, c_a, round(p_a, 4) AS rate_a,
+        |  n_b, c_b, round(p_b, 4) AS rate_b,
+        |  round(CASE WHEN se > 0.0 THEN (p_a - p_b) / se ELSE 0.0 END, 4) AS z
+        |FROM p""".stripMargin,
     // conditional-min aggregates + integer-µs floor division: both engines
     // compute identical bigint bucket ids (both operands positive)
     "q162_conversion_lag" ->
