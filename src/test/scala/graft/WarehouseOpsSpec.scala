@@ -86,4 +86,58 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(revAttr == direct.getLong(1), "revenue mass is conserved across channels")
     assert(rows.map(_.getString(0)).distinct.length == rows.length)
   }
+
+  test("q172 life table telescopes: at_risk drains by exits, hazard in [0,1], guard in plan") {
+    val df = relational.EventQueries.q172SurvivalHazard(spark, sf)
+    // the calendar-bound raise_error guard is load-bearing at scale (q120's
+    // documented-bound class) — pin it so a refactor can't drop it silently
+    assert(df.queryExecution.analyzed.toString.contains("raise_error"),
+      "q172 lost its MaxWindowDays guard")
+    // the three window sums (row_number + two frames) must share ONE pass
+    assert(df.queryExecution.executedPlan.toString.split("Window").length - 1 <= 2,
+      "life-table windows no longer collapse into a single WindowExec")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // day 0's at-risk set is every observed user (everyone eventually exits)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.head.getLong(1) == users)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(1) == a.getLong(1) - a.getLong(2) - a.getLong(3),
+          "at_risk(d+1) must equal at_risk(d) - conversions(d) - censored(d)")
+      case _ => ()
+    }
+    val last = rows.last
+    assert(last.getLong(1) == last.getLong(2) + last.getLong(3),
+      "the final day must exhaust the risk set")
+    rows.foreach { r =>
+      val h = r.getDouble(4)
+      assert(h >= 0.0 && h <= 1.0, s"hazard out of [0,1]: $h")
+    }
+  }
+
+  test("q173 gini: totals tie to direct counts, coefficient in [0,1), guard in plan") {
+    val df = relational.EventQueries.q173GiniConcentration(spark, sf)
+    assert(df.queryExecution.analyzed.toString.contains("raise_error"),
+      "q173 lost its MaxEngagementLevels guard")
+    val r = df.collect().head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    val events = Tables.events(spark, sf).count()
+    assert(r.getLong(0) == users, "n must be the distinct user count")
+    assert(r.getLong(1) == events, "total_events must be the event count")
+    val g = r.getDouble(2)
+    assert(g >= 0.0 && g < 1.0, s"gini out of [0,1): $g")
+  }
+
+  test("q174 A/A z-test: arms partition users, conversions bounded, |z| small") {
+    val r = relational.EventQueries.q174AbTest(spark, sf).collect().head
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(3) == users, "arms must partition the user set")
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(4) <= r.getLong(3),
+      "conversions cannot exceed arm size")
+    val z = r.getDouble(6)
+    // parity is independent of behavior: an A/A test should read as noise
+    // (and the saturated-arms 0/0 case is defined to 0 by contract)
+    assert(!z.isNaN && math.abs(z) < 5.0, s"A/A |z| should be small, got $z")
+  }
 }
