@@ -122,6 +122,31 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"both sides must be hash-partitioned on the join key:\n$plan")
   }
 
+  test("randomized: operator matches a brute-force reference on 20 seeded corpora") {
+    // Small key/time domains force the edge cases the unit tests pin one
+    // at a time — equal timestamps, keys missing from either side, many
+    // rights per left, empty partitions after hashing — to co-occur.
+    val rnd = new scala.util.Random(9L)
+    (1 to 20).foreach { trial =>
+      val nl = 1 + rnd.nextInt(40)
+      val nr = rnd.nextInt(40)
+      val l = Seq.fill(nl)(
+        (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, s"L${rnd.nextInt(100)}"))
+      // operator contract: right side unique on (key, time) — dedupe like
+      // q171 dedupes purchases
+      val r = Seq.fill(nr)(
+          (rnd.nextInt(5).toLong, rnd.nextInt(20).toLong, s"R${rnd.nextInt(100)}"))
+        .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      val expected = l.map { case (k, t, tag) =>
+        val cand = r.filter(x => x._1 == k && x._2 <= t)
+        val best = if (cand.isEmpty) None else Some(cand.maxBy(_._2)._3)
+        (k, t, tag, best)
+      }.sortBy(x => (x._1, x._2, x._3))
+      assert(asof(leftDf(l), rightDf(r)) === expected,
+        s"trial $trial diverged (|l|=$nl, |r|=${r.size})")
+    }
+  }
+
   test("metrics: every left row emitted, matches counted separately") {
     val l = leftDf(Seq((1L, 10L, "a"), (1L, 3L, "b"), (2L, 5L, "c")))
     val r = rightDf(Seq((1L, 4L, "p")))

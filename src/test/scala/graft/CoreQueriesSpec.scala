@@ -36,6 +36,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
   }
 
+  test("events loader adapts to both generator layouts (nanos-as-long and timestamp)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    // The legacy TIMESTAMP(NANOS) layout surfaces as LongType under
+    // nanosAsLong; current testdata is timestamp[us]. The testdata regen
+    // between rounds 8 and 9 switched layouts mid-stream and killed 38
+    // queries — keep BOTH branches alive so the next switch is a no-op.
+    val root = Scratch.path("events_nanos_fixture")
+    Seq((1L, 1704067200123456789L, 7L, "view", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    val legacy = Tables.events(spark, root)
+    assert(legacy.schema("ts").dataType.typeName == "timestamp")
+    // ns div 1000 truncation, never double rounding
+    assert(legacy.select(unix_micros($"ts")).head.getLong(0) == 1704067200123456L)
+    // the live layout reads as a proper timestamp too
+    val current = Tables.events(spark, sf)
+    assert(current.schema("ts").dataType.typeName == "timestamp")
+    assert(current.select(unix_micros($"ts")).head.getLong(0) > 0L)
+  }
+
   test("q01 groups are exactly the returnflag/linestatus combos present in lineitem") {
     val rows = relational.CoreQueries.q01PricingSummary(spark, sf).collect()
     val got = rows.map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))).toSet
