@@ -14,18 +14,68 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * downstream operators are written against the schema, not the layout.
   */
 object Tables {
+  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.types._
+
   private def p(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def region(s: SparkSession, d: String): DataFrame    = p(s, d, "region")
-  def nation(s: SparkSession, d: String): DataFrame    = p(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame  = p(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame  = p(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame      = p(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame    = p(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame  = p(s, d, "lineitem")
-  def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")
+  /** Schema-at-the-edge: cast any column whose SCANNED dtype drifted from
+    * the canonical one every downstream query is written against. The
+    * round-8→9 testdata regen proved upstream writers change physical
+    * types mid-stream (`events.ts` nanos→micros, 38 queries dead at
+    * analysis); this keeps such drift a loader concern for every table,
+    * not just events. When the scan already matches (the normal case)
+    * this is the identity — no projection is added, so pushdown/pruning
+    * are untouched; a drifted column costs one cast and loses only that
+    * column's scan-level filter pushdown, which is the correct trade
+    * against 38 analysis failures.
+    */
+  private def canon(df: DataFrame, want: (String, DataType)*): DataFrame = {
+    val byName = want.toMap
+    // nullability is not drift (parquet writers flip it freely); compare
+    // on the nullable-normalized type only
+    def norm(t: DataType): DataType = t match {
+      case ArrayType(e, _)   => ArrayType(norm(e), containsNull = true)
+      case MapType(k, v, _)  => MapType(norm(k), norm(v), valueContainsNull = true)
+      case StructType(fs)    =>
+        StructType(fs.map(f => f.copy(dataType = norm(f.dataType), nullable = true)))
+      case other             => other
+    }
+    def differs(have: DataType, w: DataType) = norm(have) != norm(w)
+    val drifted = df.schema.fields.exists(f =>
+      byName.get(f.name).exists(differs(f.dataType, _)))
+    if (!drifted) df
+    else df.select(df.columns.map { c =>
+      byName.get(c) match {
+        case Some(t) if differs(df.schema(c).dataType, t) => col(c).cast(t).as(c)
+        case _ => col(c)
+      }
+    }: _*)
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = canon(p(s, d, "region"),
+    "r_regionkey" -> IntegerType)
+  def nation(s: SparkSession, d: String): DataFrame = canon(p(s, d, "nation"),
+    "n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType)
+  def customer(s: SparkSession, d: String): DataFrame = canon(p(s, d, "customer"),
+    "c_custkey" -> LongType, "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType)
+  def supplier(s: SparkSession, d: String): DataFrame = canon(p(s, d, "supplier"),
+    "s_suppkey" -> LongType, "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+  def part(s: SparkSession, d: String): DataFrame = canon(p(s, d, "part"),
+    "p_partkey" -> LongType, "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
+  def orders(s: SparkSession, d: String): DataFrame = canon(p(s, d, "orders"),
+    "o_orderkey" -> LongType, "o_custkey" -> LongType,
+    "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType)
+  def lineitem(s: SparkSession, d: String): DataFrame = canon(p(s, d, "lineitem"),
+    "l_orderkey" -> LongType, "l_partkey" -> LongType, "l_suppkey" -> LongType,
+    "l_linenumber" -> IntegerType, "l_quantity" -> DoubleType,
+    "l_extendedprice" -> DoubleType, "l_discount" -> DoubleType,
+    "l_tax" -> DoubleType, "l_shipdate" -> TimestampNTZType)
+  def documents(s: SparkSession, d: String): DataFrame = canon(p(s, d, "documents"),
+    "doc_id" -> LongType, "n_chars" -> LongType)
+  def embeddings(s: SparkSession, d: String): DataFrame = canon(p(s, d, "embeddings"),
+    "vec_id" -> LongType, "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
 
   /** `events.ts` has shipped under two generator layouts, so the loader
     * adapts to whichever schema the scan reports rather than assuming one:
@@ -48,8 +98,8 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
-    val df = p(s, d, "events")
+    val df = canon(p(s, d, "events"),
+      "event_id" -> LongType, "user_id" -> LongType, "value" -> DoubleType)
     df.schema("ts").dataType match {
       case LongType      => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampType => df

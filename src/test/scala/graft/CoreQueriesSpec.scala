@@ -57,6 +57,27 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(current.select(unix_micros($"ts")).head.getLong(0) > 0L)
   }
 
+  test("loaders canonicalize drifted physical dtypes back to the declared schema") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    // a generator that re-emits customer with narrowed/widened physical
+    // types (the events.ts precedent, applied to another table)
+    val root = Scratch.path("customer_drift_fixture")
+    Seq((1, "c1", 2L, 3.5f, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$root/customer.parquet")
+    val got = Tables.customer(spark, root)
+    assert(got.schema("c_custkey").dataType == LongType)     // int  → bigint
+    assert(got.schema("c_nationkey").dataType == IntegerType) // bigint → int
+    assert(got.schema("c_acctbal").dataType == DoubleType)   // float → double
+    assert(got.count() == 1L)
+    // and on the REAL testdata the canonicalizer is the identity: no cast
+    // may appear over the scan (pushdown/pruning must stay intact)
+    val live = Tables.customer(spark, sf)
+    assert(!live.queryExecution.optimizedPlan.toString.toLowerCase.contains("cast("),
+      "canon must be a no-op on matching schemas")
+  }
+
   test("q01 groups are exactly the returnflag/linestatus combos present in lineitem") {
     val rows = relational.CoreQueries.q01PricingSummary(spark, sf).collect()
     val got = rows.map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))).toSet
