@@ -426,6 +426,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(vals == Seq(1.0, 2.0)) // duplicate suppressed
   }
 
+  test("watermark eviction MEASURED: dedup state drops from 100 rows to the live horizon") {
+    import spark.implicits._
+    // SCALING.md's streaming claim is "state = rate × horizon, nothing
+    // grows with stream length" — assert it from the engine's own state
+    // metrics, not just output semantics: 100 keys buffered, then event
+    // time jumps 10 hours past their 30-minute horizon and the store must
+    // shrink to the still-live keys.
+    def ev(sec: Long, uid: Long) = Ev(Timestamp.from(
+      java.time.Instant.parse("2024-06-01T00:00:00Z").plusSeconds(sec)), uid, "k", 1.0)
+    val source = MemoryStream[Ev](implicitly[org.apache.spark.sql.Encoder[Ev]], spark.sqlContext)
+    val q = source.toDF()
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark(Seq("user_id"))
+      .writeStream.format("memory").queryName("evict_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+    source.addData((1L to 100L).map(u => ev(u, u)))
+    q.processAllAvailable()
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 100L)
+    // watermark advances past every buffered key's horizon...
+    source.addData(ev(36000L, 999L)); q.processAllAvailable()
+    // ...and the next batch's cleanup pass must actually evict
+    source.addData(ev(36060L, 1000L)); q.processAllAvailable()
+    val remaining = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(remaining <= 5L,
+      s"state store kept $remaining rows — eviction is broken, state grows with stream length")
+  }
+
   test("dedupedEvents stream == batch dropDuplicates on the same keys (q64's twin claim)") {
     import spark.implicits._
     def ev(min: Int, uid: Long) = Ev(Timestamp.from(
