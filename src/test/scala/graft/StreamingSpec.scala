@@ -328,6 +328,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("watermark eviction MEASURED: interval-join buffers drain past the horizon") {
+    import spark.implicits._
+    // Join state is the scale-critical store: each side buffers
+    // rate × (range + delay). Buffer 60 purchases + 30 errors around t0,
+    // then advance both sides' event time ~12 hours — the join must not
+    // retain the stale buffers.
+    def at(sec: Long) = Timestamp.from(
+      java.time.Instant.parse("2024-08-01T00:00:00Z").plusSeconds(sec))
+    val se = MemoryStream[(Long, Long, Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Long, Timestamp)]], spark.sqlContext)
+    val sp = MemoryStream[(Long, Timestamp)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, Timestamp)]], spark.sqlContext)
+    val q = StreamingOps.errorsWithRecentPurchases(
+        se.toDF().toDF("event_id", "user_id", "ts"),
+        sp.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("ssje_" + System.nanoTime())
+      .outputMode(OutputMode.Append()).start()
+    se.addData((1L to 30L).map(i => (i, i, at(i))))
+    sp.addData((1L to 60L).map(i => (i % 30L, at(i))))
+    q.processAllAvailable()
+    val buffered = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(buffered >= 90L, s"expected both sides buffered, saw $buffered")
+    se.addData(Seq((900L, 900L, at(43200L)))); sp.addData(Seq((901L, at(43200L))))
+    q.processAllAvailable()
+    se.addData(Seq((902L, 902L, at(43260L)))); sp.addData(Seq((903L, at(43260L))))
+    q.processAllAvailable()
+    val remaining = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    assert(remaining <= 10L,
+      s"join state kept $remaining rows — horizon eviction is broken")
+  }
+
   test("left-outer interval join: unmatched errors emit nulls once the watermark proves no match") {
     import spark.implicits._
     def at(min: Int) = Timestamp.from(
