@@ -288,4 +288,31 @@ class ScaleSpec extends AnyFunSuite {
       assert(r.getAs[Double]("rel_err") < 0.05, s"row $r")
     }
   }
+
+  test("registry-wide plan hygiene: no cartesian product anywhere; BNLJ only on the audited bounded-anchor list") {
+    // The r9 manual sweep of all 174 plans found 0 CartesianProduct and 16
+    // BroadcastNestedLoopJoins, every one a broadcast of a bounded anchor
+    // (1-row aggregates, ≤k-row centroid/LUT relations, id-bounded probe
+    // sets). Pin both facts so a refactor that degrades a join to a true
+    // cartesian — or sneaks a fact-sized BNLJ into a new query — fails
+    // here instead of at 100 TB.
+    val auditedBnlj = Set(
+      "q102_source_similarity", "q112_split_contamination",
+      "q138_pq_adc_search", "q140_ivf_pq_search", "q148_ann_index_roundtrip",
+      "q149_filtered_ann", "q150_drift_psi", "q159_decayed_score",
+      "q169_feature_bins", "q170_association_rules", "q18_knn_topk",
+      "q27_cosine_top_pairs", "q28_ngram_jaccard_probe", "q35_ivf_assign",
+      "q38_tfidf", "q54_ivf_search")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      withClue(name) {
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a cartesian product")
+        if (plan.contains("BroadcastNestedLoopJoin"))
+          assert(auditedBnlj.contains(name),
+            s"$name grew an unaudited BroadcastNestedLoopJoin — " +
+              "verify its build side is a bounded anchor, then add it here")
+      }
+    }
+  }
 }
