@@ -39,8 +39,11 @@ object Bench {
     // ZERO timings because one broken warm-up query threw before the
     // measured loop started. A failed warm-up must cost its queries their
     // warm cache, never the round's entire bench signal.
+    // NonFatal only (ADVICE r9): an OutOfMemoryError / LinkageError in a
+    // warm-up means a corrupted JVM — timings measured after it would be
+    // garbage, so fatal errors must kill the bench, not be swallowed.
     def warm(body: => Unit): Unit =
-      try body catch { case e: Throwable =>
+      try body catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
       }
     warm(SparkEntry.entry(spark).count())
@@ -77,18 +80,15 @@ object Bench {
     // parse of the one line the harness keeps (ADVICE r5).
     def fmt(v: Double, prec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-    // sub-second queries keep 10 ms resolution; at >= 1 s the harness's own
-    // run-to-run noise exceeds 10 ms (VERDICT r6), so 0.1 s suffices — and
-    // the saved chars keep the line under the driver's 2000-char window as
-    // the registry grows (170+ queries). Trailing zeros are stripped
-    // ("0.50"→"0.5", "3.0"→"3") — still valid JSON numbers, ~1 char saved
-    // per query on average.
-    def num(v: Double, prec: Int): String = {
-      val s = fmt(v, prec)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse else s
-    }
+    // Per-query values are CENTISECOND INTEGERS ("28" = 0.28 s), declared
+    // by the "qunit":"cs" field — the r9 decimal encoding put the line at
+    // 1,831/2,000 chars with ~10 query slots left before the driver's
+    // parse window truncates (VERDICT r9 wrong #2); integer centiseconds
+    // drop ~2 chars per sub-second query (the bulk of the registry) and
+    // keep 10 ms resolution, the same floor the decimal form had. Failed
+    // queries stay -1 (never a plausible centisecond count ≥ 0).
     val qs = results.map { case (k, v) =>
-      "\"" + short(k) + "\":" + num(v, if (v >= 1.0 || v < 0) 1 else 2)
+      "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
     }.mkString("{", ",", "}")
     // "errors" appears only when non-empty — saves line chars against the
     // driver's 2000-char parse window in the (normal) all-green case
@@ -100,6 +100,6 @@ object Bench {
     // sf basename only: the full path spends 16 line chars repeating
     // "/root/testdata/" that the driver already knows.
     val sf = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$errs,"sf":"$sf"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","qunit":"cs","queries":$qs$errs,"sf":"$sf"}""")
   }
 }

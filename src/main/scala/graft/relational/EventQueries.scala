@@ -725,15 +725,24 @@ object EventQueries {
             lit(s"q173: engagement-level domain exceeded $MaxEngagementLevels at row "),
             $"_rn".cast("string"))).cast("long")))
       .select($"x", $"cnt",
-        expr("((prev + cnt) * (prev + cnt + 1)) div 2 - (prev * (prev + 1)) div 2")
-          .cast("decimal(38,0)").as("rank_sum"))
+        // TWICE the rank-run sum — hi(hi+1) − lo(lo+1) = cnt·(2·prev+cnt+1)
+        // — with both factors cast to decimal(38,0) BEFORE the multiply
+        // (ADVICE r9: the old `(prev+cnt)*(prev+cnt+1)` ran in long, so at
+        // ~3e9 users the product wrapped silently in Spark while DuckDB
+        // errored). Carrying ×2 sidesteps decimal integral-division; the
+        // /2 folds into the final double step exactly (×2 only shifts the
+        // FP exponent, so cast(2w) ≡ 2.0·cast(w) bit-for-bit). The linear
+        // term 2·prev+cnt+1 stays in long — safe to ~4.6e18 users, the
+        // row-count ceiling itself.
+        ($"cnt".cast("decimal(38,0)")
+          * ($"prev" * 2 + $"cnt" + 1).cast("decimal(38,0)")).as("rank_sum2"))
     guarded.agg(
         sum($"cnt").as("n"),
         sum($"x" * $"cnt").as("total_events"),
-        sum($"x".cast("decimal(38,0)") * $"rank_sum").as("weighted"))
+        sum($"x".cast("decimal(38,0)") * $"rank_sum2").as("weighted2"))
       .select($"n", $"total_events",
         round(
-          (lit(2.0) * $"weighted".cast("double")
+          ($"weighted2".cast("double")
             - ($"n" + 1).cast("double") * $"total_events".cast("double"))
           / ($"n".cast("double") * $"total_events".cast("double")), 4).as("gini"))
   }
@@ -883,17 +892,16 @@ object EventQueries {
         |  FROM levels
         |), r AS (
         |  SELECT x, cnt,
-        |    CAST(((prev + cnt) * (prev + cnt + 1)) // 2
-        |      - (prev * (prev + 1)) // 2 AS HUGEINT) AS rank_sum
+        |    CAST(cnt AS HUGEINT) * CAST(2 * prev + cnt + 1 AS HUGEINT) AS rank_sum2
         |  FROM g
         |), agg AS (
         |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
         |    CAST(sum(x * cnt) AS BIGINT) AS total_events,
-        |    sum(CAST(x AS HUGEINT) * rank_sum) AS weighted
+        |    sum(CAST(x AS HUGEINT) * rank_sum2) AS weighted2
         |  FROM r
         |)
         |SELECT n, total_events,
-        |  round((2.0 * CAST(weighted AS DOUBLE)
+        |  round((CAST(weighted2 AS DOUBLE)
         |      - CAST(n + 1 AS DOUBLE) * CAST(total_events AS DOUBLE))
         |    / (CAST(n AS DOUBLE) * CAST(total_events AS DOUBLE)), 4) AS gini
         |FROM agg""".stripMargin,

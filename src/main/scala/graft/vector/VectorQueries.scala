@@ -1142,17 +1142,22 @@ object VectorQueries {
     * are pinned by VectorLawsSpec's append≡rebuild law instead.)
     */
   private val q151Oracle: String =
-    """SELECT * FROM (
+    // PqSubspaces is interpolated, not hardcoded (ADVICE r9): the Scala
+    // audit measures countDistinct(m), so a constant change must move the
+    // oracle with it or the two silently desync.
+    s"""SELECT * FROM (
       |  SELECT 'b1' AS batch,
       |    count(*) AS n_cells, count(DISTINCT vec_id) AS n_vecs,
       |    CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
-      |    4 * count(*) AS n_code_rows, CAST(4 AS BIGINT) AS n_subspaces
+      |    $PqSubspaces * count(*) AS n_code_rows,
+      |    CAST($PqSubspaces AS BIGINT) AS n_subspaces
       |  FROM embeddings WHERE vec_id % 10 = 9
       |  UNION ALL
       |  SELECT 'base' AS batch,
       |    count(*) AS n_cells, count(DISTINCT vec_id) AS n_vecs,
       |    CAST(sum(vec_id) AS BIGINT) AS sum_vec_id,
-      |    4 * count(*) AS n_code_rows, CAST(4 AS BIGINT) AS n_subspaces
+      |    $PqSubspaces * count(*) AS n_code_rows,
+      |    CAST($PqSubspaces AS BIGINT) AS n_subspaces
       |  FROM embeddings WHERE vec_id % 10 != 9
       |) ORDER BY batch""".stripMargin
 

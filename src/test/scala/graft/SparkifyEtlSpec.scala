@@ -124,4 +124,30 @@ class SparkifyEtlSpec extends AnyFunSuite {
       (1079L, "2018-11-30", "Chloe Cuevas", 1L),
       (2001L, "2018-12-1", "Chloe Cuevas", 1L)))
   }
+
+  test("S1/S2 inferred-schema parity: spark.read.json inference ≡ the explicit-schema read") {
+    // The reference infers schemas on every read (etl.py:64/124); the
+    // engine pins them (SparkifySchemas) to save the inference pass and
+    // enable field pruning. That is the ONE reference behavior implemented
+    // differently by design — this spec proves the divergence is
+    // observation-free on the reference's own data shape: inference
+    // chooses exactly the pinned types, and the rows are identical.
+    import org.apache.spark.sql.functions.col
+    def parity(glob: String, schema: org.apache.spark.sql.types.StructType): Unit = {
+      val explicit = spark.read.schema(schema).json(glob)
+      val inferred = spark.read.json(glob)
+      // normalized schema equality: same field set, and same type per
+      // field (inference orders fields alphabetically — order is the only
+      // permitted difference, normalized by the select below)
+      assert(
+        inferred.schema.fields.map(f => f.name -> f.dataType).toMap ==
+          explicit.schema.fields.map(f => f.name -> f.dataType).toMap,
+        s"inference chose different types for $glob")
+      val aligned = inferred.select(schema.fieldNames.map(col): _*)
+      assert(aligned.exceptAll(explicit).isEmpty && explicit.exceptAll(aligned).isEmpty,
+        s"inferred and explicit reads disagree on rows for $glob")
+    }
+    parity(s"$fixture/song_data/*/*/*/*.json", graft.etl.SparkifySchemas.songSchema)
+    parity(s"$fixture/log-data/*.json", graft.etl.SparkifySchemas.logSchema)
+  }
 }

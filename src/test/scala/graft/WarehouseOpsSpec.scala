@@ -93,8 +93,14 @@ class WarehouseOpsSpec extends AnyFunSuite {
     // documented-bound class) — pin it so a refactor can't drop it silently
     assert(df.queryExecution.analyzed.toString.contains("raise_error"),
       "q172 lost its MaxWindowDays guard")
-    // the three window sums (row_number + two frames) must share ONE pass
-    assert(df.queryExecution.executedPlan.toString.split("Window").length - 1 <= 2,
+    // the three window sums (row_number + two frames) must share ONE pass —
+    // counted as physical WindowExec nodes, not plan-string substrings
+    // (ADVICE r9: "Window" also appears in windowspecdefinition / field
+    // names, so the string count could flip on cosmetic plan changes)
+    val nWindowExec = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size
+    assert(nWindowExec <= 2,
       "life-table windows no longer collapse into a single WindowExec")
     val rows = df.collect()
     assert(rows.nonEmpty)
