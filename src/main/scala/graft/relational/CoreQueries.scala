@@ -57,15 +57,15 @@ object CoreQueries {
   }
 
   /** TPC-H Q3 shape: selective dim filter → fact join → agg → top-k
-    * (J2 + A1 + O1). The ONLY explicit broadcast is the filtered customer
-    * dimension (corpus-independent: one row per customer segment member,
-    * never fact-derived) into orders. lineitem ⋈ (orders⋈cust) is left to
-    * the planner: at 100 TB both sides are fact-sized, so it plans as a
-    * shuffle join on l_orderkey/o_orderkey (SMJ, or AQE's runtime broadcast
-    * if the filtered side happens to be small — a size-based decision that
-    * degrades gracefully, unlike an unconditional hint which OOMs; VERDICT
-    * r7 finding #1). ORDER BY on the *rounded* revenue + key is a total
-    * order ⇒ deterministic LIMIT; orderBy+limit fuses to
+    * (J2 + A1 + O1). BOTH joins are left to the planner (round 10 dropped
+    * the explicit broadcast of the filtered customer segment: a segment is
+    * a FIXED FRACTION of customers — ~1/5 — so the hinted side grows with
+    * the corpus and an unconditional hint OOMs at 100 TB; the planner
+    * broadcasts it at small scale from stats and AQE degrades it to a
+    * shuffle join when it outgrows the threshold — the same size-based
+    * decision the lineitem ⋈ (orders⋈cust) join has always relied on;
+    * VERDICT r7 finding #1). ORDER BY on the *rounded* revenue + key is a
+    * total order ⇒ deterministic LIMIT; orderBy+limit fuses to
     * TakeOrderedAndProject (no cluster-wide sort).
     */
   def q03JoinAggTopk(s: SparkSession, dir: String): DataFrame = {
@@ -73,7 +73,7 @@ object CoreQueries {
     val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
     val ord = Tables.orders(s, dir)
     val li = Tables.lineitem(s, dir)
-    li.join(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey"),
+    li.join(ord.join(cust, $"o_custkey" === $"c_custkey"),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderkey")
       .agg(

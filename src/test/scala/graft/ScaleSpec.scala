@@ -190,18 +190,22 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("q03's only broadcast hint covers the customer dim, never a fact-derived relation") {
-    // VERDICT r7 finding #1: the hint used to wrap orders⋈customer — a
-    // fact-sized relation that grows with the corpus, so the unconditional
-    // broadcast OOMs at 100× instead of degrading to a shuffle join. The
-    // contract: every explicit hint in q03 builds ONLY customer columns.
+  test("q03 carries no broadcast hint at all — join sizing is the planner's call") {
+    // VERDICT r7 finding #1 removed the fact-derived hint; round 10 removed
+    // the customer-segment hint too: a market segment is a FIXED FRACTION
+    // of customers, so even that side grows with the corpus — the planner
+    // broadcasts it from stats at small scale and AQE degrades it to a
+    // shuffle join past the threshold, which an unconditional hint cannot.
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val analyzed = relational.CoreQueries.q03JoinAggTopk(spark, sf).queryExecution.analyzed
     val hints = analyzed.collect { case h: ResolvedHint => h }
-    assert(hints.size == 1, s"expected exactly one broadcast hint, got ${hints.size}")
-    val hintCols = hints.head.child.collectLeaves().flatMap(_.output.map(_.name))
-    assert(hintCols.nonEmpty && hintCols.forall(_.startsWith("c_")),
-      s"broadcast hint must cover only customer columns, saw: ${hintCols.mkString(",")}")
+    assert(hints.isEmpty, s"expected no broadcast hints in q03, got ${hints.size}")
+    // and at test scale the planner still picks a broadcast join for the
+    // small filtered segment — dropping the hint costs nothing here
+    val physical = relational.CoreQueries.q03JoinAggTopk(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"planner should still broadcast the filtered segment at test scale:\n$physical")
   }
 
   test("AQE skew join: a hot key makes OptimizeSkewedJoin split the partition (skew=true)") {
