@@ -383,6 +383,36 @@ object VectorQueries {
     * break the cross-engine hash. VectorLawsSpec measures ADC recall vs
     * exact top-5.
     */
+  /** Cross-engine adjudication of the PQ code VALUES themselves (ADVICE
+    * r9: q151's audit oracle sees coverage, not codes — the code values
+    * rested on in-repo laws alone). This registers per-subspace checksums
+    * of the production coding path — the same lloyd + assignCells the
+    * index build uses — that pin every vector's code: n_vecs, sum(code),
+    * and sum(code · vec_id) (reassigning any single vector, or permuting
+    * codes among vectors, shifts the weighted sum). The DuckDB oracle
+    * replays the PqIters-deep training + assignment per subspace (the
+    * pqChains machinery q138/q140 already use) — cheap enough to
+    * adjudicate at sf0.1, unlike the full-search oracles. Together with
+    * VectorLawsSpec's append≡rebuild law and the q148-codes≡q176 spec,
+    * this closes the chain: persisted/incremental code values are now
+    * anchored to a cross-engine-verified computation.
+    */
+  def q176PqCodeChecksum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val raw = Tables.embeddings(s, dir)
+    (0 until PqSubspaces).map { m =>
+      val sub = subspaceOf(raw, m)
+      assignCells(sub, lloyd(sub, PqIters))
+        .select(lit(m.toLong).as("m"), $"vec_id", $"cell")
+    }.reduce(_ unionByName _)
+      .groupBy($"m")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum($"cell").as("code_sum"),
+        sum($"cell" * $"vec_id").as("code_id_sum"))
+      .orderBy($"m")
+  }
+
   def q138PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spaces = (0 until PqSubspaces).map { m =>
@@ -793,6 +823,7 @@ object VectorQueries {
     "q19_ann_lsh" -> (q19AnnLsh _),
     "q134_multi_lsh" -> (q134MultiLsh _),
     "q138_pq_adc_search" -> (q138PqAdcSearch _),
+    "q176_pq_code_checksum" -> (q176PqCodeChecksum _),
     "q140_ivf_pq_search" -> (q140IvfPqSearch _),
     "q148_ann_index_roundtrip" -> (q148AnnIndexRoundtrip _),
     "q149_filtered_ann" -> (q149FilteredAnn _),
@@ -1001,6 +1032,21 @@ object VectorQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // l0's probe anchor is itself, so its probe condition is trivially true
     // — identical semantics to joining lut0 on cell alone
+    // the PQ coding path's values, checksummed per subspace — replays the
+    // same pqChains training + assignment the q138/q140 oracles use, but
+    // aggregates instead of searching, so it adjudicates at sf0.1 too
+    "q176_pq_code_checksum" -> {
+      val union = (0 until PqSubspaces)
+        .map(m => s"SELECT $m AS m, vec_id, cell FROM code$m")
+        .mkString(" UNION ALL ")
+      s"""WITH $pqChains, $pqCodeCtes, allcodes AS (
+         |  $union
+         |)
+         |SELECT CAST(m AS BIGINT) AS m, count(*) AS n_vecs,
+         |  CAST(sum(cell) AS BIGINT) AS code_sum,
+         |  CAST(sum(cell * vec_id) AS BIGINT) AS code_id_sum
+         |FROM allcodes GROUP BY m ORDER BY m""".stripMargin
+    },
     "q138_pq_adc_search" ->
       s"""WITH $pqChains, $pqCodeCtes, $pqLutCtes, base AS (
          |  SELECT vec_id FROM code0

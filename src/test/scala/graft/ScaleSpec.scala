@@ -307,9 +307,9 @@ class ScaleSpec extends AnyFunSuite {
       "q102_source_similarity", "q112_split_contamination",
       "q138_pq_adc_search", "q140_ivf_pq_search", "q148_ann_index_roundtrip",
       "q149_filtered_ann", "q150_drift_psi", "q159_decayed_score",
-      "q169_feature_bins", "q170_association_rules", "q18_knn_topk",
-      "q27_cosine_top_pairs", "q28_ngram_jaccard_probe", "q35_ivf_assign",
-      "q38_tfidf", "q54_ivf_search")
+      "q169_feature_bins", "q170_association_rules", "q176_pq_code_checksum",
+      "q18_knn_topk", "q27_cosine_top_pairs", "q28_ngram_jaccard_probe",
+      "q35_ivf_assign", "q38_tfidf", "q54_ivf_search")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       withClue(name) {
@@ -354,7 +354,7 @@ class ScaleSpec extends AnyFunSuite {
     // audited here.
     val auditedRddBroadcasts = Set(
       "q35_ivf_assign", "q54_ivf_search", "q138_pq_adc_search",
-      "q140_ivf_pq_search", "q149_filtered_ann")
+      "q140_ivf_pq_search", "q149_filtered_ann", "q176_pq_code_checksum")
     val modPat = """% \d+\)? ?= \d+""".r
     val capPat = """< \d+""".r
     def leavesBounded(name: String, p: LogicalPlan): Boolean = p.collectLeaves().forall {

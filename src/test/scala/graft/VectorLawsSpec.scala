@@ -139,6 +139,29 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(incremental == rebuilt)
   }
 
+  test("q148's persisted code values match the cross-engine-adjudicated q176 checksums") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    // q176's (n, Σcode, Σcode·vec_id) per subspace is DuckDB-adjudicated
+    // (the oracle replays training + assignment); the persisted q148 codes
+    // must carry exactly those values — anchoring the artifact bytes, and
+    // through the append≡rebuild law above also the q151 increment, to a
+    // cross-engine-verified computation (ADVICE r9 gate-strength note).
+    val expected = vector.VectorQueries.q176PqCodeChecksum(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    vector.VectorQueries.q148AnnIndexRoundtrip(spark, sf).collect() // ensure built
+    val root = vector.VectorQueries.annIndexRoot(sf)
+    val persisted = spark.read.parquet(s"$root/codes")
+      .groupBy($"m").agg(count(lit(1)).as("n"),
+        sum($"code").as("cs"), sum($"code" * $"vec_id").as("cis"))
+      .collect()
+      .map(r => (r.getAs[Number]("m").longValue(),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(expected.keySet == (0 until vector.VectorQueries.PqSubspaces).map(_.toLong).toSet)
+    assert(persisted == expected,
+      s"persisted code checksums diverge: $persisted vs $expected")
+  }
+
   test("q149 filtered ANN: results satisfy the predicate; agrees with q54 on kept ids") {
     import spark.implicits._
     val keep = Tables.documents(spark, sf)
