@@ -60,7 +60,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        // NonFatal here too (review r10): an OOM mid-bench must kill the
+        // run — every timing after it would come from a corrupted JVM and
+        // be published as valid.
+        val ok = try { run(fn(spark, sfDir)); true }
+          catch { case scala.util.control.NonFatal(_) => false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)

@@ -24,4 +24,23 @@ object Scratch {
   def tag(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+
+  /** The build-once-per-process marker idiom shared by every
+    * persisted-artifact query (ANN indexes q148/q151, dedup indexes
+    * q67/q175): run `build` only if `root/marker` is absent, then create
+    * the marker. The single-writer contract lives here, once: roots are
+    * pid-scoped so concurrent JVMs never contend, and a fresh process
+    * always rebuilds. The marker is created strictly AFTER `build`
+    * completes — a crash mid-build leaves no marker, and the rerun's
+    * `mode("overwrite")` writes replace any partial files.
+    */
+  def buildOnce(root: String, marker: String = "_built")(build: => Unit): String = {
+    val m = new java.io.File(s"$root/$marker")
+    if (!m.exists()) {
+      build
+      m.getParentFile.mkdirs()
+      m.createNewFile()
+    }
+    root
+  }
 }

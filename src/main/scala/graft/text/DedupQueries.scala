@@ -292,15 +292,12 @@ object DedupQueries {
   private[graft] def buildDedupIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
     val root = dedupIndexRoot(dir)
-    val marker = new java.io.File(s"$root/_built")
-    if (!marker.exists()) {
+    graft.Scratch.buildOnce(root) {
       val corpusSh = shingleSets(s, dir).filter(!isNewBatch($"doc_id"))
       bandedKeys(s, corpusSh)
         .write.mode("overwrite").parquet(s"$root/bands")
       corpusSh.write.mode("overwrite").parquet(s"$root/shingles")
-      marker.createNewFile()
     }
-    root
   }
 
   /** Incremental near-dup dedup — the production ingestion shape: a NEW
@@ -344,15 +341,11 @@ object DedupQueries {
   private[graft] def buildExactIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
     import graft.functions.TextFunctions.fingerprint
-    val root = dedupIndexRoot(dir)
-    val marker = new java.io.File(s"$root/_fp_built")
-    if (!marker.exists()) {
+    graft.Scratch.buildOnce(dedupIndexRoot(dir), "_fp_built") {
       Tables.documents(s, dir).filter(!isNewBatch($"doc_id"))
         .select(fingerprint($"text").as("fp")).distinct()
-        .write.mode("overwrite").parquet(s"$root/fps")
-      marker.createNewFile()
+        .write.mode("overwrite").parquet(s"${dedupIndexRoot(dir)}/fps")
     }
-    root
   }
 
   /** Incremental EXACT dedup — completes the incremental story next to q67

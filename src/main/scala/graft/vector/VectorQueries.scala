@@ -387,30 +387,46 @@ object VectorQueries {
     * r9: q151's audit oracle sees coverage, not codes — the code values
     * rested on in-repo laws alone). This registers per-subspace checksums
     * of the production coding path — the same lloyd + assignCells the
-    * index build uses — that pin every vector's code: n_vecs, sum(code),
+    * index builds use — that pin every vector's code: n_vecs, sum(code),
     * and sum(code · vec_id) (reassigning any single vector, or permuting
-    * codes among vectors, shifts the weighted sum). The DuckDB oracle
-    * replays the PqIters-deep training + assignment per subspace (the
-    * pqChains machinery q138/q140 already use) — cheap enough to
-    * adjudicate at sf0.1, unlike the full-search oracles. Together with
-    * VectorLawsSpec's append≡rebuild law and the q148-codes≡q176 spec,
-    * this closes the chain: persisted/incremental code values are now
-    * anchored to a cross-engine-verified computation.
+    * codes among vectors, shifts the weighted sum). TWO training variants
+    * are emitted: `full` (codebooks trained on the whole corpus — q148's
+    * build input) and `base` (codebooks trained on the non-increment
+    * slice, all vectors coded — exactly the artifacts + coding input the
+    * q151 incremental index holds after its append). The DuckDB oracle
+    * replays both trainings + assignments (the pqChains machinery
+    * q138/q140 already use) — cheap enough to adjudicate at sf0.1,
+    * unlike the full-search oracles. VectorLawsSpec then pins the q148
+    * artifacts to the `full` rows and the q151 incremental artifacts to
+    * the `base` rows, so both persisted indexes' code values are anchored
+    * to a cross-engine-verified computation. code_id_sum is carried in
+    * decimal(38,0)/HUGEINT from the first multiply (q173's overflow
+    * discipline — Σ code·vec_id reaches ~3.5·n², past long at ~1.6e9
+    * vectors).
     */
   def q176PqCodeChecksum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = Tables.embeddings(s, dir)
-    (0 until PqSubspaces).map { m =>
-      val sub = subspaceOf(raw, m)
-      assignCells(sub, lloyd(sub, PqIters))
-        .select(lit(m.toLong).as("m"), $"vec_id", $"cell")
+    val variants: Seq[(String, DataFrame)] =
+      Seq("full" -> raw, "base" -> raw.filter(!isIncrement($"vec_id")))
+    variants.map { case (tag, trainSet) =>
+      (0 until PqSubspaces).map { m =>
+        assignCells(subspaceOf(raw, m), lloyd(subspaceOf(trainSet, m), PqIters))
+          .select(lit(tag).as("train"), lit(m.toLong).as("m"), $"vec_id", $"cell")
+      }.reduce(_ unionByName _)
     }.reduce(_ unionByName _)
-      .groupBy($"m")
+      .groupBy($"train", $"m")
       .agg(
         count(lit(1)).as("n_vecs"),
         sum($"cell").as("code_sum"),
-        sum($"cell" * $"vec_id").as("code_id_sum"))
-      .orderBy($"m")
+        // rendered as a STRING: decimal(38,0) reaches pandas as object
+        // while DuckDB's DECIMAL(38,0) degrades to float64, so the
+        // driver's dtype-kind compare would always fail on the numeric
+        // forms; the scale-0 decimal→string rendering is identical in
+        // both engines (no point, no exponent)
+        sum($"cell".cast("decimal(38,0)") * $"vec_id").cast("string")
+          .as("code_id_sum"))
+      .orderBy($"train", $"m")
   }
 
   def q138PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
@@ -566,17 +582,14 @@ object VectorQueries {
     import s.implicits._
     val root = annIndexRoot(dir)
     // ---- build: train + persist every artifact, once per process ----
-    // cached behind a marker like q151/q132: "train once, serve many" is
-    // the operator's own contract, so the recurring cost a min-of-N bench
-    // should land on is the serve path, not a re-train the production
-    // system never repeats (the pid-scoped root keeps the ADVICE r7
-    // concurrent-JVM isolation; a fresh process always rebuilds).
-    val marker = new java.io.File(s"$root/_trained")
-    if (!marker.exists()) {
+    // cached behind the shared marker idiom (Scratch.buildOnce): "train
+    // once, serve many" is the operator's own contract, so the recurring
+    // cost a min-of-N bench should land on is the serve path, not a
+    // re-train the production system never repeats.
+    graft.Scratch.buildOnce(root, "_trained") {
       val raw = Tables.embeddings(s, dir)
       trainIndexArtifacts(s, root, raw)
       codeIntoIndex(s, root, raw, "full")
-      marker.createNewFile()
     }
     // ---- serve: artifacts + probe vectors only ----
     serveFromArtifacts(s, dir, root)
@@ -664,15 +677,14 @@ object VectorQueries {
     import s.implicits._
     val root = annIndexRoot(dir) + "_incr"
     val raw = Tables.embeddings(s, dir)
-    // one-time build (training + base coding) cached behind a marker — the
-    // recurring cost the bench should land on is the per-batch path below,
-    // exactly q132's build/apply split rationale. Safe to cache: the batch
-    // coding is idempotent (same batch id overwrites its own partition).
-    val marker = new java.io.File(s"$root/_trained")
-    if (!marker.exists()) {
+    // one-time build (training + base coding) cached behind the shared
+    // marker idiom — the recurring cost the bench should land on is the
+    // per-batch path below, exactly q132's build/apply split rationale.
+    // Safe to cache: the batch coding is idempotent (same batch id
+    // overwrites its own partition).
+    graft.Scratch.buildOnce(root, "_trained") {
       trainIndexArtifacts(s, root, raw.filter(!isIncrement($"vec_id")))
       codeIntoIndex(s, root, raw.filter(!isIncrement($"vec_id")), "base")
-      marker.createNewFile()
     }
     // the per-batch incremental update: one broadcast-assign pass over the
     // batch against the persisted artifacts, landed as its own partition
@@ -1032,20 +1044,41 @@ object VectorQueries {
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // l0's probe anchor is itself, so its probe condition is trivially true
     // — identical semantics to joining lut0 on cell alone
-    // the PQ coding path's values, checksummed per subspace — replays the
-    // same pqChains training + assignment the q138/q140 oracles use, but
-    // aggregates instead of searching, so it adjudicates at sf0.1 too
+    // the PQ coding path's values, checksummed per subspace and training
+    // variant — replays the same pqChains training + assignment machinery
+    // the q138/q140 oracles use (plus a base-trained chain mirroring
+    // q151's build input), but aggregates instead of searching, so it
+    // adjudicates at sf0.1 too
     "q176_pq_code_checksum" -> {
-      val union = (0 until PqSubspaces)
-        .map(m => s"SELECT $m AS m, vec_id, cell FROM code$m")
+      val baseChains = (0 until PqSubspaces).map { m =>
+        val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+        kmeansCtesFor(s"b$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters,
+          "WHERE vec_id % 10 != 9")
+      }.mkString(", ")
+      // base-trained codebooks code the WHOLE corpus (the s-prefix emb0
+      // relations are unfiltered) — exactly codeIntoIndex's base ∪ b1
+      val baseCodeCtes = (0 until PqSubspaces).map { m =>
+        s"""bcode$m AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
+           |    FROM s${m}emb0 e CROSS JOIN b${m}c$PqIters c
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(", ")
+      val union = (0 until PqSubspaces).map(m =>
+        s"SELECT 'full' AS train, $m AS m, vec_id, cell FROM code$m" +
+          s" UNION ALL SELECT 'base' AS train, $m AS m, vec_id, cell FROM bcode$m")
         .mkString(" UNION ALL ")
-      s"""WITH $pqChains, $pqCodeCtes, allcodes AS (
+      s"""WITH $pqChains, $pqCodeCtes, $baseChains, $baseCodeCtes, allcodes AS (
          |  $union
          |)
-         |SELECT CAST(m AS BIGINT) AS m, count(*) AS n_vecs,
+         |SELECT train, CAST(m AS BIGINT) AS m, count(*) AS n_vecs,
          |  CAST(sum(cell) AS BIGINT) AS code_sum,
-         |  CAST(sum(cell * vec_id) AS BIGINT) AS code_id_sum
-         |FROM allcodes GROUP BY m ORDER BY m""".stripMargin
+         |  CAST(CAST(sum(CAST(cell AS HUGEINT) * vec_id) AS DECIMAL(38,0)) AS VARCHAR)
+         |    AS code_id_sum
+         |FROM allcodes GROUP BY train, m ORDER BY train, m""".stripMargin
     },
     "q138_pq_adc_search" ->
       s"""WITH $pqChains, $pqCodeCtes, $pqLutCtes, base AS (

@@ -200,12 +200,29 @@ class ScaleSpec extends AnyFunSuite {
     val analyzed = relational.CoreQueries.q03JoinAggTopk(spark, sf).queryExecution.analyzed
     val hints = analyzed.collect { case h: ResolvedHint => h }
     assert(hints.isEmpty, s"expected no broadcast hints in q03, got ${hints.size}")
-    // and at test scale the planner still picks a broadcast join for the
-    // small filtered segment — dropping the hint costs nothing here
-    val physical = relational.CoreQueries.q03JoinAggTopk(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(physical.contains("BroadcastHashJoin"),
-      s"planner should still broadcast the filtered segment at test scale:\n$physical")
+    // and at test scale the planner still picks a broadcast join whose
+    // BUILD SIDE scans customer — "some BHJ exists" is not enough, the
+    // outer lineitem join can also be a BHJ at this sf (review r10)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val plan = relational.CoreQueries.q03JoinAggTopk(spark, sf)
+      .queryExecution.executedPlan
+    val custBroadcast = PlanWalk.allNodes(plan)
+      .collect { case b: BroadcastHashJoinExec => b }
+      .exists { b =>
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        PlanWalk.allNodes(build).exists {
+          case s: FileSourceScanExec =>
+            s.relation.location.rootPaths.mkString(",").contains("customer.parquet")
+          case _ => false
+        }
+      }
+    assert(custBroadcast,
+      s"planner should still broadcast-build the filtered customer segment at test scale:\n$plan")
   }
 
   test("AQE skew join: a hot key makes OptimizeSkewedJoin split the partition (skew=true)") {
@@ -289,7 +306,11 @@ class ScaleSpec extends AnyFunSuite {
     val rows = relational.AdvancedQueries.q37ApproxDistinctRaw(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      assert(r.getAs[Double]("rel_err") < 0.05, s"row $r")
+      // same constant AND same comparison as the registered verdict —
+      // a boundary value must not make CI and the adjudication gate
+      // disagree (review r10)
+      assert(r.getAs[Double]("rel_err") <=
+        relational.AdvancedQueries.ApproxDistinctMaxRelErr, s"row $r")
     }
     // and the registered verdict form agrees with the raw diagnostic
     val reg = relational.AdvancedQueries.q37ApproxDistinct(spark, sf).collect()

@@ -139,27 +139,37 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(incremental == rebuilt)
   }
 
-  test("q148's persisted code values match the cross-engine-adjudicated q176 checksums") {
+  test("persisted code values (q148 full, q151 incremental) match the cross-engine-adjudicated q176 checksums") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count, lit, sum}
-    // q176's (n, Σcode, Σcode·vec_id) per subspace is DuckDB-adjudicated
-    // (the oracle replays training + assignment); the persisted q148 codes
-    // must carry exactly those values — anchoring the artifact bytes, and
-    // through the append≡rebuild law above also the q151 increment, to a
-    // cross-engine-verified computation (ADVICE r9 gate-strength note).
+    // q176's (n, Σcode, Σcode·vec_id) per (train, subspace) is
+    // DuckDB-adjudicated (the oracle replays both trainings +
+    // assignments); each persisted index's code files must carry exactly
+    // the matching variant's values — q148's codes the `full` rows,
+    // q151's appended base∪b1 codes the `base` rows. This anchors BOTH
+    // artifact sets to a cross-engine-verified computation (ADVICE r9
+    // gate-strength note; the earlier full-only form could not speak for
+    // q151, whose codebooks are base-trained).
     val expected = vector.VectorQueries.q176PqCodeChecksum(spark, sf).collect()
-      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    vector.VectorQueries.q148AnnIndexRoundtrip(spark, sf).collect() // ensure built
-    val root = vector.VectorQueries.annIndexRoot(sf)
-    val persisted = spark.read.parquet(s"$root/codes")
-      .groupBy($"m").agg(count(lit(1)).as("n"),
-        sum($"code").as("cs"), sum($"code" * $"vec_id").as("cis"))
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def persistedSums(root: String) = spark.read.parquet(s"$root/codes")
+      .groupBy($"m").agg(count(lit(1)).as("n"), sum($"code").as("cs"),
+        sum($"code".cast("decimal(38,0)") * $"vec_id").cast("string").as("cis"))
       .collect()
       .map(r => (r.getAs[Number]("m").longValue(),
-        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(expected.keySet == (0 until vector.VectorQueries.PqSubspaces).map(_.toLong).toSet)
-    assert(persisted == expected,
-      s"persisted code checksums diverge: $persisted vs $expected")
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val nSub = vector.VectorQueries.PqSubspaces
+    assert(expected.keySet ==
+      (for (t <- Seq("full", "base"); m <- 0 until nSub) yield (t, m.toLong)).toSet)
+    vector.VectorQueries.q148AnnIndexRoundtrip(spark, sf).collect() // ensure built
+    val full = persistedSums(vector.VectorQueries.annIndexRoot(sf))
+    assert(full == expected.collect { case (("full", m), v) => m -> v },
+      s"q148 persisted code checksums diverge from q176 'full'")
+    vector.VectorQueries.q151IncrementalAnnAudit(spark, sf).collect() // ensure appended
+    val incr = persistedSums(vector.VectorQueries.annIndexRoot(sf) + "_incr")
+    assert(incr == expected.collect { case (("base", m), v) => m -> v },
+      s"q151 persisted code checksums diverge from q176 'base'")
   }
 
   test("q149 filtered ANN: results satisfy the predicate; agrees with q54 on kept ids") {

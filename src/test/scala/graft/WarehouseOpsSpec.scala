@@ -96,10 +96,14 @@ class WarehouseOpsSpec extends AnyFunSuite {
     // the three window sums (row_number + two frames) must share ONE pass —
     // counted as physical WindowExec nodes, not plan-string substrings
     // (ADVICE r9: "Window" also appears in windowspecdefinition / field
-    // names, so the string count could flip on cosmetic plan changes)
-    val nWindowExec = df.queryExecution.executedPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }.size
+    // names, so the string count could flip on cosmetic plan changes).
+    // PlanWalk descends through the AdaptiveSparkPlanExec wrapper — a
+    // plain .collect on the executed plan sees NOTHING under AQE and the
+    // assertion would pass vacuously at 0; the >= 1 floor guards against
+    // that failure mode returning.
+    val nWindowExec = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(nWindowExec >= 1, "walker stopped seeing the life-table WindowExec at all")
     assert(nWindowExec <= 2,
       "life-table windows no longer collapse into a single WindowExec")
     val rows = df.collect()
