@@ -539,6 +539,36 @@ object AdvancedQueries {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE` → `UnionLoop`): walk every
+    * customer's ancestor chain through the decimal hierarchy
+    * `parent(k) = k div 10` — each level a REAL equi-join of the frontier
+    * against customer (the parent row must exist), not arithmetic-only
+    * recursion — and roll up customers by distance to their root. The
+    * iteration count is log₁₀-bounded (depth ≈ 7 at 100 TB key ranges) and
+    * the frontier SHRINKS every step (rows at their root leave via the
+    * `cur >= 10` guard), so each superstep is one equi-join on a frontier
+    * no larger than the previous — the engine-managed twin of q69's
+    * driver-loop label propagation. `node_key_sum` pins the full
+    * node↔depth assignment, not just counts.
+    */
+  def q177RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_v_customer")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth
+        |  FROM graft_v_customer
+        |  UNION ALL
+        |  SELECT ch.node, p.c_custkey AS cur, ch.depth + 1
+        |  FROM chain ch JOIN graft_v_customer p ON p.c_custkey = ch.cur div 10
+        |  WHERE ch.cur >= 10
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_customers,
+        |  CAST(sum(cur) AS BIGINT) AS root_key_sum,
+        |  CAST(sum(node) AS BIGINT) AS node_key_sum
+        |FROM chain WHERE cur < 10
+        |GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   /** LATERAL correlated subquery (SQL surface): top-2 orders by value per
     * customer, the "per-row dependent subquery" shape Spark's analyzer
     * decorrelates into a ranked join — no driver loop, no N scans of
@@ -926,6 +956,7 @@ object AdvancedQueries {
     "q99_try_funcs" -> (q99TryFuncs _),
     "q93_range_frame" -> (q93RangeFrame _),
     "q94_lateral" -> (q94Lateral _),
+    "q177_recursive_cte" -> (q177RecursiveCte _),
     "q84_funnel" -> (q84Funnel _),
     "q85_profile" -> (q85Profile _),
     "q86_ntile" -> (q86Ntile _),
@@ -1140,6 +1171,21 @@ object AdvancedQueries {
         |) o
         |WHERE c.c_custkey % 50 = 0
         |ORDER BY c.c_custkey, price DESC, o.o_orderkey""".stripMargin,
+    // DuckDB's // is Spark's div; the guard keeps DuckDB's default
+    // unbounded recursion finite exactly like Spark's level limit
+    "q177_recursive_cte" ->
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS node, c_custkey AS cur, 0 AS depth FROM customer
+        |  UNION ALL
+        |  SELECT ch.node, p.c_custkey AS cur, ch.depth + 1
+        |  FROM chain ch JOIN customer p ON p.c_custkey = ch.cur // 10
+        |  WHERE ch.cur >= 10
+        |)
+        |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_customers,
+        |  CAST(sum(cur) AS BIGINT) AS root_key_sum,
+        |  CAST(sum(node) AS BIGINT) AS node_key_sum
+        |FROM chain WHERE cur < 10
+        |GROUP BY depth ORDER BY depth""".stripMargin,
     "q84_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events

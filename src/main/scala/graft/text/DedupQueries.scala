@@ -540,7 +540,34 @@ object DedupQueries {
       .orderBy($"source")
   }
 
+  /** Template/boilerplate detection by normalized-prefix fingerprint — the
+    * C4-style sweep for generated/templated pages: documents sharing the
+    * md5 of their first 48 whitespace-collapsed lowercase characters are
+    * instances of one template (near-dup bodies behind a shared opening,
+    * the complement of q15's whole-document fingerprint and q20's
+    * content-wide MinHash). The prefix is normalized and hashed MAP-SIDE,
+    * so only the 32-hex-char fingerprint ever shuffles — at 100 TB the
+    * text stays where it was scanned; clusters are fingerprints with ≥2
+    * members (cluster count ∝ templates, not corpus).
+    */
+  def q180TemplateClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prefix = substring(regexp_replace(lower($"text"), "\\s+", " "), 1, 48)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"lang", md5(prefix).as("fp"))
+      .groupBy($"fp")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"fp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q180_template_clusters" -> (q180TemplateClusters _),
     "q127_gram_novelty" -> (q127GramNovelty _),
     "q102_source_similarity" -> (q102SourceSimilarity _),
     "q69_dedup_clusters" -> (q69DedupClusters _),
@@ -568,6 +595,19 @@ object DedupQueries {
   private val shingleCte = shingleCteFrom("documents")
 
   val oracles: Map[String, String] = Map(
+    // \s+ means the same ASCII whitespace class to Java regex and RE2;
+    // md5 renders lowercase hex in both engines
+    "q180_template_clusters" ->
+      """WITH p AS (
+        |  SELECT doc_id, source, lang,
+        |    md5(substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 48)) AS fp
+        |  FROM documents
+        |)
+        |SELECT fp, count(*) AS n_docs,
+        |  count(DISTINCT source) AS n_sources,
+        |  count(DISTINCT lang) AS n_langs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM p GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
     // source-level min over DISTINCT (source, shingle) == elementwise min
     // of per-doc signatures (min distributes over union); h60 spelled as
     // the usual '0x'||substr(md5) 60-bit derivation

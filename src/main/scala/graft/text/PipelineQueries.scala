@@ -15,13 +15,17 @@ import graft.functions.TextFunctions.tokens
   */
 object PipelineQueries {
 
-  // portable 60-bit md5 bucket in [0, 100): Spark conv(substring(md5)) ==
+  // portable 60-bit md5 bucket in [0, mod): Spark conv(substring(md5)) ==
   // DuckDB CAST('0x'||substr). The ONE copy of this construction — q57's
-  // split and q59's sampling both use it, so the Spark side can never
-  // drift from the oracles' character-for-character hash recipe.
-  private[text] def hashBucket(salt: String, key: org.apache.spark.sql.Column) =
+  // split, q59's sampling, and q179's ppm-rate resampler all use it, so
+  // the Spark side can never drift from the oracles'
+  // character-for-character hash recipe.
+  private[text] def hashMod(salt: String, key: org.apache.spark.sql.Column, mod: Long) =
     pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
-      .cast("long"), lit(100L))
+      .cast("long"), lit(mod))
+
+  private[text] def hashBucket(salt: String, key: org.apache.spark.sql.Column) =
+    hashMod(salt, key, 100L)
 
   /** Weighted per-stratum sampling: each language keeps a different
     * fraction (en 50%, de 25%, rest 10%) via the deterministic hash bucket
@@ -438,7 +442,85 @@ object PipelineQueries {
       .orderBy($"bin")
   }
 
+  /** Quality-gate funnel with first-failing-gate attribution — the
+    * accounting view every production corpus-cleaning cascade ships with:
+    * not just how many documents survive, but which gate dropped the rest
+    * and how many candidates each gate actually saw. Gates (ordered):
+    * minimum length, language allowlist, Gopher-style 3-gram repetition
+    * (q58's signal), and a mean-word-length sanity band. Per document the
+    * verdict is a single map-side expression (first failing gate wins);
+    * the funnel itself is a 4-row relation — cumulative stage inputs come
+    * from a window over those 4 rows, never over documents. At 100 TB
+    * this is one scan + one tiny partial-aggregated rollup.
+    */
+  def q178QualityFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nGramsTotal = greatest(size(toks) - lit(2), lit(1)).cast("double")
+    val dupFrac = lit(1.0) - size(wordShingles($"text", 3)).cast("double") / nGramsTotal
+    // unrounded chars-sans-spaces / token-count: both engines evaluate the
+    // identical IEEE division, so band comparisons cannot diverge
+    val awl = length(regexp_replace($"text", " ", "")).cast("double") / size(toks)
+    val firstFail =
+      when($"n_chars" < 100, 1L)
+        .when(!$"lang".isInCollection(Seq("en", "de", "es", "fr")), 2L)
+        .when(dupFrac > 0.02, 3L)
+        .when(awl < 4.2 || awl > 4.9, 4L)
+        .otherwise(0L)
+    val drops = Tables.documents(s, dir)
+      .select(firstFail.as("gate"))
+      .groupBy($"gate").agg(count(lit(1)).as("n_dropped"))
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
+    val stages = Seq(
+      (1L, "min_length"), (2L, "lang_allowlist"),
+      (3L, "repetition"), (4L, "word_len_band")).toDF("gate", "stage")
+    val w = Window.orderBy($"gate").rowsBetween(Window.unboundedPreceding, -1)
+    stages
+      .join(drops, Seq("gate"), "left")
+      .na.fill(0L, Seq("n_dropped"))
+      .crossJoin(broadcast(total))
+      .withColumn("n_in", $"n_total" - coalesce(sum($"n_dropped").over(w), lit(0L)))
+      .select($"gate", $"stage", $"n_in", $"n_dropped",
+        ($"n_in" - $"n_dropped").as("n_out"))
+      .orderBy($"gate")
+  }
+
+  /** Deterministic mixture resampling to balanced language shares — the
+    * down-sample-to-target step of corpus mixing (q113 computes the target
+    * weights; this EXECUTES a resample): each language keeps
+    * `rate_ppm = min(1e6, target·1e6 div n)` documents, decided per row by
+    * the portable md5 hash mod 1e6, so the same corpus yields the same
+    * sample on any engine, run, or cluster layout, and the rates are
+    * integer-exact (no float rate can drift the keep decision). The rate
+    * table is a bounded-domain aggregate (one row per language) broadcast
+    * to the scan; the per-row decision is map-side, and only the 5-row
+    * rollup shuffles. At 100 TB: one scan, no text movement, no RNG.
+    */
+  def q179MixtureResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val target = counts.agg(min($"n_docs").as("target_n"))
+    val rates = counts.crossJoin(broadcast(target))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("(target_n * 1000000) div n_docs")))
+    Tables.documents(s, dir)
+      .select($"lang", $"doc_id")
+      .withColumn("h", hashMod("mix:", $"doc_id", 1000000L))
+      .join(broadcast(rates), Seq("lang"))
+      .groupBy($"lang")
+      .agg(
+        max($"n_docs").as("n_docs"),
+        max($"target_n").as("target_n"),
+        max($"rate_ppm").as("rate_ppm"),
+        sum(when($"h" < $"rate_ppm", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"h" < $"rate_ppm", $"doc_id").otherwise(0L)).as("kept_id_sum"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_quality_funnel" -> (q178QualityFunnel _),
+    "q179_mixture_resample" -> (q179MixtureResample _),
     "q169_feature_bins" -> (q169FeatureBins _),
     "q156_source_cap" -> (q156SourceCap _),
     "q150_drift_psi" -> (q150DriftPsi _),
@@ -456,6 +538,62 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // gate 3's repetition signal replays q58's proven 3-gram slice shape;
+    // gate 4's mean word length is the identical IEEE division both sides
+    "q178_quality_funnel" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT *, greatest(len(toks) - 2, 1) AS n_total,
+        |    len(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+        |      i -> array_to_string(toks[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)], ' ')))) AS n_distinct
+        |  FROM t
+        |), m AS (
+        |  SELECT CASE
+        |    WHEN n_chars < 100 THEN 1
+        |    WHEN lang NOT IN ('en', 'de', 'es', 'fr') THEN 2
+        |    WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_total > 0.02 THEN 3
+        |    WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) < 4.2
+        |      OR CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) > 4.9 THEN 4
+        |    ELSE 0 END AS gate
+        |  FROM g
+        |), d AS (SELECT gate, count(*) AS n_dropped FROM m GROUP BY gate),
+        |tot AS (SELECT count(*) AS n_total FROM documents),
+        |s AS (SELECT * FROM (VALUES (1, 'min_length'), (2, 'lang_allowlist'),
+        |                            (3, 'repetition'), (4, 'word_len_band')) v(gate, stage)),
+        |j AS (
+        |  SELECT s.gate, s.stage, COALESCE(d.n_dropped, 0) AS n_dropped
+        |  FROM s LEFT JOIN d ON s.gate = d.gate
+        |)
+        |SELECT CAST(j.gate AS BIGINT) AS gate, j.stage,
+        |  CAST(tot.n_total - COALESCE(sum(n_dropped) OVER (ORDER BY j.gate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+        |  CAST(n_dropped AS BIGINT) AS n_dropped,
+        |  CAST(tot.n_total - sum(n_dropped) OVER (ORDER BY j.gate
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_out
+        |FROM j, tot ORDER BY gate""".stripMargin,
+    // integer-exact ppm rates: (target·1e6) div n in BIGINT on both sides,
+    // keep decision via the shared md5 recipe mod 1e6
+    "q179_mixture_resample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT min(n_docs) AS target_n FROM c),
+        |r AS (
+        |  SELECT lang, n_docs, target_n,
+        |    least(1000000, (target_n * 1000000) // n_docs) AS rate_ppm
+        |  FROM c, t
+        |), k AS (
+        |  SELECT d.lang, d.doc_id, r.n_docs, r.target_n, r.rate_ppm,
+        |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |      % 1000000 AS h
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(target_n AS BIGINT) AS target_n,
+        |  CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        |  CAST(sum(CASE WHEN h < rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN h < rate_ppm THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM k GROUP BY lang, n_docs, target_n, rate_ppm ORDER BY lang""".stripMargin,
     "q156_source_cap" ->
       """WITH r AS (
         |  SELECT doc_id, source, n_chars,

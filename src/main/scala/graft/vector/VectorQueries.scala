@@ -160,6 +160,49 @@ object VectorQueries {
       .orderBy($"vec_id")
   }
 
+  /** ANN quality audit: recall@5 and candidate cost of the multi-table LSH
+    * index (q134's L=4 bands) against the exact top-5 (q18's machinery),
+    * per probe — the recall/cost measurement every production ANN
+    * deployment tracks when tuning L (VectorLawsSpec asserts the law once;
+    * this REGISTERS the measurement as an adjudicated query). Exact side:
+    * bounded probe broadcast + map-side TopKByScore. Candidate side: band
+    * equi-join against the ≤ L·MaxProbes-row probe-band broadcast — never
+    * all-pairs, candidate ids only (embeddings don't shuffle). Recall is
+    * an exact ratio of integer counts.
+    */
+  def q181AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
+    val topk = udaf(TopKByScore(5))
+    val exact = e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
+      .groupBy($"probe_id").agg(topk($"sim", $"vec_id").as("nn"))
+      .select($"probe_id", explode($"nn").as("nnrow"))
+      .select($"probe_id", $"nnrow._2".as("vec_id"))
+    val banded = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode(
+        array((0 until LshTables).map(t => lshBucketT($"embedding", t)): _*)))
+      .select($"vec_id", $"pos".as("tbl"), $"col".as("bucket"))
+    val probeBands = banded.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"tbl", $"bucket")
+    val cands = banded.join(broadcast(probeBands), Seq("tbl", "bucket"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id").distinct()
+    val nCands = cands.groupBy($"probe_id").agg(count(lit(1)).as("n_cands"))
+    val nHits = exact.join(cands, Seq("probe_id", "vec_id"), "leftsemi")
+      .groupBy($"probe_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy($"probe_id").agg(count(lit(1)).as("n_exact"))
+      .join(nCands, Seq("probe_id"), "left")
+      .join(nHits, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("n_cands", "n_hits"))
+      .select($"probe_id", $"n_exact", $"n_cands", $"n_hits",
+        round($"n_hits".cast("double") / $"n_exact", 4).as("recall"))
+      .orderBy($"probe_id")
+  }
+
   /** Brute-force global top-20 most-similar pairs — the exact baseline the
     * bucketed variants approximate. Quadratic on purpose (n·(n−1)/2 scored
     * pairs via a broadcast nested-loop join) and fused into
@@ -841,6 +884,7 @@ object VectorQueries {
     "q149_filtered_ann" -> (q149FilteredAnn _),
     "q151_incremental_ann" -> (q151IncrementalAnnAudit _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
+    "q181_ann_recall" -> (q181AnnRecall _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q54_ivf_search" -> (q54IvfSearch _),
     "q60_label_centroids" -> (q60LabelCentroids _),
@@ -1112,6 +1156,48 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(adc, 4) AS adc
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // q18's exact-top-5 CTEs ∘ q134's band relation, joined into per-probe
+    // hit counts — recall is a ratio of exact integers
+    "q181_ann_recall" -> {
+      val bands = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS tbl, CAST(${bucketSqlT(t)} AS BIGINT) AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+         |  WHERE vec_id % 100 = 0 AND vec_id < 3200
+         |), scored AS (
+         |  SELECT probe_id, vec_id, ${cosSql("p_emb", "embedding")} AS sim
+         |  FROM probes, embeddings WHERE vec_id != probe_id
+         |), exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rnk
+         |    FROM scored
+         |  ) WHERE rnk <= 5
+         |), b AS (
+         |  $bands
+         |), pb AS (
+         |  SELECT vec_id AS probe_id, tbl, bucket FROM b
+         |  WHERE vec_id % 100 = 0 AND vec_id < 3200
+         |), cand AS (
+         |  SELECT DISTINCT pb.probe_id, b.vec_id
+         |  FROM b JOIN pb ON b.tbl = pb.tbl AND b.bucket = pb.bucket
+         |  WHERE b.vec_id != pb.probe_id
+         |), nc AS (SELECT probe_id, count(*) AS n_cands FROM cand GROUP BY probe_id),
+         |nh AS (
+         |  SELECT e.probe_id, count(*) AS n_hits
+         |  FROM exact e JOIN cand c ON e.probe_id = c.probe_id AND e.vec_id = c.vec_id
+         |  GROUP BY e.probe_id
+         |), ne AS (SELECT probe_id, count(*) AS n_exact FROM exact GROUP BY probe_id)
+         |SELECT ne.probe_id, ne.n_exact,
+         |  CAST(COALESCE(nc.n_cands, 0) AS BIGINT) AS n_cands,
+         |  CAST(COALESCE(nh.n_hits, 0) AS BIGINT) AS n_hits,
+         |  round(CAST(COALESCE(nh.n_hits, 0) AS DOUBLE) / ne.n_exact, 4) AS recall
+         |FROM ne
+         |LEFT JOIN nc ON ne.probe_id = nc.probe_id
+         |LEFT JOIN nh ON ne.probe_id = nh.probe_id
+         |ORDER BY ne.probe_id""".stripMargin
+    },
     "q134_multi_lsh" -> {
       val bands = (0 until LshTables).map(t =>
         s"SELECT vec_id, $t AS tbl, CAST(${bucketSqlT(t)} AS BIGINT) AS bucket FROM embeddings")

@@ -178,4 +178,33 @@ class BreadthSpec extends AnyFunSuite {
     assert(badPrefix == 0)
     assert(seqs.filter($"label" === "" || $"label".isNull).count() == 0)
   }
+
+  test("q177 recursive walk agrees with the closed form: depth = digits-1, root = leading digit") {
+    // parent(k) = k div 10 means the recursion must land every customer at
+    // depth len(str(k))-1 with root = first digit — a total, non-recursive
+    // cross-check of the UnionLoop execution (every node, not just counts)
+    import spark.implicits._
+    val got = relational.AdvancedQueries.q177RecursiveCte(spark, sf)
+    val want = Tables.customer(spark, sf)
+      .select($"c_custkey".cast("string").as("ks"), $"c_custkey")
+      .groupBy((length($"ks") - 1).cast("long").as("depth"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(substring($"ks", 1, 1).cast("long")).as("root_key_sum"),
+        sum($"c_custkey").as("node_key_sum"))
+    assert(got.select("depth", "n_customers", "root_key_sum", "node_key_sum")
+      .except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("q180 clusters conserve: clustered docs + singletons = corpus; all clusters >= 2") {
+    import spark.implicits._
+    val clusters = graft.text.DedupQueries.q180TemplateClusters(spark, sf)
+    assert(clusters.filter($"n_docs" < 2 || $"min_doc" >= $"max_doc").count() == 0)
+    val clustered = clusters.agg(coalesce(sum($"n_docs"), lit(0L))).head().getLong(0)
+    val nFps = Tables.documents(spark, sf)
+      .select(md5(substring(regexp_replace(lower($"text"), "\\s+", " "), 1, 48)).as("fp"))
+      .groupBy($"fp").count()
+    val total = Tables.documents(spark, sf).count()
+    val singletons = nFps.filter($"count" === 1).count()
+    assert(clustered + singletons == total)
+  }
 }

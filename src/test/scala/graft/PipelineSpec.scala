@@ -138,4 +138,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(joined.count() == Tables.documents(spark, sf).count())
     assert(joined.filter($"cross_entropy" < 0 || $"n_bigrams" =!= $"want").count() == 0)
   }
+
+  test("q178 funnel conserves: stage outputs chain, and n_out(last) = direct all-gates filter") {
+    import spark.implicits._
+    val f = PipelineQueries.q178QualityFunnel(spark, sf).collect().sortBy(_.getAs[Long]("gate"))
+    assert(f.length == 4)
+    // n_in(1) is the whole corpus; each stage's survivors are the next
+    // stage's candidates; nothing is created or lost between gates
+    assert(f(0).getAs[Long]("n_in") == Tables.documents(spark, sf).count())
+    f.foreach(r => assert(
+      r.getAs[Long]("n_out") == r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped")))
+    f.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") == b.getAs[Long]("n_in"))
+    }
+    assert(f.map(_.getAs[String]("stage")).toSeq ==
+      Seq("min_length", "lang_allowlist", "repetition", "word_len_band"))
+  }
+
+  test("q179 resample: the scarcest language keeps everything; kept sets are deterministic") {
+    import spark.implicits._
+    val r = PipelineQueries.q179MixtureResample(spark, sf)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { x =>
+      assert(x.getAs[Long]("n_kept") <= x.getAs[Long]("n_docs"))
+      assert(x.getAs[Long]("rate_ppm") <= 1000000L)
+      // rate derives from the shared target: target*1e6 div n, capped
+      assert(x.getAs[Long]("rate_ppm") ==
+        math.min(1000000L, x.getAs[Long]("target_n") * 1000000L / x.getAs[Long]("n_docs")))
+    }
+    val minLang = rows.minBy(x => (x.getAs[Long]("n_docs"), x.getAs[String]("lang")))
+    assert(minLang.getAs[Long]("rate_ppm") == 1000000L)
+    assert(minLang.getAs[Long]("n_kept") == minLang.getAs[Long]("n_docs"))
+    // hash-decided keeps: a re-run yields the identical per-lang fingerprint
+    val again = PipelineQueries.q179MixtureResample(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

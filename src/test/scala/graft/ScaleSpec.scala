@@ -330,7 +330,14 @@ class ScaleSpec extends AnyFunSuite {
       "q149_filtered_ann", "q150_drift_psi", "q159_decayed_score",
       "q169_feature_bins", "q170_association_rules", "q176_pq_code_checksum",
       "q18_knn_topk", "q27_cosine_top_pairs", "q28_ngram_jaccard_probe",
-      "q35_ivf_assign", "q38_tfidf", "q54_ivf_search")
+      "q35_ivf_assign", "q38_tfidf", "q54_ivf_search",
+      // q181's exact side is q18's machinery: a =!= join against the
+      // id-capped probe broadcast (≤ MaxProbes rows by construction)
+      "q181_ann_recall",
+      // q178 crossJoins the 1-row corpus-total aggregate onto its 4-row
+      // stage dimension, q179 the 1-row min-count target onto the per-lang
+      // counts (q169's bounds-broadcast shape)
+      "q178_quality_funnel", "q179_mixture_resample")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       withClue(name) {

@@ -68,6 +68,24 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(rMulti >= 0.15, f"multi-table recall floor: $rMulti%.3f")
   }
 
+  test("q181 audit: one row per probe, hits bounded by both sides, recall is the exact ratio") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = vector.VectorQueries.q181AnnRecall(spark, sf01).collect()
+    val nProbes = Tables.embeddings(spark, sf01)
+      .filter(vector.VectorQueries.probePredicate($"vec_id")).count()
+    assert(rows.length.toLong == nProbes && nProbes > 0)
+    rows.foreach { r =>
+      val (ne, nc, nh) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_cands"),
+        r.getAs[Long]("n_hits"))
+      assert(ne == 5L) // corpus >> k, so exact top-5 is always full
+      assert(nh <= math.min(ne, nc))
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(nh.toDouble / ne).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("PQ ADC search: top-5 overlap vs exact kNN clears the measured floor (sf0.01)") {
     val sf01 = "/root/testdata/sf0.01"
     def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
