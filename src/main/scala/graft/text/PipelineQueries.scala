@@ -518,9 +518,42 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** Per-source KL divergence against the corpus unigram distribution —
+    * the vocabulary-level drift audit that complements q150's binned-
+    * length PSI: which sources SPEAK differently, not just size
+    * differently (the signal behind source reweighting and contamination
+    * triage in corpus curation). Add-1 smoothing over the global
+    * vocabulary so zero-count cells carry mass (q150's grid idiom). Token
+    * counts partial-aggregate map-side (text never shuffles); every
+    * relation after that is vocabulary- or source-sized, so at 100 TB the
+    * cost is the token-count scan plus vocab-sized joins.
+    */
+  def q182SourceKl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"source", explode(tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+    val perSrc = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
+    val corpus = toks.groupBy($"tok").agg(count(lit(1)).as("c_t"))
+    val vocabN = corpus.agg(count(lit(1)).as("v"), sum($"c_t").as("n"))
+    val srcTotals = perSrc.groupBy($"source").agg(sum($"c_st").as("n_s"))
+    val grid = srcTotals.crossJoin(corpus)
+    grid.join(perSrc, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("c_st"))
+      .crossJoin(broadcast(vocabN))
+      .select($"source", $"n_s",
+        (($"c_st" + 1).cast("double") / ($"n_s" + $"v")).as("p"),
+        (($"c_t" + 1).cast("double") / ($"n" + $"v")).as("q"))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_tokens"),
+        round(sum($"p" * log($"p" / $"q")), 4).as("kl"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_quality_funnel" -> (q178QualityFunnel _),
     "q179_mixture_resample" -> (q179MixtureResample _),
+    "q182_source_kl" -> (q182SourceKl _),
     "q169_feature_bins" -> (q169FeatureBins _),
     "q156_source_cap" -> (q156SourceCap _),
     "q150_drift_psi" -> (q150DriftPsi _),
@@ -573,6 +606,29 @@ object PipelineQueries {
         |  CAST(tot.n_total - sum(n_dropped) OVER (ORDER BY j.gate
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_out
         |FROM j, tot ORDER BY gate""".stripMargin,
+    // identical smoothed ratios feed ln on both sides (q150's proven
+    // pattern); the sum runs over vocab-sized term lists
+    "q182_source_kl" ->
+      """WITH t AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+        |  ) WHERE tok != ''
+        |), ps AS (SELECT source, tok, count(*) AS c_st FROM t GROUP BY source, tok),
+        |ct AS (SELECT tok, count(*) AS c_t FROM t GROUP BY tok),
+        |vn AS (SELECT count(*) AS v, CAST(sum(c_t) AS BIGINT) AS n FROM ct),
+        |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM ps GROUP BY source),
+        |grid AS (SELECT ns.source, ns.n_s, ct.tok, ct.c_t FROM ns CROSS JOIN ct),
+        |j AS (
+        |  SELECT g.source, g.n_s,
+        |    CAST(COALESCE(p.c_st, 0) + 1 AS DOUBLE) / (g.n_s + vn.v) AS p,
+        |    CAST(g.c_t + 1 AS DOUBLE) / (vn.n + vn.v) AS q
+        |  FROM grid g
+        |  LEFT JOIN ps p ON g.source = p.source AND g.tok = p.tok
+        |  CROSS JOIN vn
+        |)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+        |  round(sum(p * ln(p / q)), 4) AS kl
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // integer-exact ppm rates: (target·1e6) div n in BIGINT on both sides,
     // keep decision via the shared md5 recipe mod 1e6
     "q179_mixture_resample" ->

@@ -911,34 +911,43 @@ object VectorQueries {
     */
   private def kmeansCtesFor(p: String, sliceSql: String, iters: Int,
       where: String = ""): String = {
+    // Every CTE is AS MATERIALIZED: the chain references each relation
+    // more than once (c_{i-1} feeds both a_i and c_i; emb0 feeds every
+    // round; code/lut consumers join 4+4 ways), and DuckDB's default
+    // inlining re-evaluates an inlined CTE per reference — the whole
+    // training chain re-ran exponentially and the q140/q148 oracles blew
+    // a 150 s budget at sf0.1. Materialization makes the oracle evaluate
+    // each training round once: measured 400+ s → 1.8 s at sf0.1,
+    // bit-identical output (deterministic expressions, same in-CTE
+    // evaluation order — only the evaluation COUNT changes).
     val init =
-      s"""${p}emb0 AS (
+      s"""${p}emb0 AS MATERIALIZED (
          |  SELECT vec_id, $sliceSql AS emb,
          |    list_dot_product($sliceSql, $sliceSql) AS n2
          |  FROM embeddings $where
-         |), ${p}c0 AS (
+         |), ${p}c0 AS MATERIALIZED (
          |  SELECT CAST(vec_id AS BIGINT) AS cell, emb AS ce, n2 AS cn2
          |  FROM ${p}emb0 WHERE vec_id < $IvfCells
          |)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s""", ${p}a$i AS (
+      s""", ${p}a$i AS MATERIALIZED (
          |  SELECT vec_id, emb, cell FROM (
          |    SELECT e.vec_id, e.emb, c.cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
          |    FROM ${p}emb0 e CROSS JOIN ${p}c${i - 1} c
          |  ) WHERE rn = 1
-         |), ${p}m$i AS (
+         |), ${p}m$i AS MATERIALIZED (
          |  SELECT cell, j, count(*) AS n,
          |    CAST(sum(CAST(floor(emb[CAST(j + 1 AS INTEGER)] * $Q) AS BIGINT)) AS BIGINT) AS qsum
          |  FROM ${p}a$i, UNNEST(range(0, len(emb))) AS t(j)
          |  GROUP BY cell, j
-         |), ${p}n$i AS (
+         |), ${p}n$i AS MATERIALIZED (
          |  SELECT cell,
          |    CAST(CAST(list(CAST(qsum AS DOUBLE) / CAST(n * $Q AS DOUBLE) ORDER BY j)
          |      AS REAL[]) AS DOUBLE[]) AS ce
          |  FROM ${p}m$i GROUP BY cell
-         |), ${p}c$i AS (
+         |), ${p}c$i AS MATERIALIZED (
          |  SELECT p.cell, coalesce(nc.ce, p.ce) AS ce,
          |    list_dot_product(coalesce(nc.ce, p.ce), coalesce(nc.ce, p.ce)) AS cn2
          |  FROM ${p}c${i - 1} p LEFT JOIN ${p}n$i nc ON p.cell = nc.cell
@@ -954,7 +963,7 @@ object VectorQueries {
     * both derive from the same trained coarse quantizer.
     */
   private lazy val ivfAssignCte: String =
-    s"""assign AS (
+    s"""assign AS MATERIALIZED (
        |  SELECT vec_id, emb, n2, cell FROM (
        |    SELECT e.vec_id, e.emb, e.n2, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -964,7 +973,7 @@ object VectorQueries {
        |)""".stripMargin
 
   private lazy val ivfProbeCellsCte: String =
-    s"""pc AS (
+    s"""pc AS MATERIALIZED (
        |  SELECT probe_id, p_emb, p_n2, cell FROM (
        |    SELECT p.vec_id AS probe_id, p.emb AS p_emb, p.n2 AS p_n2, c.cell,
        |      row_number() OVER (PARTITION BY p.vec_id
@@ -984,7 +993,7 @@ object VectorQueries {
   }.mkString(", ")
 
   private lazy val pqCodeCtes: String = (0 until PqSubspaces).map { m =>
-    s"""code$m AS (
+    s"""code$m AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -995,7 +1004,7 @@ object VectorQueries {
   }.mkString(", ")
 
   private lazy val pqLutCtes: String = (0 until PqSubspaces).map { m =>
-    s"""lut$m AS (
+    s"""lut$m AS MATERIALIZED (
        |  SELECT p.vec_id AS probe_id, c.cell,
        |    ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")} AS pd2
        |  FROM s${m}emb0 p CROSS JOIN s${m}c$PqIters c
@@ -1102,7 +1111,7 @@ object VectorQueries {
       // base-trained codebooks code the WHOLE corpus (the s-prefix emb0
       // relations are unfiltered) — exactly codeIntoIndex's base ∪ b1
       val baseCodeCtes = (0 until PqSubspaces).map { m =>
-        s"""bcode$m AS (
+        s"""bcode$m AS MATERIALIZED (
            |  SELECT vec_id, cell FROM (
            |    SELECT e.vec_id, c.cell,
            |      row_number() OVER (PARTITION BY e.vec_id

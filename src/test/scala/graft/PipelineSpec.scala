@@ -174,4 +174,16 @@ class PipelineSpec extends AnyFunSuite {
     val again = PipelineQueries.q179MixtureResample(spark, sf).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("q182 KL is non-negative per source (Gibbs) and token totals tie to the corpus") {
+    import spark.implicits._
+    val rows = PipelineQueries.q182SourceKl(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // Gibbs' inequality: KL(p || q) >= 0 for any two distributions; the
+    // smoothed cells make both sides proper distributions over the vocab
+    rows.foreach(r => assert(r.getAs[Double]("kl") >= 0.0, s"row $r"))
+    val totalToks = Tables.documents(spark, sf)
+      .select(explode(split($"text", " ", -1)).as("t")).filter($"t" =!= "").count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
+  }
 }

@@ -336,8 +336,9 @@ class ScaleSpec extends AnyFunSuite {
       "q181_ann_recall",
       // q178 crossJoins the 1-row corpus-total aggregate onto its 4-row
       // stage dimension, q179 the 1-row min-count target onto the per-lang
-      // counts (q169's bounds-broadcast shape)
-      "q178_quality_funnel", "q179_mixture_resample")
+      // counts, q182 the bounded-domain per-source totals onto the vocab
+      // relation (q150's smoothing-grid shape)
+      "q178_quality_funnel", "q179_mixture_resample", "q182_source_kl")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       withClue(name) {
