@@ -126,6 +126,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  // equality with the legacy mapGroupsWithState operator is transitive:
+  // both specs pin the same batch aggregate on the same input
+  test("transformWithState running totals (RocksDB store): final emissions == batch aggregate") {
+    import spark.implicits._
+    import graft.streaming.{Event, UserTotals}
+    val data = eventData().map(e => Event(e.ts, e.user_id, e.event_type, e.value))
+    // transformWithState requires the RocksDB state store provider; scope
+    // the provider switch to this query and restore the session default
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val source = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark.sqlContext)
+      val q = StreamingOps.runningUserTotalsTws(source.toDS())
+        .writeStream.format("memory").queryName("tws_" + System.nanoTime())
+        .outputMode(OutputMode.Update()).start()
+      val (b1, b2) = data.splitAt(data.length / 2)
+      source.addData(b1); q.processAllAvailable()
+      source.addData(b2); q.processAllAvailable()
+      val streamed = spark.table(q.name).as[UserTotals].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      q.stop()
+      val batch = data.groupBy(_.user_id).map { case (u, evs) =>
+        u -> ((evs.size.toLong, evs.map(_.value).sum))
+      }
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (u, t) =>
+        val (n, sumV) = batch(u)
+        assert(t.n_events == n)
+        assert(math.abs(t.sum_value - sumV) < 1e-6)
+      }
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("flatMapGroupsWithState milestones: exactly floor(count/n) emissions per user") {
     import spark.implicits._
     import graft.streaming.Event
