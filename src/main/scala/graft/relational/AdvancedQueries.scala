@@ -569,6 +569,35 @@ object AdvancedQueries {
         |GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  /** SQL-defined scalar functions (Spark 4's `CREATE FUNCTION … RETURN
+    * expr`, SPARK-46245): business logic declared ONCE in the catalog and
+    * reused across queries — the governed alternative to copy-pasted
+    * expressions AND to JVM UDFs. The analyzer inlines the function body
+    * into the plan (`ResolveSQLFunctions`), so unlike a black-box UDF the
+    * expression stays inside whole-stage codegen and Catalyst can fold/
+    * push around it — at 100 TB these are exactly as cheap as hand-inlined
+    * arithmetic, which the oracle proves by BEING the hand-inlined form.
+    * `graft_disc_delta` calls `graft_net` — nested SQL-function resolution
+    * — and both are exercised under aggregation over the fact table.
+    */
+  def q183SqlUdf(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_v_lineitem")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net(
+        |  price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+        |RETURN price * (1 - disc) * (1 + tax)""".stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_delta(
+        |  price DOUBLE, disc DOUBLE) RETURNS DOUBLE
+        |RETURN price - graft_net(price, disc, 0D)""".stripMargin)
+    s.sql(
+      """SELECT year(l_shipdate) AS ship_year, count(*) AS n_items,
+        |  round(sum(graft_net(l_extendedprice, l_discount, l_tax)), 2) AS net_revenue,
+        |  round(sum(graft_disc_delta(l_extendedprice, l_discount)), 2) AS discount_given
+        |FROM graft_v_lineitem
+        |GROUP BY ship_year ORDER BY ship_year""".stripMargin)
+  }
+
   /** LATERAL correlated subquery (SQL surface): top-2 orders by value per
     * customer, the "per-row dependent subquery" shape Spark's analyzer
     * decorrelates into a ranked join — no driver loop, no N scans of
@@ -957,6 +986,7 @@ object AdvancedQueries {
     "q93_range_frame" -> (q93RangeFrame _),
     "q94_lateral" -> (q94Lateral _),
     "q177_recursive_cte" -> (q177RecursiveCte _),
+    "q183_sql_udf" -> (q183SqlUdf _),
     "q84_funnel" -> (q84Funnel _),
     "q85_profile" -> (q85Profile _),
     "q86_ntile" -> (q86Ntile _),
@@ -1186,6 +1216,15 @@ object AdvancedQueries {
         |  CAST(sum(node) AS BIGINT) AS node_key_sum
         |FROM chain WHERE cur < 10
         |GROUP BY depth ORDER BY depth""".stripMargin,
+    // the oracle IS the inlined form of the two SQL functions — proving
+    // the analyzer's inlining computes exactly the declared arithmetic
+    "q183_sql_udf" ->
+      """SELECT year(l_shipdate) AS ship_year, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS net_revenue,
+        |  round(sum(l_extendedprice - l_extendedprice * (1 - l_discount) * (1 + 0)), 2)
+        |    AS discount_given
+        |FROM lineitem
+        |GROUP BY ship_year ORDER BY ship_year""".stripMargin,
     "q84_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events

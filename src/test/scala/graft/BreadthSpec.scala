@@ -195,6 +195,25 @@ class BreadthSpec extends AnyFunSuite {
       .except(want).isEmpty && want.except(got).isEmpty)
   }
 
+  test("q183 SQL functions inline: results match the DataFrame-expression recomputation") {
+    import spark.implicits._
+    val got = relational.AdvancedQueries.q183SqlUdf(spark, sf)
+    val want = Tables.lineitem(spark, sf)
+      .groupBy(year($"l_shipdate").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + $"l_tax")), 2)
+          .as("net_revenue"),
+        round(sum($"l_extendedprice" -
+          $"l_extendedprice" * (lit(1) - $"l_discount") * (lit(1) + lit(0))), 2)
+          .as("discount_given"))
+    assert(got.count() > 0)
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // the SQL functions resolve to inlined expressions — no UDF node, and
+    // the aggregate stays inside whole-stage codegen
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
   test("q180 clusters conserve: clustered docs + singletons = corpus; all clusters >= 2") {
     import spark.implicits._
     val clusters = graft.text.DedupQueries.q180TemplateClusters(spark, sf)
