@@ -550,6 +550,12 @@ object AdvancedQueries {
     * no larger than the previous — the engine-managed twin of q69's
     * driver-loop label propagation. `node_key_sum` pins the full
     * node↔depth assignment, not just counts.
+    *
+    * Scale knobs: `spark.sql.cteRecursionLevelLimit` (default 100 —
+    * orders of magnitude above the log-bounded depth here) and
+    * `spark.sql.cteRecursionRowLimit` (a total-emitted-rows guardrail a
+    * billion-key deployment raises deliberately; it exists to fail
+    * runaway recursions loudly, not to size plans).
     */
   def q177RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     Tables.customer(s, dir).createOrReplaceTempView("graft_v_customer")
@@ -596,6 +602,54 @@ object AdvancedQueries {
         |  round(sum(graft_disc_delta(l_extendedprice, l_discount)), 2) AS discount_given
         |FROM graft_v_lineitem
         |GROUP BY ship_year ORDER BY ship_year""".stripMargin)
+  }
+
+  /** SQL TABLE functions (`CREATE FUNCTION … RETURNS TABLE … RETURN
+    * SELECT`): a parameterized relation in the catalog, consumed here
+    * through a CORRELATED `LATERAL` call — each customer's row feeds the
+    * function argument, the analyzer decorrelates to an equi-join, and
+    * the rollup counts each sampled customer's large orders. The oracle
+    * is the decorrelated join itself, so a silent decorrelation loss
+    * fails the hash, not just looks plausible.
+    *
+    * CAVEAT (pinned in BreadthSpec): in Spark 4.1.2 a correlated lateral
+    * TABLE-function whose body carries ORDER BY/LIMIT returns EMPTY
+    * silently — the equivalent lateral SUBQUERY (q94) is correct. Keep
+    * per-group top-k in lateral subquery form; use table functions for
+    * filter/project bodies like this one.
+    */
+  def q184SqlTableFn(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_v_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_v_customer")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_big_orders(
+        |  ck BIGINT, floor_price DOUBLE) RETURNS TABLE(o_orderkey BIGINT, price DOUBLE)
+        |RETURN SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM graft_v_orders WHERE o_custkey = ck AND o_totalprice > floor_price""".stripMargin)
+    s.sql(
+      """SELECT c.c_custkey, count(*) AS n_big,
+        |  round(max(o.price), 2) AS max_price,
+        |  min(o.o_orderkey) AS min_orderkey
+        |FROM graft_v_customer c, LATERAL graft_big_orders(c.c_custkey, 150000D) o
+        |WHERE c.c_custkey % 50 = 0
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** SQL pipe syntax (Spark 4's `|>` operators, SPARK-49555): the
+    * linear-dataflow spelling of filter → aggregate → order. Pure parser
+    * surface — the plan is identical to the standard-SQL form, which is
+    * exactly what the oracle states by BEING that form (DuckDB has no
+    * pipe parser).
+    */
+  def q185PipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_v_lineitem")
+    s.sql(
+      """FROM graft_v_lineitem
+        ||> WHERE l_quantity > 10
+        ||> AGGREGATE count(*) AS n_items,
+        |     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |   GROUP BY l_returnflag AS flag, l_linestatus AS status
+        ||> ORDER BY flag, status""".stripMargin)
   }
 
   /** LATERAL correlated subquery (SQL surface): top-2 orders by value per
@@ -987,6 +1041,8 @@ object AdvancedQueries {
     "q94_lateral" -> (q94Lateral _),
     "q177_recursive_cte" -> (q177RecursiveCte _),
     "q183_sql_udf" -> (q183SqlUdf _),
+    "q184_sql_table_fn" -> (q184SqlTableFn _),
+    "q185_pipe_syntax" -> (q185PipeSyntax _),
     "q84_funnel" -> (q84Funnel _),
     "q85_profile" -> (q85Profile _),
     "q86_ntile" -> (q86Ntile _),
@@ -1225,6 +1281,20 @@ object AdvancedQueries {
         |    AS discount_given
         |FROM lineitem
         |GROUP BY ship_year ORDER BY ship_year""".stripMargin,
+    // the decorrelated join the lateral table-function call must plan to
+    "q184_sql_table_fn" ->
+      """SELECT c.c_custkey, count(*) AS n_big,
+        |  round(max(round(o.o_totalprice, 2)), 2) AS max_price,
+        |  min(o.o_orderkey) AS min_orderkey
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey % 50 = 0 AND o.o_totalprice > 150000
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin,
+    // the standard-SQL spelling of the pipe dataflow — identical plan
+    "q185_pipe_syntax" ->
+      """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem WHERE l_quantity > 10
+        |GROUP BY flag, status ORDER BY flag, status""".stripMargin,
     "q84_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events

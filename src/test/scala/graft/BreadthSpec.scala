@@ -214,6 +214,53 @@ class BreadthSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("q184/q185 agree with their DataFrame recomputations; lateral-TF ORDER/LIMIT caveat pinned") {
+    import spark.implicits._
+    val got184 = relational.AdvancedQueries.q184SqlTableFn(spark, sf)
+    val want184 = Tables.customer(spark, sf)
+      .filter($"c_custkey" % 50 === 0)
+      .join(Tables.orders(spark, sf).filter($"o_totalprice" > 150000),
+        $"c_custkey" === $"o_custkey")
+      .groupBy($"c_custkey")
+      .agg(count(lit(1)).as("n_big"),
+        round(max(round($"o_totalprice", 2)), 2).as("max_price"),
+        min($"o_orderkey").as("min_orderkey"))
+    assert(got184.count() > 0)
+    assert(got184.except(want184).isEmpty && want184.except(got184).isEmpty)
+
+    val got185 = relational.AdvancedQueries.q185PipeSyntax(spark, sf)
+    val want185 = Tables.lineitem(spark, sf).filter($"l_quantity" > 10)
+      .groupBy($"l_returnflag".as("flag"), $"l_linestatus".as("status"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum($"l_extendedprice" * (lit(1) - $"l_discount")), 2).as("revenue"))
+    assert(got185.count() > 0)
+    assert(got185.select("flag", "status", "n_items", "revenue").except(want185).isEmpty
+      && want185.except(got185.select("flag", "status", "n_items", "revenue")).isEmpty)
+
+    // pin the Spark 4.1.2 caveat: a CORRELATED lateral table function with
+    // ORDER BY/LIMIT in the body silently returns no rows, while the
+    // identical lateral SUBQUERY returns data — if an upgrade fixes this,
+    // this assertion flips and the q184 scaladoc caveat must be retired
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_top1_order(ck BIGINT)
+        |RETURNS TABLE(o_orderkey BIGINT)
+        |RETURN SELECT o_orderkey FROM graft_v_orders WHERE o_custkey = ck
+        |ORDER BY o_totalprice DESC LIMIT 1""".stripMargin)
+    val viaTf = spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM graft_v_customer c, LATERAL graft_top1_order(c.c_custkey) o
+        |WHERE c.c_custkey % 50 = 0""".stripMargin).count()
+    val viaSub = spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM graft_v_customer c, LATERAL (
+        |  SELECT o_orderkey FROM graft_v_orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC LIMIT 1) o
+        |WHERE c.c_custkey % 50 = 0""".stripMargin).count()
+    assert(viaSub > 0)
+    assert(viaTf == 0,
+      s"lateral TF with ORDER/LIMIT now returns $viaTf rows — Spark fixed the silent-empty bug; retire the q184 caveat")
+  }
+
   test("q180 clusters conserve: clustered docs + singletons = corpus; all clusters >= 2") {
     import spark.implicits._
     val clusters = graft.text.DedupQueries.q180TemplateClusters(spark, sf)
