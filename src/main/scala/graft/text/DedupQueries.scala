@@ -540,6 +540,47 @@ object DedupQueries {
       .orderBy($"source")
   }
 
+  /** Fuzzy benchmark decontamination — the MinHash complement of q63's
+    * EXACT 8-gram decontamination (the GPT-3/Llama-style sweep: an eval
+    * item reworded or lightly edited into the training corpus shares no
+    * exact 8-gram but keeps high shingle-set Jaccard): per eval document
+    * (q63's id-capped eval predicate), every corpus document whose exact
+    * Jaccard clears [[JaccardThreshold]], candidates generated by the
+    * ASYMMETRIC band equi-join (eval bands × corpus bands — the eval side
+    * is structurally bounded, the corpus side is banded once by the same
+    * [[bandedKeys]] pipeline q20 reuses) — never eval×corpus all-pairs.
+    * Zero-match eval docs still report (n=0) so the output is the full
+    * audit table. Recall of the banding at J ≥ 0.87 is 1−1e-11 (q20's
+    * law, DedupRecallSpec) and the oracle IS the exact all-pairs compare,
+    * so a missed true pair fails the hash rather than hiding.
+    */
+  def q186FuzzyDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isEval = (c: Column) => c % 97 === 0 && c < 6208L
+    val sh = shingleSets(s, dir)
+    val banded = bandedKeys(s, sh)
+    val evalBands = banded.filter(isEval($"doc_id"))
+      .select($"doc_id".as("eval_id"), $"band", $"band_key")
+    val cands = banded.filter(!isEval($"doc_id"))
+      .join(evalBands, Seq("band", "band_key"))
+      .select($"eval_id", $"doc_id").distinct()
+    val verified = cands
+      .join(sh.select($"doc_id".as("eval_id"), $"sh".as("sh_e")), "eval_id")
+      .join(sh.select($"doc_id", $"sh".as("sh_c")), "doc_id")
+      .select($"eval_id", $"doc_id", jaccardSorted($"sh_e", $"sh_c").as("j"))
+      .filter($"j" >= JaccardThreshold)
+    val perEval = verified.groupBy($"eval_id")
+      .agg(count(lit(1)).as("n_contaminating"),
+        round(max($"j"), 4).as("max_jaccard"))
+    Tables.documents(s, dir)
+      .filter(isEval($"doc_id"))
+      .select($"doc_id".as("eval_id"))
+      .join(perEval, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_contaminating"))
+      .select($"eval_id", $"n_contaminating", coalesce($"max_jaccard", lit(0.0)).as("max_jaccard"))
+      .orderBy($"eval_id")
+  }
+
   /** Template/boilerplate detection by normalized-prefix fingerprint — the
     * C4-style sweep for generated/templated pages: documents sharing the
     * md5 of their first 48 whitespace-collapsed lowercase characters are
@@ -568,6 +609,7 @@ object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_template_clusters" -> (q180TemplateClusters _),
+    "q186_fuzzy_decontamination" -> (q186FuzzyDecontamination _),
     "q127_gram_novelty" -> (q127GramNovelty _),
     "q102_source_similarity" -> (q102SourceSimilarity _),
     "q69_dedup_clusters" -> (q69DedupClusters _),
@@ -608,6 +650,34 @@ object DedupQueries {
         |  count(DISTINCT lang) AS n_langs,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM p GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
+    // exact all-pairs eval×corpus Jaccard — the banded Spark side must
+    // reproduce it exactly (recall-1 banding + exact verify)
+    "q186_fuzzy_decontamination" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 = 0 AND doc_id < 6208),
+         |c AS (SELECT doc_id, s FROM sh WHERE NOT (doc_id % 97 = 0 AND doc_id < 6208)),
+         |ne AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
+         |nc AS (SELECT doc_id, count(*) AS n FROM c GROUP BY doc_id),
+         |inter AS (
+         |  SELECT e.doc_id AS eval_id, c.doc_id AS corp_id, count(*) AS i
+         |  FROM e JOIN c ON e.s = c.s GROUP BY 1, 2
+         |), j AS (
+         |  SELECT inter.eval_id, inter.corp_id,
+         |    CAST(i AS DOUBLE) / (ne.n + nc.n - i) AS j
+         |  FROM inter
+         |  JOIN ne ON ne.doc_id = inter.eval_id
+         |  JOIN nc ON nc.doc_id = inter.corp_id
+         |), hits AS (
+         |  SELECT eval_id, count(*) AS n_contaminating,
+         |    round(max(j), 4) AS max_jaccard
+         |  FROM j WHERE j >= $JaccardThreshold GROUP BY eval_id
+         |)
+         |SELECT d.doc_id AS eval_id,
+         |  coalesce(h.n_contaminating, 0) AS n_contaminating,
+         |  coalesce(h.max_jaccard, 0.0) AS max_jaccard
+         |FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
+         |WHERE d.doc_id % 97 = 0 AND d.doc_id < 6208
+         |ORDER BY eval_id""".stripMargin,
     // source-level min over DISTINCT (source, shingle) == elementwise min
     // of per-doc signatures (min distributes over union); h60 spelled as
     // the usual '0x'||substr(md5) 60-bit derivation

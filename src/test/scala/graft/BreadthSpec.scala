@@ -261,6 +261,20 @@ class BreadthSpec extends AnyFunSuite {
       s"lateral TF with ORDER/LIMIT now returns $viaTf rows — Spark fixed the silent-empty bug; retire the q184 caveat")
   }
 
+  test("q186 fuzzy decontamination: full eval audit table, hits clear the threshold") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val rows = graft.text.DedupQueries.q186FuzzyDecontamination(spark, sf01)
+    val nEval = Tables.documents(spark, sf01)
+      .filter($"doc_id" % 97 === 0 && $"doc_id" < 6208).count()
+    assert(rows.count() == nEval && nEval > 0) // one audit row per eval doc
+    // a positive report's best match clears the Jaccard gate; a clean
+    // report carries the 0-sentinel on both columns
+    assert(rows.filter($"n_contaminating" > 0 &&
+      $"max_jaccard" < graft.text.DedupQueries.JaccardThreshold).count() == 0)
+    assert(rows.filter($"n_contaminating" === 0 && $"max_jaccard" =!= 0.0).count() == 0)
+  }
+
   test("q180 clusters conserve: clustered docs + singletons = corpus; all clusters >= 2") {
     import spark.implicits._
     val clusters = graft.text.DedupQueries.q180TemplateClusters(spark, sf)
