@@ -564,9 +564,14 @@ object DedupQueries {
     val cands = banded.filter(!isEval($"doc_id"))
       .join(evalBands, Seq("band", "band_key"))
       .select($"eval_id", $"doc_id").distinct()
+    // static pruning on the verify fetches: the eval side scans only the
+    // id-capped eval rows, the corpus side excludes them — each scan reads
+    // its role's fraction instead of the whole corpus twice
     val verified = cands
-      .join(sh.select($"doc_id".as("eval_id"), $"sh".as("sh_e")), "eval_id")
-      .join(sh.select($"doc_id", $"sh".as("sh_c")), "doc_id")
+      .join(sh.filter(isEval($"doc_id"))
+        .select($"doc_id".as("eval_id"), $"sh".as("sh_e")), "eval_id")
+      .join(sh.filter(!isEval($"doc_id"))
+        .select($"doc_id", $"sh".as("sh_c")), "doc_id")
       .select($"eval_id", $"doc_id", jaccardSorted($"sh_e", $"sh_c").as("j"))
       .filter($"j" >= JaccardThreshold)
     val perEval = verified.groupBy($"eval_id")

@@ -467,10 +467,15 @@ object PipelineQueries {
         .when(dupFrac > 0.02, 3L)
         .when(awl < 4.2 || awl > 4.9, 4L)
         .otherwise(0L)
-    val drops = Tables.documents(s, dir)
+    // ONE corpus scan: the gate rollup keeps the survivors' row (gate 0),
+    // so the funnel's total is an aggregate of the 5-row relation — the
+    // corpus is never re-scanned for a count
+    val gates = Tables.documents(s, dir)
       .select(firstFail.as("gate"))
       .groupBy($"gate").agg(count(lit(1)).as("n_dropped"))
-    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_total"))
+      .localCheckpoint() // tiny (≤5 rows); feeds both the join and the total
+    val drops = gates.filter($"gate" =!= 0L)
+    val total = gates.agg(sum($"n_dropped").as("n_total"))
     val stages = Seq(
       (1L, "min_length"), (2L, "lang_allowlist"),
       (3L, "repetition"), (4L, "word_len_band")).toDF("gate", "stage")
@@ -498,8 +503,12 @@ object PipelineQueries {
     */
   def q179MixtureResample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // counts feeds BOTH the rate table and the min-target — checkpoint the
+    // (≤ n_langs)-row aggregate so the corpus is scanned once for it, not
+    // once per consumer (Explain audit: 3 scans → 2)
     val counts = Tables.documents(s, dir)
       .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
     val target = counts.agg(min($"n_docs").as("target_n"))
     val rates = counts.crossJoin(broadcast(target))
       .withColumn("rate_ppm",
@@ -533,8 +542,14 @@ object PipelineQueries {
     val toks = Tables.documents(s, dir)
       .select($"source", explode(tokens($"text")).as("tok"))
       .filter($"tok" =!= "")
+    // ONE corpus scan: every other relation derives from the (source,
+    // token) count table — corpus counts are its per-token sums, totals
+    // its rollups. The checkpoint pins the vocab-sized relation so its
+    // four consumers don't each re-run the token explode (Explain audit:
+    // 4 corpus scans → 1).
     val perSrc = toks.groupBy($"source", $"tok").agg(count(lit(1)).as("c_st"))
-    val corpus = toks.groupBy($"tok").agg(count(lit(1)).as("c_t"))
+      .localCheckpoint()
+    val corpus = perSrc.groupBy($"tok").agg(sum($"c_st").as("c_t"))
     val vocabN = corpus.agg(count(lit(1)).as("v"), sum($"c_t").as("n"))
     val srcTotals = perSrc.groupBy($"source").agg(sum($"c_st").as("n_s"))
     val grid = srcTotals.crossJoin(corpus)
