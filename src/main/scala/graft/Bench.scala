@@ -70,28 +70,27 @@ object Bench {
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     // The harness keeps only the last ~2000 chars of output and parses one
-    // JSON line out of it. Full query names at ns precision overflow that
-    // window once the registry passes ~60 queries (BENCH_r01–r04 all ended
-    // up unparsed). Emit the compact form: bare numeric keys ("132" for
-    // q132_* — the unique numeric prefix of every registry name, `q`
-    // stripped since round 8 for line headroom; see README.md query table
-    // for the mapping) and ms precision, as the very last line before exit.
+    // JSON line out of it. The per-query map lived ON that line through
+    // round 10 and hit 1,698/2,000 chars at 186 queries (~28 slots left) —
+    // the cliff VERDICT r10 next #7 asks to remove permanently. Split the
+    // signal: the PARSED final line is O(1) in registry size (total + count
+    // + sf + errors-when-any), and the full per-query map goes to a JSON
+    // FILE (plus one unparsed stdout line just before the final one, so a
+    // bare transcript still shows it while the tail window lasts).
+    // Keys are the bare numeric prefixes ("132" for q132_*, `q` stripped;
+    // see README.md query table), values CENTISECOND INTEGERS ("28" =
+    // 0.28 s) as since round 10 — now declared by "qunit":"cs" inside the
+    // per-query file itself. Failed queries stay -1 (never a plausible
+    // centisecond count ≥ 0) and are ALSO named on the parsed line.
     def short(name: String): String = name.takeWhile(_ != '_').stripPrefix("q")
     require(results.keys.map(short).toSet.size == results.size,
-      "query numeric prefixes must be unique for the compact bench line")
+      "query numeric prefixes must be unique for the compact bench keys")
     // Locale.ROOT formatting: the f-interpolator uses the default locale,
     // which renders 0.28 as "0,28" under e.g. de_DE and breaks the JSON
     // parse of the one line the harness keeps (ADVICE r5).
     def fmt(v: Double, prec: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(v))
-    // Per-query values are CENTISECOND INTEGERS ("28" = 0.28 s), declared
-    // by the "qunit":"cs" field — the r9 decimal encoding put the line at
-    // 1,831/2,000 chars with ~10 query slots left before the driver's
-    // parse window truncates (VERDICT r9 wrong #2); integer centiseconds
-    // drop ~2 chars per sub-second query (the bulk of the registry) and
-    // keep 10 ms resolution, the same floor the decimal form had. Failed
-    // queries stay -1 (never a plausible centisecond count ≥ 0).
-    val qs = results.map { case (k, v) =>
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + short(k) + "\":" + (if (v < 0) "-1" else math.round(v * 100).toString)
     }.mkString("{", ",", "}")
     // "errors" appears only when non-empty — saves line chars against the
@@ -104,6 +103,15 @@ object Bench {
     // sf basename only: the full path spends 16 line chars repeating
     // "/root/testdata/" that the driver already knows.
     val sf = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","qunit":"cs","queries":$qs$errs,"sf":"$sf"}""")
+    val perQueryJson =
+      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"queries":$qs}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/root/repo/bench_perquery_$sf.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), perQueryJson + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] per-query file write failed ($outPath): ${e.getMessage}")
+    }
+    println(perQueryJson) // unparsed context line — the file is canonical
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","nq":${results.size},"perquery":"$outPath"$errs,"sf":"$sf"}""")
   }
 }

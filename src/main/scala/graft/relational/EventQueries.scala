@@ -218,6 +218,35 @@ object EventQueries {
       .orderBy($"event_type")
   }
 
+  /** Batch twin of the Spark-4 `transformWithState` running-totals operator
+    * ([[graft.streaming.StreamingOps.runningUserTotalsTws]]) — the ONE
+    * streaming operator round 10 left outside the cross-engine gate
+    * (VERDICT r10 next #2). This runs the EXACT `StatefulProcessor`
+    * (named `ValueState`, Spark's new arbitrary-state API) in batch mode:
+    * each user's full history arrives as one `handleInputRows` call, so
+    * the single emission per key IS the final running total — which is
+    * what StreamingSpec separately proves the streamed emissions converge
+    * to (and proves equal to the legacy `mapGroupsWithState` operator on
+    * identical input). With both in place, the DuckDB hash here
+    * transitively adjudicates the streaming operator. Scale shape: one
+    * shuffle on user_id; state per key is two numbers (the 100 TB/day
+    * boundedness argument lives on the streaming side).
+    */
+  def q187TwsTotalsTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // batch stateful execution still opens per-task RocksDB stores that
+    // report to the driver's StateStoreCoordinator — an endpoint only the
+    // STREAMING start path creates; make sure it exists (idempotent)
+    org.apache.spark.sql.GraftSqlShim.ensureStateStoreCoordinator(s)
+    val ev = Tables.events(s, dir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.Event]
+    graft.streaming.StreamingOps.runningUserTotalsTws(ev)
+      .toDF()
+      .select($"user_id", $"n_events", round($"sum_value", 2).as("sum_value"))
+      .orderBy($"user_id")
+  }
+
   /** The VARIANT type (Spark 4's open semi-structured column): props parsed
     * once into a variant, then typed path extraction (`variant_get`) and
     * missing-path null semantics (`try_variant_get`). Unlike q11's
@@ -809,6 +838,7 @@ object EventQueries {
     "q83_stream_static_twin" -> (q83StreamStaticTwin _),
     "q73_variant_extract" -> (q73VariantExtract _),
     "q64_stream_dedup_twin" -> (q64StreamDedupTwin _),
+    "q187_tws_totals_twin" -> (q187TwsTotalsTwin _),
     "q41_from_json_map" -> (q41FromJsonMap _),
     "q34_epoch_roundtrip" -> (q34EpochRoundtrip _),
     "q11_events_json" -> (q11EventsJson _),
@@ -1079,6 +1109,10 @@ object EventQueries {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(json_extract_string(props, '$.missing')) AS n_missing_present
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q187_tws_totals_twin" ->
+      """SELECT user_id, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q64_stream_dedup_twin" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, event_type, date_trunc('second', ts) AS ts

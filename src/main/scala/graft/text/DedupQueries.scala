@@ -556,7 +556,9 @@ object DedupQueries {
     */
   def q186FuzzyDecontamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val isEval = (c: Column) => c % 97 === 0 && c < 6208L
+    // single definition site (VERDICT r10 wrong #1): the SAME predicate
+    // q63 binds — a MaxEvalDocs change moves both eval sets together
+    val isEval = (c: Column) => PipelineQueries.evalPredicate(c)
     val sh = shingleSets(s, dir)
     val banded = bandedKeys(s, sh)
     val evalBands = banded.filter(isEval($"doc_id"))
@@ -659,8 +661,8 @@ object DedupQueries {
     // reproduce it exactly (recall-1 banding + exact verify)
     "q186_fuzzy_decontamination" ->
       s"""WITH $shingleCte,
-         |e AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 = 0 AND doc_id < 6208),
-         |c AS (SELECT doc_id, s FROM sh WHERE NOT (doc_id % 97 = 0 AND doc_id < 6208)),
+         |e AS (SELECT doc_id, s FROM sh WHERE ${PipelineQueries.evalPredicateSql("doc_id")}),
+         |c AS (SELECT doc_id, s FROM sh WHERE NOT ${PipelineQueries.evalPredicateSql("doc_id")}),
          |ne AS (SELECT doc_id, count(*) AS n FROM e GROUP BY doc_id),
          |nc AS (SELECT doc_id, count(*) AS n FROM c GROUP BY doc_id),
          |inter AS (
@@ -681,7 +683,7 @@ object DedupQueries {
          |  coalesce(h.n_contaminating, 0) AS n_contaminating,
          |  coalesce(h.max_jaccard, 0.0) AS max_jaccard
          |FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
-         |WHERE d.doc_id % 97 = 0 AND d.doc_id < 6208
+         |WHERE ${PipelineQueries.evalPredicateSql("d.doc_id")}
          |ORDER BY eval_id""".stripMargin,
     // source-level min over DISTINCT (source, shingle) == elementwise min
     // of per-doc signatures (min distributes over union); h60 spelled as

@@ -137,8 +137,20 @@ object PipelineQueries {
     * (ScaleSpec asserts input-size independence).
     */
   private[graft] val MaxEvalDocs = 64
+  private[graft] val EvalModulus = 97L
+  /** The id cap evalPredicate enforces — derived, never hand-written:
+    * every oracle string interpolates [[evalPredicateSql]] (and q186
+    * reuses [[evalPredicate]] itself), so changing MaxEvalDocs cannot
+    * silently split the q63/q186 eval sets across engines (the
+    * desync class VERDICT r10 flagged; same fix as `$PqSubspaces`).
+    */
+  private[graft] val EvalIdCap = MaxEvalDocs * EvalModulus
   private[graft] def evalPredicate(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    docId % 97 === 0 && docId < MaxEvalDocs * 97L
+    docId % EvalModulus === 0 && docId < EvalIdCap
+
+  /** The DuckDB spelling of [[evalPredicate]], for oracle interpolation. */
+  private[graft] def evalPredicateSql(col: String): String =
+    s"($col % $EvalModulus = 0 AND $col < $EvalIdCap)"
 
   def q63Decontamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -162,13 +174,21 @@ object PipelineQueries {
     */
   private[graft] val MaxVocabIds = 4000000L
 
-  def q68VocabBuild(s: SparkSession, dir: String): DataFrame = {
+  /** q68's count-and-threshold core, shared with q188's encoder: token
+    * occurrence counts over the corpus at the standard min-count. One
+    * partial-aggregated shuffle of (token, partial n); text never moves.
+    */
+  private def thresholdedTokenCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val minCount = 100L
-    val counts = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(explode(tokens($"text")).as("token"))
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
-      .filter($"cnt" >= minCount)
+      .filter($"cnt" >= 100L)
+  }
+
+  def q68VocabBuild(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = thresholdedTokenCounts(s, dir)
     counts
       .withColumn("token_id",
         (row_number().over(Window.orderBy($"cnt".desc, $"token")) - 1).cast("long"))
@@ -182,6 +202,74 @@ object PipelineQueries {
           .as("token_id"),
         $"token", $"cnt")
       .orderBy($"token_id")
+  }
+
+  /** The deployment id budget of q188's encoder. Deliberately SMALLER than
+    * the corpus vocabulary so the out-of-vocab fallback path is exercised
+    * on this data (the driver corpus draws from a 31-word generator) —
+    * exactly how a production tokenizer behaves: a fixed id budget, and
+    * everything past it encoded by fallback units.
+    */
+  private[graft] val EncoderVocabSize = 24
+
+  /** Tokenizer-APPLY at scale (VERDICT r10 next #3 — the step between
+    * vocabulary mining and a trainable id stream): encode every document
+    * into token ids against the trained vocabulary. The encoder is q68's
+    * vocab recipe (same [[thresholdedTokenCounts]], same (cnt DESC, token)
+    * id order) capped to the [[EncoderVocabSize]] id budget, with
+    * CHARACTER FALLBACK for out-of-budget words — each OOV word decomposes
+    * into per-character ids `EncoderVocabSize + codepoint` (the
+    * SentencePiece byte-fallback scheme: no word is ever dropped, and the
+    * id space stays closed). Greedy longest-match over the two-level unit
+    * inventory: whole-word hit first, else character units.
+    *
+    * Output is the per-document encoding LEDGER rather than the raw id
+    * arrays: token/id/OOV counts plus two exact-integer checksums — id_sum
+    * (order-insensitive) and id_wsum, which weights every id by its word
+    * position AND its intra-word offset, so two docs with the same bag of
+    * ids in different sequence order hash differently. The DuckDB oracle
+    * recomputes the identical encoding, making the checksums a
+    * cross-engine proof of the full id SEQUENCE, not just its histogram.
+    *
+    * Scale shape: the vocab is budget-bounded (≤ EncoderVocabSize rows —
+    * every real tokenizer ships ≤ ~10⁵ ids) and broadcast; the corpus side
+    * is one posexplode + broadcast-hash probe + map-side fallback
+    * decomposition, partially aggregated per doc before the (doc_id, five
+    * longs) rows shuffle. Text never shuffles; ids do. At 100 TB this is
+    * one linear scan — the same plan a Spark tokenize-by-broadcast-join
+    * pipeline runs in production.
+    */
+  def q188TokenizerEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.orderBy($"cnt".desc, $"token")
+    val vocab = thresholdedTokenCounts(s, dir)
+      .withColumn("id", (row_number().over(wOrd) - 1).cast("long"))
+      .filter($"id" < EncoderVocabSize) // the id budget — structural bound
+      .select($"token".as("word"), $"id")
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "word")))
+    val enc = words.join(broadcast(vocab), Seq("word"), "left")
+      // in-vocab word → [id]; OOV word → one fallback id per character.
+      // Guarded empty-word case: sequence(1, 0) would DESCEND in Spark.
+      .withColumn("ids", expr(
+        s"""if(id is not null, array(id),
+           |  if(char_length(word) = 0, cast(array() as array<bigint>),
+           |    transform(sequence(1, char_length(word)),
+           |      j -> cast($EncoderVocabSize as bigint)
+           |           + cast(ascii(substring(word, j, 1)) as bigint))))""".stripMargin))
+      .withColumn("word_sum", expr(
+        "aggregate(ids, cast(0 as bigint), (a, x) -> a + x)"))
+      // intra-word offset weighting (1-based) — sequence-sensitive
+      .withColumn("word_wsum", expr(
+        "aggregate(transform(ids, (x, j) -> (cast(j as bigint) + 1) * x), cast(0 as bigint), (a, b) -> a + b)"))
+    enc.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size($"ids")).as("n_ids"),
+        sum(when($"id".isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum($"word_sum").as("id_sum"),
+        sum(($"pos".cast("long") + 1L) * $"word_wsum").as("id_wsum"))
+      .orderBy($"doc_id")
   }
 
   /** Capstone: the full corpus → training-sequences pipeline in one plan —
@@ -579,6 +667,7 @@ object PipelineQueries {
     "q113_mixture_weights" -> (q113MixtureWeights _),
     "q100_corpus_to_sequences" -> (q100CorpusToSequences _),
     "q68_vocab_build" -> (q68VocabBuild _),
+    "q188_tokenizer_encode" -> (q188TokenizerEncode _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
     "q61_token_histogram" -> (q61TokenHistogram _),
     "q62_sequence_packing" -> (q62SequencePacking _),
@@ -823,6 +912,42 @@ object PipelineQueries {
          |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
          |  CAST(sum(n) AS BIGINT) AS n_tokens
          |FROM ch GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    // the encoding replayed exactly: same vocab recipe, same id budget,
+    // same character fallback. DuckDB list_transform's index param is
+    // 1-BASED where Spark's transform index is 0-based — `i * x` here ≡
+    // `(j + 1) * x` there.
+    "q188_tokenizer_encode" ->
+      s"""WITH c AS (
+         |  SELECT token, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |  ) GROUP BY token HAVING count(*) >= 100
+         |), v AS (
+         |  SELECT token AS word,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+         |  FROM c
+         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= $EncoderVocabSize
+         |), toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), w AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, t[CAST(i AS INTEGER)] AS word
+         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+         |), e AS (
+         |  SELECT w.doc_id, w.pos, v.id,
+         |    CASE WHEN v.id IS NOT NULL THEN [v.id]
+         |         WHEN length(w.word) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, length(w.word) + 1),
+         |           j -> CAST($EncoderVocabSize AS BIGINT)
+         |                + CAST(unicode(substr(w.word, CAST(j AS INTEGER), 1)) AS BIGINT))
+         |    END AS ids
+         |  FROM w LEFT JOIN v ON w.word = v.word
+         |)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(ids)) AS BIGINT) AS n_ids,
+         |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  CAST(sum(coalesce(list_sum(ids), 0)) AS BIGINT) AS id_sum,
+         |  CAST(sum((pos + 1) * coalesce(list_sum(
+         |    list_transform(ids, (x, i) -> CAST(i AS BIGINT) * x)), 0)) AS BIGINT) AS id_wsum
+         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q68_vocab_build" ->
       """WITH c AS (
         |  SELECT token, count(*) AS cnt FROM (
@@ -870,15 +995,15 @@ object PipelineQueries {
         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk""".stripMargin,
     // 8-gram CTE mirrors the wordShingles degenerate: < 8 tokens → whole text
     "q63_decontamination" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
         |  FROM toks, UNNEST(range(1, greatest(len(t) - 7, 1) + 1)) AS u(i)
         |), hits AS (
         |  SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id, e.g
         |  FROM sh e JOIN sh c ON e.g = c.g
-        |  WHERE (e.doc_id % 97 = 0 AND e.doc_id < 6208)
-        |    AND NOT (c.doc_id % 97 = 0 AND c.doc_id < 6208)
+        |  WHERE ${evalPredicateSql("e.doc_id")}
+        |    AND NOT ${evalPredicateSql("c.doc_id")}
         |), nd AS (
         |  SELECT eval_id, count(DISTINCT corpus_id) AS n_contaminating_docs FROM hits GROUP BY eval_id
         |), ng AS (
@@ -890,7 +1015,7 @@ object PipelineQueries {
         |FROM documents d
         |LEFT JOIN nd ON nd.eval_id = d.doc_id
         |LEFT JOIN ng ON ng.eval_id = d.doc_id
-        |WHERE d.doc_id % 97 = 0 AND d.doc_id < 6208
+        |WHERE ${evalPredicateSql("d.doc_id")}
         |ORDER BY eval_id""".stripMargin,
   )
 }

@@ -358,6 +358,50 @@ object VectorQueries {
     ivfSearch(s, dir, nprobe = 2, keepCandidates = Some(keep))
   }
 
+  /** q189's prune threshold: pairs at or above this cosine inside one
+    * coarse cell are semantic near-duplicates. 0.35 sits just inside the
+    * top ~0.2% of this corpus's pairwise-cosine distribution, so the prune
+    * set is non-trivial at every SF while staying far from the bulk.
+    */
+  private[graft] val SemDedupTau = 0.35
+
+  /** SemDeDup-style SEMANTIC dedup (VERDICT r10 next #4 — the dedup family
+    * next to lexical q20/q26 and pairwise-embedding q50): coarse k-means
+    * clusters first, then cosine pruning ONLY inside each cluster. The
+    * cluster step is q35's trained quantizer verbatim (same Lloyd
+    * training, same assignment); the prune step marks a vector pruned iff
+    * a SMALLER-id member of its own cell clears [[SemDedupTau]] — min-id
+    * survivorship, the deterministic rule q16/q91 use, with the witness id
+    * reported. Cited shape: Abbas et al., "SemDeDup" (arXiv:2303.09540) —
+    * cluster, then prune intra-cluster cosine neighbors.
+    *
+    * Scale shape: candidates come from the CELL equi-join, never a global
+    * all-pairs — per-cell cost is Σ|cell|², and at 100 TB k grows ≈ √n so
+    * E|cell| stays bounded (the exact argument the IVF tier documents);
+    * the oracle replays training + assignment + prune bit-identically, so
+    * a cell-assignment drift or a missed intra-cell pair fails the hash.
+    */
+  def q189SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withN2(Tables.embeddings(s, dir))
+    val idx = assignCells(e, trainedCentroids(s, dir))
+      .select($"vec_id", $"embedding", sqrt($"n2").as("nrm"), $"cell")
+    val a = idx.select($"cell", $"vec_id".as("a_id"),
+      $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
+    val b = idx.select($"cell", $"vec_id".as("b_id"),
+      $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
+    val dupOf = a.join(b, Seq("cell"))
+      .filter($"b_id" < $"a_id")
+      .filter(cosine($"a_emb", $"b_emb", $"a_nrm", $"b_nrm") >= SemDedupTau)
+      .groupBy($"a_id").agg(min($"b_id").as("dup_of"))
+    idx.select($"vec_id", $"cell")
+      .join(dupOf.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", $"cell",
+        $"dup_of".isNotNull.cast("long").as("pruned"),
+        coalesce($"dup_of", lit(-1L)).as("dup_of"))
+      .orderBy($"vec_id")
+  }
+
   /** The parameterized core. With nprobe = ncells the search degenerates to
     * exact kNN (every cell probed) — VectorLawsSpec asserts that identity
     * against q18, which pins the whole train/assign/probe/search machinery.
@@ -886,6 +930,7 @@ object VectorQueries {
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q181_ann_recall" -> (q181AnnRecall _),
     "q35_ivf_assign" -> (q35IvfAssign _),
+    "q189_semantic_dedup" -> (q189SemanticDedup _),
     "q54_ivf_search" -> (q54IvfSearch _),
     "q60_label_centroids" -> (q60LabelCentroids _),
   )
@@ -1253,6 +1298,23 @@ object VectorQueries {
          |  FROM emb0 e CROSS JOIN c$IvfIters c
          |) WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
+    // training + assignment + intra-cell prune replayed exactly: the
+    // cosine spelling (dot / (sqrt(n2)·sqrt(n2))) matches the Spark
+    // prenormed-cosine operation order bit-for-bit
+    "q189_semantic_dedup" ->
+      s"""WITH $kmeansCtes, $ivfAssignCte, idx AS MATERIALIZED (
+         |  SELECT vec_id, emb, sqrt(n2) AS nrm, cell FROM assign
+         |), dup AS (
+         |  SELECT a.vec_id AS a_id, min(b.vec_id) AS dup_of
+         |  FROM idx a JOIN idx b ON a.cell = b.cell AND b.vec_id < a.vec_id
+         |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= $SemDedupTau
+         |  GROUP BY a.vec_id
+         |)
+         |SELECT i.vec_id, i.cell,
+         |  CAST(dup.dup_of IS NOT NULL AS BIGINT) AS pruned,
+         |  coalesce(dup.dup_of, -1) AS dup_of
+         |FROM idx i LEFT JOIN dup ON dup.a_id = i.vec_id
+         |ORDER BY i.vec_id""".stripMargin,
     "q27_cosine_top_pairs" ->
       s"""SELECT id_a, id_b, round(sim, 4) AS sim FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -13,12 +13,27 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * `Dataset.ofRows`, which is `private[sql]` only to keep it out of the
   * binary-compatibility surface.
   *
-  * This is the single place graft touches a non-public Spark API, and it
-  * is one line calling a method whose signature has been stable across
+  * This shim is the single place graft touches non-public Spark API —
+  * two one-line calls to methods whose signatures have been stable across
   * Spark 2.x–4.x.
   */
 object GraftSqlShim {
   /** Wrap an (already analyzed) logical plan as a DataFrame. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Force driver-side creation of the StateStoreCoordinator RPC endpoint.
+    *
+    * A STREAMING query creates it when `StreamExecution` starts; a BATCH
+    * execution of a stateful operator (`transformWithState` runs in batch
+    * mode since Spark 4.0) never goes through that path, so the
+    * executor-side RocksDB store's snapshot-upload report dies with
+    * `RpcEndpointNotFoundException: Cannot find endpoint:
+    * spark://StateStoreCoordinator@…`. Touching the query manager's lazy
+    * coordinator ref here is the EXACT initialization the streaming path
+    * performs — idempotent (the ref is cached per session) and
+    * metadata-only.
+    */
+  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+    spark.streams.asInstanceOf[classic.StreamingQueryManager].stateStoreCoordinator
 }

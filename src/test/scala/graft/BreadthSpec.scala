@@ -266,7 +266,7 @@ class BreadthSpec extends AnyFunSuite {
     val sf01 = "/root/testdata/sf0.01"
     val rows = graft.text.DedupQueries.q186FuzzyDecontamination(spark, sf01)
     val nEval = Tables.documents(spark, sf01)
-      .filter($"doc_id" % 97 === 0 && $"doc_id" < 6208).count()
+      .filter(text.PipelineQueries.evalPredicate($"doc_id")).count()
     assert(rows.count() == nEval && nEval > 0) // one audit row per eval doc
     // a positive report's best match clears the Jaccard gate; a clean
     // report carries the 0-sentinel on both columns
@@ -286,5 +286,88 @@ class BreadthSpec extends AnyFunSuite {
     val total = Tables.documents(spark, sf).count()
     val singletons = nFps.filter($"count" === 1).count()
     assert(clustered + singletons == total)
+  }
+
+  // ---- round-11 additions ------------------------------------------------
+
+  test("q187 batch transformWithState == the plain grouped aggregate (the batch-mode law)") {
+    import spark.implicits._
+    // the oracle proves this cross-engine; this spec pins it INSIDE Spark,
+    // so a regression in the batch StatefulProcessor path (not the SQL
+    // aggregate) is attributed to the right operator
+    val tws = relational.EventQueries.q187TwsTotalsTwin(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val agg = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(tws.keySet == agg.keySet && tws.keySet.nonEmpty)
+    tws.foreach { case (u, (n, s)) =>
+      assert(agg(u)._1 == n, s"user $u count")
+      assert(math.abs(agg(u)._2 - s) < 1e-9, s"user $u sum")
+    }
+  }
+
+  test("q188 tokenizer-encode matches an independent driver-side re-encode") {
+    import spark.implicits._
+    // brute-force re-encode of the sf0.001 corpus in plain Scala: same
+    // vocab recipe (count >= 100, (cnt DESC, token) ids, budget cap),
+    // same char fallback — a third implementation substrate next to the
+    // Spark plan and the DuckDB oracle
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val V = text.PipelineQueries.EncoderVocabSize
+    val counts = docs.flatMap(_._2.split(" ", -1)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap.filter(_._2 >= 100L)
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+      .take(V).zipWithIndex.map { case ((t, _), i) => t -> i.toLong }.toMap
+    def encode(w: String): Seq[Long] = vocab.get(w)
+      .map(Seq(_)).getOrElse(w.map(c => V + c.toLong))
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1).toSeq
+      val ids = ws.map(encode)
+      val wsum = ids.zipWithIndex.map { case (seq, p) =>
+        (p + 1L) * seq.zipWithIndex.map { case (x, j) => (j + 1L) * x }.sum
+      }.sum
+      id -> ((ws.size.toLong, ids.map(_.size.toLong).sum,
+        ws.count(w => !vocab.contains(w)).toLong, ids.flatten.sum, wsum))
+    }.toMap
+    val got = text.PipelineQueries.q188TokenizerEncode(spark, sf).collect()
+    assert(got.length == expect.size && got.nonEmpty)
+    got.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == e,
+        s"doc ${r.getLong(0)}")
+    }
+    // the corpus exercises BOTH encoder paths (in-vocab and fallback)
+    assert(got.map(_.getLong(3)).sum > 0, "no OOV words — fallback path untested")
+    assert(got.map(_.getLong(1)).sum > got.map(_.getLong(3)).sum, "no in-vocab words")
+  }
+
+  test("q189 semantic dedup: witnesses are real intra-cell near-dups; cell minima survive") {
+    import spark.implicits._
+    import graft.expressions.NativeKernels.dotF
+    val out = vector.VectorQueries.q189SemanticDedup(spark, sf)
+    val emb = Tables.embeddings(spark, sf).select($"vec_id", $"embedding")
+    // every pruned vector's reported witness: smaller id, same cell,
+    // cosine >= tau (recomputed from raw embeddings, not from the query)
+    val cells = out.select($"vec_id".as("w_id"), $"cell".as("w_cell"))
+    val witnessed = out.filter($"pruned" === 1)
+      .join(cells, $"dup_of" === $"w_id")
+      .join(emb.select($"vec_id", $"embedding".as("e_a")), Seq("vec_id"))
+      .join(emb.select($"vec_id".as("w_id"), $"embedding".as("e_b")), Seq("w_id"))
+      .select($"vec_id", $"dup_of", $"cell", $"w_cell",
+        (dotF($"e_a", $"e_b") /
+          (sqrt(dotF($"e_a", $"e_a")) * sqrt(dotF($"e_b", $"e_b")))).as("cos"))
+    assert(witnessed.filter($"dup_of" >= $"vec_id").count() == 0)
+    assert(witnessed.filter($"cell" =!= $"w_cell").count() == 0)
+    assert(witnessed.filter($"cos" < vector.VectorQueries.SemDedupTau).count() == 0)
+    // min-id survivorship: the smallest id in every cell has no smaller
+    // same-cell neighbor, so it can never be pruned
+    val minPruned = out.groupBy($"cell").agg(min($"vec_id").as("vec_id"))
+      .join(out.filter($"pruned" === 1), Seq("cell", "vec_id")).count()
+    assert(minPruned == 0)
+    // unpruned rows carry the -1 sentinel
+    assert(out.filter($"pruned" === 0 && $"dup_of" =!= -1L).count() == 0)
   }
 }

@@ -331,6 +331,9 @@ class ScaleSpec extends AnyFunSuite {
       "q169_feature_bins", "q170_association_rules", "q176_pq_code_checksum",
       "q18_knn_topk", "q27_cosine_top_pairs", "q28_ngram_jaccard_probe",
       "q35_ivf_assign", "q38_tfidf", "q54_ivf_search",
+      // q189 reuses q35's assignment verbatim — same 8-row trained-centroid
+      // broadcast cross; its prune join is a plain cell equi-join
+      "q189_semantic_dedup",
       // q181's exact side is q18's machinery: a =!= join against the
       // id-capped probe broadcast (≤ MaxProbes rows by construction)
       "q181_ann_recall",
@@ -383,7 +386,8 @@ class ScaleSpec extends AnyFunSuite {
     // audited here.
     val auditedRddBroadcasts = Set(
       "q35_ivf_assign", "q54_ivf_search", "q138_pq_adc_search",
-      "q140_ivf_pq_search", "q149_filtered_ann", "q176_pq_code_checksum")
+      "q140_ivf_pq_search", "q149_filtered_ann", "q176_pq_code_checksum",
+      "q189_semantic_dedup")
     val modPat = """% \d+\)? ?= \d+""".r
     val capPat = """< \d+""".r
     def leavesBounded(name: String, p: LogicalPlan): Boolean = p.collectLeaves().forall {
