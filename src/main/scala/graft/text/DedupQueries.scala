@@ -614,7 +614,76 @@ object DedupQueries {
       .orderBy($"fp")
   }
 
+  /** q191's span unit: a duplicated run must be at least this many tokens.
+    * (The cited deployments use ~50-token spans; 8 keeps the statistic
+    * non-degenerate on this corpus's short synthetic docs — the machinery
+    * is length-agnostic.)
+    */
+  private[graft] val SpanL = 8
+
+  /** EXACT-SUBSTRING dedup (the remaining canonical dedup family next to
+    * MinHash/SimHash/SemDeDup — cited shape: Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): for
+    * every document, how many of its tokens are covered by a ≥[[SpanL]]-
+    * token run that also appears verbatim in ANOTHER document — the
+    * per-doc removal statistic the suffix-array method computes. The
+    * distributed formulation replaces the single-node suffix array with
+    * gram grouping: every L-token gram with its position, grams held by
+    * ≥2 distinct docs are duplicated, and a per-doc gaps-and-islands merge
+    * turns overlapping duplicated gram positions back into MAXIMAL spans
+    * (two grams chain into one island iff their starts are ≤ L apart, so
+    * an island covers max−min+L tokens — exactly the union of its
+    * intervals). Docs shorter than L carry no gram and report 0.
+    *
+    * Scale shape: the gram explode + group is work ∝ corpus tokens — the
+    * honest price of EXACT substring matching at scale (the same relation
+    * q63's decontamination sweep builds); only (gram, doc_id) then
+    * (doc_id, pos) rows shuffle, never text, and the island merge is one
+    * per-doc window. The oracle replays gram → distinct-doc → island
+    * arithmetic exactly, so a span merged or counted wrong fails the hash.
+    */
+  def q191ExactSubstring(s: SparkSession, dir: String): DataFrame =
+    exactSubstringCoverage(Tables.documents(s, dir), SpanL)
+
+  /** The reusable core behind q191: input needs (doc_id, text). Exposed
+    * (package-private) for the planted-duplicate spec, which asserts exact
+    * span arithmetic on constructed documents.
+    */
+  private[graft] def exactSubstringCoverage(documents: DataFrame, L: Int): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    val docs = documents
+      .select($"doc_id", tokens($"text").as("toks"))
+      .withColumn("n", size($"toks").cast("long"))
+    val grams = docs.filter($"n" >= L)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(1, cast(n - ${L - 1} as int)), i -> concat_ws(' ', slice(toks, i, $L)))"))
+        .as(Seq("pos", "g")))
+    val dupGrams = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"g")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val spans = grams.join(dupGrams, Seq("g"))
+      .select($"doc_id", $"pos")
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(w) > L, 1L).otherwise(0L))
+      .withColumn("island", sum($"brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"island")
+      .agg((max($"pos") - min($"pos") + L).cast("long").as("covered"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum($"covered").as("dup_tokens"))
+    docs.select($"doc_id", $"n".as("n_toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "dup_tokens"))
+      .select($"doc_id", $"n_toks", $"n_spans", $"dup_tokens",
+        round($"dup_tokens".cast("double") / $"n_toks", 4).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_exact_substring" -> (q191ExactSubstring _),
     "q180_template_clusters" -> (q180TemplateClusters _),
     "q186_fuzzy_decontamination" -> (q186FuzzyDecontamination _),
     "q127_gram_novelty" -> (q127GramNovelty _),
@@ -644,6 +713,46 @@ object DedupQueries {
   private val shingleCte = shingleCteFrom("documents")
 
   val oracles: Map[String, String] = Map(
+    // gram → distinct-doc → gaps-and-islands replayed exactly; gr is
+    // MATERIALIZED (referenced by both dup and p — DuckDB would re-run
+    // the gram explode per reference otherwise)
+    "q191_exact_substring" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n FROM toks),
+         |gr AS MATERIALIZED (
+         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos,
+         |    array_to_string(t[CAST(i AS INTEGER):CAST(i + ${SpanL - 1} AS INTEGER)], ' ') AS g
+         |  FROM d, UNNEST(range(1, CAST(n - ${SpanL - 2} AS BIGINT))) AS u(i)
+         |  WHERE n >= $SpanL
+         |), dup AS (
+         |  SELECT g FROM (
+         |    SELECT g, count(DISTINCT doc_id) AS nd FROM gr GROUP BY g
+         |  ) WHERE nd >= 2
+         |), p AS (
+         |  SELECT gr.doc_id, gr.pos FROM gr JOIN dup USING (g)
+         |), brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SpanL
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM p
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM brk
+         |), sp AS (
+         |  SELECT doc_id, island, max(pos) - min(pos) + $SpanL AS covered
+         |  FROM isl GROUP BY doc_id, island
+         |), per AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |    CAST(sum(covered) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.n AS n_toks,
+         |  coalesce(per.n_spans, 0) AS n_spans,
+         |  coalesce(per.dup_tokens, 0) AS dup_tokens,
+         |  round(CAST(coalesce(per.dup_tokens, 0) AS DOUBLE) / d.n, 4) AS dup_frac
+         |FROM d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
     // \s+ means the same ASCII whitespace class to Java regex and RE2;
     // md5 renders lowercase hex in both engines
     "q180_template_clusters" ->

@@ -239,17 +239,31 @@ object PipelineQueries {
     * one linear scan — the same plan a Spark tokenize-by-broadcast-join
     * pipeline runs in production.
     */
-  def q188TokenizerEncode(s: SparkSession, dir: String): DataFrame = {
+  /** The encoder core shared by q188 (ledger) and q190 (packing): every
+    * (doc, word-position) row with its id decomposition — in-vocab word →
+    * [id]; OOV word → one fallback id per character. Vocab build + budget
+    * cap + broadcast probe as documented on q188.
+    */
+  /** The trained, budget-capped encoder vocabulary: ≤ [[EncoderVocabSize]]
+    * rows NO MATTER the corpus size (the rank filter is the structural
+    * bound — ScaleSpec asserts corpus-size independence), which is what
+    * makes broadcasting it sound at 100 TB.
+    */
+  private[graft] def encoderVocab(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val wOrd = Window.orderBy($"cnt".desc, $"token")
-    val vocab = thresholdedTokenCounts(s, dir)
+    thresholdedTokenCounts(s, dir)
       .withColumn("id", (row_number().over(wOrd) - 1).cast("long"))
       .filter($"id" < EncoderVocabSize) // the id budget — structural bound
       .select($"token".as("word"), $"id")
-    val words = Tables.documents(s, dir)
-      .select($"doc_id", posexplode(tokens($"text")).as(Seq("pos", "word")))
-    val enc = words.join(broadcast(vocab), Seq("word"), "left")
-      // in-vocab word → [id]; OOV word → one fallback id per character.
+  }
+
+  private def encodedWords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vocab = encoderVocab(s, dir)
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", posexplode(tokens($"text")).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"), "left")
       // Guarded empty-word case: sequence(1, 0) would DESCEND in Spark.
       .withColumn("ids", expr(
         s"""if(id is not null, array(id),
@@ -257,6 +271,11 @@ object PipelineQueries {
            |    transform(sequence(1, char_length(word)),
            |      j -> cast($EncoderVocabSize as bigint)
            |           + cast(ascii(substring(word, j, 1)) as bigint))))""".stripMargin))
+  }
+
+  def q188TokenizerEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = encodedWords(s, dir)
       .withColumn("word_sum", expr(
         "aggregate(ids, cast(0 as bigint), (a, x) -> a + x)"))
       // intra-word offset weighting (1-based) — sequence-sensitive
@@ -270,6 +289,40 @@ object PipelineQueries {
         sum($"word_sum").as("id_sum"),
         sum(($"pos".cast("long") + 1L) * $"word_wsum").as("id_wsum"))
       .orderBy($"doc_id")
+  }
+
+  /** Packing over REAL token ids — q62's fixed-boundary packing, but the
+    * chunk offsets come from the ENCODER's actual id stream (q188's
+    * [[encodedWords]]) instead of raw whitespace token counts: the step
+    * that turns "we know each doc's length" into "we know which training
+    * sequence every id lands in". Per language, docs pack in doc_id order
+    * into 512-ID chunks by running id offset (one window cumsum per lang
+    * partition — q62's documented shape); each chunk reports its doc
+    * count, id count, and the exact-integer SUM OF ITS IDS, so the oracle
+    * (which replays encode + pack) pins chunk CONTENT, not just chunk
+    * sizes — a doc landing in the wrong chunk moves two chunk sums and
+    * fails the hash. Scale: encode is q188's map-side pass; only
+    * (lang, doc_id, two longs) rows reach the window; the rollup shuffles
+    * pre-aggregated (lang, chunk) rows.
+    */
+  def q190PackIds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = encodedWords(s, dir)
+      .withColumn("word_sum", expr(
+        "aggregate(ids, cast(0 as bigint), (a, x) -> a + x)"))
+      .groupBy($"lang", $"doc_id")
+      .agg(sum(size($"ids")).as("n_ids"), sum($"word_sum").as("id_sum"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("cum", sum($"n_ids").over(w))
+      .withColumn("chunk", expr("(cum - n_ids) div 512"))
+      .groupBy($"lang", $"chunk")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_ids").as("chunk_ids"),
+        sum($"id_sum").as("chunk_id_sum"))
+      .orderBy($"lang", $"chunk")
   }
 
   /** Capstone: the full corpus → training-sequences pipeline in one plan —
@@ -668,6 +721,7 @@ object PipelineQueries {
     "q100_corpus_to_sequences" -> (q100CorpusToSequences _),
     "q68_vocab_build" -> (q68VocabBuild _),
     "q188_tokenizer_encode" -> (q188TokenizerEncode _),
+    "q190_pack_ids" -> (q190PackIds _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
     "q61_token_histogram" -> (q61TokenHistogram _),
     "q62_sequence_packing" -> (q62SequencePacking _),
@@ -948,6 +1002,48 @@ object PipelineQueries {
          |  CAST(sum((pos + 1) * coalesce(list_sum(
          |    list_transform(ids, (x, i) -> CAST(i AS BIGINT) * x)), 0)) AS BIGINT) AS id_wsum
          |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q188's encode chain + q62's packing window over the encoded lengths;
+    // chunk_id_sum pins chunk membership (a misplaced doc moves two sums)
+    "q190_pack_ids" ->
+      s"""WITH c AS (
+         |  SELECT token, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |  ) GROUP BY token HAVING count(*) >= 100
+         |), v AS (
+         |  SELECT token AS word,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+         |  FROM c
+         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= $EncoderVocabSize
+         |), toks AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+         |), w AS (
+         |  SELECT doc_id, lang, t[CAST(i AS INTEGER)] AS word
+         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+         |), e AS (
+         |  SELECT w.doc_id, w.lang,
+         |    CASE WHEN v.id IS NOT NULL THEN [v.id]
+         |         WHEN length(w.word) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, length(w.word) + 1),
+         |           j -> CAST($EncoderVocabSize AS BIGINT)
+         |                + CAST(unicode(substr(w.word, CAST(j AS INTEGER), 1)) AS BIGINT))
+         |    END AS ids
+         |  FROM w LEFT JOIN v ON w.word = v.word
+         |), d AS (
+         |  SELECT lang, doc_id,
+         |    CAST(sum(len(ids)) AS BIGINT) AS n_ids,
+         |    CAST(sum(coalesce(list_sum(ids), 0)) AS BIGINT) AS id_sum
+         |  FROM e GROUP BY lang, doc_id
+         |), cumd AS (
+         |  SELECT lang, doc_id, n_ids, id_sum,
+         |    sum(n_ids) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d
+         |)
+         |SELECT lang, CAST((cum - n_ids) // 512 AS BIGINT) AS chunk,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_ids) AS BIGINT) AS chunk_ids,
+         |  CAST(sum(id_sum) AS BIGINT) AS chunk_id_sum
+         |FROM cumd GROUP BY lang, chunk ORDER BY lang, chunk""".stripMargin,
     "q68_vocab_build" ->
       """WITH c AS (
         |  SELECT token, count(*) AS cnt FROM (

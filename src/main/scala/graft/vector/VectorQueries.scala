@@ -384,8 +384,15 @@ object VectorQueries {
   def q189SemanticDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = withN2(Tables.embeddings(s, dir))
+    // the assignment feeds THREE consumers (both prune-join sides + the
+    // output spine) and AQE does not reuse the exchange across them — the
+    // executed plan repeated the full scan+assign+window subtree 3×.
+    // Materializing the (id, vector, norm, cell) relation once is the q69
+    // iterate pattern; a production deployment persists it to the lake
+    // instead (q148's marker idiom) and shares it with the IVF index.
     val idx = assignCells(e, trainedCentroids(s, dir))
       .select($"vec_id", $"embedding", sqrt($"n2").as("nrm"), $"cell")
+      .localCheckpoint()
     val a = idx.select($"cell", $"vec_id".as("a_id"),
       $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
     val b = idx.select($"cell", $"vec_id".as("b_id"),

@@ -344,6 +344,43 @@ class BreadthSpec extends AnyFunSuite {
     assert(got.map(_.getLong(1)).sum > got.map(_.getLong(3)).sum, "no in-vocab words")
   }
 
+  test("q190 id packing conserves the encoder's id stream exactly") {
+    import spark.implicits._
+    val packed = text.PipelineQueries.q190PackIds(spark, sf).collect()
+    val ledger = text.PipelineQueries.q188TokenizerEncode(spark, sf).collect()
+    // every id the encoder emits lands in exactly one chunk: totals and
+    // checksums agree between the per-doc ledger and the packed rollup
+    assert(packed.map(_.getAs[Long]("chunk_ids")).sum ==
+      ledger.map(_.getAs[Long]("n_ids")).sum)
+    assert(packed.map(_.getAs[Long]("chunk_id_sum")).sum ==
+      ledger.map(_.getAs[Long]("id_sum")).sum)
+    // chunk indices are valid start-offset buckets
+    assert(packed.forall(_.getAs[Long]("chunk") >= 0))
+    val totalIds = ledger.map(_.getAs[Long]("n_ids")).sum
+    assert(packed.map(_.getAs[Long]("chunk")).max <= totalIds / 512)
+  }
+
+  test("q191 exact-substring: planted duplicate spans measured exactly") {
+    import spark.implicits._
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i")
+    val s20 = words("s", 20) // 20-token run shared by docs 1 and 2
+    val t8 = words("t", 8)   // 8-token run shared by docs 1 and 4
+    val docs = Seq(
+      1L -> (words("a", 5) ++ s20 ++ words("b", 5) ++ t8).mkString(" "), // 38 toks
+      2L -> (s20 ++ words("c", 6)).mkString(" "),                        // 26 toks
+      3L -> words("u", 30).mkString(" "),                                // unique
+      4L -> (words("d", 3) ++ t8 ++ words("e", 4)).mkString(" ")         // 15 toks
+    ).toDF("doc_id", "text")
+    val out = text.DedupQueries.exactSubstringCoverage(docs, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: the s-run's duplicated 8-grams start at 5..17 → one island of
+    // 17-5+8 = 20 covered tokens; the t-run is a second island of 8.
+    assert(out(1L) == ((38L, 2L, 28L)))
+    assert(out(2L) == ((26L, 1L, 20L)))
+    assert(out(3L) == ((30L, 0L, 0L)))
+    assert(out(4L) == ((15L, 1L, 8L)))
+  }
+
   test("q189 semantic dedup: witnesses are real intra-cell near-dups; cell minima survive") {
     import spark.implicits._
     import graft.expressions.NativeKernels.dotF
