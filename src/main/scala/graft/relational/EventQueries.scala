@@ -247,6 +247,30 @@ object EventQueries {
       .orderBy($"user_id")
   }
 
+  /** Batch twin of the `flatMapGroupsWithState` milestone operator
+    * ([[graft.streaming.StreamingOps.eventMilestones]]) — with q187 in
+    * place this was the last custom-state streaming operator without an
+    * adjudicated entry. The EXACT operator runs in batch mode (each user's
+    * history arrives as one group pass over empty initial state), so it
+    * emits one row per crossed multiple of n — the same set
+    * {n, 2n, … n·⌊count/n⌋} the streaming run accumulates across
+    * micro-batches (StreamingSpec pins that equivalence). The DuckDB twin
+    * generates the multiples from the per-user count, so a drift in the
+    * state fold (miscounted events, missed boundary) fails the hash.
+    * Emission SET is arrival-order-independent — milestones depend only on
+    * the running count. Scale: one shuffle on user_id; state is one
+    * counter per key.
+    */
+  def q192MilestonesTwin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"ts", $"user_id", $"event_type", $"value")
+      .as[graft.streaming.Event]
+    graft.streaming.StreamingOps.eventMilestones(ev, 5)
+      .toDF("user_id", "milestone")
+      .orderBy($"user_id", $"milestone")
+  }
+
   /** The VARIANT type (Spark 4's open semi-structured column): props parsed
     * once into a variant, then typed path extraction (`variant_get`) and
     * missing-path null semantics (`try_variant_get`). Unlike q11's
@@ -839,6 +863,7 @@ object EventQueries {
     "q73_variant_extract" -> (q73VariantExtract _),
     "q64_stream_dedup_twin" -> (q64StreamDedupTwin _),
     "q187_tws_totals_twin" -> (q187TwsTotalsTwin _),
+    "q192_milestones_twin" -> (q192MilestonesTwin _),
     "q41_from_json_map" -> (q41FromJsonMap _),
     "q34_epoch_roundtrip" -> (q34EpochRoundtrip _),
     "q11_events_json" -> (q11EventsJson _),
@@ -1109,6 +1134,14 @@ object EventQueries {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(json_extract_string(props, '$.missing')) AS n_missing_present
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the per-user count generates the milestone multiples directly
+    "q192_milestones_twin" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) // 5 AS m FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(5 * k AS BIGINT) AS milestone
+        |FROM c, UNNEST(range(1, m + 1)) AS u(k)
+        |ORDER BY user_id, milestone""".stripMargin,
     "q187_tws_totals_twin" ->
       """SELECT user_id, count(*) AS n_events,
         | round(sum(value), 2) AS sum_value

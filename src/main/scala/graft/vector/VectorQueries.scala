@@ -523,6 +523,72 @@ object VectorQueries {
       .orderBy($"train", $"m")
   }
 
+  /** q193's quantization resolution: codes are 0..SqLevels (8-bit). */
+  private[graft] val SqLevels = 255
+
+  /** SCALAR quantization (SQ8) + asymmetric-distance search — the
+    * remaining member of the vector-compression family next to flat
+    * (q18), LSH (q19), IVF (q35/q54) and PQ (q138/q140): every dimension
+    * gets a TRAINED per-dim [min, max] range (one aggregation pass — the
+    * SQ "training"), vectors store as 64 8-bit codes
+    * `floor((x−min)/(max−min)·255)` (constant dims code to 0), and probes
+    * score candidates asymmetrically (ADC, Jégou et al. '11 §III.B): the
+    * RAW probe dotted with the candidate's code-midpoint RECONSTRUCTION
+    * `min + (code+0.5)·(max−min)/255` — so only the stored side pays
+    * quantization error and recall@5 stays ≈1 at 8 bits/dim (the
+    * shifted-code symmetric dot, by contrast, biases ranking by Σx terms
+    * and collapsed to ~8× chance on this corpus — measured, rejected).
+    * The reconstruction narrows to FLOAT before the dot (the kmeans-replay
+    * cast discipline) so the DuckDB oracle reproduces every double
+    * bit-for-bit.
+    *
+    * Scale shape: the trained bounds are ONE broadcast row; coding and
+    * reconstruction are map-side; the scan keeps only (vec_id, 64 bytes) —
+    * the 4× compression vs float32 that makes a 100 TB embedding lake
+    * scannable — and the probe sweep is q18's bounded-broadcast pattern
+    * with TopKByScore reducing each partition to ≤5 pairs per probe
+    * before the shuffle. Compose with q35's cells for the IVF-SQ variant,
+    * exactly as q140 composes IVF-PQ.
+    */
+  def q193Sq8Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val bounds = e
+      .select(posexplode($"embedding").as(Seq("pos", "x")))
+      .groupBy($"pos")
+      .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
+      .agg(array_sort(collect_list(struct($"pos", $"mn", $"mx"))).as("pm"))
+      .select(
+        transform($"pm", p => p.getField("mn")).as("mins"),
+        transform($"pm", p => p.getField("mx")).as("maxs"))
+    // Spark's arr[i] is 0-based with a 0-based lambda index; DuckDB's is
+    // 1-based with a 1-based index — the same spelling is correct in both.
+    // codes are integers ≤ 255 held as float (exactly representable);
+    // recon narrows each midpoint to float so both engines dot the same
+    // 24-bit-mantissa values and accumulate in double (dotF's contract).
+    val coded = e.crossJoin(broadcast(bounds))
+      .select($"vec_id", expr(
+        s"""transform(embedding, (x, i) ->
+           |  cast(if(maxs[i] = mins[i], 0.0d,
+           |    floor((cast(x as double) - mins[i]) / (maxs[i] - mins[i]) * $SqLevels))
+           |  as float))""".stripMargin).as("codes"),
+        $"mins", $"maxs")
+      .select($"vec_id", expr(
+        s"""transform(codes, (c, i) ->
+           |  cast(mins[i] + (cast(c as double) + 0.5d) * (maxs[i] - mins[i]) / $SqLevels.0d
+           |  as float))""".stripMargin).as("recon"))
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
+    val topk = udaf(TopKByScore(5))
+    coded.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id", dotF($"p_emb", $"recon").as("score"))
+      .groupBy($"probe_id").agg(topk($"score", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round($"col._1", 4).as("score"))
+      .orderBy($"probe_id", $"rank")
+  }
+
   def q138PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val spaces = (0 until PqSubspaces).map { m =>
@@ -938,6 +1004,7 @@ object VectorQueries {
     "q181_ann_recall" -> (q181AnnRecall _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q189_semantic_dedup" -> (q189SemanticDedup _),
+    "q193_sq8_search" -> (q193Sq8Search _),
     "q54_ivf_search" -> (q54IvfSearch _),
     "q60_label_centroids" -> (q60LabelCentroids _),
   )
@@ -1305,6 +1372,44 @@ object VectorQueries {
          |  FROM emb0 e CROSS JOIN c$IvfIters c
          |) WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
+    // bounds → codes → float-narrowed midpoint reconstruction → raw-probe
+    // dot, replayed exactly (CAST(… AS REAL[]) AS DOUBLE[] mirrors Spark's
+    // cast-to-float-then-widen, the kmeans-replay discipline)
+    "q193_sq8_search" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+         |), b AS MATERIALIZED (
+         |  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+         |  FROM (
+         |    SELECT j AS pos, min(emb[CAST(j AS INTEGER)]) AS mn,
+         |      max(emb[CAST(j AS INTEGER)]) AS mx
+         |    FROM e, UNNEST(range(1, len(emb) + 1)) AS u(j)
+         |    GROUP BY j
+         |  )
+         |), c AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(CAST(list_transform(emb, (x, i) ->
+         |      mins[CAST(i AS INTEGER)]
+         |      + ((CASE WHEN maxs[CAST(i AS INTEGER)] = mins[CAST(i AS INTEGER)] THEN 0.0
+         |          ELSE floor((x - mins[CAST(i AS INTEGER)])
+         |                     / (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)])
+         |                     * $SqLevels) END) + 0.5)
+         |        * (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)]) / $SqLevels.0)
+         |      AS REAL[]) AS DOUBLE[]) AS recon
+         |  FROM e, b
+         |), p AS (
+         |  SELECT vec_id AS probe_id, emb AS pe FROM e
+         |  WHERE vec_id % 100 = 0 AND vec_id < 3200
+         |), r AS (
+         |  SELECT p.probe_id, c.vec_id,
+         |    list_dot_product(p.pe, c.recon) AS score,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY list_dot_product(p.pe, c.recon) DESC, c.vec_id) AS rn
+         |  FROM c, p WHERE c.vec_id != p.probe_id
+         |)
+         |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id,
+         |  round(score, 4) AS score
+         |FROM r WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
     // training + assignment + intra-cell prune replayed exactly: the
     // cosine spelling (dot / (sqrt(n2)·sqrt(n2))) matches the Spark
     // prenormed-cosine operation order bit-for-bit

@@ -345,6 +345,9 @@ class ScaleSpec extends AnyFunSuite {
       // q189 reuses q35's assignment verbatim — same 8-row trained-centroid
       // broadcast cross; its prune join is a plain cell equi-join
       "q189_semantic_dedup",
+      // q193 is q18's bounded-probe-broadcast sweep over code vectors
+      // (plus the 1-row trained-bounds broadcast cross)
+      "q193_sq8_search",
       // q181's exact side is q18's machinery: a =!= join against the
       // id-capped probe broadcast (≤ MaxProbes rows by construction)
       "q181_ann_recall",

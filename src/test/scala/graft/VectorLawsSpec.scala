@@ -20,6 +20,35 @@ class VectorLawsSpec extends AnyFunSuite {
       s"missing=${(exact -- ivfAll).take(3)} extra=${(ivfAll -- exact).take(3)}")
   }
 
+  test("SQ8 ADC search recalls the exact dot-product top-5 almost perfectly") {
+    // asymmetric scoring quantizes only the STORED side at 8 bits/dim, so
+    // unlike PQ's 4-byte codes (chance-relative law below) the honest law
+    // here is absolute: reconstruction error per dim is ≤ range/512 and
+    // the exact top-5 survives. Measured 1.0 on this corpus; pinned ≥ 0.8
+    // to absorb a data regen.
+    import org.apache.spark.sql.functions._
+    import graft.expressions.NativeKernels.dotF
+    val sq = vector.VectorQueries.q193Sq8Search(spark, sf)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val p = e.filter(vector.VectorQueries.probePredicate(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("score").desc, col("vec_id"))
+    val exact = e.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), dotF(col("embedding"), col("p_emb")).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(sq.keySet == exact.keySet && sq.nonEmpty)
+    // keysIterator, not keys.map: mapping over the key SET would collapse
+    // equal per-probe recalls before the sum
+    val recall = sq.keysIterator.map(k => (sq(k) & exact(k)).size / 5.0).sum / sq.size
+    info(f"SQ8 ADC recall@5 vs exact dot: $recall%.3f")
+    assert(recall >= 0.8, f"SQ8 recall collapsed: $recall%.3f")
+  }
+
   test("IVF k-means: Lloyd SSE descends monotonically across training rounds") {
     // mean-update + L2-assignment is the textbook Lloyd step, so the sum of
     // squared distances to assigned centroids cannot increase; the epsilon
