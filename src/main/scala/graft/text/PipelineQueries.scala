@@ -258,10 +258,17 @@ object PipelineQueries {
       .select($"token".as("word"), $"id")
   }
 
-  private def encodedWords(s: SparkSession, dir: String): DataFrame = {
+  private def encodedWords(s: SparkSession, dir: String): DataFrame =
+    encodedWordsOf(Tables.documents(s, dir), encoderVocab(s, dir))
+
+  /** [[encodedWords]] over any (doc_id, lang, text) relation and any
+    * (word, id) vocabulary — q194 applies the corpus-trained encoder to
+    * its CLEANED survivor set through this.
+    */
+  private def encodedWordsOf(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val vocab = encoderVocab(s, dir)
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", $"lang", posexplode(tokens($"text")).as(Seq("pos", "word")))
       .join(broadcast(vocab), Seq("word"), "left")
       // Guarded empty-word case: sequence(1, 0) would DESCEND in Spark.
@@ -323,6 +330,52 @@ object PipelineQueries {
         sum($"n_ids").as("chunk_ids"),
         sum($"id_sum").as("chunk_id_sum"))
       .orderBy($"lang", $"chunk")
+  }
+
+  /** Capstone v2 — the corpus-to-TRAINABLE-ARTIFACT pipeline at id level:
+    * q100's quality gate (≥20 tokens, lang-ID agreement) → exact dedup
+    * with the deterministic min-id survivor → the corpus-trained ENCODER
+    * applied to the cleaned survivors (q188's vocab — a tokenizer is a
+    * corpus-level artifact, trained once and applied downstream) → q57's
+    * portable hash split → per-(split, lang) PACKING into 512-id training
+    * chunks with exact id checksums. Where q100 stops at token COUNTS,
+    * this emits the accounting of the actual id stream a trainer would
+    * consume — every stage is individually oracle-verified elsewhere
+    * (q14/q17, q15/q91, q188, q57, q190); this query adjudicates their
+    * composition end-to-end. Scale: gates and encoding are map-side; the
+    * dedup window shuffles 32-byte fingerprints; the packing window sees
+    * (split, lang, doc_id, two longs) rows only.
+    */
+  def q194CorpusToIdSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{fingerprint, langId}
+    val surv = Tables.documents(s, dir)
+      .filter(size(tokens($"text")) >= 20)
+      .filter(langId($"text") === $"lang")
+    val wDedup = Window.partitionBy($"fp").orderBy($"doc_id")
+    val uniq = surv.withColumn("fp", fingerprint($"text"))
+      .withColumn("rn", row_number().over(wDedup)).filter($"rn" === 1)
+      .select($"doc_id", $"lang", $"text")
+    val perDoc = encodedWordsOf(uniq, encoderVocab(s, dir))
+      .withColumn("word_sum", expr(
+        "aggregate(ids, cast(0 as bigint), (a, x) -> a + x)"))
+      .groupBy($"lang", $"doc_id")
+      .agg(sum(size($"ids")).as("n_ids"), sum($"word_sum").as("id_sum"))
+      .withColumn("split",
+        when(hashBucket("split:", $"doc_id") < 80, "train")
+          .when(hashBucket("split:", $"doc_id") < 90, "valid").otherwise("test"))
+    val wPack = Window.partitionBy($"split", $"lang").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc
+      .withColumn("cum", sum($"n_ids").over(wPack))
+      .withColumn("chunk", expr("(cum - n_ids) div 512"))
+      .groupBy($"split", $"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"chunk").as("n_chunks"),
+        sum($"n_ids").as("n_ids"),
+        sum($"id_sum").as("id_checksum"))
+      .orderBy($"split", $"lang")
   }
 
   /** Capstone: the full corpus → training-sequences pipeline in one plan —
@@ -722,6 +775,7 @@ object PipelineQueries {
     "q68_vocab_build" -> (q68VocabBuild _),
     "q188_tokenizer_encode" -> (q188TokenizerEncode _),
     "q190_pack_ids" -> (q190PackIds _),
+    "q194_corpus_to_id_sequences" -> (q194CorpusToIdSequences _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
     "q61_token_histogram" -> (q61TokenHistogram _),
     "q62_sequence_packing" -> (q62SequencePacking _),
@@ -941,6 +995,65 @@ object PipelineQueries {
         |SELECT source, n_docs,
         |  round(w_raw / sum(w_raw) OVER (), 6) AS weight
         |FROM w ORDER BY source""".stripMargin,
+    // q100's gate+dedup chain ∘ q188's encode chain ∘ q190's packing
+    // window, composed end-to-end; the vocab trains on the FULL corpus
+    // (c/v CTEs) while encoding applies to the cleaned survivors
+    "q194_corpus_to_id_sequences" ->
+      s"""WITH surv AS (
+         |  SELECT * FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 20
+         |    AND (${TextQueries.langCase}) = lang
+         |), uniq AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
+         |                                 ORDER BY doc_id) AS rn
+         |    FROM surv
+         |  ) WHERE rn = 1
+         |), c AS (
+         |  SELECT token, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+         |  ) GROUP BY token HAVING count(*) >= 100
+         |), v AS (
+         |  SELECT token AS word,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+         |  FROM c
+         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= $EncoderVocabSize
+         |), toks AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM uniq
+         |), w AS (
+         |  SELECT doc_id, lang, t[CAST(i AS INTEGER)] AS word
+         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+         |), e AS (
+         |  SELECT w.doc_id, w.lang,
+         |    CASE WHEN v.id IS NOT NULL THEN [v.id]
+         |         WHEN length(w.word) = 0 THEN CAST([] AS BIGINT[])
+         |         ELSE list_transform(range(1, length(w.word) + 1),
+         |           j -> CAST($EncoderVocabSize AS BIGINT)
+         |                + CAST(unicode(substr(w.word, CAST(j AS INTEGER), 1)) AS BIGINT))
+         |    END AS ids
+         |  FROM w LEFT JOIN v ON w.word = v.word
+         |), d AS (
+         |  SELECT lang, doc_id,
+         |    CAST(sum(len(ids)) AS BIGINT) AS n_ids,
+         |    CAST(sum(coalesce(list_sum(ids), 0)) AS BIGINT) AS id_sum
+         |  FROM e GROUP BY lang, doc_id
+         |), sp AS (
+         |  SELECT lang, doc_id, n_ids, id_sum,
+         |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+         |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM d
+         |), cumd AS (
+         |  SELECT split, lang, doc_id, n_ids, id_sum,
+         |    sum(n_ids) OVER (PARTITION BY split, lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM sp
+         |)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  count(DISTINCT (cum - n_ids) // 512) AS n_chunks,
+         |  CAST(sum(n_ids) AS BIGINT) AS n_ids,
+         |  CAST(sum(id_sum) AS BIGINT) AS id_checksum
+         |FROM cumd GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "q100_corpus_to_sequences" ->
       s"""WITH surv AS (
          |  SELECT * FROM documents

@@ -550,10 +550,10 @@ object VectorQueries {
     * before the shuffle. Compose with q35's cells for the IVF-SQ variant,
     * exactly as q140 composes IVF-PQ.
     */
-  def q193Sq8Search(s: SparkSession, dir: String): DataFrame = {
+  /** The trained SQ8 bounds: one row of per-dim (mins, maxs) arrays. */
+  private def sqBounds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir)
-    val bounds = e
+    Tables.embeddings(s, dir)
       .select(posexplode($"embedding").as(Seq("pos", "x")))
       .groupBy($"pos")
       .agg(min($"x".cast("double")).as("mn"), max($"x".cast("double")).as("mx"))
@@ -561,26 +561,78 @@ object VectorQueries {
       .select(
         transform($"pm", p => p.getField("mn")).as("mins"),
         transform($"pm", p => p.getField("mx")).as("maxs"))
-    // Spark's arr[i] is 0-based with a 0-based lambda index; DuckDB's is
-    // 1-based with a 1-based index — the same spelling is correct in both.
-    // codes are integers ≤ 255 held as float (exactly representable);
-    // recon narrows each midpoint to float so both engines dot the same
-    // 24-bit-mantissa values and accumulate in double (dotF's contract).
-    val coded = e.crossJoin(broadcast(bounds))
-      .select($"vec_id", expr(
-        s"""transform(embedding, (x, i) ->
-           |  cast(if(maxs[i] = mins[i], 0.0d,
-           |    floor((cast(x as double) - mins[i]) / (maxs[i] - mins[i]) * $SqLevels))
-           |  as float))""".stripMargin).as("codes"),
-        $"mins", $"maxs")
-      .select($"vec_id", expr(
-        s"""transform(codes, (c, i) ->
-           |  cast(mins[i] + (cast(c as double) + 0.5d) * (maxs[i] - mins[i]) / $SqLevels.0d
-           |  as float))""".stripMargin).as("recon"))
+  }
+
+  /** Code + midpoint-reconstruct `embedding` against (mins, maxs), fused:
+    * the intermediate 0..255 code is an exact integer in either float or
+    * double, so coding and reconstructing in one lambda is bit-identical
+    * to materializing the code column first. Each midpoint narrows to
+    * FLOAT so both engines dot the same 24-bit-mantissa values and
+    * accumulate in double (dotF's contract). Spark's arr[i] is 0-based
+    * with a 0-based lambda index; DuckDB's is 1-based with a 1-based
+    * index — the same spelling is correct in both.
+    */
+  private val sqReconExpr: String =
+    s"""transform(embedding, (x, i) ->
+       |  cast(mins[i]
+       |    + (if(maxs[i] = mins[i], 0.0d,
+       |         floor((cast(x as double) - mins[i]) / (maxs[i] - mins[i]) * $SqLevels))
+       |       + 0.5d)
+       |      * (maxs[i] - mins[i]) / $SqLevels.0d
+       |  as float))""".stripMargin
+
+  def q193Sq8Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+    val coded = e.crossJoin(broadcast(sqBounds(s, dir)))
+      .select($"vec_id", expr(sqReconExpr).as("recon"))
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"))
     val topk = udaf(TopKByScore(5))
     coded.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id", dotF($"p_emb", $"recon").as("score"))
+      .groupBy($"probe_id").agg(topk($"score", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round($"col._1", 4).as("score"))
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** IVF-SQ search — the composition the q193 Scaladoc promises, mirroring
+    * exactly how q140 composes IVF-PQ: the trained coarse quantizer
+    * restricts each probe's scan to its nprobe=2 best cells (q54's
+    * machinery verbatim), and candidates inside those cells score by
+    * q193's SQ8 ADC reconstruction instead of raw floats. Per probe the
+    * cost is (nprobe/ncells)·n reconstructions-worth of 64-byte codes —
+    * the memory-bound regime a 100 TB embedding lake actually serves
+    * from. All three broadcasts are bounded (8-row centroids, ≤ 2·MaxProbes
+    * probe-cell pairs, 1-row SQ bounds).
+    */
+  def q195IvfSqSearch(s: SparkSession, dir: String): DataFrame =
+    ivfSqSearch(s, dir, nprobe = 2)
+
+  /** The parameterized core — with nprobe = ncells every cell is probed
+    * and the result must equal q193's exhaustive SQ-ADC search exactly
+    * (VectorLawsSpec asserts that identity, pinning the cell restriction
+    * the same way q54's degeneracy law pins IVF-flat).
+    */
+  private[graft] def ivfSqSearch(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val e = withN2(Tables.embeddings(s, dir))
+    val centroids = trainedCentroids(s, dir)
+    val idx = assignCells(e, centroids)
+      .crossJoin(broadcast(sqBounds(s, dir)))
+      .select($"vec_id", $"cell", expr(sqReconExpr).as("recon"))
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+    val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= nprobe)
+      .select($"probe_id", $"p_emb", $"cell")
+    val topk = udaf(TopKByScore(5))
+    idx.join(broadcast(probeCells), Seq("cell"))
+      .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id", dotF($"p_emb", $"recon").as("score"))
       .groupBy($"probe_id").agg(topk($"score", $"vec_id").as("nn"))
       .select($"probe_id", posexplode($"nn"))
@@ -1005,6 +1057,7 @@ object VectorQueries {
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q189_semantic_dedup" -> (q189SemanticDedup _),
     "q193_sq8_search" -> (q193Sq8Search _),
+    "q195_ivf_sq_search" -> (q195IvfSqSearch _),
     "q54_ivf_search" -> (q54IvfSearch _),
     "q60_label_centroids" -> (q60LabelCentroids _),
   )
@@ -1406,6 +1459,39 @@ object VectorQueries {
          |    row_number() OVER (PARTITION BY p.probe_id
          |      ORDER BY list_dot_product(p.pe, c.recon) DESC, c.vec_id) AS rn
          |  FROM c, p WHERE c.vec_id != p.probe_id
+         |)
+         |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id,
+         |  round(score, 4) AS score
+         |FROM r WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // kmeans training + cell assignment + nprobe=2 probe cells (the
+    // q54 fragments) composed with q193's SQ reconstruction
+    "q195_ivf_sq_search" ->
+      s"""WITH $kmeansCtes, $ivfAssignCte, $ivfProbeCellsCte, b AS MATERIALIZED (
+         |  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+         |  FROM (
+         |    SELECT j AS pos, min(emb[CAST(j AS INTEGER)]) AS mn,
+         |      max(emb[CAST(j AS INTEGER)]) AS mx
+         |    FROM emb0, UNNEST(range(1, len(emb) + 1)) AS u(j)
+         |    GROUP BY j
+         |  )
+         |), sqc AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cell,
+         |    CAST(CAST(list_transform(a.emb, (x, i) ->
+         |      mins[CAST(i AS INTEGER)]
+         |      + ((CASE WHEN maxs[CAST(i AS INTEGER)] = mins[CAST(i AS INTEGER)] THEN 0.0
+         |          ELSE floor((x - mins[CAST(i AS INTEGER)])
+         |                     / (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)])
+         |                     * $SqLevels) END) + 0.5)
+         |        * (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)]) / $SqLevels.0)
+         |      AS REAL[]) AS DOUBLE[]) AS recon
+         |  FROM assign a, b
+         |), r AS (
+         |  SELECT pc.probe_id, s.vec_id,
+         |    list_dot_product(pc.p_emb, s.recon) AS score,
+         |    row_number() OVER (PARTITION BY pc.probe_id
+         |      ORDER BY list_dot_product(pc.p_emb, s.recon) DESC, s.vec_id) AS rn
+         |  FROM sqc s JOIN pc ON s.cell = pc.cell
+         |  WHERE s.vec_id != pc.probe_id
          |)
          |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id,
          |  round(score, 4) AS score

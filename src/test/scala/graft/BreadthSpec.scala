@@ -381,6 +381,24 @@ class BreadthSpec extends AnyFunSuite {
     assert(out(4L) == ((15L, 1L, 8L)))
   }
 
+  test("q194 id capstone agrees with q100's survivor accounting per (split, lang)") {
+    import spark.implicits._
+    // same gate, same dedup, same hash split — the doc counts MUST match
+    // q100's independently-oracled pipeline; only the chunk geometry
+    // differs (128-token chunks there, 512-id packing here)
+    val v100 = text.PipelineQueries.q100CorpusToSequences(spark, sf)
+      .select($"split", $"lang", $"n_docs".as("d100"))
+    val v194 = text.PipelineQueries.q194CorpusToIdSequences(spark, sf)
+    val joined = v194.join(v100, Seq("split", "lang"), "full")
+    assert(joined.filter($"n_docs".isNull || $"d100".isNull ||
+      $"n_docs" =!= $"d100").count() == 0)
+    // chunk-count geometry: at least 1, at most ceil(n_ids / 512) (chunks
+    // index start offsets, which live in [0, n_ids-1])
+    assert(v194.filter($"n_chunks" < 1 ||
+      $"n_chunks" > ($"n_ids" + 511) / 512).count() == 0)
+    assert(v194.count() > 0)
+  }
+
   test("q189 semantic dedup: witnesses are real intra-cell near-dups; cell minima survive") {
     import spark.implicits._
     import graft.expressions.NativeKernels.dotF

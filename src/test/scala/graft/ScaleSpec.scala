@@ -346,8 +346,9 @@ class ScaleSpec extends AnyFunSuite {
       // broadcast cross; its prune join is a plain cell equi-join
       "q189_semantic_dedup",
       // q193 is q18's bounded-probe-broadcast sweep over code vectors
-      // (plus the 1-row trained-bounds broadcast cross)
-      "q193_sq8_search",
+      // (plus the 1-row trained-bounds broadcast cross); q195 composes it
+      // with q54's centroid/probe-cell broadcasts
+      "q193_sq8_search", "q195_ivf_sq_search",
       // q181's exact side is q18's machinery: a =!= join against the
       // id-capped probe broadcast (≤ MaxProbes rows by construction)
       "q181_ann_recall",
@@ -401,7 +402,7 @@ class ScaleSpec extends AnyFunSuite {
     val auditedRddBroadcasts = Set(
       "q35_ivf_assign", "q54_ivf_search", "q138_pq_adc_search",
       "q140_ivf_pq_search", "q149_filtered_ann", "q176_pq_code_checksum",
-      "q189_semantic_dedup")
+      "q189_semantic_dedup", "q195_ivf_sq_search")
     val modPat = """% \d+\)? ?= \d+""".r
     val capPat = """< \d+""".r
     def leavesBounded(name: String, p: LogicalPlan): Boolean = p.collectLeaves().forall {

@@ -49,6 +49,16 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"SQ8 recall collapsed: $recall%.3f")
   }
 
+  test("IVF-SQ with nprobe = ncells degenerates to exhaustive SQ-ADC (== q193)") {
+    val exhaustive = vector.VectorQueries.q193Sq8Search(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val allCells = vector.VectorQueries.ivfSqSearch(spark, sf, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(exhaustive.nonEmpty)
+    assert(allCells == exhaustive,
+      s"missing=${(exhaustive -- allCells).take(3)} extra=${(allCells -- exhaustive).take(3)}")
+  }
+
   test("IVF k-means: Lloyd SSE descends monotonically across training rounds") {
     // mean-update + L2-assignment is the textbook Lloyd step, so the sum of
     // squared distances to assigned centroids cannot increase; the epsilon
