@@ -652,6 +652,104 @@ object AdvancedQueries {
         ||> ORDER BY flag, status""".stripMargin)
   }
 
+  /** Total bisection steps q196's loop runs: the bracket starts at
+    * [0, 2^26) integer cents (2^26 = 67,108,864 > the 49,997,859-cent
+    * TPC-H price ceiling) and halves every iteration until width 1, so
+    * the trip count is exactly log₂(2^26) = 26 — which is what lets the
+    * oracle state the loop's iteration counter as a literal.
+    */
+  private[graft] val BisectionSteps = 26
+
+  /** SQL scripting (Spark 4's procedural `BEGIN … END`, SPARK-48338):
+    * DECLARE'd session variables, a data-driven `WHILE` loop, and
+    * scalar-subquery assignment — the control-flow surface that replaces
+    * driver-side glue code for fixed-point searches. The script bisects
+    * (on exact integer cents, so every step is engine-portable) for the
+    * smallest price threshold keeping at most 10% of orders, then runs
+    * the reporting aggregate at that threshold. The adjudication is
+    * strong because the fixed point has a CLOSED FORM the oracle states
+    * independently — the (⌊n/10⌋+1)-th largest cents value, i.e. an
+    * order statistic: a single off-by-one in the loop bounds or the
+    * bracket update lands on a different threshold and fails the hash.
+    * Scale: the fact table is scanned ONCE into a cached cent-histogram
+    * (bounded by the price domain — ≤ ~50M cent values no matter how many
+    * orders), and each of the [[BisectionSteps]] = 26 iterations probes
+    * that aggregate, so at 100 TB the loop costs 26 memory-speed partial
+    * sums, not 26 fact scans.
+    */
+  def q196SqlScripting(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_v_orders")
+    // (cents → n_orders) histogram, cached across the loop's probes; the
+    // uncache drops a stale entry when the sf dir changes mid-session
+    try s.catalog.uncacheTable("graft_v_cents") catch { case _: Exception => () }
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW graft_v_cents AS
+        |SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, count(*) AS n
+        |FROM graft_v_orders GROUP BY c""".stripMargin)
+    s.catalog.cacheTable("graft_v_cents")
+    s.sql(
+      s"""BEGIN
+         |  DECLARE lo BIGINT DEFAULT 0;
+         |  DECLARE hi BIGINT DEFAULT ${1L << BisectionSteps};
+         |  DECLARE mid BIGINT DEFAULT 0;
+         |  DECLARE target BIGINT DEFAULT 0;
+         |  DECLARE iters BIGINT DEFAULT 0;
+         |  SET target = (SELECT CAST(sum(n) AS BIGINT) div 10 FROM graft_v_cents);
+         |  WHILE hi - lo > 1 DO
+         |    SET mid = (lo + hi) div 2;
+         |    SET iters = iters + 1;
+         |    IF (SELECT coalesce(sum(n), 0) FROM graft_v_cents WHERE c > mid) > target THEN
+         |      SET lo = mid;
+         |    ELSE
+         |      SET hi = mid;
+         |    END IF;
+         |  END WHILE;
+         |  SELECT o_orderpriority, count(*) AS n_orders,
+         |    round(sum(o_totalprice), 2) AS revenue,
+         |    hi AS thr_cents, iters AS n_bisections
+         |  FROM graft_v_orders
+         |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > hi
+         |  GROUP BY o_orderpriority ORDER BY o_orderpriority;
+         |END""".stripMargin)
+  }
+
+  /** Mergeable distinct-count sketches (Spark's DataSketches HLL surface,
+    * SPARK-16484: `hll_sketch_agg` / `hll_union_agg` /
+    * `hll_sketch_estimate`): per-group sketches UNIONED into a rollup
+    * estimate without rescanning the data — the property q37's plain
+    * `approx_count_distinct` cannot express, and the reason sketch
+    * columns are the 100 TB cardinality currency (a daily 4 KB sketch per
+    * partition rolls up to any ad-hoc grain for free). Per-priority
+    * customer sketches (lgK=14) are built ONCE; the '(all)' row is
+    * `hll_union_agg` over those 5 sketch values — no second scan — and is
+    * genuinely sub-additive (customers order under several priorities).
+    * Adjudication follows q37's verdict pattern: estimates collapse to
+    * `within_bound := rel_err ≤ 5%` next to exact counts DuckDB
+    * recomputes; the exact side reuses the sketch-free distinct shape.
+    */
+  def q197HllSketchUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    val sketches = o.groupBy($"o_orderpriority")
+      .agg(hll_sketch_agg($"o_custkey", lit(14)).as("sk"))
+    val perGroup = sketches
+      .select($"o_orderpriority".as("grp"), hll_sketch_estimate($"sk").as("est"))
+    val unioned = sketches
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      .select(lit("(all)").as("grp"), $"est")
+    val exact = o.groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("exact_d"))
+      .select($"o_orderpriority".as("grp"), $"exact_d")
+      .union(o.agg(countDistinct($"o_custkey").as("exact_d"))
+        .select(lit("(all)").as("grp"), $"exact_d"))
+    perGroup.union(unioned).join(exact, "grp")
+      .select($"grp", $"exact_d",
+        (abs($"est" - $"exact_d").cast("double") / $"exact_d"
+          <= ApproxDistinctMaxRelErr).as("within_bound"))
+      .orderBy($"grp")
+  }
+
   /** LATERAL correlated subquery (SQL surface): top-2 orders by value per
     * customer, the "per-row dependent subquery" shape Spark's analyzer
     * decorrelates into a ranked join — no driver loop, no N scans of
@@ -1043,6 +1141,8 @@ object AdvancedQueries {
     "q183_sql_udf" -> (q183SqlUdf _),
     "q184_sql_table_fn" -> (q184SqlTableFn _),
     "q185_pipe_syntax" -> (q185PipeSyntax _),
+    "q196_sql_scripting" -> (q196SqlScripting _),
+    "q197_hll_sketch_union" -> (q197HllSketchUnion _),
     "q84_funnel" -> (q84Funnel _),
     "q85_profile" -> (q85Profile _),
     "q86_ntile" -> (q86Ntile _),
@@ -1295,6 +1395,35 @@ object AdvancedQueries {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem WHERE l_quantity > 10
         |GROUP BY flag, status ORDER BY flag, status""".stripMargin,
+    // the bisection fixed point has a closed form: the smallest integer
+    // cents value keeping ≤ ⌊n/10⌋ orders above it is the (⌊n/10⌋+1)-th
+    // LARGEST cents value (counts only jump at observed prices); the trip
+    // count is the bracket-width constant log₂(2^26)
+    "q196_sql_scripting" ->
+      s"""WITH n AS (SELECT count(*) // 10 AS target FROM orders),
+         |c AS (
+         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         |    row_number() OVER (ORDER BY round(o_totalprice * 100) DESC) AS rn
+         |  FROM orders
+         |), thr AS (
+         |  SELECT c FROM c WHERE rn = (SELECT target + 1 FROM n)
+         |)
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |  round(sum(o_totalprice), 2) AS revenue,
+         |  (SELECT c FROM thr) AS thr_cents,
+         |  CAST($BisectionSteps AS BIGINT) AS n_bisections
+         |FROM orders
+         |WHERE CAST(round(o_totalprice * 100) AS BIGINT) > (SELECT c FROM thr)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // estimates collapse to the deterministic verdict (q37's pattern);
+    // DuckDB recomputes the exact side, per group and for the union row
+    "q197_hll_sketch_union" ->
+      """SELECT o_orderpriority AS grp,
+        |  count(DISTINCT o_custkey) AS exact_d, TRUE AS within_bound
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT '(all)', count(DISTINCT o_custkey), TRUE FROM orders
+        |ORDER BY grp""".stripMargin,
     "q84_funnel" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, date_trunc('second', ts) AS ts_s FROM events

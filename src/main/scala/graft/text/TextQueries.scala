@@ -344,6 +344,38 @@ object TextQueries {
       .orderBy($"lang", $"tok")
   }
 
+  /** Heavy hitters via Spark's built-in DataSketches frequent-items
+    * surface (`approx_top_k_accumulate` / `_combine` / `_estimate`,
+    * SPARK-52515) — the TWO-PHASE form whose intermediate sketch STATE is
+    * a first-class column: per-lang states built in one scan, merged with
+    * `_combine` into a global state (no rescan — the same mergeability
+    * q197 shows for cardinality, here for frequency), top-64 estimated
+    * out. Same sketch-then-exact-recount discipline as q142's
+    * Misra-Gries: the sketch only nominates candidates (its merged error
+    * ≤ 3.5·N/10000 ≈ 0.035% of the stream, so nothing at the reported 2%
+    * global threshold can be missed); the ≤64 survivors broadcast back
+    * and are recounted EXACTLY, making the output partitioning- and
+    * merge-order-invariant — which is what lets the plain GROUP BY +
+    * HAVING oracle hash-match a sketch-driven plan.
+    */
+  def q198ApproxTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"lang", explode(tokens($"text")).as("tok"))
+    val candidates = toks.groupBy($"lang")
+      .agg(expr("approx_top_k_accumulate(tok, 10000)").as("st"))
+      .agg(expr("approx_top_k_combine(st, 10000)").as("c"))
+      .select(explode(expr("approx_top_k_estimate(c, 64)")).as("e"))
+      .select($"e.item".as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_toks"))
+    toks.join(broadcast(candidates), "tok")
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter($"n" * 50 >= $"n_toks") // exact integer 2% threshold
+      .select($"tok", $"n")
+      .orderBy($"tok")
+  }
+
   /** Composite rule-based quality filter (Gopher/C4-style heuristic gate):
     * document length, mean word length, alphabetic-word fraction, symbol
     * density, and stopword presence, composed into a single keep/drop
@@ -404,6 +436,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q141_doc_perplexity" -> (q141DocPerplexity _),
     "q142_heavy_hitters" -> (q142HeavyHitters _),
+    "q198_approx_top_k" -> (q198ApproxTopK _),
     "q143_quality_rules" -> (q143QualityRules _),
     "q96_bpe_pairs" -> (q96BpePairs _),
     "q89_bigram_lm" -> (q89BigramLm _),
@@ -482,6 +515,18 @@ object TextQueries {
         |)
         |SELECT c.lang, c.tok, c.n FROM c JOIN tot ON c.lang = tot.lang
         |WHERE c.n * 100 >= tot.n_toks * 3 ORDER BY c.lang, c.tok""".stripMargin,
+    // the sketch only nominates; the exact recount + integer threshold
+    // decide — so the oracle is the sketch-free formulation
+    "q198_approx_top_k" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), tot AS (
+        |  SELECT count(*) AS n_toks FROM toks
+        |), c AS (
+        |  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |)
+        |SELECT c.tok, c.n FROM c, tot
+        |WHERE c.n * 50 >= tot.n_toks ORDER BY c.tok""".stripMargin,
     // every rule is integer arithmetic — flags are hash-exact by construction
     "q143_quality_rules" ->
       """WITH f AS (

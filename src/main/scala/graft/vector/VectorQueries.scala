@@ -115,6 +115,74 @@ object VectorQueries {
       .orderBy($"vec_id")
   }
 
+  /** MMR trade-off weight λ, candidate pool size per probe, and picks per
+    * probe. λ = 0.5 balances relevance against redundancy; 0.5·x is an
+    * exact IEEE scaling, so MMR scores stay engine-portable doubles.
+    */
+  private[graft] val MmrLambda = 0.5
+  private[graft] val MmrPoolSize = 20
+  private[graft] val MmrPicks = 5
+
+  /** Maximal Marginal Relevance (Carbonell & Goldstein '98) diversified
+    * retrieval: per probe, greedily pick [[MmrPicks]] results from the
+    * top-[[MmrPoolSize]] relevance pool, each step maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_picked` — the serving-side
+    * diversification that stops a near-dup cluster from monopolizing a
+    * result page (retrieval's answer to the q50/q189 dedup families).
+    * Shape: pool generation is q18's bounded-probe broadcast sweep; the
+    * greedy loop is a FIXED [[MmrPicks]]−1 driver iterations over the
+    * pooled candidates only (≤ MaxProbes·MmrPoolSize rows — corpus size
+    * never enters the loop), each one an equi-join on probe_id + a
+    * windowed argmax, with `localCheckpoint` truncating lineage per step
+    * (q69's iteration discipline). Every score is dotF-derived double
+    * arithmetic in a pinned order, so the DuckDB oracle unrolls the same
+    * greedy steps and must land on the identical picks — tie-broken by
+    * vec_id, deterministic by construction.
+    */
+  def q199MmrDiversified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
+    val topk = udaf(TopKByScore(MmrPoolSize))
+    val pool = e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("rel"))
+      .groupBy($"probe_id").agg(topk($"rel", $"vec_id").as("nn"))
+      .select($"probe_id", explode($"nn").as("c"))
+      .select($"probe_id", $"c._2".as("vec_id"), $"c._1".as("rel"))
+    val cand = pool.join(e, "vec_id")
+      .select($"probe_id", $"vec_id", $"rel", $"embedding", $"nrm")
+      .localCheckpoint()
+    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"vec_id")
+    var sel = cand.withColumn("score", $"rel")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"probe_id", $"vec_id", $"embedding", $"nrm", $"score",
+        lit(1).as("pick"))
+      .localCheckpoint()
+    for (k <- 2 to MmrPicks) {
+      val scored = cand
+        .join(sel.select($"probe_id", $"vec_id"), Seq("probe_id", "vec_id"), "left_anti")
+        .join(sel.select($"probe_id", $"embedding".as("s_emb"), $"nrm".as("s_nrm")),
+          Seq("probe_id"))
+        .select($"probe_id", $"vec_id", $"rel",
+          cosine($"embedding", $"s_emb", $"nrm", $"s_nrm").as("ps"))
+        .groupBy($"probe_id", $"vec_id", $"rel")
+        .agg(max($"ps").as("ms"))
+        .withColumn("score", lit(MmrLambda) * $"rel" - lit(1 - MmrLambda) * $"ms")
+      val pick = scored
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .join(cand.select($"probe_id", $"vec_id", $"embedding", $"nrm"),
+          Seq("probe_id", "vec_id"))
+        .select($"probe_id", $"vec_id", $"embedding", $"nrm", $"score",
+          lit(k).as("pick"))
+      sel = sel.union(pick).localCheckpoint()
+    }
+    sel.select($"probe_id", $"pick".cast("long").as("pick"), $"vec_id",
+        round($"score", 4).as("score"))
+      .orderBy($"probe_id", $"pick")
+  }
+
   /** Plane set for LSH table `t`: the base comparator pairs shifted by t —
     * four tables see four independent 6-bit views of the vector, so a true
     * neighbor missed by one table's bucketing gets three more chances
@@ -1045,6 +1113,7 @@ object VectorQueries {
     "q80_embedding_quantize" -> (q80EmbeddingQuantize _),
     "q18_knn_topk" -> (q18KnnTopk _),
     "q19_ann_lsh" -> (q19AnnLsh _),
+    "q199_mmr_diversified" -> (q199MmrDiversified _),
     "q134_multi_lsh" -> (q134MultiLsh _),
     "q138_pq_adc_search" -> (q138PqAdcSearch _),
     "q176_pq_code_checksum" -> (q176PqCodeChecksum _),
@@ -1074,6 +1143,59 @@ object VectorQueries {
     */
   private def d2Sql(an2: String, bn2: String, a: String, b: String): String =
     s"($an2 + $bn2) - 2 * list_dot_product($a, $b)"
+
+  /** q199's greedy loop, UNROLLED as oracle CTEs: pool → pick 1 by raw
+    * relevance, then for each k the same λ·rel − (1−λ)·max-sim argmax the
+    * Spark loop runs (identical double arithmetic via [[cosSql]]; NOT
+    * EXISTS is the left-anti twin). Every CTE is MATERIALIZED — each
+    * sel_k is referenced three times and cand feeds every level, the CTE
+    * shape DuckDB's default inlining re-evaluates combinatorially.
+    */
+  private def mmrOracleSql: String = {
+    val steps = (2 to MmrPicks).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT c.probe_id, c.vec_id,
+         |    $MmrLambda * c.rel - ${1 - MmrLambda} * max(${cosSql("c.embedding", "s.embedding")}) AS score
+         |  FROM cand c JOIN sel${k - 1} s ON c.probe_id = s.probe_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} x
+         |                    WHERE x.probe_id = c.probe_id AND x.vec_id = c.vec_id)
+         |  GROUP BY c.probe_id, c.vec_id, c.rel
+         |), sel$k AS MATERIALIZED (
+         |  SELECT p.probe_id, p.vec_id, c2.embedding, p.score, $k AS pick
+         |  FROM (SELECT probe_id, vec_id, score,
+         |          row_number() OVER (PARTITION BY probe_id
+         |                             ORDER BY score DESC, vec_id) AS rn
+         |        FROM m$k) p
+         |  JOIN cand c2 ON p.probe_id = c2.probe_id AND p.vec_id = c2.vec_id
+         |  WHERE p.rn = 1
+         |  UNION ALL SELECT probe_id, vec_id, embedding, score, pick FROM sel${k - 1}
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+       |  WHERE vec_id % 100 = 0 AND vec_id < ${MaxProbes * 100L}
+       |), scored AS (
+       |  SELECT probe_id, vec_id, ${cosSql("p_emb", "embedding")} AS rel
+       |  FROM probes, embeddings WHERE vec_id != probe_id
+       |), cand AS MATERIALIZED (
+       |  SELECT r.probe_id, r.vec_id, r.rel, e.embedding
+       |  FROM (SELECT probe_id, vec_id, rel,
+       |          row_number() OVER (PARTITION BY probe_id
+       |                             ORDER BY rel DESC, vec_id) AS rn
+       |        FROM scored) r
+       |  JOIN embeddings e ON r.vec_id = e.vec_id
+       |  WHERE r.rn <= $MmrPoolSize
+       |), sel1 AS MATERIALIZED (
+       |  SELECT probe_id, vec_id, embedding, rel AS score, 1 AS pick FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                                 ORDER BY rel DESC, vec_id) AS rn
+       |    FROM cand
+       |  ) WHERE rn = 1
+       |), $steps
+       |SELECT probe_id, CAST(pick AS BIGINT) AS pick, vec_id,
+       |  round(score, 4) AS score
+       |FROM sel$MmrPicks ORDER BY probe_id, pick""".stripMargin
+  }
 
   /** The k-means training of [[trainedCentroids]], UNROLLED as oracle CTEs
     * (IvfIters assignment/update rounds): seeds → L2 assignment →
@@ -1402,6 +1524,7 @@ object VectorQueries {
          |SELECT vec_id, nn_id, round(sim, 4) AS sim
          |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
+    "q199_mmr_diversified" -> mmrOracleSql,
     "q19_ann_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings

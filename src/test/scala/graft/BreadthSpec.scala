@@ -381,6 +381,53 @@ class BreadthSpec extends AnyFunSuite {
     assert(out(4L) == ((15L, 1L, 8L)))
   }
 
+  test("q196 scripting: the bisection lands on the exact order statistic in exactly 26 steps") {
+    import spark.implicits._
+    val got = relational.AdvancedQueries.q196SqlScripting(spark, sf).collect()
+    assert(got.nonEmpty)
+    // independent recomputation of the closed form: the (⌊n/10⌋+1)-th
+    // largest integer-cents price is the smallest threshold keeping ≤
+    // ⌊n/10⌋ orders — any loop-bound bug lands elsewhere
+    val cents = Tables.orders(spark, sf)
+      .select(round($"o_totalprice" * 100).cast("long").as("c"))
+    val target = cents.count() / 10
+    val want = cents.orderBy($"c".desc).limit(target.toInt + 1)
+      .orderBy($"c").limit(1).collect()(0).getLong(0)
+    got.foreach { r =>
+      assert(r.getAs[Long]("thr_cents") == want)
+      assert(r.getAs[Long]("n_bisections") == 26L)
+    }
+    assert(got.map(_.getAs[Long]("n_orders")).sum <= target)
+  }
+
+  test("q197 HLL union: every verdict true; the union row is sub-additive and dominated") {
+    import spark.implicits._
+    val got = relational.AdvancedQueries.q197HllSketchUnion(spark, sf).collect()
+    assert(got.length >= 3)
+    got.foreach(r => assert(r.getAs[Boolean]("within_bound"), r.toString))
+    val all = got.filter(_.getString(0) == "(all)").map(_.getAs[Long]("exact_d"))
+    val groups = got.filter(_.getString(0) != "(all)").map(_.getAs[Long]("exact_d"))
+    assert(all.length == 1 && groups.nonEmpty)
+    // distinct-union laws the sketch estimate must also have respected to
+    // stay within bound: max(group) ≤ union ≤ sum(groups)
+    assert(all(0) >= groups.max && all(0) <= groups.sum)
+  }
+
+  test("q198 approx_top_k: sketch-nominated exact recount equals the sketch-free computation") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val got = text.TextQueries.q198ApproxTopK(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val toks = Tables.documents(spark, sf)
+      .select(explode(tokens($"text")).as("tok"))
+    val n = toks.count()
+    val want = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" * 50 >= n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("q194 id capstone agrees with q100's survivor accounting per (split, lang)") {
     import spark.implicits._
     // same gate, same dedup, same hash split — the doc counts MUST match

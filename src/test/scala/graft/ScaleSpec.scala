@@ -356,7 +356,10 @@ class ScaleSpec extends AnyFunSuite {
       // stage dimension, q179 the 1-row min-count target onto the per-lang
       // counts, q182 the bounded-domain per-source totals onto the vocab
       // relation (q150's smoothing-grid shape)
-      "q178_quality_funnel", "q179_mixture_resample", "q182_source_kl")
+      "q178_quality_funnel", "q179_mixture_resample", "q182_source_kl",
+      // q198 crossJoins the 1-row corpus token total onto the ≤64-row
+      // exact recount of sketch-nominated candidates (q178's shape)
+      "q198_approx_top_k")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       withClue(name) {

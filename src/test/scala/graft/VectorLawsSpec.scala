@@ -49,6 +49,25 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(recall >= 0.8, f"SQ8 recall collapsed: $recall%.3f")
   }
 
+  test("MMR: pick 1 is the pure-relevance argmax (== q18 rank 1); 5 distinct picks per probe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mmr = vector.VectorQueries.q199MmrDiversified(spark, sf).collect()
+    assert(mmr.nonEmpty)
+    // step 1 of the greedy has an empty selected set, so its argmax is raw
+    // relevance — it MUST agree with the exact kNN's rank-1 neighbor
+    val top1 = vector.VectorQueries.q18KnnTopk(spark, sf)
+      .filter($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pick1 = mmr.filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pick1 == top1, s"pick1=$pick1 top1=$top1")
+    // exactly MmrPicks distinct results per probe, ranks 1..MmrPicks
+    mmr.groupBy(_.getLong(0)).foreach { case (p, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 5L), s"probe $p ranks")
+      assert(rows.map(_.getLong(2)).distinct.length == 5, s"probe $p picks not distinct")
+    }
+  }
+
   test("IVF-SQ with nprobe = ncells degenerates to exhaustive SQ-ADC (== q193)") {
     val exhaustive = vector.VectorQueries.q193Sq8Search(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
