@@ -71,6 +71,56 @@ object EtlQueries {
       .orderBy($"s_nationkey")
   }
 
+  /** XML sink + schema-pinned re-read (Spark 4's built-in XML source,
+    * SPARK-44265 — the spark-xml package folded into core): rowTag'd
+    * records out, explicit schema back in (XML carries no types, same
+    * discipline as q47's CSV). Completes the interchange-format matrix
+    * next to JSON/CSV/ORC; the aggregate proves value fidelity across
+    * the markup serialization, including `#` in brand text.
+    */
+  def q200XmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types._
+    val out = graft.Scratch.path(s"xml_roundtrip_${graft.Scratch.tag(dir)}")
+    Tables.part(s, dir)
+      .write.mode("overwrite").option("rootTag", "parts").option("rowTag", "part")
+      .format("xml").save(out)
+    val schema = StructType(Seq(
+      StructField("p_partkey", LongType), StructField("p_name", StringType),
+      StructField("p_brand", StringType), StructField("p_type", StringType),
+      StructField("p_size", LongType), StructField("p_retailprice", DoubleType)))
+    s.read.option("rowTag", "part").schema(schema).format("xml").load(out)
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n"), sum($"p_size").as("total_size"),
+        round(sum($"p_retailprice"), 2).as("total_price"),
+        countDistinct($"p_brand").as("n_brands"))
+      .orderBy($"p_type")
+  }
+
+  /** The custom DataSource V2 connector ([[graft.sources.FwbDataSource]])
+    * under the oracle gate: the orders table round-trips through the GFWB
+    * fixed-width binary format (written once per process as 4
+    * range-clustered files), then the REGISTERED scan reads it back via
+    * `format("graft-fwb")` with a key-range predicate — so the plan
+    * exercises file skipping (footer min/max keeps 1 of 4 files for this
+    * range) and column pruning through a fully foreign code path, and the
+    * aggregate must still hash-match DuckDB on the parquet ground truth.
+    * Prices travel as exact integer cents (the format's schema), keeping
+    * every aggregate integer-exact. FwbSourceSpec pins the skip count and
+    * pruned read schema structurally.
+    */
+  def q201CustomSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = graft.sources.FwbFormat.writeFixture(s, dir)
+    s.read.format("graft-fwb").load(path)
+      .filter($"o_orderkey" < 1000)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"o_cents").as("sum_cents"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
+        countDistinct($"o_custkey").as("n_cust"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** NDJSON sink + schema-pinned re-read — the reference's native input
     * format (etl.py reads JSON; SparkifyEtl covers the source side over
     * the fixture) exercised as a SINK and re-scanned the way a production
@@ -729,6 +779,8 @@ object EtlQueries {
     "q21_etl_roundtrip" -> (q21EtlRoundtrip _),
     "q47_csv_roundtrip" -> (q47CsvRoundtrip _),
     "q48_orc_roundtrip" -> (q48OrcRoundtrip _),
+    "q200_xml_roundtrip" -> (q200XmlRoundtrip _),
+    "q201_custom_source" -> (q201CustomSource _),
   )
 
   // the merged lake state recomputed from the source — base rows minus the
@@ -872,6 +924,20 @@ object EtlQueries {
     "q47_csv_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q200_xml_roundtrip" ->
+      """SELECT p_type, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS total_size,
+        | round(sum(p_retailprice), 2) AS total_price,
+        | count(DISTINCT p_brand) AS n_brands
+        |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
+    // the GFWB path stores exact integer cents, so the oracle recomputes
+    // them from the parquet doubles the writer started from
+    "q201_custom_source" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM orders WHERE o_orderkey < 1000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q48_orc_roundtrip" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
         | round(sum(s_acctbal), 2) AS total_bal

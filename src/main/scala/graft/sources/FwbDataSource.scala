@@ -1,0 +1,165 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, File, FileInputStream}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the GFWB fixed-width format ([[FwbFormat]])
+  * — the engine-extension proof that a foreign storage layout plugs into
+  * Catalyst as a first-class scan, with the two optimizations that matter
+  * at 100 TB implemented for real, not simulated:
+  *
+  *  - '''File skipping''' (`SupportsPushDownFilters`): key-range
+  *    predicates on `o_orderkey` intersect each file's footer min/max at
+  *    PLANNING time; non-overlapping files never open (range-clustered
+  *    fixtures make this ~1/[[FwbFormat.FixtureFiles]] of the bytes for a
+  *    point range — the same contract as parquet row-group pruning).
+  *    Skipping is a strict optimization: all filters are also returned as
+  *    residuals, so Spark re-evaluates them and a skip bug can only show
+  *    as a WRONG ANSWER against the oracle, never a silent one.
+  *  - '''Column pruning''' (`SupportsPushDownRequiredColumns`): the reader
+  *    decodes only requested fields from each fixed-width record and
+  *    emits rows in the pruned schema — a 1-column aggregate never
+  *    materializes the other three.
+  *
+  * `Scan.description()` reports `files=kept/total` and the pushed bounds,
+  * so `.explain` shows the skip decision the way parquet shows
+  * PushedFilters (FwbSourceSpec pins it).
+  */
+class FwbDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-fwb"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FwbFormat.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FwbTable(properties.get("path"))
+}
+
+private[sources] class FwbTable(path: String) extends Table with SupportsRead {
+  require(path != null, "graft-fwb requires a path (use .load(dir))")
+  override def name(): String = s"gfwb:$path"
+  override def schema(): StructType = FwbFormat.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FwbScanBuilder(path)
+}
+
+private[sources] class FwbScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = FwbFormat.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  private def isKeyRange(f: Filter): Boolean = f match {
+    case GreaterThan("o_orderkey", _: Long) => true
+    case GreaterThanOrEqual("o_orderkey", _: Long) => true
+    case LessThan("o_orderkey", _: Long) => true
+    case LessThanOrEqual("o_orderkey", _: Long) => true
+    case EqualTo("o_orderkey", _: Long) => true
+    case _ => false
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(isKeyRange)
+    filters // every filter stays a residual — skipping is an optimization only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new FwbScan(path, required, pushed)
+}
+
+private[sources] class FwbScan(path: String, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  // pushed key-range → one [lo, hi] interval (planning-time constant)
+  private val (lo, hi): (Long, Long) = {
+    var l = Long.MinValue
+    var h = Long.MaxValue
+    pushed.foreach {
+      case GreaterThan("o_orderkey", v: Long) => l = math.max(l, v + 1)
+      case GreaterThanOrEqual("o_orderkey", v: Long) => l = math.max(l, v)
+      case LessThan("o_orderkey", v: Long) => h = math.min(h, v - 1)
+      case LessThanOrEqual("o_orderkey", v: Long) => h = math.min(h, v)
+      case EqualTo("o_orderkey", v: Long) => l = math.max(l, v); h = math.min(h, v)
+      case _ =>
+    }
+    (l, h)
+  }
+
+  private lazy val allFiles: Seq[String] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".gfwb")).map(_.getPath).sorted.toSeq
+
+  // footer min/max intersection — files outside [lo, hi] never open
+  private lazy val keptFiles: Seq[String] = allFiles.filter { f =>
+    val (_, mn, mx, _) = FwbFormat.readFooter(f)
+    mx >= lo && mn <= hi
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles.map(FwbInputPartition(_)).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FwbReaderFactory(required.fieldNames)
+  override def description(): String = {
+    val bounds = if (pushed.isEmpty) "none" else s"[$lo,$hi]"
+    s"graft-fwb files=${keptFiles.size}/${allFiles.size} pushedKeyRange=$bounds"
+  }
+}
+
+private[sources] case class FwbInputPartition(file: String) extends InputPartition
+
+private[sources] class FwbReaderFactory(fieldNames: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FwbPartitionReader(partition.asInstanceOf[FwbInputPartition].file, fieldNames)
+}
+
+/** Streams one GFWB file, decoding ONLY the pruned fields from each
+  * fixed-width record (the record buffer is reused across rows; the dict
+  * strings intern once per file as UTF8String).
+  */
+private[sources] class FwbPartitionReader(file: String, fieldNames: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val (nRecords, _, _, dictRaw) = FwbFormat.readFooter(file)
+  private val dict: Array[UTF8String] = dictRaw.map(UTF8String.fromString)
+  private val in = new DataInputStream(new BufferedInputStream(new FileInputStream(file)))
+  private val buf = new Array[Byte](FwbFormat.RecordBytes)
+  private var read = 0L
+  private var row: InternalRow = _
+
+  private def i64(off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (buf(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  override def next(): Boolean = {
+    if (read >= nRecords) return false
+    in.readFully(buf)
+    read += 1
+    val vals = fieldNames.map {
+      case "o_orderkey" => i64(0).asInstanceOf[AnyRef]
+      case "o_custkey" => i64(8).asInstanceOf[AnyRef]
+      case "o_cents" => i64(16).asInstanceOf[AnyRef]
+      case "o_orderpriority" => dict(buf(24) & 0xff)
+      case other => throw new IllegalArgumentException(s"unknown GFWB field $other")
+    }
+    row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}

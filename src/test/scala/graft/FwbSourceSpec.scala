@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural laws for the GFWB DataSource V2 connector: value fidelity
+  * through the binary round-trip, planning-time file skipping from footer
+  * min/max, and column pruning reaching the reader's schema. These are the
+  * properties the q201 oracle can't see directly (it only checks answers).
+  */
+class FwbSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def fwb = {
+    val path = sources.FwbFormat.writeFixture(spark, sf)
+    spark.read.format("graft-fwb").load(path)
+  }
+
+  test("GFWB round-trip is value-exact on every column") {
+    import spark.implicits._
+    val got = fwb
+    val want = Tables.orders(spark, sf).select(
+      $"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("o_cents"),
+      $"o_orderpriority")
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("key-range predicate skips non-overlapping files at planning time") {
+    import spark.implicits._
+    // the fixture is range-partitioned into 4 files; a range inside one
+    // file's span must plan exactly one partition
+    val keys = fwb.select(min($"o_orderkey"), max($"o_orderkey")).collect()(0)
+    val (lo, hi) = (keys.getLong(0), keys.getLong(1))
+    val probe = lo + (hi - lo) / 8 // well inside the first file's range
+    val df = fwb.filter($"o_orderkey" >= probe && $"o_orderkey" <= probe + 10)
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.size == 1)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("files=1/4"), s"expected 1/4 files kept, got: $desc")
+    assert(scans.head.scan.toBatch.planInputPartitions().length == 1)
+    // skipping is an optimization only — answers still match the parquet side
+    val want = Tables.orders(spark, sf)
+      .filter($"o_orderkey" >= probe && $"o_orderkey" <= probe + 10).count()
+    assert(df.count() == want && want > 0)
+  }
+
+  test("unfiltered scan keeps all files; disjoint range keeps none") {
+    import spark.implicits._
+    val all = fwb.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(all.head.scan.description().contains("files=4/4"))
+    val none = fwb.filter($"o_orderkey" === -1L)
+    val s = none.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(s.head.scan.description().contains("files=0/4"))
+    assert(none.count() == 0)
+  }
+
+  test("column pruning reaches the reader: a 1-column aggregate reads 1 field") {
+    import spark.implicits._
+    val df = fwb.agg(sum($"o_cents").as("total"))
+    val scans = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scans.size == 1)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("o_cents"))
+    // and the pruned read still sums exactly
+    val want = Tables.orders(spark, sf)
+      .agg(sum(round($"o_totalprice" * 100).cast("long"))).collect()(0).getLong(0)
+    assert(df.collect()(0).getLong(0) == want)
+  }
+}
