@@ -75,7 +75,7 @@ object FwbFormat {
     out
   }
 
-  private def writeFile(path: String, it: Iterator[Row],
+  private[graft] def writeFile(path: String, it: Iterator[Row],
       dict: Array[String], codeOf: Map[String, Int]): Unit = {
     if (!it.hasNext) return
     val o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))

@@ -172,4 +172,35 @@ class PropertySpec extends AnyFunSuite {
     assert(got == want)
     assert(got.nonEmpty, "3% threshold must report something on the test corpus")
   }
+
+  test("GFWB format laws: arbitrary records round-trip exactly; footer stats exact; skip sound") {
+    // degenerate shapes the orders fixture can't produce: negative keys,
+    // huge custkeys, unicode dictionary entries, duplicate keys, 1 record
+    val rec = Gen.zip(
+      Gen.chooseNum(-1000L, 1000L),
+      Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.chooseNum(-100000L, 100000L),
+      Gen.oneOf("1-URGENT", "ünïcøde-prio", "x"))
+    samples(Gen.nonEmptyListOf(rec), 4).foreach { rows =>
+      val dir = Scratch.path(s"fwb_prop_${System.nanoTime()}")
+      new java.io.File(dir).mkdirs()
+      val dict = rows.map(_._4).distinct.sorted.toArray
+      val codeOf = dict.zipWithIndex.toMap
+      sources.FwbFormat.writeFile(s"$dir/part-0.gfwb",
+        rows.iterator.map(r => Row(r._1, r._2, r._3, r._4)), dict, codeOf)
+      val got = spark.read.format("graft-fwb").load(dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(got.toSeq.sorted == rows.sorted, "round-trip multiset")
+      val (n, mn, mx, d) = sources.FwbFormat.readFooter(s"$dir/part-0.gfwb")
+      assert(n == rows.length.toLong)
+      assert(mn == rows.map(_._1).min && mx == rows.map(_._1).max)
+      assert(d.toSeq == dict.toSeq)
+      // skip soundness: any key predicate via the source == scala-side filter
+      import spark.implicits._
+      val cut = rows.map(_._1).min + 1
+      val viaSource = spark.read.format("graft-fwb").load(dir)
+        .filter($"o_orderkey" >= cut).count()
+      assert(viaSource == rows.count(_._1 >= cut).toLong)
+    }
+  }
 }

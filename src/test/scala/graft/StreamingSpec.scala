@@ -596,4 +596,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(sortedRows(stream) == sortedRows(batch))
     assert(batch.count() > 0)
   }
+
+  test("state store reader: checkpointed agg state is inspectable and holds exactly the open windows") {
+    import spark.implicits._
+    def ev(min: Int, tpe: String, v: Double) = Ev(Timestamp.from(
+      java.time.Instant.parse("2024-07-01T00:00:00Z").plusSeconds(min * 60L)), 1L, tpe, v)
+    val id = System.nanoTime()
+    val cp = Scratch.path(s"ssr_cp_$id")
+    val outDir = Scratch.path(s"ssr_out_$id")
+    val source = MemoryStream[Ev](
+      implicitly[org.apache.spark.sql.Encoder[Ev]], spark.sqlContext)
+    val q = StreamingOps.hourlyTypeCountsStream(source.toDF(), "10 minutes")
+      .writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", cp)
+      .outputMode(OutputMode.Append()).start()
+    source.addData(ev(0, "a", 1.0), ev(30, "a", 2.0), ev(75, "b", 4.0))
+    q.processAllAvailable()
+    // batch 2's watermark (65 min) closes hour 0 and EVICTS it from state
+    source.addData(ev(130, "c", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    // the statestore source reads the last committed state as a DataFrame —
+    // the operational surface for debugging a live 100 TB stream's state
+    // without stopping it. After batch 2 the watermark is 120 min
+    // (processAllAvailable runs the no-data finalization batch), so hours
+    // 0 and 1 are emitted AND EVICTED; exactly the open hour-2 window
+    // must remain, with its partial aggregate buffers
+    val state = spark.read.format("statestore").load(cp)
+    val rows = state
+      .select($"key.window.start".cast("long").as("ws"),
+        $"key.event_type".as("tpe"),
+        $"value.count".as("n"), $"value.sum".as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val base = java.time.Instant.parse("2024-07-01T00:00:00Z").getEpochSecond
+    assert(rows == Set((base + 2 * 3600L, "c", 1L, 8.0)), s"state rows: $rows")
+    // and the evicted windows are exactly the ones the sink received
+    val emitted = spark.read.parquet(outDir)
+      .select($"window_start".cast("long"), $"event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(emitted == Set((base, "a"), (base + 3600L, "b")), s"emitted: $emitted")
+  }
 }
