@@ -121,6 +121,31 @@ object EtlQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** The connector's WRITE half ([[graft.sources.FwbWrite]]) under the
+    * oracle gate: a filtered orders slice goes OUT through the V2 batch
+    * writer (staged-file two-phase commit, per-task footers) and comes
+    * back through the V2 reader, and the rollup must still hash-match
+    * DuckDB on the parquet ground truth — so a corrupt record layout,
+    * dictionary code, footer stat, or commit/rename bug all surface as a
+    * wrong answer. Unlike q201's build-once fixture this RE-WRITES every
+    * execution: the bench figure prices the full write→commit→read cycle.
+    */
+  def q202CustomSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.Scratch.path(
+      s"fwb_sink_${graft.Scratch.tag(dir)}_pid${ProcessHandle.current.pid}")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
+      .filter($"o_orderkey" % 3 === 0)
+      .write.format("graft-fwb").mode("overwrite").save(out)
+    s.read.format("graft-fwb").load(out)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"o_cents").as("sum_cents"),
+        countDistinct($"o_custkey").as("n_cust"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** NDJSON sink + schema-pinned re-read — the reference's native input
     * format (etl.py reads JSON; SparkifyEtl covers the source side over
     * the fixture) exercised as a SINK and re-scanned the way a production
@@ -781,6 +806,7 @@ object EtlQueries {
     "q48_orc_roundtrip" -> (q48OrcRoundtrip _),
     "q200_xml_roundtrip" -> (q200XmlRoundtrip _),
     "q201_custom_source" -> (q201CustomSource _),
+    "q202_custom_sink" -> (q202CustomSink _),
   )
 
   // the merged lake state recomputed from the source — base rows minus the
@@ -937,6 +963,12 @@ object EtlQueries {
         | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         | count(DISTINCT o_custkey) AS n_cust
         |FROM orders WHERE o_orderkey < 1000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q202_custom_sink" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM orders WHERE o_orderkey % 3 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q48_orc_roundtrip" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,

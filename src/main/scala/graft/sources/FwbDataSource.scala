@@ -43,14 +43,20 @@ class FwbDataSource extends TableProvider with DataSourceRegister {
     new FwbTable(properties.get("path"))
 }
 
-private[sources] class FwbTable(path: String) extends Table with SupportsRead {
+private[sources] class FwbTable(path: String) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-fwb requires a path (use .load(dir))")
   override def name(): String = s"gfwb:$path"
   override def schema(): StructType = FwbFormat.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwbScanBuilder(path)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FwbWriteBuilder(path, info)
 }
 
 private[sources] class FwbScanBuilder(path: String) extends ScanBuilder

@@ -58,6 +58,43 @@ class FwbSourceSpec extends AnyFunSuite {
     assert(none.count() == 0)
   }
 
+  test("V2 sink: overwrite round-trips exactly and is idempotent; append adds a generation") {
+    import spark.implicits._
+    val out = Scratch.path(s"fwb_sink_spec_${System.nanoTime()}")
+    val src = Tables.orders(spark, sf).select(
+      $"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
+    src.write.format("graft-fwb").mode("overwrite").save(out)
+    src.write.format("graft-fwb").mode("overwrite").save(out) // truncate replaces
+    val got = spark.read.format("graft-fwb").load(out)
+    assert(got.count() == src.count())
+    assert(got.except(src).isEmpty && src.except(got).isEmpty)
+    src.write.format("graft-fwb").mode("append").save(out)
+    assert(spark.read.format("graft-fwb").load(out).count() == 2 * src.count())
+    // no staged leftovers after successful commits
+    assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".tmp")))
+  }
+
+  test("V2 sink: a failed job leaves the previous generation untouched (two-phase commit)") {
+    import spark.implicits._
+    val out = Scratch.path(s"fwb_abort_spec_${System.nanoTime()}")
+    val src = Tables.orders(spark, sf).select(
+      $"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
+    src.write.format("graft-fwb").mode("overwrite").save(out)
+    val before = spark.read.format("graft-fwb").load(out).count()
+    // poison one row mid-write: the job fails AFTER some tasks have staged
+    val poisoned = src.withColumn("o_cents",
+      when($"o_orderkey" === 42L,
+        expr("raise_error('poison')").cast("long")).otherwise($"o_cents"))
+    intercept[Exception] {
+      poisoned.write.format("graft-fwb").mode("overwrite").save(out)
+    }
+    // previous generation fully intact, no staged garbage promoted
+    assert(spark.read.format("graft-fwb").load(out).count() == before)
+    assert(spark.read.format("graft-fwb").load(out).except(src).isEmpty)
+  }
+
   test("column pruning reaches the reader: a 1-column aggregate reads 1 field") {
     import spark.implicits._
     val df = fwb.agg(sum($"o_cents").as("total"))
