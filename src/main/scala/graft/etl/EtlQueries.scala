@@ -146,6 +146,28 @@ object EtlQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** Catalog-integrated SQL over the custom connector
+    * ([[graft.sources.GraftCatalog]]): the GFWB table resolved BY NAME
+    * through a registered `TableCatalog` plugin — no paths, no
+    * `format(...)` plumbing in the query text; the catalog owns the
+    * name → physical-layout mapping, which is how an engine actually
+    * ships tables to users. The catalog name is tagged per sf dir because
+    * Spark caches catalog instances by name for the session lifetime —
+    * a second dir gets a second catalog, never a stale one.
+    */
+  def q203CatalogSql(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_${graft.Scratch.tag(dir)}"
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.sfdir", dir)
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n,
+         |  CAST(sum(o_cents) AS BIGINT) AS sum_cents,
+         |  count(DISTINCT o_custkey) AS n_cust
+         |FROM $cat.default.orders_fwb
+         |WHERE o_custkey % 10 = 0
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** NDJSON sink + schema-pinned re-read — the reference's native input
     * format (etl.py reads JSON; SparkifyEtl covers the source side over
     * the fixture) exercised as a SINK and re-scanned the way a production
@@ -807,6 +829,7 @@ object EtlQueries {
     "q200_xml_roundtrip" -> (q200XmlRoundtrip _),
     "q201_custom_source" -> (q201CustomSource _),
     "q202_custom_sink" -> (q202CustomSink _),
+    "q203_catalog_sql" -> (q203CatalogSql _),
   )
 
   // the merged lake state recomputed from the source — base rows minus the
@@ -969,6 +992,12 @@ object EtlQueries {
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
         | count(DISTINCT o_custkey) AS n_cust
         |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q203_catalog_sql" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM orders WHERE o_custkey % 10 = 0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q48_orc_roundtrip" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,

@@ -95,6 +95,32 @@ class FwbSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-fwb").load(out).except(src).isEmpty)
   }
 
+  test("catalog plugin: name-resolved SQL equals the path-based read; DDL is refused") {
+    import spark.implicits._
+    val cat = s"graft_${Scratch.tag(sf)}"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.sfdir", sf)
+    val viaCatalog = spark.sql(s"SELECT * FROM $cat.default.orders_fwb")
+    assert(viaCatalog.count() == fwb.count())
+    assert(viaCatalog.except(fwb).isEmpty && fwb.except(viaCatalog).isEmpty)
+    // discovery surface works through the same plugin
+    assert(spark.sql(s"SHOW TABLES IN $cat.default").collect()
+      .map(_.getString(1)).toSeq == Seq("orders_fwb"))
+    // pushdown survives name resolution: a tight range still skips files
+    val keys = fwb.select(min($"o_orderkey")).collect()(0).getLong(0)
+    val filtered = spark.sql(
+      s"SELECT count(*) FROM $cat.default.orders_fwb WHERE o_orderkey = $keys")
+    val desc = PlanWalk.allNodes(filtered.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    assert(desc.exists(_.contains("files=1/4")), s"descs: $desc")
+    // read-only DDL posture: catalog-managed definitions, no ad-hoc DROP
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE $cat.default.orders_fwb")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.default.orders_fwb")
+      .collect()(0).getLong(0) == fwb.count())
+  }
+
   test("column pruning reaches the reader: a 1-column aggregate reads 1 field") {
     import spark.implicits._
     val df = fwb.agg(sum($"o_cents").as("total"))
