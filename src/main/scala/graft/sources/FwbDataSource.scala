@@ -50,6 +50,7 @@ private[sources] class FwbTable(path: String) extends Table
   override def schema(): StructType = FwbFormat.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwbScanBuilder(path)
@@ -120,6 +121,61 @@ private[sources] class FwbScan(path: String, required: StructType,
     val bounds = if (pushed.isEmpty) "none" else s"[$lo,$hi]"
     s"graft-fwb files=${keptFiles.size}/${allFiles.size} pushedKeyRange=$bounds"
   }
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FwbMicroBatchStream(path, required, (lo, hi))
+}
+
+/** Streaming read over a GROWING GFWB directory — the connector's third
+  * surface next to batch read and the two-phase-commit write. The offset
+  * is the SET of committed files (append-only contract: committed `.gfwb`
+  * files are immutable and never removed while a stream runs — the same
+  * contract a file stream source places on its input); each micro-batch
+  * plans exactly the delta set, so processing is ∝ new data, never a
+  * rescan. Footer min/max skipping and column pruning apply to the delta
+  * files exactly as in batch — one reader implementation serves all three
+  * surfaces. Offsets serialize as sorted JSON file lists: restart-safe and
+  * order-insensitive to writer-generated UUID names.
+  */
+private[sources] class FwbMicroBatchStream(path: String, required: StructType,
+    keyBounds: (Long, Long))
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class FwbOffset(files: Set[String]) extends Offset {
+    override def json(): String =
+      files.toSeq.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+  }
+
+  private def listNow(): Set[String] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".gfwb")).map(_.getName).toSet
+
+  override def initialOffset(): Offset = FwbOffset(Set.empty)
+  override def latestOffset(): Offset = FwbOffset(listNow())
+  override def deserializeOffset(json: String): Offset = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    FwbOffset(JsonMethods.parse(json).asInstanceOf[JArray].arr
+      .map(_.asInstanceOf[JString].s).toSet)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val delta = end.asInstanceOf[FwbOffset].files -- start.asInstanceOf[FwbOffset].files
+    val (lo, hi) = keyBounds
+    delta.toSeq.sorted
+      .map(n => s"$path/$n")
+      .filter { f => // footer skip applies per micro-batch exactly as in batch
+        val (_, mn, mx, _) = FwbFormat.readFooter(f)
+        mx >= lo && mn <= hi
+      }
+      .map(FwbInputPartition(_)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FwbReaderFactory(required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class FwbInputPartition(file: String) extends InputPartition

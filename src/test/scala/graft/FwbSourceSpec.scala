@@ -121,6 +121,33 @@ class FwbSourceSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == fwb.count())
   }
 
+  test("streaming read: micro-batches are exactly the file deltas; stream total == batch") {
+    import spark.implicits._
+    val out = Scratch.path(s"fwb_stream_${System.nanoTime()}")
+    val mem = s"fwb_mem_${System.nanoTime()}"
+    val src = Tables.orders(spark, sf).select(
+      $"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
+    val gen1 = src.filter($"o_orderkey" % 2 === 0)
+    val gen2 = src.filter($"o_orderkey" % 2 === 1)
+    gen1.write.format("graft-fwb").mode("append").save(out)
+    val q = spark.readStream.format("graft-fwb").load(out)
+      .writeStream.format("memory").queryName(mem).outputMode("append").start()
+    q.processAllAvailable()
+    // first micro-batch = exactly generation 1
+    assert(spark.table(mem).count() == gen1.count())
+    gen2.write.format("graft-fwb").mode("append").save(out)
+    q.processAllAvailable()
+    q.stop()
+    // second micro-batch = exactly the delta; union is the full table
+    val got = spark.table(mem)
+    assert(got.count() == src.count())
+    assert(got.except(src).isEmpty && src.except(got).isEmpty)
+    // processing was ∝ delta: no batch re-read generation 1's rows
+    val perBatch = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(perBatch == Seq(gen1.count(), gen2.count()), s"per-batch rows: $perBatch")
+  }
+
   test("column pruning reaches the reader: a 1-column aggregate reads 1 field") {
     import spark.implicits._
     val df = fwb.agg(sum($"o_cents").as("total"))
