@@ -142,9 +142,15 @@ private[sources] class FwbMicroBatchStream(path: String, required: StructType,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
+  // json4s on BOTH sides (serialize + parse): a hand-built string would
+  // break the checkpoint the first time a directory holds a file name
+  // with a quote or backslash in it
   private case class FwbOffset(files: Set[String]) extends Offset {
-    override def json(): String =
-      files.toSeq.sorted.map(f => "\"" + f + "\"").mkString("[", ",", "]")
+    override def json(): String = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.compact(JsonMethods.render(files.toSeq.sorted))
+    }
   }
 
   private def listNow(): Set[String] =
@@ -200,6 +206,16 @@ private[sources] class FwbPartitionReader(file: String, fieldNames: Array[String
   private var read = 0L
   private var row: InternalRow = _
 
+  // field names resolve to decoder codes ONCE here — the row loop below
+  // switches on ints, never re-matching strings per record
+  private val fieldCodes: Array[Int] = fieldNames.map {
+    case "o_orderkey" => 0
+    case "o_custkey" => 1
+    case "o_cents" => 2
+    case "o_orderpriority" => 3
+    case other => throw new IllegalArgumentException(s"unknown GFWB field $other")
+  }
+
   private def i64(off: Int): Long = {
     var v = 0L
     var i = 0
@@ -211,14 +227,18 @@ private[sources] class FwbPartitionReader(file: String, fieldNames: Array[String
     if (read >= nRecords) return false
     in.readFully(buf)
     read += 1
-    val vals = fieldNames.map {
-      case "o_orderkey" => i64(0).asInstanceOf[AnyRef]
-      case "o_custkey" => i64(8).asInstanceOf[AnyRef]
-      case "o_cents" => i64(16).asInstanceOf[AnyRef]
-      case "o_orderpriority" => dict(buf(24) & 0xff)
-      case other => throw new IllegalArgumentException(s"unknown GFWB field $other")
+    val vals = new Array[Any](fieldCodes.length)
+    var i = 0
+    while (i < fieldCodes.length) {
+      vals(i) = fieldCodes(i) match {
+        case 0 => i64(0)
+        case 1 => i64(8)
+        case 2 => i64(16)
+        case _ => dict(buf(24) & 0xff)
+      }
+      i += 1
     }
-    row = new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+    row = new GenericInternalRow(vals)
     true
   }
 

@@ -89,16 +89,26 @@ object FwbFormat {
         o.writeByte(codeOf(r.getString(3)))
         n += 1; if (k < minKey) minKey = k; if (k > maxKey) maxKey = k
       }
-      var footerLen = 8 + 8 + 8 + 4
-      o.writeLong(n); o.writeLong(minKey); o.writeLong(maxKey)
-      o.writeInt(dict.length)
-      dict.foreach { w =>
-        val b = w.getBytes("UTF-8")
-        o.writeInt(b.length); o.write(b)
-        footerLen += 4 + b.length
-      }
-      o.writeInt(footerLen); o.writeInt(Magic)
+      writeFooter(o, n, minKey, maxKey, dict)
     } finally o.close()
+  }
+
+  /** The ONE footer serializer — shared by the fixture writer above and
+    * the V2 sink's task writer ([[FwbWrite]]), so the footerLen
+    * accounting and [[readFooter]]'s seek arithmetic can never drift
+    * between the two write paths.
+    */
+  private[graft] def writeFooter(o: DataOutputStream, n: Long,
+      minKey: Long, maxKey: Long, dict: Iterable[String]): Unit = {
+    var footerLen = 8 + 8 + 8 + 4
+    o.writeLong(n); o.writeLong(minKey); o.writeLong(maxKey)
+    o.writeInt(dict.size)
+    dict.foreach { w =>
+      val b = w.getBytes("UTF-8")
+      o.writeInt(b.length); o.write(b)
+      footerLen += 4 + b.length
+    }
+    o.writeInt(footerLen); o.writeInt(Magic)
   }
 
   /** Per-file footer as planning metadata: (count, minKey, maxKey, dict). */

@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.StructType
   * with the two-phase commit protocol a distributed sink needs to be
   * exactly-once at the job level:
   *
-  *  - each task streams its partition into a STAGED file
-  *    (`.<uuid>-<partition>.gfwb.tmp` — dot-prefixed and wrong-suffixed,
-  *    so the read path's `*.gfwb` listing can never see it),
+  *  - each task ATTEMPT streams its partition into its own STAGED file
+  *    (`.<uuid>-<partition>-<task>.gfwb.tmp` — dot-prefixed and
+  *    wrong-suffixed, so the read path's `*.gfwb` listing can never see
+  *    it, and attempt-unique, so retries/speculation never share a file),
   *  - task commit returns the staged path as its [[WriterCommitMessage]],
   *  - job `commit` renames every staged file to its final name in one
   *    driver-side pass (plus, under truncate/overwrite, deletes the
@@ -76,8 +77,13 @@ private[sources] case class FwbCommitMessage(stagedPath: String)
 
 private[sources] class FwbWriterFactory(path: String, writeId: String)
     extends DataWriterFactory {
+  // taskId in the staged name keeps retried/speculative ATTEMPTS of the
+  // same partition on disjoint files: the losing attempt's abort deletes
+  // only its own stage, and only the attempt whose commit message reaches
+  // the driver gets promoted — without it, attempt B would truncate the
+  // file attempt A is still writing
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FwbDataWriter(s"$path/.$writeId-$partitionId.gfwb.tmp")
+    new FwbDataWriter(s"$path/.$writeId-$partitionId-$taskId.gfwb.tmp")
 }
 
 private[sources] class FwbDataWriter(staged: String) extends DataWriter[InternalRow] {
@@ -103,15 +109,7 @@ private[sources] class FwbDataWriter(staged: String) extends DataWriter[Internal
 
   override def commit(): WriterCommitMessage = {
     if (out == null) return FwbCommitMessage(null)
-    var footerLen = 8 + 8 + 8 + 4
-    out.writeLong(n); out.writeLong(minKey); out.writeLong(maxKey)
-    out.writeInt(dict.size)
-    dict.keysIterator.foreach { w =>
-      val b = w.getBytes("UTF-8")
-      out.writeInt(b.length); out.write(b)
-      footerLen += 4 + b.length
-    }
-    out.writeInt(footerLen); out.writeInt(FwbFormat.Magic)
+    FwbFormat.writeFooter(out, n, minKey, maxKey, dict.keys)
     out.close(); out = null
     FwbCommitMessage(staged)
   }

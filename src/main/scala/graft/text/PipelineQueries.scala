@@ -212,38 +212,6 @@ object PipelineQueries {
     */
   private[graft] val EncoderVocabSize = 24
 
-  /** Tokenizer-APPLY at scale (VERDICT r10 next #3 — the step between
-    * vocabulary mining and a trainable id stream): encode every document
-    * into token ids against the trained vocabulary. The encoder is q68's
-    * vocab recipe (same [[thresholdedTokenCounts]], same (cnt DESC, token)
-    * id order) capped to the [[EncoderVocabSize]] id budget, with
-    * CHARACTER FALLBACK for out-of-budget words — each OOV word decomposes
-    * into per-character ids `EncoderVocabSize + codepoint` (the
-    * SentencePiece byte-fallback scheme: no word is ever dropped, and the
-    * id space stays closed). Greedy longest-match over the two-level unit
-    * inventory: whole-word hit first, else character units.
-    *
-    * Output is the per-document encoding LEDGER rather than the raw id
-    * arrays: token/id/OOV counts plus two exact-integer checksums — id_sum
-    * (order-insensitive) and id_wsum, which weights every id by its word
-    * position AND its intra-word offset, so two docs with the same bag of
-    * ids in different sequence order hash differently. The DuckDB oracle
-    * recomputes the identical encoding, making the checksums a
-    * cross-engine proof of the full id SEQUENCE, not just its histogram.
-    *
-    * Scale shape: the vocab is budget-bounded (≤ EncoderVocabSize rows —
-    * every real tokenizer ships ≤ ~10⁵ ids) and broadcast; the corpus side
-    * is one posexplode + broadcast-hash probe + map-side fallback
-    * decomposition, partially aggregated per doc before the (doc_id, five
-    * longs) rows shuffle. Text never shuffles; ids do. At 100 TB this is
-    * one linear scan — the same plan a Spark tokenize-by-broadcast-join
-    * pipeline runs in production.
-    */
-  /** The encoder core shared by q188 (ledger) and q190 (packing): every
-    * (doc, word-position) row with its id decomposition — in-vocab word →
-    * [id]; OOV word → one fallback id per character. Vocab build + budget
-    * cap + broadcast probe as documented on q188.
-    */
   /** The trained, budget-capped encoder vocabulary: ≤ [[EncoderVocabSize]]
     * rows NO MATTER the corpus size (the rank filter is the structural
     * bound — ScaleSpec asserts corpus-size independence), which is what
@@ -261,9 +229,17 @@ object PipelineQueries {
   private def encodedWords(s: SparkSession, dir: String): DataFrame =
     encodedWordsOf(Tables.documents(s, dir), encoderVocab(s, dir))
 
-  /** [[encodedWords]] over any (doc_id, lang, text) relation and any
-    * (word, id) vocabulary — q194 applies the corpus-trained encoder to
-    * its CLEANED survivor set through this.
+  /** The encoder core shared by q188 (ledger), q190 (packing), and q194
+    * (capstone, which encodes its CLEANED survivor set): every (doc,
+    * word-position) row of `docs` with its id decomposition against
+    * `vocab` — in-vocab word → [id]; OOV word → one fallback id per
+    * character, `EncoderVocabSize + codepoint` (the SentencePiece
+    * byte-fallback scheme: no word is ever dropped, the id space stays
+    * closed). The vocab side is budget-bounded and broadcast; the corpus
+    * side is one posexplode + broadcast-hash probe + map-side fallback
+    * decomposition — text never shuffles, ids do. At 100 TB this is one
+    * linear scan, the plan a tokenize-by-broadcast-join pipeline runs in
+    * production.
     */
   private def encodedWordsOf(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -280,6 +256,21 @@ object PipelineQueries {
            |           + cast(ascii(substring(word, j, 1)) as bigint))))""".stripMargin))
   }
 
+  /** Tokenizer-APPLY at scale (VERDICT r10 next #3 — the step between
+    * vocabulary mining and a trainable id stream): encode every document
+    * into token ids against the trained vocabulary (q68's recipe — same
+    * [[thresholdedTokenCounts]], same (cnt DESC, token) id order — capped
+    * to the [[EncoderVocabSize]] budget, character fallback for the
+    * rest; see [[encodedWordsOf]]).
+    *
+    * Output is the per-document encoding LEDGER rather than the raw id
+    * arrays: token/id/OOV counts plus two exact-integer checksums — id_sum
+    * (order-insensitive) and id_wsum, which weights every id by its word
+    * position AND its intra-word offset, so two docs with the same bag of
+    * ids in different sequence order hash differently. The DuckDB oracle
+    * recomputes the identical encoding, making the checksums a
+    * cross-engine proof of the full id SEQUENCE, not just its histogram.
+    */
   def q188TokenizerEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val enc = encodedWords(s, dir)
@@ -782,6 +773,42 @@ object PipelineQueries {
     "q63_decontamination" -> (q63Decontamination _),
   )
 
+  /** The encoder replay, shared verbatim by the q188/q190/q194 oracles
+    * (the vocab ALWAYS trains on the full corpus; only the relation being
+    * ENCODED varies): corpus-frequency vocab with the `$EncoderVocabSize`
+    * budget → per-word id lists with the character fallback. Emits CTEs
+    * `c, v, toks, w, e`; `e` carries (doc_id, lang, pos, id, ids) — a
+    * superset of what each consumer projects, so one definition serves
+    * all three. Single-sourced for the same reason as `evalPredicateSql`:
+    * an encoding-recipe change edited in one copy but not another would
+    * silently split the oracles.
+    */
+  private def encodeCtes(encodeRel: String): String =
+    s"""c AS (
+       |  SELECT token, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+       |  ) GROUP BY token HAVING count(*) >= 100
+       |), v AS (
+       |  SELECT token AS word,
+       |    CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
+       |  FROM c
+       |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= $EncoderVocabSize
+       |), toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM $encodeRel
+       |), w AS (
+       |  SELECT doc_id, lang, CAST(i AS BIGINT) - 1 AS pos, t[CAST(i AS INTEGER)] AS word
+       |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+       |), e AS (
+       |  SELECT w.doc_id, w.lang, w.pos, v.id,
+       |    CASE WHEN v.id IS NOT NULL THEN [v.id]
+       |         WHEN length(w.word) = 0 THEN CAST([] AS BIGINT[])
+       |         ELSE list_transform(range(1, length(w.word) + 1),
+       |           j -> CAST($EncoderVocabSize AS BIGINT)
+       |                + CAST(unicode(substr(w.word, CAST(j AS INTEGER), 1)) AS BIGINT))
+       |    END AS ids
+       |  FROM w LEFT JOIN v ON w.word = v.word
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // gate 3's repetition signal replays q58's proven 3-gram slice shape;
     // gate 4's mean word length is the identical IEEE division both sides
@@ -1009,30 +1036,7 @@ object PipelineQueries {
          |                                 ORDER BY doc_id) AS rn
          |    FROM surv
          |  ) WHERE rn = 1
-         |), c AS (
-         |  SELECT token, count(*) AS cnt FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |  ) GROUP BY token HAVING count(*) >= 100
-         |), v AS (
-         |  SELECT token AS word,
-         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
-         |  FROM c
-         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= $EncoderVocabSize
-         |), toks AS (
-         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM uniq
-         |), w AS (
-         |  SELECT doc_id, lang, t[CAST(i AS INTEGER)] AS word
-         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
-         |), e AS (
-         |  SELECT w.doc_id, w.lang,
-         |    CASE WHEN v.id IS NOT NULL THEN [v.id]
-         |         WHEN length(w.word) = 0 THEN CAST([] AS BIGINT[])
-         |         ELSE list_transform(range(1, length(w.word) + 1),
-         |           j -> CAST($EncoderVocabSize AS BIGINT)
-         |                + CAST(unicode(substr(w.word, CAST(j AS INTEGER), 1)) AS BIGINT))
-         |    END AS ids
-         |  FROM w LEFT JOIN v ON w.word = v.word
-         |), d AS (
+         |), ${encodeCtes("uniq")}, d AS (
          |  SELECT lang, doc_id,
          |    CAST(sum(len(ids)) AS BIGINT) AS n_ids,
          |    CAST(sum(coalesce(list_sum(ids), 0)) AS BIGINT) AS id_sum
@@ -1084,30 +1088,7 @@ object PipelineQueries {
     // 1-BASED where Spark's transform index is 0-based — `i * x` here ≡
     // `(j + 1) * x` there.
     "q188_tokenizer_encode" ->
-      s"""WITH c AS (
-         |  SELECT token, count(*) AS cnt FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |  ) GROUP BY token HAVING count(*) >= 100
-         |), v AS (
-         |  SELECT token AS word,
-         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
-         |  FROM c
-         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= $EncoderVocabSize
-         |), toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         |), w AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) - 1 AS pos, t[CAST(i AS INTEGER)] AS word
-         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
-         |), e AS (
-         |  SELECT w.doc_id, w.pos, v.id,
-         |    CASE WHEN v.id IS NOT NULL THEN [v.id]
-         |         WHEN length(w.word) = 0 THEN CAST([] AS BIGINT[])
-         |         ELSE list_transform(range(1, length(w.word) + 1),
-         |           j -> CAST($EncoderVocabSize AS BIGINT)
-         |                + CAST(unicode(substr(w.word, CAST(j AS INTEGER), 1)) AS BIGINT))
-         |    END AS ids
-         |  FROM w LEFT JOIN v ON w.word = v.word
-         |)
+      s"""WITH ${encodeCtes("documents")}
          |SELECT doc_id, count(*) AS n_words,
          |  CAST(sum(len(ids)) AS BIGINT) AS n_ids,
          |  CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
@@ -1118,30 +1099,7 @@ object PipelineQueries {
     // q188's encode chain + q62's packing window over the encoded lengths;
     // chunk_id_sum pins chunk membership (a misplaced doc moves two sums)
     "q190_pack_ids" ->
-      s"""WITH c AS (
-         |  SELECT token, count(*) AS cnt FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
-         |  ) GROUP BY token HAVING count(*) >= 100
-         |), v AS (
-         |  SELECT token AS word,
-         |    CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS id
-         |  FROM c
-         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= $EncoderVocabSize
-         |), toks AS (
-         |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
-         |), w AS (
-         |  SELECT doc_id, lang, t[CAST(i AS INTEGER)] AS word
-         |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
-         |), e AS (
-         |  SELECT w.doc_id, w.lang,
-         |    CASE WHEN v.id IS NOT NULL THEN [v.id]
-         |         WHEN length(w.word) = 0 THEN CAST([] AS BIGINT[])
-         |         ELSE list_transform(range(1, length(w.word) + 1),
-         |           j -> CAST($EncoderVocabSize AS BIGINT)
-         |                + CAST(unicode(substr(w.word, CAST(j AS INTEGER), 1)) AS BIGINT))
-         |    END AS ids
-         |  FROM w LEFT JOIN v ON w.word = v.word
-         |), d AS (
+      s"""WITH ${encodeCtes("documents")}, d AS (
          |  SELECT lang, doc_id,
          |    CAST(sum(len(ids)) AS BIGINT) AS n_ids,
          |    CAST(sum(coalesce(list_sum(ids), 0)) AS BIGINT) AS id_sum

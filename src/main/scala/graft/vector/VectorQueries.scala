@@ -1144,6 +1144,35 @@ object VectorQueries {
   private def d2Sql(an2: String, bn2: String, a: String, b: String): String =
     s"($an2 + $bn2) - 2 * list_dot_product($a, $b)"
 
+  /** Trained per-dim [min,max] bounds over `$rel(emb DOUBLE[])`, as the
+    * CTE `b` — the oracle twin of [[sqBounds]], single-sourced so the
+    * q193 and q195 oracles can never drift from each other.
+    */
+  private def sqBoundsCte(rel: String): String =
+    s"""b AS MATERIALIZED (
+       |  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+       |  FROM (
+       |    SELECT j AS pos, min(emb[CAST(j AS INTEGER)]) AS mn,
+       |      max(emb[CAST(j AS INTEGER)]) AS mx
+       |    FROM $rel, UNNEST(range(1, len(emb) + 1)) AS u(j)
+       |    GROUP BY j
+       |  )
+       |)""".stripMargin
+
+  /** The SQ8 code+midpoint reconstruction of `$col` against b's
+    * (mins, maxs) — the oracle twin of [[sqReconExpr]], shared by the
+    * q193 and q195 oracles for the same no-drift reason.
+    */
+  private def sqReconSqlOf(col: String): String =
+    s"""CAST(CAST(list_transform($col, (x, i) ->
+       |      mins[CAST(i AS INTEGER)]
+       |      + ((CASE WHEN maxs[CAST(i AS INTEGER)] = mins[CAST(i AS INTEGER)] THEN 0.0
+       |          ELSE floor((x - mins[CAST(i AS INTEGER)])
+       |                     / (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)])
+       |                     * $SqLevels) END) + 0.5)
+       |        * (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)]) / $SqLevels.0)
+       |      AS REAL[]) AS DOUBLE[])""".stripMargin
+
   /** q199's greedy loop, UNROLLED as oracle CTEs: pool → pick 1 by raw
     * relevance, then for each k the same λ·rel − (1−λ)·max-sim argmax the
     * Spark loop runs (identical double arithmetic via [[cosSql]]; NOT
@@ -1554,24 +1583,8 @@ object VectorQueries {
     "q193_sq8_search" ->
       s"""WITH e AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-         |), b AS MATERIALIZED (
-         |  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
-         |  FROM (
-         |    SELECT j AS pos, min(emb[CAST(j AS INTEGER)]) AS mn,
-         |      max(emb[CAST(j AS INTEGER)]) AS mx
-         |    FROM e, UNNEST(range(1, len(emb) + 1)) AS u(j)
-         |    GROUP BY j
-         |  )
-         |), c AS MATERIALIZED (
-         |  SELECT vec_id,
-         |    CAST(CAST(list_transform(emb, (x, i) ->
-         |      mins[CAST(i AS INTEGER)]
-         |      + ((CASE WHEN maxs[CAST(i AS INTEGER)] = mins[CAST(i AS INTEGER)] THEN 0.0
-         |          ELSE floor((x - mins[CAST(i AS INTEGER)])
-         |                     / (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)])
-         |                     * $SqLevels) END) + 0.5)
-         |        * (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)]) / $SqLevels.0)
-         |      AS REAL[]) AS DOUBLE[]) AS recon
+         |), ${sqBoundsCte("e")}, c AS MATERIALIZED (
+         |  SELECT vec_id, ${sqReconSqlOf("emb")} AS recon
          |  FROM e, b
          |), p AS (
          |  SELECT vec_id AS probe_id, emb AS pe FROM e
@@ -1589,24 +1602,9 @@ object VectorQueries {
     // kmeans training + cell assignment + nprobe=2 probe cells (the
     // q54 fragments) composed with q193's SQ reconstruction
     "q195_ivf_sq_search" ->
-      s"""WITH $kmeansCtes, $ivfAssignCte, $ivfProbeCellsCte, b AS MATERIALIZED (
-         |  SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
-         |  FROM (
-         |    SELECT j AS pos, min(emb[CAST(j AS INTEGER)]) AS mn,
-         |      max(emb[CAST(j AS INTEGER)]) AS mx
-         |    FROM emb0, UNNEST(range(1, len(emb) + 1)) AS u(j)
-         |    GROUP BY j
-         |  )
-         |), sqc AS MATERIALIZED (
-         |  SELECT a.vec_id, a.cell,
-         |    CAST(CAST(list_transform(a.emb, (x, i) ->
-         |      mins[CAST(i AS INTEGER)]
-         |      + ((CASE WHEN maxs[CAST(i AS INTEGER)] = mins[CAST(i AS INTEGER)] THEN 0.0
-         |          ELSE floor((x - mins[CAST(i AS INTEGER)])
-         |                     / (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)])
-         |                     * $SqLevels) END) + 0.5)
-         |        * (maxs[CAST(i AS INTEGER)] - mins[CAST(i AS INTEGER)]) / $SqLevels.0)
-         |      AS REAL[]) AS DOUBLE[]) AS recon
+      s"""WITH $kmeansCtes, $ivfAssignCte, $ivfProbeCellsCte, ${sqBoundsCte("emb0")},
+         |sqc AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cell, ${sqReconSqlOf("a.emb")} AS recon
          |  FROM assign a, b
          |), r AS (
          |  SELECT pc.probe_id, s.vec_id,
