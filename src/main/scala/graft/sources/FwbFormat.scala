@@ -67,17 +67,29 @@ object FwbFormat {
         .repartitionByRange(FixtureFiles, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
         .foreachPartition { (it: Iterator[Row]) =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val (d, codes) = bcDict.value
-          writeFile(s"$out/part-$pid.gfwb", it, d, codes)
+          // Stage under an attempt-unique dot-name, rename into place
+          // (FwbWrite's staging idiom): final names are immutable from the
+          // moment they exist, so a retried/speculative attempt can never
+          // truncate a file a concurrent reader — or the streaming
+          // reader's append-only listing — already trusts (ADVICE r11).
+          val staged = new File(s"$out/.part-$pid.attempt-${tc.taskAttemptId()}.gfwb")
+          if (writeFile(staged.getPath, it, d, codes)) {
+            val fin = new File(s"$out/part-$pid.gfwb")
+            if (!staged.renameTo(fin) && !fin.exists())
+              throw new java.io.IOException(s"rename failed: $staged -> $fin")
+          }
         }
     }
     out
   }
 
+  /** Returns false (writing nothing) for an empty partition. */
   private[graft] def writeFile(path: String, it: Iterator[Row],
-      dict: Array[String], codeOf: Map[String, Int]): Unit = {
-    if (!it.hasNext) return
+      dict: Array[String], codeOf: Map[String, Int]): Boolean = {
+    if (!it.hasNext) return false
     val o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try {
       var n = 0L
@@ -91,6 +103,7 @@ object FwbFormat {
       }
       writeFooter(o, n, minKey, maxKey, dict)
     } finally o.close()
+    true
   }
 
   /** The ONE footer serializer — shared by the fixture writer above and

@@ -55,6 +55,13 @@ object VectorQueries {
   private[graft] def probePredicate(vecId: Column): Column =
     vecId % 100 === 0 && vecId < MaxProbes * 100L
 
+  /** The oracle-side twin of [[probePredicate]] — single-sourced so a
+    * MaxProbes change can never split the Spark and DuckDB probe sets
+    * (ADVICE r11: q193 hardcoded the cap and desynced on any retune).
+    */
+  private def probePredicateSql(col: String): String =
+    s"$col % 100 = 0 AND $col < ${MaxProbes * 100L}"
+
   /** Top-5 cosine neighbors for each probe vector (bounded probe set, see
     * [[probePredicate]]). Probes are broadcast (≤ MaxProbes rows by
     * construction), candidates stream past them in one map-side pass;
@@ -1202,7 +1209,7 @@ object VectorQueries {
     }.mkString(", ")
     s"""WITH probes AS (
        |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
-       |  WHERE vec_id % 100 = 0 AND vec_id < ${MaxProbes * 100L}
+       |  WHERE ${probePredicateSql("vec_id")}
        |), scored AS (
        |  SELECT probe_id, vec_id, ${cosSql("p_emb", "embedding")} AS rel
        |  FROM probes, embeddings WHERE vec_id != probe_id
@@ -1302,7 +1309,7 @@ object VectorQueries {
        |      row_number() OVER (PARTITION BY p.vec_id
        |        ORDER BY ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")}, c.cell) AS rn
        |    FROM emb0 p CROSS JOIN c$IvfIters c
-       |    WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
+       |    WHERE ${probePredicateSql("p.vec_id")}
        |  ) WHERE rn <= 2
        |)""".stripMargin
 
@@ -1331,7 +1338,7 @@ object VectorQueries {
        |  SELECT p.vec_id AS probe_id, c.cell,
        |    ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")} AS pd2
        |  FROM s${m}emb0 p CROSS JOIN s${m}c$PqIters c
-       |  WHERE p.vec_id % 100 = 0 AND p.vec_id < 3200
+       |  WHERE ${probePredicateSql("p.vec_id")}
        |)""".stripMargin
   }.mkString(", ")
 
@@ -1407,7 +1414,7 @@ object VectorQueries {
     "q18_knn_topk" ->
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
-         |  WHERE vec_id % 100 = 0 AND vec_id < 3200
+         |  WHERE ${probePredicateSql("vec_id")}
          |), scored AS (
          |  SELECT probe_id, vec_id, ${cosSql("p_emb", "embedding")} AS sim
          |  FROM probes, embeddings WHERE vec_id != probe_id
@@ -1496,7 +1503,7 @@ object VectorQueries {
         .mkString("\n  UNION ALL\n  ")
       s"""WITH probes AS (
          |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
-         |  WHERE vec_id % 100 = 0 AND vec_id < 3200
+         |  WHERE ${probePredicateSql("vec_id")}
          |), scored AS (
          |  SELECT probe_id, vec_id, ${cosSql("p_emb", "embedding")} AS sim
          |  FROM probes, embeddings WHERE vec_id != probe_id
@@ -1510,7 +1517,7 @@ object VectorQueries {
          |  $bands
          |), pb AS (
          |  SELECT vec_id AS probe_id, tbl, bucket FROM b
-         |  WHERE vec_id % 100 = 0 AND vec_id < 3200
+         |  WHERE ${probePredicateSql("vec_id")}
          |), cand AS (
          |  SELECT DISTINCT pb.probe_id, b.vec_id
          |  FROM b JOIN pb ON b.tbl = pb.tbl AND b.bucket = pb.bucket
@@ -1588,7 +1595,7 @@ object VectorQueries {
          |  FROM e, b
          |), p AS (
          |  SELECT vec_id AS probe_id, emb AS pe FROM e
-         |  WHERE vec_id % 100 = 0 AND vec_id < 3200
+         |  WHERE ${probePredicateSql("vec_id")}
          |), r AS (
          |  SELECT p.probe_id, c.vec_id,
          |    list_dot_product(p.pe, c.recon) AS score,
