@@ -408,6 +408,103 @@ object PipelineQueries {
       .orderBy($"split", $"lang")
   }
 
+  /** Merge rounds the BPE trainer runs per language. Bounded and small by
+    * design: production tokenizers run 30k–100k merges, but every round is
+    * the SAME two relational steps (pair count → argmax → apply), so a
+    * small budget exercises the full algorithm while keeping the oracle's
+    * unrolled replay tractable. Single-sourced into both engines.
+    */
+  private[graft] val BpeMerges = 10
+
+  /** Symbol-boundary sentinel for the BPE trainer's delimited-string word
+    * encoding (see [[q204BpeTrain]]): each symbol travels as `<sep>sym<sep>`, so a merge is an exact, boundary-safe string replace in both
+    * engines. The U+0001 sentinel never appears in whitespace-split corpus tokens.
+    */
+  private[graft] val BpeSep = "\u0001"
+
+  // the symbol list of a delimited word state — the ONE definition of how
+  // `seq` decodes back to symbols, interpolated into Spark and oracle SQL
+  private def bpeSymsSql(seq: String): String =
+    s"split(substring($seq, 2, length($seq) - 2), '$BpeSep$BpeSep')"
+  private def bpeSymsDuck(seq: String): String =
+    s"string_split(substr($seq, 2, CAST(length($seq) AS INTEGER) - 2), '$BpeSep$BpeSep')"
+
+  /** BPE tokenizer TRAINING (Sennrich et al. '16 — VERDICT r11 top gap:
+    * the iterative merge loop between q96's pair statistics and q188's
+    * encoder). Per language: count word frequencies ONCE (the only
+    * corpus-proportional pass — text never moves again), explode each
+    * distinct word into a character-symbol state, then run
+    * [[BpeMerges]] rounds of the canonical loop: (1) count adjacent
+    * symbol pairs weighted by word frequency, (2) pick the most frequent
+    * pair with a deterministic tie-break (count DESC, then left/right
+    * symbol lexicographic — the q68 discipline), (3) merge every
+    * occurrence left-to-right greedily. States live as
+    * [[BpeSep]]-delimited strings, so step 3 is a plain `replace` of
+    * `·l··r·` with `·lr·` — exact-string, boundary-safe (the sentinel
+    * pair can't match inside a multi-char symbol), and with identical
+    * leftmost-non-overlapping semantics in Spark and DuckDB, which makes
+    * the whole trainer engine-portable ("aaaa" under (a,a) → [aa,aa] in
+    * both). Output is the per-language merge TABLE — rank, pair, its
+    * count, and the corpus-weighted symbol total after applying it —
+    * i.e. the trained tokenizer artifact plus a per-round state checksum:
+    * a divergence in ANY round moves every later best-pair choice and
+    * fails the hash. The oracle replays the identical loop unrolled
+    * (kmeans-replay discipline, `AS MATERIALIZED` per round).
+    *
+    * Scale shape: the corpus contributes one tokenize+groupBy pass; the
+    * loop then iterates over the DISTINCT-WORD table (vocabulary-sized,
+    * orders of magnitude smaller than the corpus — the reason production
+    * BPE trainers operate on word counts). Each round is one map-side
+    * pair explode + a (lang, pair) partial-agg shuffle + a ≤4-row
+    * broadcast join back, with `localCheckpoint` truncating lineage per
+    * round (the Lloyd-loop idiom). Nothing in the loop grows with corpus
+    * size, only with vocabulary size.
+    */
+  def q204BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sep = BpeSep
+    val words = Tables.documents(s, dir)
+      .select($"lang", explode(tokens($"text")).as("w0"))
+      .select($"lang", lower($"w0").as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("freq"))
+    var st = words
+      .select($"lang", $"freq",
+        regexp_replace($"word", "(.)", s"$sep$$1$sep").as("seq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[DataFrame]
+    for (i <- 1 to BpeMerges) {
+      val pairs = st
+        .withColumn("a", expr(bpeSymsSql("seq")))
+        .select($"lang", $"freq", explode(expr(
+          """if(size(a) < 2, array(),
+            |  transform(sequence(1, size(a) - 1),
+            |    j -> named_struct('l', element_at(a, j), 'r', element_at(a, j + 1))))""".stripMargin)).as("pr"))
+        .groupBy($"lang", $"pr.l".as("l"), $"pr.r".as("r"))
+        .agg(sum($"freq").as("n"))
+      val wBest = Window.partitionBy($"lang").orderBy($"n".desc, $"l", $"r")
+      val best = pairs.withColumn("rn", row_number().over(wBest))
+        .filter($"rn" === 1)
+        .select($"lang", $"l".as("m_l"), $"r".as("m_r"), $"n")
+        .localCheckpoint()
+      st = st
+        .join(broadcast(best.select($"lang", $"m_l", $"m_r")), Seq("lang"), "left")
+        .withColumn("seq", when($"m_l".isNull, $"seq").otherwise(expr(
+          s"""replace(seq, concat('$sep', m_l, '$sep$sep', m_r, '$sep'),
+             |  concat('$sep', m_l, m_r, '$sep'))""".stripMargin)))
+        .select($"lang", $"freq", $"seq")
+        .localCheckpoint()
+      val tot = st.groupBy($"lang")
+        .agg(sum($"freq" * size(expr(bpeSymsSql("seq")))).as("n_syms_after"))
+      merges += best.join(tot, Seq("lang"))
+        .select($"lang", lit(i.toLong).as("rank"),
+          $"m_l".as("left_sym"), $"m_r".as("right_sym"),
+          concat($"m_l", $"m_r").as("merged"),
+          $"n".as("pair_n"), $"n_syms_after")
+    }
+    merges.result().reduce(_ unionByName _).orderBy($"lang", $"rank")
+  }
+
   /** Padding-waste report: if each document were batched alone at a
     * 512-token boundary (no packing), how many pad tokens does each
     * language pay? The report that justifies q62's sequence packing.
@@ -766,6 +863,7 @@ object PipelineQueries {
     "q68_vocab_build" -> (q68VocabBuild _),
     "q188_tokenizer_encode" -> (q188TokenizerEncode _),
     "q190_pack_ids" -> (q190PackIds _),
+    "q204_bpe_train" -> (q204BpeTrain _),
     "q194_corpus_to_id_sequences" -> (q194CorpusToIdSequences _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
     "q61_token_histogram" -> (q61TokenHistogram _),
@@ -809,7 +907,57 @@ object PipelineQueries {
        |  FROM w LEFT JOIN v ON w.word = v.word
        |)""".stripMargin
 
+  /** The q204 replay — the identical [[BpeMerges]]-round training loop
+    * unrolled as chained CTEs (kmeans-replay discipline): every round's
+    * pair count, argmax, and delimited-string merge apply is restated
+    * from the SAME constants ([[BpeMerges]], [[BpeSep]], the (n DESC, l,
+    * r) tie-break), `AS MATERIALIZED` because each round's state feeds
+    * three consumers (next pair count, next apply, the symbol total).
+    */
+  private def bpeOracle: String = {
+    val S = BpeSep
+    val init =
+      s"""wd AS MATERIALIZED (
+         |  SELECT lang, word, count(*) AS freq FROM (
+         |    SELECT lang, lower(unnest(string_split(text, ' '))) AS word FROM documents
+         |  ) WHERE length(word) >= 2 GROUP BY lang, word
+         |), s0 AS MATERIALIZED (
+         |  SELECT lang, freq, regexp_replace(word, '(.)', '$S\\1$S', 'g') AS seq FROM wd
+         |)""".stripMargin
+    val rounds = (1 to BpeMerges).map { i =>
+      s""", p$i AS MATERIALIZED (
+         |  SELECT lang, l, r, CAST(sum(freq) AS BIGINT) AS n FROM (
+         |    SELECT q.lang, q.freq,
+         |      q.a[CAST(j AS INTEGER)] AS l, q.a[CAST(j + 1 AS INTEGER)] AS r
+         |    FROM (SELECT lang, freq, ${bpeSymsDuck("seq")} AS a FROM s${i - 1}) q,
+         |      UNNEST(range(1, len(q.a))) AS t(j)
+         |  ) GROUP BY lang, l, r
+         |), b$i AS MATERIALIZED (
+         |  SELECT lang, l, r, n FROM (
+         |    SELECT lang, l, r, n,
+         |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, l, r) AS rn
+         |    FROM p$i) WHERE rn = 1
+         |), s$i AS MATERIALIZED (
+         |  SELECT s.lang, s.freq,
+         |    CASE WHEN b.l IS NULL THEN s.seq
+         |         ELSE replace(s.seq, '$S' || b.l || '$S$S' || b.r || '$S',
+         |                      '$S' || b.l || b.r || '$S') END AS seq
+         |  FROM s${i - 1} s LEFT JOIN b$i b ON s.lang = b.lang
+         |), t$i AS MATERIALIZED (
+         |  SELECT lang, CAST(sum(freq * len(${bpeSymsDuck("seq")})) AS BIGINT) AS n_syms_after
+         |  FROM s$i GROUP BY lang
+         |)""".stripMargin
+    }.mkString
+    val unions = (1 to BpeMerges).map { i =>
+      s"""SELECT b$i.lang, CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, n AS pair_n, n_syms_after
+         |FROM b$i JOIN t$i ON b$i.lang = t$i.lang""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $init$rounds\n$unions\nORDER BY lang, rank"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q204_bpe_train" -> bpeOracle,
     // gate 3's repetition signal replays q58's proven 3-gram slice shape;
     // gate 4's mean word length is the identical IEEE division both sides
     "q178_quality_funnel" ->

@@ -186,4 +186,56 @@ class PipelineSpec extends AnyFunSuite {
       .select(explode(split($"text", " ", -1)).as("t")).filter($"t" =!= "").count()
     assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalToks)
   }
+
+  test("q204 BPE training laws: contiguous ranks, monotone best counts, shrinking corpus, sound merges") {
+    val rows = PipelineQueries.q204BpeTrain(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      // ranks are 1..k contiguous: a language stops merging only when its
+      // pair supply is exhausted, never mid-sequence
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to byRank.length.toLong), s"$lang ranks not contiguous")
+      // the merged symbol is exactly the concatenation of its parts
+      byRank.foreach { r =>
+        assert(r.getAs[String]("merged") ==
+          r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+        assert(r.getAs[Long]("pair_n") >= 1L)
+      }
+      // BPE law: the winning pair count never increases across rounds — a
+      // pair born of a merge (x, lr) inherits from occurrences that were
+      // already candidate pairs (x, l) before it, so no later maximum can
+      // exceed an earlier one
+      val ns = byRank.map(_.getAs[Long]("pair_n"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"$lang best-pair counts increased: ${ns.toSeq}")
+      // every merge strictly shrinks the corpus-weighted symbol total
+      val syms = byRank.map(_.getAs[Long]("n_syms_after"))
+      assert(syms.zip(syms.tail).forall { case (a, b) => a > b },
+        s"$lang symbol totals not strictly decreasing: ${syms.toSeq}")
+    }
+    // determinism: retraining yields the identical merge table
+    val again = PipelineQueries.q204BpeTrain(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("BPE merge-apply is greedy leftmost non-overlapping in Spark's replace semantics") {
+    import spark.implicits._
+    val sep = PipelineQueries.BpeSep
+    // 'aaaa' under merge (a,a): leftmost-greedy gives [aa][aa]; a rescan
+    // that re-merged across the fresh boundary would give [aaa][a] or
+    // [aaaa]. This is the exact delimited-string replace q204 runs, so
+    // the law pinned here is the law the oracle hash extends to DuckDB.
+    val out = Seq("aaaa", "aaa", "abab", "aab").toDF("word")
+      .withColumn("seq", regexp_replace($"word", "(.)", s"$sep$$1$sep"))
+      .withColumn("seq", expr(
+        s"replace(seq, concat('$sep', 'a', '$sep$sep', 'a', '$sep'), concat('$sep', 'aa', '$sep'))"))
+      .withColumn("syms", expr(s"split(substring(seq, 2, length(seq) - 2), '$sep$sep')"))
+      .select($"word", $"syms").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(out("aaaa") == List("aa", "aa"))
+    assert(out("aaa") == List("aa", "a"))
+    assert(out("abab") == List("a", "b", "a", "b"))
+    assert(out("aab") == List("aa", "b"))
+  }
 }

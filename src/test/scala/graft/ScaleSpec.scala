@@ -405,7 +405,10 @@ class ScaleSpec extends AnyFunSuite {
     val auditedRddBroadcasts = Set(
       "q35_ivf_assign", "q54_ivf_search", "q138_pq_adc_search",
       "q140_ivf_pq_search", "q149_filtered_ann", "q176_pq_code_checksum",
-      "q189_semantic_dedup", "q195_ivf_sq_search")
+      "q189_semantic_dedup", "q195_ivf_sq_search",
+      // q204 broadcasts each BPE round's checkpointed best-pair relation —
+      // ≤ one row per language by construction (a per-lang argmax)
+      "q204_bpe_train")
     val modPat = """% \d+\)? ?= \d+""".r
     val capPat = """< \d+""".r
     def leavesBounded(name: String, p: LogicalPlan): Boolean = p.collectLeaves().forall {
