@@ -146,6 +146,30 @@ object EtlQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** Secondary-column file skipping through the connector (VERDICT r11
+    * next #4): a point-predicate set on `o_custkey` — a column the
+    * key-range min/max can say NOTHING about (every range-clustered file
+    * holds the full custkey spread) — pushes into the scan and probes
+    * each file's footer BLOOM filter at planning time; files whose bloom
+    * rejects every probed key never open. Planning itself reads only the
+    * directory manifest (stats cached at commit time), so the whole
+    * decision is O(1) file opens. Skipping stays a strict optimization:
+    * the predicate remains a residual, so a bloom/manifest bug shows as
+    * a wrong answer against the parquet ground truth, never silently.
+    * Customer 7's orders land in several key ranges, so the query also
+    * proves multi-file reassembly under pruning + bloom probing.
+    */
+  def q205BloomSkipScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = graft.sources.FwbFormat.writeFixture(s, dir)
+    s.read.format("graft-fwb").load(path)
+      .filter($"o_custkey".isin(7L, 11L, 16L))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n"), sum($"o_cents").as("sum_cents"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"o_custkey")
+  }
+
   /** Catalog-integrated SQL over the custom connector
     * ([[graft.sources.GraftCatalog]]): the GFWB table resolved BY NAME
     * through a registered `TableCatalog` plugin — no paths, no
@@ -830,6 +854,7 @@ object EtlQueries {
     "q201_custom_source" -> (q201CustomSource _),
     "q202_custom_sink" -> (q202CustomSink _),
     "q203_catalog_sql" -> (q203CatalogSql _),
+    "q205_bloom_skip_scan" -> (q205BloomSkipScan _),
   )
 
   // the merged lake state recomputed from the source — base rows minus the
@@ -987,6 +1012,12 @@ object EtlQueries {
         | count(DISTINCT o_custkey) AS n_cust
         |FROM orders WHERE o_orderkey < 1000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q205_bloom_skip_scan" ->
+      """SELECT o_custkey, count(*) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_custkey IN (7, 11, 16)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q202_custom_sink" ->
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -45,6 +45,7 @@ private[sources] class FwbWrite(path: String, schema: StructType, truncate: Bool
     s"graft-fwb expects schema ${FwbFormat.schema.simpleString}, got ${schema.simpleString}")
 
   override def toBatch: BatchWrite = this
+  override def toStreaming: streaming.StreamingWrite = new FwbStreamingWrite(path)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     new File(path).mkdirs()
@@ -52,28 +53,107 @@ private[sources] class FwbWrite(path: String, schema: StructType, truncate: Bool
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case FwbCommitMessage(p) if p != null => new File(p) }
+    val committed = messages.collect {
+      case FwbCommitMessage(p, st) if p != null => (new File(p), st)
+    }
     if (truncate) {
       Option(new File(path).listFiles()).getOrElse(Array.empty)
         .filter(_.getName.endsWith(".gfwb")).foreach(_.delete())
     }
-    staged.foreach { f =>
+    val promoted = committed.map { case (f, st) =>
       // .<uuid>-<pid>.gfwb.tmp → part-<uuid>-<pid>.gfwb
       val fin = new File(f.getParent,
         "part-" + f.getName.stripPrefix(".").stripSuffix(".tmp"))
       require(f.renameTo(fin), s"commit rename failed: $f -> $fin")
+      fin.getName -> st
     }
+    // Directory stats manifest, from data the tasks already computed —
+    // zero footer re-reads (VERDICT r11 next #3). Truncate starts a fresh
+    // generation; append merges over the previous manifest, and entries
+    // for since-deleted files are dropped lazily (planning keys off the
+    // listing, so stale extras are dead weight, not wrong answers).
+    val prior = if (truncate) Map.empty[String, FwbFormat.FwbStats]
+      else FwbFormat.readManifest(path)
+    FwbFormat.writeManifest(path, prior ++ promoted)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case FwbCommitMessage(p) if p != null => new File(p).delete()
+      case FwbCommitMessage(p, _) if p != null => new File(p).delete()
       case _ =>
     }
 }
 
-private[sources] case class FwbCommitMessage(stagedPath: String)
-    extends WriterCommitMessage
+/** Task → driver: the staged path plus the footer stats the task just
+  * wrote — the driver builds the directory manifest from these, reading
+  * no file it did not itself rename.
+  */
+private[graft] case class FwbCommitMessage(stagedPath: String,
+    stats: FwbFormat.FwbStats) extends WriterCommitMessage
+
+/** STREAMING write — the connector's fourth surface (VERDICT r11 next
+  * #2), completing the read/write × batch/streaming matrix. Exactly-once
+  * at the EPOCH level, by construction rather than by bookkeeping:
+  *
+  *  - each task attempt stages `.e<epoch>-p<partition>-<task>.gfwb.tmp`
+  *    (attempt-unique, invisible to readers — the batch staging rules);
+  *  - epoch commit promotes each staged file to the DETERMINISTIC final
+  *    name `part-e<epoch>-p<partition>.gfwb`. A replayed epoch (restart
+  *    before the sink's commit was recorded) re-processes the same
+  *    offset range into the same final names, and the promote SKIPS any
+  *    name that already exists — the replay's staged bytes are simply
+  *    dropped. Idempotence needs no side ledger: the name IS the ledger.
+  *  - the directory manifest merges each epoch's task stats at commit,
+  *    so the streaming READER keeps planning micro-batches from cached
+  *    stats; committed files stay immutable and append-only — exactly
+  *    the contract [[FwbMicroBatchStream]] assumes, so a GFWB dir can be
+  *    simultaneously a stream sink and a stream source.
+  *  - epoch abort deletes only its own staged files; committed
+  *    generations are never touched (the batch two-phase discipline).
+  */
+private[graft] class FwbStreamingWrite(path: String)
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory = {
+    new File(path).mkdirs()
+    new FwbStreamingWriterFactory(path)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect {
+      case FwbCommitMessage(p, st) if p != null => (new File(p), st)
+    }
+    val promoted = committed.flatMap { case (f, st) =>
+      // .e<epoch>-p<pid>-<task>.gfwb.tmp → part-e<epoch>-p<pid>.gfwb
+      // (task attempt id dropped: the final name must be attempt- and
+      // replay-invariant for the exactly-once skip below to hold)
+      val base = f.getName.stripPrefix(".").stripSuffix(".tmp")
+      val finName = "part-" + base.substring(0, base.lastIndexOf('-')) + ".gfwb"
+      val fin = new File(f.getParent, finName)
+      if (fin.exists()) { f.delete(); None } // replayed epoch: drop the copy
+      else {
+        require(f.renameTo(fin), s"epoch commit rename failed: $f -> $fin")
+        Some(fin.getName -> st)
+      }
+    }
+    if (promoted.nonEmpty)
+      FwbFormat.writeManifest(path, FwbFormat.readManifest(path) ++ promoted)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FwbCommitMessage(p, _) if p != null => new File(p).delete()
+      case _ =>
+    }
+}
+
+private[graft] class FwbStreamingWriterFactory(path: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new FwbDataWriter(s"$path/.e$epochId-p$partitionId-$taskId.gfwb.tmp")
+}
 
 private[sources] class FwbWriterFactory(path: String, writeId: String)
     extends DataWriterFactory {
@@ -89,6 +169,7 @@ private[sources] class FwbWriterFactory(path: String, writeId: String)
 private[sources] class FwbDataWriter(staged: String) extends DataWriter[InternalRow] {
   private var out: DataOutputStream = _
   private val dict = mutable.LinkedHashMap.empty[String, Int]
+  private val bloom = FwbBloom.empty()
   private var n = 0L
   private var minKey = Long.MaxValue
   private var maxKey = Long.MinValue
@@ -104,14 +185,16 @@ private[sources] class FwbDataWriter(staged: String) extends DataWriter[Internal
       dict.size
     })
     out.writeByte(code)
+    FwbBloom.add(bloom, row.getLong(1))
     n += 1; if (k < minKey) minKey = k; if (k > maxKey) maxKey = k
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out == null) return FwbCommitMessage(null)
-    FwbFormat.writeFooter(out, n, minKey, maxKey, dict.keys)
+    if (out == null) return FwbCommitMessage(null, null)
+    val st = FwbFormat.FwbStats(n, minKey, maxKey, dict.keys.toArray, bloom)
+    FwbFormat.writeFooter(out, st)
     out.close(); out = null
-    FwbCommitMessage(staged)
+    FwbCommitMessage(staged, st)
   }
 
   override def abort(): Unit = {

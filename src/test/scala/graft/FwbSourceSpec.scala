@@ -148,6 +148,121 @@ class FwbSourceSpec extends AnyFunSuite {
     assert(perBatch == Seq(gen1.count(), gen2.count()), s"per-batch rows: $perBatch")
   }
 
+  test("manifest-backed planning opens zero data files; fallback footer reads still plan correctly") {
+    import spark.implicits._
+    val path = sources.FwbFormat.writeFixture(spark, sf)
+    val manifest = new java.io.File(path, sources.FwbFormat.ManifestName)
+    assert(manifest.exists(), "commit must leave a stats manifest")
+    // planning (plan + skip decision + partition list) from the manifest:
+    // ZERO footer reads — the O(files) driver loop is gone (VERDICT r11)
+    val before = sources.FwbFormat.footerReads.get()
+    val df = fwb.filter($"o_orderkey" >= 0L)
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.toBatch.planInputPartitions().length == 4)
+    assert(sources.FwbFormat.footerReads.get() == before,
+      "manifest-backed planning must not read data-file footers")
+    // EXECUTION reads footers (per-task record counts/dicts) — that is
+    // the data path, not the planning loop
+    assert(df.count() > 0)
+    // unmanifested directories degrade to footer-read planning, same plan
+    val bare = Scratch.path(s"fwb_nomanifest_${System.nanoTime()}")
+    new java.io.File(bare).mkdirs()
+    new java.io.File(path).listFiles().filter(_.getName.endsWith(".gfwb")).foreach { f =>
+      java.nio.file.Files.copy(f.toPath, new java.io.File(bare, f.getName).toPath)
+    }
+    val b0 = sources.FwbFormat.footerReads.get()
+    val bareDf = spark.read.format("graft-fwb").load(bare).filter($"o_orderkey" >= 0L)
+    val bareScan = bareDf.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head
+    assert(bareScan.scan.toBatch.planInputPartitions().length == 4)
+    assert(sources.FwbFormat.footerReads.get() > b0, "fallback path must read footers")
+    assert(bareDf.count() == df.count())
+  }
+
+  test("custkey bloom skips files at planning time; probes are residual-safe") {
+    import spark.implicits._
+    // plant knowledge: a custkey that occurs in exactly one fixture file
+    // (read via the manifest the committer wrote)
+    val path = sources.FwbFormat.writeFixture(spark, sf)
+    val manifest = sources.FwbFormat.readManifest(path)
+    assert(manifest.size == 4)
+    val byFile = Tables.orders(spark, sf)
+      .select($"o_orderkey", $"o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ranges = manifest.values.map(st => (st.minKey, st.maxKey)).toSeq
+    def filesOf(ck: Long): Int = ranges.count { case (lo, hi) =>
+      byFile.exists { case (ok, c) => c == ck && ok >= lo && ok <= hi }
+    }
+    val single = byFile.map(_._2).distinct.find(filesOf(_) == 1)
+      .getOrElse(fail("no custkey confined to one file at this sf"))
+    val df = fwb.filter($"o_custkey" === single)
+    val desc = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.description()
+    assert(desc.contains("files=1/4"), s"bloom should keep 1 file: $desc")
+    assert(desc.contains(s"pushedCustKeys={$single}"), desc)
+    // residual safety: the kept file still filters row-level, match parquet
+    val want = byFile.count(_._2 == single)
+    assert(df.count() == want && want > 0)
+    // an absent key plans zero files and returns zero rows
+    val absent = fwb.filter($"o_custkey" === -7L)
+    val adesc = absent.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.description()
+    assert(adesc.contains("files=0/4"), s"absent key should skip all: $adesc")
+    assert(absent.count() == 0)
+    // IN-list keeps the union of its members' files
+    val inDf = fwb.filter($"o_custkey".isin(single, -7L))
+    val idesc = inDf.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head.scan.description()
+    assert(idesc.contains("files=1/4"), s"IN should keep the union: $idesc")
+    assert(inDf.count() == want)
+  }
+
+  test("streaming write: GFWB→GFWB stream equals the batch copy; epoch replay is idempotent") {
+    import spark.implicits._
+    val src = Scratch.path(s"fwb_sw_src_${System.nanoTime()}")
+    val dst = Scratch.path(s"fwb_sw_dst_${System.nanoTime()}")
+    val cp = Scratch.path(s"fwb_sw_cp_${System.nanoTime()}")
+    val rows = Tables.orders(spark, sf).select(
+      $"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
+    val gen1 = rows.filter($"o_orderkey" % 2 === 0)
+    val gen2 = rows.filter($"o_orderkey" % 2 === 1)
+    gen1.write.format("graft-fwb").mode("append").save(src)
+    // connector-to-connector: streaming read of a growing dir feeding the
+    // streaming epoch-commit sink — all four surfaces in one pipeline
+    val q = spark.readStream.format("graft-fwb").load(src)
+      .writeStream.format("graft-fwb")
+      .option("path", dst).option("checkpointLocation", cp)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    gen2.write.format("graft-fwb").mode("append").save(src)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.format("graft-fwb").load(dst)
+    assert(got.count() == rows.count())
+    assert(got.except(rows).isEmpty && rows.except(got).isEmpty)
+    // stream-written dir planned from its manifest like any committed dir
+    assert(new java.io.File(dst, sources.FwbFormat.ManifestName).exists())
+    assert(!new java.io.File(dst).listFiles().exists(_.getName.endsWith(".tmp")))
+    // epoch replay: re-driving an already-committed epoch's staged files
+    // through commit() must drop the copies, not duplicate the data
+    val sw = new sources.FwbStreamingWrite(dst)
+    val dict = Array("P"); val codeOf = Map("P" -> 0)
+    val staged = s"$dst/.e99-p0-777.gfwb.tmp"
+    val st = sources.FwbFormat.writeFile(staged,
+      Iterator(org.apache.spark.sql.Row(1L, 1L, 100L, "P")), dict, codeOf).get
+    sw.commit(99L, Array(sources.FwbCommitMessage(staged, st)))
+    val afterFirst = spark.read.format("graft-fwb").load(dst).count()
+    val staged2 = s"$dst/.e99-p0-888.gfwb.tmp" // the replay, different attempt
+    sources.FwbFormat.writeFile(staged2,
+      Iterator(org.apache.spark.sql.Row(1L, 1L, 100L, "P")), dict, codeOf)
+    sw.commit(99L, Array(sources.FwbCommitMessage(staged2, st)))
+    assert(spark.read.format("graft-fwb").load(dst).count() == afterFirst,
+      "replayed epoch must not add rows")
+    assert(!new java.io.File(dst).listFiles().exists(_.getName.endsWith(".tmp")),
+      "replayed stage must be cleaned up")
+  }
+
   test("column pruning reaches the reader: a 1-column aggregate reads 1 field") {
     import spark.implicits._
     val df = fwb.agg(sum($"o_cents").as("total"))

@@ -191,10 +191,12 @@ class PropertySpec extends AnyFunSuite {
       val got = spark.read.format("graft-fwb").load(dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
       assert(got.toSeq.sorted == rows.sorted, "round-trip multiset")
-      val (n, mn, mx, d) = sources.FwbFormat.readFooter(s"$dir/part-0.gfwb")
-      assert(n == rows.length.toLong)
-      assert(mn == rows.map(_._1).min && mx == rows.map(_._1).max)
-      assert(d.toSeq == dict.toSeq)
+      val st = sources.FwbFormat.readFooter(s"$dir/part-0.gfwb")
+      assert(st.n == rows.length.toLong)
+      assert(st.minKey == rows.map(_._1).min && st.maxKey == rows.map(_._1).max)
+      assert(st.dict.toSeq == dict.toSeq)
+      // bloom completeness: no written custkey may ever test negative
+      assert(rows.forall(r => sources.FwbBloom.mightContain(st.custBloom, r._2)))
       // skip soundness: any key predicate via the source == scala-side filter
       import spark.implicits._
       val cut = rows.map(_._1).min + 1
