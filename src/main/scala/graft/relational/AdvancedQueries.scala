@@ -1132,7 +1132,82 @@ object AdvancedQueries {
       .orderBy($"lang")
   }
 
+  /** Catalog tables + statistics for the CBO tier, built once per
+    * (process, sf dir): the four chain-join tables copied to pid-scoped
+    * catalog names, then `ANALYZE TABLE … COMPUTE STATISTICS FOR
+    * COLUMNS` over every join/filter column — rowCount + ndv + min/max
+    * in the session catalog, the inputs cost-based join reordering
+    * needs. Pid-scoped names keep concurrent JVMs off each other's
+    * warehouse files (the in-memory catalog is per-process anyway).
+    */
+  private val cboBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def cboPrefix(s: SparkSession, dir: String): String =
+    cboBuilt.computeIfAbsent(dir, { _ =>
+      val pre = s"graft_cbo_${graft.Scratch.tag(dir)}_p${ProcessHandle.current.pid}"
+      val cols = Map(
+        "region" -> "r_regionkey, r_name",
+        "nation" -> "n_nationkey, n_regionkey",
+        "customer" -> "c_custkey, c_nationkey",
+        "orders" -> "o_custkey, o_orderpriority, o_totalprice")
+      Seq("region" -> Tables.region(s, dir), "nation" -> Tables.nation(s, dir),
+        "customer" -> Tables.customer(s, dir), "orders" -> Tables.orders(s, dir))
+        .foreach { case (name, df) =>
+          df.write.mode("overwrite").saveAsTable(s"${pre}_$name")
+          s.sql(s"ANALYZE TABLE ${pre}_$name COMPUTE STATISTICS FOR COLUMNS ${cols(name)}")
+        }
+      pre
+    })
+
+  /** The deliberately WORST syntactic join order for the region chain —
+    * fact first, the 1-row filtered dimension last. Without CBO the
+    * optimizer keeps this order (largest intermediates throughout); with
+    * table/column statistics and `spark.sql.cbo.joinReorder` the DP
+    * reorderer rebuilds the tree from the filtered dimension outward so
+    * every intermediate stays dimension-sized. Single-sourced: the spec
+    * asserts the reorder on exactly the SQL the registered query runs.
+    */
+  private[graft] def cboJoinSql(pre: String): String =
+    s"""SELECT r_name, count(*) AS n_orders,
+       |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       |  count(DISTINCT c_custkey) AS n_cust
+       |FROM ${pre}_orders o
+       |JOIN ${pre}_customer c ON o.o_custkey = c.c_custkey
+       |JOIN ${pre}_nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN ${pre}_region r ON n.n_regionkey = r.r_regionkey
+       |WHERE r.r_name = 'ASIA' AND o.o_orderpriority = '1-URGENT'
+       |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  /** Cost-based optimization — the last untouched optimizer surface
+    * (VERDICT r11 next #5): `ANALYZE TABLE` statistics feeding
+    * `spark.sql.cbo.joinReorder`. The query text commits the classic
+    * mistake (fact joined first, the one-row region filter last); with
+    * column stats the DP join reorderer rewrites it to build from the
+    * filtered dimension outward, which at 100 TB is the difference
+    * between shuffling the fact against the full customer table and
+    * probing it with a region-bounded broadcast. The plan is FORCED
+    * while the CBO flags are set (localCheckpoint materializes the
+    * result), then every flag is restored — session hygiene — and the
+    * oracle gates the ANSWER, which must be identical under any join
+    * order. CboSpec pins the reorder itself (leaf order with stats+CBO
+    * differs from the syntactic plan, fact joined last) and that the
+    * catalog carries rowCounts.
+    */
+  def q206CboJoinReorder(s: SparkSession, dir: String): DataFrame = {
+    val pre = cboPrefix(s, dir)
+    val flags = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val prior = flags.map(k => k -> s.conf.getOption(k))
+    flags.foreach(s.conf.set(_, "true"))
+    // materialize UNDER the CBO flags: a lazy return would re-optimize at
+    // action time (possibly after restore) and silently lose the reorder
+    try s.sql(cboJoinSql(pre)).localCheckpoint()
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_cbo_join_reorder" -> (q206CboJoinReorder _),
     "q121_date_arithmetic" -> (q121DateArithmetic _),
     "q122_conditional_aggs" -> (q122ConditionalAggs _),
     "q123_number_extraction" -> (q123NumberExtraction _),
@@ -1180,6 +1255,18 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // any join order must produce this — the oracle states the answer,
+    // CboSpec states the plan
+    "q206_cbo_join_reorder" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT c_custkey) AS n_cust
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA' AND o.o_orderpriority = '1-URGENT'
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q121_date_arithmetic" ->
       """WITH t AS (
         |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
