@@ -505,6 +505,81 @@ object PipelineQueries {
     merges.result().reduce(_ unionByName _).orderBy($"lang", $"rank")
   }
 
+  /** Subword id space: single-character symbols encode as their Unicode
+    * codepoint; merge-created symbols as [[BpeMergedIdBase]] + merge
+    * rank (min rank when two merge paths ever produce the same string —
+    * merged symbols are ≥2 chars, so the two ranges can never collide).
+    */
+  private[graft] val BpeMergedIdBase = 256L
+
+  /** BPE ENCODE — the production replay path (VERDICT r11: "swap q194's
+    * encoder input" — the subword encoder that closes corpus → merges →
+    * ids end-to-end): every document word is re-segmented by applying
+    * the q204-trained merges IN RANK ORDER as a map-side chain of
+    * boundary-safe delimited replaces — the per-language merge list is a
+    * driver-side tokenizer artifact (≤ [[BpeMerges]]·langs rows, loudly
+    * bounded), compiled once into the column expression, so encoding is
+    * ONE codegen'd projection: no join, no shuffle until the per-doc
+    * rollup. Ids follow [[BpeMergedIdBase]]; the output is q188's ledger
+    * discipline (counts + order-sensitive position-weighted checksums).
+    *
+    * The adjudication states the BPE ROUND-TRIP THEOREM: the oracle
+    * derives each word's segmentation from the TRAINING LOOP'S FINAL
+    * STATE (the word table after the last merge), while this query
+    * re-derives it by replaying merges against raw text — hash equality
+    * proves apply-in-rank-order reproduces training segmentation, the
+    * property production tokenizers rely on. Scale: training iterates
+    * the vocab-sized table (q204); encode is one linear corpus pass.
+    */
+  def q207BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sep = BpeSep
+    val mergeRows = q204BpeTrain(s, dir)
+      .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged").collect()
+    require(mergeRows.length <= BpeMerges * 16,
+      s"q207: merge table exceeded its structural bound: ${mergeRows.length}")
+    val wrapped = regexp_replace(lower($"word"), "(.)", s"$sep$$1$sep")
+    // per-language replace chain, rank order — the trained tokenizer
+    val stateCol = mergeRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .foldLeft(wrapped) { case (acc, (lang, rs)) =>
+        val chain = rs.sortBy(_.getLong(1)).foldLeft(wrapped) { (c, r) =>
+          val (l, rr) = (r.getString(2), r.getString(3))
+          call_function("replace", c,
+            lit(s"$sep$l$sep$sep$rr$sep"), lit(s"$sep$l$rr$sep"))
+        }
+        when($"lang" === lang, chain).otherwise(acc)
+      }
+    // (lang:sym) → id map literal for merge-created symbols, min-rank
+    val idEntries = mergeRows
+      .groupBy(r => (r.getString(0), r.getString(4)))
+      .map { case ((lang, sym), rs) =>
+        (s"$lang:$sym", BpeMergedIdBase + rs.map(_.getLong(1)).min)
+      }.toSeq.sortBy(_._1)
+    val idMap = map(idEntries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val enc = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", posexplode(tokens($"text")).as(Seq("pos", "word")))
+      .filter(length($"word") >= 1)
+      .withColumn("state", stateCol)
+      .withColumn("syms", split(expr("substring(state, 2, length(state) - 2)"),
+        s"$sep$sep"))
+      .withColumn("ids", transform($"syms", y =>
+        coalesce(element_at(idMap, concat($"lang", lit(":"), y)),
+          ascii(y).cast("long"))))
+      .select($"doc_id", $"pos",
+        size($"ids").cast("long").as("n_syms"),
+        size(filter($"ids", x => x >= BpeMergedIdBase)).cast("long").as("n_merged"),
+        expr("aggregate(ids, cast(0 as bigint), (a, x) -> a + x)").as("word_sum"),
+        expr("aggregate(transform(ids, (x, j) -> (cast(j as bigint) + 1) * x), cast(0 as bigint), (a, b) -> a + b)").as("word_wsum"))
+    enc.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum($"n_syms").as("n_subwords"),
+        sum($"n_merged").as("n_merged"),
+        sum($"word_sum").as("id_sum"),
+        sum(($"pos".cast("long") + 1L) * $"word_wsum").as("id_wsum"))
+      .orderBy($"doc_id")
+  }
+
   /** Padding-waste report: if each document were batched alone at a
     * 512-token boundary (no packing), how many pad tokens does each
     * language pay? The report that justifies q62's sequence packing.
@@ -864,6 +939,7 @@ object PipelineQueries {
     "q188_tokenizer_encode" -> (q188TokenizerEncode _),
     "q190_pack_ids" -> (q190PackIds _),
     "q204_bpe_train" -> (q204BpeTrain _),
+    "q207_bpe_encode" -> (q207BpeEncode _),
     "q194_corpus_to_id_sequences" -> (q194CorpusToIdSequences _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
     "q61_token_histogram" -> (q61TokenHistogram _),
@@ -914,7 +990,12 @@ object PipelineQueries {
     * r) tie-break), `AS MATERIALIZED` because each round's state feeds
     * three consumers (next pair count, next apply, the symbol total).
     */
-  private def bpeOracle: String = {
+  /** The shared training-replay CTE chain (q204 reads the per-round best
+    * pairs and totals; q207 reads the final word state and the merge-id
+    * table). `word` rides through every state so the last round still
+    * maps each distinct word to its segmentation.
+    */
+  private def bpeCtes: String = {
     val S = BpeSep
     val init =
       s"""wd AS MATERIALIZED (
@@ -922,7 +1003,7 @@ object PipelineQueries {
          |    SELECT lang, lower(unnest(string_split(text, ' '))) AS word FROM documents
          |  ) WHERE length(word) >= 2 GROUP BY lang, word
          |), s0 AS MATERIALIZED (
-         |  SELECT lang, freq, regexp_replace(word, '(.)', '$S\\1$S', 'g') AS seq FROM wd
+         |  SELECT lang, word, freq, regexp_replace(word, '(.)', '$S\\1$S', 'g') AS seq FROM wd
          |)""".stripMargin
     val rounds = (1 to BpeMerges).map { i =>
       s""", p$i AS MATERIALIZED (
@@ -938,7 +1019,7 @@ object PipelineQueries {
          |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, l, r) AS rn
          |    FROM p$i) WHERE rn = 1
          |), s$i AS MATERIALIZED (
-         |  SELECT s.lang, s.freq,
+         |  SELECT s.lang, s.word, s.freq,
          |    CASE WHEN b.l IS NULL THEN s.seq
          |         ELSE replace(s.seq, '$S' || b.l || '$S$S' || b.r || '$S',
          |                      '$S' || b.l || b.r || '$S') END AS seq
@@ -948,16 +1029,70 @@ object PipelineQueries {
          |  FROM s$i GROUP BY lang
          |)""".stripMargin
     }.mkString
+    init + rounds
+  }
+
+  private def bpeOracle: String = {
     val unions = (1 to BpeMerges).map { i =>
       s"""SELECT b$i.lang, CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
          |  l || r AS merged, n AS pair_n, n_syms_after
          |FROM b$i JOIN t$i ON b$i.lang = t$i.lang""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"WITH $init$rounds\n$unions\nORDER BY lang, rank"
+    s"WITH $bpeCtes\n$unions\nORDER BY lang, rank"
+  }
+
+  /** q207's replay: segmentation from the final TRAINING state (the
+    * other side of the round-trip theorem — the Spark query re-applies
+    * merges to raw text), ids from the per-round best-pair relations,
+    * ledger arithmetic identical to the Spark rollup.
+    */
+  private def bpeEncodeOracle: String = {
+    val S = BpeSep
+    val ranks = (1 to BpeMerges).map { i =>
+      s"SELECT lang, l || r AS sym, CAST($i AS BIGINT) AS rank FROM b$i"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH $bpeCtes, fs AS MATERIALIZED (
+       |  SELECT lang, word, ${bpeSymsDuck("seq")} AS syms FROM s$BpeMerges
+       |), mi AS MATERIALIZED (
+       |  SELECT lang, sym, $BpeMergedIdBase + min(rank) AS id FROM (
+       |    $ranks
+       |  ) GROUP BY lang, sym
+       |), toks AS (
+       |  SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS pos,
+       |    lower(t[CAST(i AS INTEGER)]) AS word
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |    UNNEST(range(1, len(t) + 1)) AS u(i)
+       |  WHERE length(t[CAST(i AS INTEGER)]) >= 1
+       |), ws AS (
+       |  SELECT t.doc_id, t.lang, t.pos,
+       |    COALESCE(f.syms, [t.word]) AS syms
+       |  FROM toks t LEFT JOIN fs f ON t.lang = f.lang AND t.word = f.word
+       |), ids AS (
+       |  SELECT e.doc_id, e.lang, e.pos, e.off,
+       |    COALESCE(mi.id, CAST(unicode(e.sym) AS BIGINT)) AS id
+       |  FROM (
+       |    SELECT doc_id, lang, pos, CAST(j AS BIGINT) AS off,
+       |      syms[CAST(j + 1 AS INTEGER)] AS sym
+       |    FROM ws, UNNEST(range(0, len(syms))) AS t(j)
+       |  ) e LEFT JOIN mi ON e.lang = mi.lang AND e.sym = mi.sym
+       |), pw AS (
+       |  SELECT doc_id, pos, count(*) AS n_syms,
+       |    CAST(sum(CASE WHEN id >= $BpeMergedIdBase THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+       |    CAST(sum(id) AS BIGINT) AS word_sum,
+       |    CAST(sum((off + 1) * id) AS BIGINT) AS word_wsum
+       |  FROM ids GROUP BY doc_id, pos
+       |)
+       |SELECT doc_id, count(*) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_subwords,
+       |  CAST(sum(n_merged) AS BIGINT) AS n_merged,
+       |  CAST(sum(word_sum) AS BIGINT) AS id_sum,
+       |  CAST(sum((pos + 1) * word_wsum) AS BIGINT) AS id_wsum
+       |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q204_bpe_train" -> bpeOracle,
+    "q207_bpe_encode" -> bpeEncodeOracle,
     // gate 3's repetition signal replays q58's proven 3-gram slice shape;
     // gate 4's mean word length is the identical IEEE division both sides
     "q178_quality_funnel" ->

@@ -219,6 +219,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("q207 encode conserves symbols against q204's training state, per language") {
+    import spark.implicits._
+    val enc = PipelineQueries.q207BpeEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      assert(r.getAs[Long]("n_subwords") >= r.getAs[Long]("n_words"), s"row $r")
+      assert(r.getAs[Long]("n_merged") <= r.getAs[Long]("n_subwords"), s"row $r")
+    }
+    // merges are actually used somewhere in the corpus
+    assert(enc.map(_.getAs[Long]("n_merged")).sum > 0)
+    // conservation against the TRAINING artifact: corpus subword total ==
+    // Σ per-lang final-state symbol total (len≥2 words, freq-weighted,
+    // q204's last n_syms_after) + the single-char tokens training never
+    // saw. Ties the apply path and the train path to ONE ledger.
+    val merges = PipelineQueries.q204BpeTrain(spark, sf).collect()
+    val langs = merges.map(_.getString(0)).distinct.toSeq.sorted
+    val toks = Tables.documents(spark, sf)
+      .select($"lang", explode(split($"text", " ", -1)).as("w"))
+      .select($"lang", length($"w").as("len"))
+      .groupBy($"lang")
+      .agg(sum(when($"len" === 1, 1L).otherwise(0L)).as("one_char"),
+        sum(when($"len" >= 2, 1L).otherwise(0L)).as("multi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(toks.keySet == langs.toSet, "every lang must have trained merges here")
+    val lastState = merges.groupBy(_.getString(0)).view.mapValues(
+      _.maxBy(_.getAs[Long]("rank")).getAs[Long]("n_syms_after")).toMap
+    val expected = langs.map(l => lastState(l) + toks(l)._1).sum
+    assert(enc.map(_.getAs[Long]("n_subwords")).sum == expected,
+      s"subword conservation broken: got ${enc.map(_.getAs[Long]("n_subwords")).sum}, want $expected")
+  }
+
   test("BPE merge-apply is greedy leftmost non-overlapping in Spark's replace semantics") {
     import spark.implicits._
     val sep = PipelineQueries.BpeSep
