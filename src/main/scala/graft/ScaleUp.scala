@@ -29,7 +29,12 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
 
   val Blocks = 10
-  val Shift: Long = 1L << 40
+  // Clears every source id range (max ~10⁶ at sf0.1) and every probe/seed
+  // cap, while keeping shifted ids small enough that integer FINGERPRINT
+  // arithmetic downstream stays in Long range — a 2⁴⁰ stride overflowed
+  // q139's sum(pos·doc_id) under ANSI, an artifact organic sf1 ids
+  // (~10⁶) would never hit.
+  val Shift: Long = 1000000000L
 
   /** shifted BIGINT key columns per replicated table; every other column
     * passes through untouched (schemas stay byte-identical to the source)

