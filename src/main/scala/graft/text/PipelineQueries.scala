@@ -337,21 +337,31 @@ object PipelineQueries {
     * dedup window shuffles 32-byte fingerprints; the packing window sees
     * (split, lang, doc_id, two longs) rows only.
     */
-  def q194CorpusToIdSequences(s: SparkSession, dir: String): DataFrame = {
+  /** The quality gate + deterministic exact dedup shared by the capstones
+    * (q194 word-level ids, q208 subword ids; q100 keeps its inline copy
+    * with extra columns): ≥20 tokens, lang-ID agreement, min-doc_id
+    * survivor per text fingerprint. One 32-byte-fingerprint shuffle.
+    */
+  private def gatedUniq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.{fingerprint, langId}
     val surv = Tables.documents(s, dir)
       .filter(size(tokens($"text")) >= 20)
       .filter(langId($"text") === $"lang")
     val wDedup = Window.partitionBy($"fp").orderBy($"doc_id")
-    val uniq = surv.withColumn("fp", fingerprint($"text"))
+    surv.withColumn("fp", fingerprint($"text"))
       .withColumn("rn", row_number().over(wDedup)).filter($"rn" === 1)
       .select($"doc_id", $"lang", $"text")
-    val perDoc = encodedWordsOf(uniq, encoderVocab(s, dir))
-      .withColumn("word_sum", expr(
-        "aggregate(ids, cast(0 as bigint), (a, x) -> a + x)"))
-      .groupBy($"lang", $"doc_id")
-      .agg(sum(size($"ids")).as("n_ids"), sum($"word_sum").as("id_sum"))
+  }
+
+  /** The split + 512-id packing rollup shared by q194/q208: per-doc
+    * (lang, doc_id, n_ids, id_sum) rows → portable hash split →
+    * per-(split, lang) chunk accounting with exact id checksums.
+    */
+  private def packedRollup(perDocIds: DataFrame): DataFrame = {
+    val s = perDocIds.sparkSession
+    import s.implicits._
+    val perDoc = perDocIds
       .withColumn("split",
         when(hashBucket("split:", $"doc_id") < 80, "train")
           .when(hashBucket("split:", $"doc_id") < 90, "valid").otherwise("test"))
@@ -367,6 +377,40 @@ object PipelineQueries {
         sum($"n_ids").as("n_ids"),
         sum($"id_sum").as("id_checksum"))
       .orderBy($"split", $"lang")
+  }
+
+  def q194CorpusToIdSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = encodedWordsOf(gatedUniq(s, dir), encoderVocab(s, dir))
+      .withColumn("word_sum", expr(
+        "aggregate(ids, cast(0 as bigint), (a, x) -> a + x)"))
+      .groupBy($"lang", $"doc_id")
+      .agg(sum(size($"ids")).as("n_ids"), sum($"word_sum").as("id_sum"))
+    packedRollup(perDoc)
+  }
+
+  /** Capstone v3 — the corpus-to-trainable-artifact pipeline with the
+    * REAL subword tokenizer (VERDICT r11 #1's closing clause): q194's
+    * gate → dedup → split → 512-id packing composition, but the id
+    * stream comes from the q204-trained BPE merges replayed map-side
+    * (q207's [[bpeEncodedWords]]) instead of the word-level vocab. This
+    * is the full production shape end-to-end: clean → train tokenizer
+    * (once, corpus-level; cached like q148's ANN artifacts) → encode →
+    * split → pack, every stage individually oracle-verified elsewhere
+    * (q14/q17, q15/q91, q204, q207, q57, q190) and their composition
+    * adjudicated here. Scale: gates and the encode chain are map-side;
+    * the dedup window shuffles 32-byte fingerprints; the packing window
+    * sees (split, lang, doc_id, 2 longs) rows only — identical to q194,
+    * tokenizer swapped.
+    */
+  def q208CorpusToSubwordSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perDoc = bpeEncodedWords(gatedUniq(s, dir), trainedMerges(s, dir))
+      .withColumn("word_sum", expr(
+        "aggregate(ids, cast(0 as bigint), (a, x) -> a + x)"))
+      .groupBy($"lang", $"doc_id")
+      .agg(sum(size($"ids")).as("n_ids"), sum($"word_sum").as("id_sum"))
+    packedRollup(perDoc)
   }
 
   /** Capstone: the full corpus → training-sequences pipeline in one plan —
@@ -539,15 +583,31 @@ object PipelineQueries {
   private val bpeMergeCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[org.apache.spark.sql.Row]]()
 
-  def q207BpeEncode(s: SparkSession, dir: String): DataFrame = {
+  /** The trained merge table as a driver-side artifact, cached per
+    * (process, corpus) — shared by q207/q208.
+    */
+  private def trainedMerges(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] = {
     import s.implicits._
-    val sep = BpeSep
-    val mergeRows = bpeMergeCache.computeIfAbsent(dir, { _ =>
+    val rows = bpeMergeCache.computeIfAbsent(dir, { _ =>
       q204BpeTrain(s, dir)
         .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged").collect()
     })
-    require(mergeRows.length <= BpeMerges * 16,
-      s"q207: merge table exceeded its structural bound: ${mergeRows.length}")
+    require(rows.length <= BpeMerges * 16,
+      s"BPE merge table exceeded its structural bound: ${rows.length}")
+    rows
+  }
+
+  /** The subword-encode core shared by q207 (full corpus) and q208
+    * (cleaned survivors): every (doc, word-position) row of `docs` with
+    * its BPE id list — merges replayed in rank order as one map-side
+    * replace chain, ids per [[BpeMergedIdBase]]. Mirrors
+    * [[encodedWordsOf]]'s role for the word-level encoder.
+    */
+  private def bpeEncodedWords(docs: DataFrame,
+      mergeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sep = BpeSep
     val wrapped = regexp_replace(lower($"word"), "(.)", s"$sep$$1$sep")
     // per-language replace chain, rank order — the trained tokenizer
     val stateCol = mergeRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
@@ -566,7 +626,7 @@ object PipelineQueries {
         (s"$lang:$sym", BpeMergedIdBase + rs.map(_.getLong(1)).min)
       }.toSeq.sortBy(_._1)
     val idMap = map(idEntries.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val enc = Tables.documents(s, dir)
+    docs
       .select($"doc_id", $"lang", posexplode(tokens($"text")).as(Seq("pos", "word")))
       .filter(length($"word") >= 1)
       .withColumn("state", stateCol)
@@ -575,6 +635,12 @@ object PipelineQueries {
       .withColumn("ids", transform($"syms", y =>
         coalesce(element_at(idMap, concat($"lang", lit(":"), y)),
           ascii(y).cast("long"))))
+      .select($"doc_id", $"lang", $"pos", $"ids")
+  }
+
+  def q207BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enc = bpeEncodedWords(Tables.documents(s, dir), trainedMerges(s, dir))
       .select($"doc_id", $"pos",
         size($"ids").cast("long").as("n_syms"),
         size(filter($"ids", x => x >= BpeMergedIdBase)).cast("long").as("n_merged"),
@@ -951,6 +1017,7 @@ object PipelineQueries {
     "q204_bpe_train" -> (q204BpeTrain _),
     "q207_bpe_encode" -> (q207BpeEncode _),
     "q194_corpus_to_id_sequences" -> (q194CorpusToIdSequences _),
+    "q208_corpus_to_subword_sequences" -> (q208CorpusToSubwordSequences _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
     "q61_token_histogram" -> (q61TokenHistogram _),
     "q62_sequence_packing" -> (q62SequencePacking _),
@@ -1051,17 +1118,60 @@ object PipelineQueries {
     s"WITH $bpeCtes\n$unions\nORDER BY lang, rank"
   }
 
-  /** q207's replay: segmentation from the final TRAINING state (the
-    * other side of the round-trip theorem — the Spark query re-applies
-    * merges to raw text), ids from the per-round best-pair relations,
-    * ledger arithmetic identical to the Spark rollup.
+  /** The capstones' gate + exact-dedup replay (q100/q194/q208): ≥20
+    * tokens, lang-ID agreement, min-doc_id survivor per lowercased-text
+    * md5 — single-sourced so the three compositions can never drift on
+    * their shared front half.
     */
-  private def bpeEncodeOracle: String = {
-    val S = BpeSep
+  private def gateDedupCtes: String =
+    s"""surv AS (
+       |  SELECT * FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 20
+       |    AND (${TextQueries.langCase}) = lang
+       |), uniq AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
+       |                                 ORDER BY doc_id) AS rn
+       |    FROM surv
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+
+  /** The split + 512-id packing replay shared by the q194/q208 oracles:
+    * consumes a per-doc CTE `d(lang, doc_id, n_ids, id_sum)` and states
+    * the portable hash split + chunk rollup.
+    */
+  private def packedRollupSql: String =
+    s""", sp AS (
+       |  SELECT lang, doc_id, n_ids, id_sum,
+       |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
+       |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM d
+       |), cumd AS (
+       |  SELECT split, lang, doc_id, n_ids, id_sum,
+       |    sum(n_ids) OVER (PARTITION BY split, lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM sp
+       |)
+       |SELECT split, lang, count(*) AS n_docs,
+       |  count(DISTINCT (cum - n_ids) // 512) AS n_chunks,
+       |  CAST(sum(n_ids) AS BIGINT) AS n_ids,
+       |  CAST(sum(id_sum) AS BIGINT) AS id_checksum
+       |FROM cumd GROUP BY split, lang ORDER BY split, lang""".stripMargin
+
+  /** The subword-encode replay, parameterized by the encoded relation
+    * (q207 encodes `documents`, q208 the cleaned `uniq` survivors —
+    * merges ALWAYS train on the full corpus, the encodeCtes discipline):
+    * segmentation from the final TRAINING state (the other side of the
+    * round-trip theorem — the Spark side re-applies merges to raw
+    * text), ids from the per-round best-pair relations. Emits
+    * `fs, mi, toks, ws, ids`; `ids` carries (doc_id, lang, pos, off, id).
+    */
+  private def bpeEncodeCtes(encodeRel: String): String = {
     val ranks = (1 to BpeMerges).map { i =>
       s"SELECT lang, l || r AS sym, CAST($i AS BIGINT) AS rank FROM b$i"
     }.mkString("\n    UNION ALL ")
-    s"""WITH $bpeCtes, fs AS MATERIALIZED (
+    s"""fs AS MATERIALIZED (
        |  SELECT lang, word, ${bpeSymsDuck("seq")} AS syms FROM s$BpeMerges
        |), mi AS MATERIALIZED (
        |  SELECT lang, sym, $BpeMergedIdBase + min(rank) AS id FROM (
@@ -1070,7 +1180,7 @@ object PipelineQueries {
        |), toks AS (
        |  SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS pos,
        |    lower(t[CAST(i AS INTEGER)]) AS word
-       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM $encodeRel),
        |    UNNEST(range(1, len(t) + 1)) AS u(i)
        |  WHERE length(t[CAST(i AS INTEGER)]) >= 1
        |), ws AS (
@@ -1085,7 +1195,12 @@ object PipelineQueries {
        |      syms[CAST(j + 1 AS INTEGER)] AS sym
        |    FROM ws, UNNEST(range(0, len(syms))) AS t(j)
        |  ) e LEFT JOIN mi ON e.lang = mi.lang AND e.sym = mi.sym
-       |), pw AS (
+       |)""".stripMargin
+  }
+
+  /** q207's ledger over the full-corpus encode replay. */
+  private def bpeEncodeOracle: String = {
+    s"""WITH $bpeCtes, ${bpeEncodeCtes("documents")}, pw AS (
        |  SELECT doc_id, pos, count(*) AS n_syms,
        |    CAST(sum(CASE WHEN id >= $BpeMergedIdBase THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
        |    CAST(sum(id) AS BIGINT) AS word_sum,
@@ -1319,50 +1434,24 @@ object PipelineQueries {
     // window, composed end-to-end; the vocab trains on the FULL corpus
     // (c/v CTEs) while encoding applies to the cleaned survivors
     "q194_corpus_to_id_sequences" ->
-      s"""WITH surv AS (
-         |  SELECT * FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 20
-         |    AND (${TextQueries.langCase}) = lang
-         |), uniq AS (
-         |  SELECT doc_id, lang, text FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
-         |                                 ORDER BY doc_id) AS rn
-         |    FROM surv
-         |  ) WHERE rn = 1
-         |), ${encodeCtes("uniq")}, d AS (
+      s"""WITH $gateDedupCtes, ${encodeCtes("uniq")}, d AS (
          |  SELECT lang, doc_id,
          |    CAST(sum(len(ids)) AS BIGINT) AS n_ids,
          |    CAST(sum(coalesce(list_sum(ids), 0)) AS BIGINT) AS id_sum
          |  FROM e GROUP BY lang, doc_id
-         |), sp AS (
-         |  SELECT lang, doc_id, n_ids, id_sum,
-         |    CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 80 THEN 'train'
-         |         WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 90 THEN 'valid'
-         |         ELSE 'test' END AS split
-         |  FROM d
-         |), cumd AS (
-         |  SELECT split, lang, doc_id, n_ids, id_sum,
-         |    sum(n_ids) OVER (PARTITION BY split, lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM sp
-         |)
-         |SELECT split, lang, count(*) AS n_docs,
-         |  count(DISTINCT (cum - n_ids) // 512) AS n_chunks,
-         |  CAST(sum(n_ids) AS BIGINT) AS n_ids,
-         |  CAST(sum(id_sum) AS BIGINT) AS id_checksum
-         |FROM cumd GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+         |)$packedRollupSql""".stripMargin,
+    // q194's composition with the tokenizer swapped: BPE merges trained
+    // on the FULL corpus (bpeCtes), applied to the cleaned survivors
+    // (bpeEncodeCtes("uniq")), then the identical split + packing tail
+    "q208_corpus_to_subword_sequences" ->
+      s"""WITH $gateDedupCtes, $bpeCtes, ${bpeEncodeCtes("uniq")}, d AS (
+         |  SELECT lang, doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_ids,
+         |    CAST(sum(id) AS BIGINT) AS id_sum
+         |  FROM ids GROUP BY lang, doc_id
+         |)$packedRollupSql""".stripMargin,
     "q100_corpus_to_sequences" ->
-      s"""WITH surv AS (
-         |  SELECT * FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 20
-         |    AND (${TextQueries.langCase}) = lang
-         |), uniq AS (
-         |  SELECT * FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY md5(lower(text))
-         |                                 ORDER BY doc_id) AS rn
-         |    FROM surv
-         |  ) WHERE rn = 1
-         |), ch AS (
+      s"""WITH $gateDedupCtes, ch AS (
          |  SELECT lang,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
          |    CASE WHEN len(string_split(text, ' ')) <= 128 THEN 1

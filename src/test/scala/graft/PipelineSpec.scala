@@ -250,6 +250,27 @@ class PipelineSpec extends AnyFunSuite {
       s"subword conservation broken: got ${enc.map(_.getAs[Long]("n_subwords")).sum}, want $expected")
   }
 
+  test("q208 shares q194's gate/dedup/split exactly: per-(split,lang) doc counts match; only the id stream differs") {
+    val v194 = PipelineQueries.q194CorpusToIdSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_ids"))).toMap
+    val v208 = PipelineQueries.q208CorpusToSubwordSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_ids"))).toMap
+    // identical survivor sets and split assignment — the composition law:
+    // swapping the tokenizer must not move a single document
+    assert(v194.keySet == v208.keySet)
+    v194.foreach { case (k, (nDocs194, nIds194)) =>
+      val (nDocs208, nIds208) = v208(k)
+      assert(nDocs194 == nDocs208, s"$k: doc counts diverged")
+      // subword streams are strictly longer than word-level id streams
+      // here: the word encoder emits ≥1 id per word, BPE ≥1 per word too,
+      // but BPE splits every word not fully merged — with 10 merges no
+      // vocab word is a single symbol unless short, so ids grow
+      assert(nIds208 >= nIds194, s"$k: subword stream shorter than word stream")
+    }
+  }
+
   test("BPE merge-apply is greedy leftmost non-overlapping in Spark's replace semantics") {
     import spark.implicits._
     val sep = PipelineQueries.BpeSep
