@@ -170,6 +170,27 @@ object EtlQueries {
       .orderBy($"o_custkey")
   }
 
+  /** Metadata-only aggregation through the connector (DataSource V2
+    * `SupportsPushDownAggregates`, complete pushdown): the whole-table
+    * COUNT/MIN/MAX is answered from the directory's stats manifest at
+    * PLANNING time — no record file opens, no cluster job; the "scan"
+    * emits one precomputed row (parquet's metadata-only-query shape; at
+    * 100 TB this turns a fleet-wide count into one manifest read). The
+    * pushdown conditions are strict (no filters, no grouping, only the
+    * stats the footer actually states) and the oracle recomputes the
+    * same aggregates from the parquet ground truth, so a stale or wrong
+    * manifest is a loud hash mismatch. FwbSourceSpec pins the plan shape
+    * (no record reads, METADATA-ONLY scan description).
+    */
+  def q209MetadataAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = graft.sources.FwbFormat.writeFixture(s, dir)
+    s.read.format("graft-fwb").load(path)
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
+        count($"o_custkey").as("n_cust_vals"))
+  }
+
   /** Catalog-integrated SQL over the custom connector
     * ([[graft.sources.GraftCatalog]]): the GFWB table resolved BY NAME
     * through a registered `TableCatalog` plugin — no paths, no
@@ -855,6 +876,7 @@ object EtlQueries {
     "q202_custom_sink" -> (q202CustomSink _),
     "q203_catalog_sql" -> (q203CatalogSql _),
     "q205_bloom_skip_scan" -> (q205BloomSkipScan _),
+    "q209_metadata_agg" -> (q209MetadataAgg _),
   )
 
   // the merged lake state recomputed from the source — base rows minus the
@@ -1012,6 +1034,14 @@ object EtlQueries {
         | count(DISTINCT o_custkey) AS n_cust
         |FROM orders WHERE o_orderkey < 1000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q209_metadata_agg" ->
+      """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,
+        | max(o_orderkey) AS max_key, count(o_custkey) AS n_cust_vals
+        |FROM orders""".stripMargin,
+    "q209_metadata_agg" ->
+      """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,
+        | max(o_orderkey) AS max_key, count(o_custkey) AS n_cust_vals
+        |FROM orders""".stripMargin,
     "q205_bloom_skip_scan" ->
       """SELECT o_custkey, count(*) AS n,
         | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

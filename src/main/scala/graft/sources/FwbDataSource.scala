@@ -7,9 +7,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -62,9 +63,48 @@ private[sources] class FwbTable(path: String) extends Table
 }
 
 private[sources] class FwbScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
   private var required: StructType = FwbFormat.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case n: NamedReference if n.fieldNames.length == 1 => Some(n.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Metadata-only aggregates: COUNT(*)/COUNT(col) (every field is
+    * non-nullable, so both equal the footer row count) and MIN/MAX of
+    * the clustered key — exactly what every file's footer already
+    * states. Pushable only for the whole-table case (no residual
+    * filters, no grouping): a filtered count needs the records, and a
+    * wrong "optimization" here would be a WRONG ANSWER, so the
+    * conditions are strict and the oracle adjudicates the result.
+    */
+  private def statsAnswerable(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count => !c.isDistinct && colOf(c.column).isDefined
+        case m: Min => colOf(m.column).contains("o_orderkey")
+        case m: Max => colOf(m.column).contains("o_orderkey")
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    statsAnswerable(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!statsAnswerable(agg)) return false
+    pushedAgg = Some(agg)
+    true
+  }
 
   private def isKeyRange(f: Filter): Boolean = f match {
     case GreaterThan("o_orderkey", _: Long) => true
@@ -85,7 +125,65 @@ private[sources] class FwbScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new FwbScan(path, required, pushed)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new FwbAggScan(path, agg)
+    case None => new FwbScan(path, required, pushed)
+  }
+}
+
+/** A COMPLETELY pushed whole-table aggregate, answered from the stats the
+  * connector already maintains (manifest, else footers): the scan's
+  * "data" is ONE row computed at planning time — no record file ever
+  * opens, the parquet metadata-only-query shape. At 100 TB, `count(*)`
+  * over a year of files is a manifest read, not a cluster job.
+  */
+private[sources] class FwbAggScan(path: String, agg: Aggregation)
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  private lazy val stats: Seq[FwbFormat.FwbStats] = {
+    val manifest = FwbFormat.readManifest(path)
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".gfwb")).sortBy(_.getName).toSeq
+      .map(f => manifest.getOrElse(f.getName, FwbFormat.readFooter(f.getPath)))
+  }
+
+  private lazy val values: Array[Long] = agg.aggregateExpressions.map {
+    case _: CountStar => stats.map(_.n).sum
+    case _: Count => stats.map(_.n).sum // all fields non-nullable
+    case _: Min => stats.map(_.minKey).min // guarded non-empty below
+    case _: Max => stats.map(_.maxKey).max
+    case other => throw new IllegalStateException(s"unpushable agg leaked: $other")
+  }
+
+  override def readSchema(): StructType =
+    StructType(agg.aggregateExpressions.zipWithIndex.map { case (_, i) =>
+      StructField(s"agg_$i", LongType, nullable = false)
+    })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = {
+    require(stats.nonEmpty || agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]),
+      s"graft-fwb: MIN/MAX aggregate pushed over empty directory $path")
+    Array(FwbAggResultPartition(values))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = FwbAggReaderFactory
+  override def description(): String =
+    s"graft-fwb METADATA-ONLY agg=[${agg.aggregateExpressions.mkString(", ")}] files=${stats.size}"
+}
+
+private[sources] case class FwbAggResultPartition(values: Array[Long])
+    extends InputPartition
+
+private[sources] object FwbAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = partition.asInstanceOf[FwbAggResultPartition].values
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(vals.map(v => v: Any))
+      override def close(): Unit = ()
+    }
 }
 
 /** The pushed predicates reduced to their planning-time skip constants:

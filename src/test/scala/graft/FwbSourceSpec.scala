@@ -263,6 +263,40 @@ class FwbSourceSpec extends AnyFunSuite {
       "replayed stage must be cleaned up")
   }
 
+  test("aggregate pushdown: whole-table COUNT/MIN/MAX is metadata-only; filtered aggregates fall back") {
+    import spark.implicits._
+    sources.FwbFormat.writeFixture(spark, sf) // ensure fixture+manifest exist
+    val before = sources.FwbFormat.footerReads.get()
+    val df = fwb.agg(count(lit(1)).as("n"), min($"o_orderkey").as("mn"),
+      max($"o_orderkey").as("mx"), count($"o_custkey").as("nc"))
+    val descs = PlanWalk.allNodes(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    assert(descs.exists(_.contains("METADATA-ONLY")),
+      s"aggregate not pushed, descs: $descs")
+    val row = df.collect()(0)
+    // the whole plan+execution opened ZERO data files: stats came from
+    // the manifest, the "scan" emitted one precomputed row
+    assert(sources.FwbFormat.footerReads.get() == before,
+      "metadata-only aggregate read a data-file footer")
+    val want = Tables.orders(spark, sf)
+      .agg(count(lit(1)), min($"o_orderkey"), max($"o_orderkey")).collect()(0)
+    assert(row.getLong(0) == want.getLong(0) && row.getLong(3) == want.getLong(0))
+    assert(row.getLong(1) == want.getLong(1) && row.getLong(2) == want.getLong(2))
+    // a FILTERED aggregate needs the records — it must NOT claim the
+    // metadata answer (a pushed filtered count would be a wrong answer)
+    val filtered = fwb.filter($"o_orderkey" > 100L).agg(count(lit(1)))
+    val fdescs = PlanWalk.allNodes(filtered.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    assert(!fdescs.exists(_.contains("METADATA-ONLY")), s"filtered agg pushed: $fdescs")
+    val fwant = Tables.orders(spark, sf).filter($"o_orderkey" > 100L).count()
+    assert(filtered.collect()(0).getLong(0) == fwant)
+    // so must a grouped aggregate
+    val grouped = fwb.groupBy($"o_orderpriority").agg(count(lit(1)))
+    val gdescs = PlanWalk.allNodes(grouped.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    assert(!gdescs.exists(_.contains("METADATA-ONLY")), s"grouped agg pushed: $gdescs")
+  }
+
   test("column pruning reaches the reader: a 1-column aggregate reads 1 field") {
     import spark.implicits._
     val df = fwb.agg(sum($"o_cents").as("total"))
