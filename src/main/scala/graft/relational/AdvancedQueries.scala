@@ -1158,6 +1158,59 @@ object AdvancedQueries {
       pre
     })
 
+  /** The histogram-stats tier's table pair, built once per (process, sf
+    * dir): the SAME events relation copied twice, one analyzed with
+    * plain column stats (min/max/ndv), one with
+    * `spark.sql.statistics.histogram.enabled` (equi-height histogram on
+    * `value`). Two tables because the point IS the comparison: the
+    * histogram is the only difference CboSpec's estimate-accuracy law
+    * measures.
+    */
+  private val histBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def histPrefix(s: SparkSession, dir: String): String =
+    histBuilt.computeIfAbsent(dir, { _ =>
+      val pre = s"graft_hist_${graft.Scratch.tag(dir)}_p${ProcessHandle.current.pid}"
+      val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+      ev.write.mode("overwrite").saveAsTable(s"${pre}_plain")
+      ev.write.mode("overwrite").saveAsTable(s"${pre}_hist")
+      s.sql(s"ANALYZE TABLE ${pre}_plain COMPUTE STATISTICS FOR COLUMNS value")
+      val prior = s.conf.getOption("spark.sql.statistics.histogram.enabled")
+      s.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      try s.sql(s"ANALYZE TABLE ${pre}_hist COMPUTE STATISTICS FOR COLUMNS value")
+      finally prior match {
+        case Some(v) => s.conf.set("spark.sql.statistics.histogram.enabled", v)
+        case None => s.conf.unset("spark.sql.statistics.histogram.enabled")
+      }
+      pre
+    })
+
+  /** The selectivity probe both the registered query and CboSpec use:
+    * `value < 35` keeps ~half the rows of the right-skewed value column,
+    * while the uniform (min/max interpolation) assumption estimates
+    * ~10% — the ~5× error class equi-height histograms exist to fix.
+    */
+  private[graft] val HistProbeSql = "value < 35.0D"
+
+  /** Histogram statistics under the oracle gate (the CBO tier's second
+    * half next to q206's join reorder): ANALYZE with equi-height
+    * histograms, then a range-filtered rollup over the skewed column.
+    * The ANSWER is estimate-independent (that is the oracle's point);
+    * what the histogram changes is the OPTIMIZER'S CARDINALITY
+    * ESTIMATE, which CboSpec states as a law — the histogram-based
+    * filter estimate lands within 2× of the true count while the
+    * uniform-assumption estimate misses by >3× on this distribution. At
+    * 100 TB that estimate decides join strategies and AQE targets;
+    * histograms are how a skewed column stops lying to the planner.
+    */
+  def q210HistogramStats(s: SparkSession, dir: String): DataFrame = {
+    val pre = histPrefix(s, dir)
+    s.sql(
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM ${pre}_hist WHERE $HistProbeSql
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
   /** The deliberately WORST syntactic join order for the region chain —
     * fact first, the 1-row filtered dimension last. Without CBO the
     * optimizer keeps this order (largest intermediates throughout); with
@@ -1208,6 +1261,7 @@ object AdvancedQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q206_cbo_join_reorder" -> (q206CboJoinReorder _),
+    "q210_histogram_stats" -> (q210HistogramStats _),
     "q121_date_arithmetic" -> (q121DateArithmetic _),
     "q122_conditional_aggs" -> (q122ConditionalAggs _),
     "q123_number_extraction" -> (q123NumberExtraction _),
@@ -1255,6 +1309,11 @@ object AdvancedQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q210_histogram_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE value < 35.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // any join order must produce this — the oracle states the answer,
     // CboSpec states the plan
     "q206_cbo_join_reorder" ->

@@ -59,6 +59,41 @@ class CboSpec extends AnyFunSuite {
       s"fact still joined first under CBO: $withCbo")
   }
 
+  test("equi-height histograms fix the skewed-column selectivity estimate; uniform stats mislead") {
+    val pre = AdvancedQueries.histPrefix(spark, sf)
+    val flags = Seq("spark.sql.cbo.enabled")
+    val prior = flags.map(k => k -> spark.conf.getOption(k))
+    flags.foreach(spark.conf.set(_, "true"))
+    try {
+      def estimateOf(table: String): BigInt = {
+        val plan = spark.sql(
+          s"SELECT * FROM $table WHERE ${AdvancedQueries.HistProbeSql}")
+          .queryExecution.optimizedPlan
+        plan.stats.rowCount.getOrElse(fail(s"$table: no rowCount estimate under CBO"))
+      }
+      val actual = BigInt(spark.sql(
+        s"SELECT count(*) FROM ${pre}_hist WHERE ${AdvancedQueries.HistProbeSql}")
+        .collect()(0).getLong(0))
+      val estPlain = estimateOf(s"${pre}_plain")
+      val estHist = estimateOf(s"${pre}_hist")
+      def err(e: BigInt): Double =
+        math.abs(e.toDouble - actual.toDouble) / actual.toDouble
+      // the law: the histogram estimate is materially accurate (≤2×) on
+      // the skewed column; the uniform min/max interpolation misses it
+      // by the ~5× class of error histograms exist to fix
+      assert(err(estHist) < err(estPlain),
+        s"histogram did not improve the estimate: plain=$estPlain hist=$estHist actual=$actual")
+      assert(estHist.toDouble <= actual.toDouble * 2 &&
+        estHist.toDouble >= actual.toDouble / 2,
+        s"histogram estimate off >2x: $estHist vs $actual")
+      assert(err(estPlain) > 0.5,
+        s"uniform estimate unexpectedly accurate ($estPlain vs $actual) — the demo column lost its skew")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q206 executes under the reordered plan and leaves every CBO flag restored") {
     val flags = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
     val before = flags.map(spark.conf.getOption)
