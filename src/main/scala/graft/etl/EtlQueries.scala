@@ -191,6 +191,40 @@ object EtlQueries {
         count($"o_custkey").as("n_cust_vals"))
   }
 
+  /** Time travel through the connector (Delta-style `versionAsOf` built
+    * on the versioned stats manifests): every commit snapshots the file
+    * SET to an immutable `_manifest.v<N>.json`, and since committed data
+    * files are immutable and appends never remove them, reading version
+    * N plans exactly N's files — later appends invisible, no data
+    * copied, no log replay. The query builds a deterministic
+    * two-generation history (gen1 overwrite → v1, gen2 append → v2) and
+    * reports the v1 snapshot NEXT TO the current state; the oracle
+    * restates both from the parquet ground truth, so a version that
+    * leaks newer files (or drops older ones) is a hash mismatch.
+    * Reconstructability ends at a truncate, LOUDLY (spec-pinned).
+    */
+  def q211TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.Scratch.path(
+      s"fwb_tt_${graft.Scratch.tag(dir)}_pid${ProcessHandle.current.pid}")
+    graft.Scratch.buildOnce(out) {
+      val src = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey",
+          round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
+      src.filter($"o_orderkey" % 3 === 0)
+        .write.format("graft-fwb").mode("overwrite").save(out) // version 1
+      src.filter($"o_orderkey" % 3 === 1)
+        .write.format("graft-fwb").mode("append").save(out) // version 2
+    }
+    def rollup(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n"), sum($"o_cents").as("sum_cents"),
+        countDistinct($"o_custkey").as("n_cust"))
+        .select(lit(label).as("snapshot"), $"n", $"sum_cents", $"n_cust")
+    rollup(s.read.format("graft-fwb").option("versionAsOf", "1").load(out), "v1")
+      .unionByName(rollup(s.read.format("graft-fwb").load(out), "current"))
+      .orderBy($"snapshot")
+  }
+
   /** Catalog-integrated SQL over the custom connector
     * ([[graft.sources.GraftCatalog]]): the GFWB table resolved BY NAME
     * through a registered `TableCatalog` plugin — no paths, no
@@ -877,6 +911,7 @@ object EtlQueries {
     "q203_catalog_sql" -> (q203CatalogSql _),
     "q205_bloom_skip_scan" -> (q205BloomSkipScan _),
     "q209_metadata_agg" -> (q209MetadataAgg _),
+    "q211_time_travel" -> (q211TimeTravel _),
   )
 
   // the merged lake state recomputed from the source — base rows minus the
@@ -1034,10 +1069,34 @@ object EtlQueries {
         | count(DISTINCT o_custkey) AS n_cust
         |FROM orders WHERE o_orderkey < 1000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q211_time_travel" ->
+      """SELECT * FROM (
+        | SELECT 'v1' AS snapshot, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT o_custkey) AS n_cust
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT 'current', count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+        |  count(DISTINCT o_custkey)
+        | FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |) ORDER BY snapshot""".stripMargin,
     "q209_metadata_agg" ->
       """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,
         | max(o_orderkey) AS max_key, count(o_custkey) AS n_cust_vals
         |FROM orders""".stripMargin,
+    "q211_time_travel" ->
+      """SELECT * FROM (
+        | SELECT 'v1' AS snapshot, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT o_custkey) AS n_cust
+        | FROM orders WHERE o_orderkey % 3 = 0
+        | UNION ALL
+        | SELECT 'current', count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+        |  count(DISTINCT o_custkey)
+        | FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |) ORDER BY snapshot""".stripMargin,
     "q209_metadata_agg" ->
       """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,
         | max(o_orderkey) AS max_key, count(o_custkey) AS n_cust_vals

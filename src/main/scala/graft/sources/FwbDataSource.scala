@@ -55,14 +55,16 @@ private[sources] class FwbTable(path: String) extends Table
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FwbScanBuilder(path)
+    new FwbScanBuilder(path,
+      Option(options.get("versionAsOf")).map(_.trim.toInt))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new FwbWriteBuilder(path, info)
 }
 
-private[sources] class FwbScanBuilder(path: String) extends ScanBuilder
+private[sources] class FwbScanBuilder(path: String, versionAsOf: Option[Int])
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -126,8 +128,8 @@ private[sources] class FwbScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => new FwbAggScan(path, agg)
-    case None => new FwbScan(path, required, pushed)
+    case Some(agg) => new FwbAggScan(path, agg, versionAsOf)
+    case None => new FwbScan(path, required, pushed, versionAsOf)
   }
 }
 
@@ -137,15 +139,30 @@ private[sources] class FwbScanBuilder(path: String) extends ScanBuilder
   * opens, the parquet metadata-only-query shape. At 100 TB, `count(*)`
   * over a year of files is a manifest read, not a cluster job.
   */
-private[sources] class FwbAggScan(path: String, agg: Aggregation)
-    extends Scan with Batch {
+private[sources] class FwbAggScan(path: String, agg: Aggregation,
+    versionAsOf: Option[Int]) extends Scan with Batch {
   import org.apache.spark.sql.connector.expressions.aggregate._
 
-  private lazy val stats: Seq[FwbFormat.FwbStats] = {
-    val manifest = FwbFormat.readManifest(path)
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".gfwb")).sortBy(_.getName).toSeq
-      .map(f => manifest.getOrElse(f.getName, FwbFormat.readFooter(f.getPath)))
+  private lazy val stats: Seq[FwbFormat.FwbStats] = versionAsOf match {
+    // time travel: the SNAPSHOT is the table state — stats come from the
+    // versioned manifest alone, listing not consulted. Data-file
+    // existence is still verified: a version whose files a truncate
+    // removed must fail LOUDLY even for a stats-answerable aggregate —
+    // an answer about a no-longer-reconstructable version is the kind of
+    // "technically cached" result that erodes trust in the whole tier.
+    case Some(v) =>
+      val snap = FwbFormat.readManifestVersion(path, v)
+      snap.keys.toSeq.sorted.foreach { n =>
+        require(new File(path, n).exists(),
+          s"graft-fwb: versionAsOf $v references $path/$n, which no longer " +
+            "exists (a truncate ended this version's reconstructability)")
+      }
+      snap.toSeq.sortBy(_._1).map(_._2)
+    case None =>
+      val manifest = FwbFormat.readManifest(path)
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".gfwb")).sortBy(_.getName).toSeq
+        .map(f => manifest.getOrElse(f.getName, FwbFormat.readFooter(f.getPath)))
   }
 
   private lazy val values: Array[Long] = agg.aggregateExpressions.map {
@@ -227,20 +244,38 @@ private[sources] object FwbSkipBounds {
 }
 
 private[sources] class FwbScan(path: String, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], versionAsOf: Option[Int] = None)
+    extends Scan with Batch {
 
   private val bounds = FwbSkipBounds(pushed)
 
-  private lazy val allFiles: Seq[String] =
-    Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".gfwb")).map(_.getPath).sorted.toSeq
+  // Time travel (`versionAsOf`): the versioned manifest's file SET *is*
+  // the table state at that commit — the listing is not consulted, so
+  // later appends are invisible; a missing data file (a truncate ended
+  // reconstructability) fails loudly in the reader, never silently
+  // serves the newer generation.
+  private lazy val allFiles: Seq[String] = versionAsOf match {
+    case Some(v) =>
+      val snap = FwbFormat.readManifestVersion(path, v).keys.toSeq.sorted
+      snap.map(n => s"$path/$n").map { f =>
+        require(new File(f).exists(),
+          s"graft-fwb: versionAsOf $v references $f, which no longer exists " +
+            "(a truncate ended this version's reconstructability)")
+        f
+      }
+    case None =>
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".gfwb")).map(_.getPath).sorted.toSeq
+  }
 
   // The directory manifest caches every committed file's footer stats —
   // planning is one small JSON read, NOT an O(files) footer loop
   // (VERDICT r11's one scale advisory). Unmanifested files (concurrent
   // appender between manifest generations) fall back to a footer read.
-  private lazy val manifest: Map[String, FwbFormat.FwbStats] =
-    FwbFormat.readManifest(path)
+  private lazy val manifest: Map[String, FwbFormat.FwbStats] = versionAsOf match {
+    case Some(v) => FwbFormat.readManifestVersion(path, v)
+    case None => FwbFormat.readManifest(path)
+  }
   private def statsOf(f: String): FwbFormat.FwbStats =
     manifest.getOrElse(new File(f).getName, FwbFormat.readFooter(f))
 

@@ -194,8 +194,32 @@ object FwbFormat {
     * torn file. The writer holds every stat already (task commit
     * messages / the fixture builder's own writes) — building the
     * manifest reads ZERO data files.
+    *
+    * Every commit ALSO snapshots the map to an immutable
+    * `_manifest.v<N>.json` (N = 1 + the highest existing version): the
+    * snapshot's file SET defines that version's table state, and since
+    * committed data files are immutable and appends never remove them,
+    * `versionAsOf` reads reconstruct any past version exactly — Delta-
+    * style time travel from nothing but the stats the connector already
+    * maintains. A `truncate` deletes data files and therefore ends the
+    * reconstructability of older versions; a time-travel read across it
+    * fails LOUDLY on the missing files, never silently re-reads the new
+    * generation.
     */
+  private[graft] def manifestVersions(dir: String): Seq[Int] =
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val m = "_manifest\\.v(\\d+)\\.json".r
+        f.getName match { case m(v) => Some(v.toInt); case _ => None }
+      }.sorted.toSeq
+
   private[graft] def writeManifest(dir: String, stats: Map[String, FwbStats]): Unit = {
+    val next = manifestVersions(dir).lastOption.getOrElse(0) + 1
+    writeManifestFile(new File(dir, s"_manifest.v$next.json"), stats)
+    writeManifestFile(new File(dir, ManifestName), stats)
+  }
+
+  private def writeManifestFile(fin: File, stats: Map[String, FwbStats]): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val b64 = java.util.Base64.getEncoder
@@ -206,9 +230,9 @@ object FwbFormat {
           ("bloom" -> b64.encodeToString(st.custBloom)): org.json4s.JValue)
       }.toList
     val json = JsonMethods.compact(JsonMethods.render(org.json4s.JObject(entries)))
-    val tmp = new File(dir, s".$ManifestName.tmp${ProcessHandle.current.pid}")
+    val tmp = new File(fin.getParent,
+      s".${fin.getName}.tmp${ProcessHandle.current.pid}")
     java.nio.file.Files.writeString(tmp.toPath, json)
-    val fin = new File(dir, ManifestName)
     java.nio.file.Files.move(tmp.toPath, fin.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -217,8 +241,18 @@ object FwbFormat {
   /** The manifest as a name-keyed stats cache; empty when absent (the
     * planner then falls back to per-file footer reads).
     */
-  private[graft] def readManifest(dir: String): Map[String, FwbStats] = {
-    val f = new File(dir, ManifestName)
+  private[graft] def readManifest(dir: String): Map[String, FwbStats] =
+    readManifestFile(new File(dir, ManifestName))
+
+  /** A version snapshot; fails loudly on an unknown version. */
+  private[graft] def readManifestVersion(dir: String, v: Int): Map[String, FwbStats] = {
+    val f = new File(dir, s"_manifest.v$v.json")
+    require(f.exists(),
+      s"graft-fwb: versionAsOf $v not found in $dir (have ${manifestVersions(dir).mkString(",")})")
+    readManifestFile(f)
+  }
+
+  private def readManifestFile(f: File): Map[String, FwbStats] = {
     if (!f.exists()) return Map.empty
     import org.json4s._
     import org.json4s.jackson.JsonMethods

@@ -297,6 +297,36 @@ class FwbSourceSpec extends AnyFunSuite {
     assert(!gdescs.exists(_.contains("METADATA-ONLY")), s"grouped agg pushed: $gdescs")
   }
 
+  test("time travel: versionAsOf reconstructs each commit exactly; reconstructability ends loudly at truncate") {
+    import spark.implicits._
+    val out = Scratch.path(s"fwb_tt_spec_${System.nanoTime()}")
+    val src = Tables.orders(spark, sf).select(
+      $"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
+    val gen1 = src.filter($"o_orderkey" % 3 === 0)
+    val gen2 = src.filter($"o_orderkey" % 3 === 1)
+    gen1.write.format("graft-fwb").mode("overwrite").save(out) // v1
+    gen2.write.format("graft-fwb").mode("append").save(out) // v2
+    assert(sources.FwbFormat.manifestVersions(out) == Seq(1, 2))
+    def at(v: Int) = spark.read.format("graft-fwb")
+      .option("versionAsOf", v.toString).load(out)
+    // v1 is EXACTLY generation 1 — the later append is invisible
+    assert(at(1).count() == gen1.count())
+    assert(at(1).except(gen1).isEmpty && gen1.except(at(1)).isEmpty)
+    // v2 == the current state
+    val cur = spark.read.format("graft-fwb").load(out)
+    assert(at(2).count() == cur.count() && at(2).except(cur).isEmpty)
+    // skipping and metadata-only aggregation respect the snapshot
+    val aggV1 = at(1).agg(count(lit(1))).collect()(0).getLong(0)
+    assert(aggV1 == gen1.count(), "pushed aggregate leaked across versions")
+    // unknown version fails loudly
+    intercept[Exception] { at(99).count() }
+    // a truncate ends reconstructability of older versions — LOUDLY
+    gen2.write.format("graft-fwb").mode("overwrite").save(out) // v3, deletes v1/v2 files
+    intercept[Exception] { at(1).count() }
+    assert(spark.read.format("graft-fwb").load(out).count() == gen2.count())
+  }
+
   test("column pruning reaches the reader: a 1-column aggregate reads 1 field") {
     import spark.implicits._
     val df = fwb.agg(sum($"o_cents").as("total"))
