@@ -504,10 +504,18 @@ object PipelineQueries {
     * round (the Lloyd-loop idiom). Nothing in the loop grows with corpus
     * size, only with vocabulary size.
     */
-  def q204BpeTrain(s: SparkSession, dir: String): DataFrame = {
+  def q204BpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainOn(Tables.documents(s, dir))
+
+  /** The training loop itself, over any (lang, text) relation — q204
+    * trains on the full corpus, q212's drift audit additionally on the
+    * doc_id-even half.
+    */
+  private def bpeTrainOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val sep = BpeSep
-    val words = Tables.documents(s, dir)
+    val words = docs
       .select($"lang", explode(tokens($"text")).as("w0"))
       .select($"lang", lower($"w0").as("word"))
       .filter(length($"word") >= 2)
@@ -586,14 +594,22 @@ object PipelineQueries {
   /** The trained merge table as a driver-side artifact, cached per
     * (process, corpus) — shared by q207/q208.
     */
-  private def trainedMerges(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] = {
+  private def trainedMerges(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
+    trainedMergesOn(s, dir, "full", Tables.documents(s, dir))
+
+  /** Variant-keyed trained-merge artifacts (the q212 drift audit trains a
+    * second tokenizer on the half corpus). Bounded: <= BpeMerges rows per
+    * language per variant.
+    */
+  private def trainedMergesOn(s: SparkSession, dir: String, variant: String,
+      docs: => DataFrame): Array[org.apache.spark.sql.Row] = {
     import s.implicits._
-    val rows = bpeMergeCache.computeIfAbsent(dir, { _ =>
-      q204BpeTrain(s, dir)
+    val rows = bpeMergeCache.computeIfAbsent(s"$dir|$variant", { _ =>
+      bpeTrainOn(docs)
         .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged").collect()
     })
     require(rows.length <= BpeMerges * 16,
-      s"BPE merge table exceeded its structural bound: ${rows.length}")
+      s"BPE merge table ($variant) exceeded its structural bound: ${rows.length}")
     rows
   }
 
@@ -654,6 +670,34 @@ object PipelineQueries {
         sum($"word_sum").as("id_sum"),
         sum(($"pos".cast("long") + 1L) * $"word_wsum").as("id_wsum"))
       .orderBy($"doc_id")
+  }
+
+  /** Tokenizer DRIFT audit — the stability question every growing corpus
+    * forces: if the tokenizer had been trained on half the data, which
+    * merges change? Trains a second merge table on the doc_id-even half
+    * (both trainings are cached corpus-level artifacts, the q148
+    * discipline) and aligns the two BY RANK per language: early ranks
+    * agreeing and a late first-divergence rank mean re-training on
+    * corpus growth is cosmetic; early divergence means retokenization
+    * risk. The alignment itself is a driver-side zip of two ≤
+    * [[BpeMerges]]·langs artifacts; the oracle replays BOTH trainings
+    * unrolled (the prefixed twin of the q204 chain) and restates the
+    * rank join, so the audit's every cell is cross-engine exact.
+    */
+  def q212TokenizerDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val full = trainedMerges(s, dir)
+    val half = trainedMergesOn(s, dir, "half",
+      Tables.documents(s, dir).filter($"doc_id" % 2 === 0))
+    def byRank(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1)) -> r.getString(4)).toMap
+    val (fm, hm) = (byRank(full), byRank(half))
+    (fm.keySet ++ hm.keySet).toSeq.sorted.map { case (lang, rank) =>
+      val f = fm.getOrElse((lang, rank), "")
+      val h = hm.getOrElse((lang, rank), "")
+      (lang, rank, f, h, if (f == h) 1L else 0L)
+    }.toDF("lang", "rank", "full_merged", "half_merged", "agree")
+      .orderBy($"lang", $"rank")
   }
 
   /** Padding-waste report: if each document were batched alone at a
@@ -1016,6 +1060,7 @@ object PipelineQueries {
     "q190_pack_ids" -> (q190PackIds _),
     "q204_bpe_train" -> (q204BpeTrain _),
     "q207_bpe_encode" -> (q207BpeEncode _),
+    "q212_tokenizer_drift" -> (q212TokenizerDrift _),
     "q194_corpus_to_id_sequences" -> (q194CorpusToIdSequences _),
     "q208_corpus_to_subword_sequences" -> (q208CorpusToSubwordSequences _),
     "q59_stratified_sample" -> (q59StratifiedSample _),
@@ -1072,42 +1117,52 @@ object PipelineQueries {
     * table). `word` rides through every state so the last round still
     * maps each distinct word to its segmentation.
     */
-  private def bpeCtes: String = {
+  private def bpeCtesFor(P: String, docsRel: String): String = {
     val S = BpeSep
     val init =
-      s"""wd AS MATERIALIZED (
+      s"""${P}wd AS MATERIALIZED (
          |  SELECT lang, word, count(*) AS freq FROM (
-         |    SELECT lang, lower(unnest(string_split(text, ' '))) AS word FROM documents
+         |    SELECT lang, lower(unnest(string_split(text, ' '))) AS word FROM $docsRel
          |  ) WHERE length(word) >= 2 GROUP BY lang, word
-         |), s0 AS MATERIALIZED (
-         |  SELECT lang, word, freq, regexp_replace(word, '(.)', '$S\\1$S', 'g') AS seq FROM wd
+         |), ${P}s0 AS MATERIALIZED (
+         |  SELECT lang, word, freq, regexp_replace(word, '(.)', '$S\\1$S', 'g') AS seq FROM ${P}wd
          |)""".stripMargin
     val rounds = (1 to BpeMerges).map { i =>
-      s""", p$i AS MATERIALIZED (
+      s""", ${P}p$i AS MATERIALIZED (
          |  SELECT lang, l, r, CAST(sum(freq) AS BIGINT) AS n FROM (
          |    SELECT q.lang, q.freq,
          |      q.a[CAST(j AS INTEGER)] AS l, q.a[CAST(j + 1 AS INTEGER)] AS r
-         |    FROM (SELECT lang, freq, ${bpeSymsDuck("seq")} AS a FROM s${i - 1}) q,
+         |    FROM (SELECT lang, freq, ${bpeSymsDuck("seq")} AS a FROM ${P}s${i - 1}) q,
          |      UNNEST(range(1, len(q.a))) AS t(j)
          |  ) GROUP BY lang, l, r
-         |), b$i AS MATERIALIZED (
+         |), ${P}b$i AS MATERIALIZED (
          |  SELECT lang, l, r, n FROM (
          |    SELECT lang, l, r, n,
          |      row_number() OVER (PARTITION BY lang ORDER BY n DESC, l, r) AS rn
-         |    FROM p$i) WHERE rn = 1
-         |), s$i AS MATERIALIZED (
+         |    FROM ${P}p$i) WHERE rn = 1
+         |), ${P}s$i AS MATERIALIZED (
          |  SELECT s.lang, s.word, s.freq,
          |    CASE WHEN b.l IS NULL THEN s.seq
          |         ELSE replace(s.seq, '$S' || b.l || '$S$S' || b.r || '$S',
          |                      '$S' || b.l || b.r || '$S') END AS seq
-         |  FROM s${i - 1} s LEFT JOIN b$i b ON s.lang = b.lang
-         |), t$i AS MATERIALIZED (
+         |  FROM ${P}s${i - 1} s LEFT JOIN ${P}b$i b ON s.lang = b.lang
+         |), ${P}t$i AS MATERIALIZED (
          |  SELECT lang, CAST(sum(freq * len(${bpeSymsDuck("seq")})) AS BIGINT) AS n_syms_after
-         |  FROM s$i GROUP BY lang
+         |  FROM ${P}s$i GROUP BY lang
          |)""".stripMargin
     }.mkString
     init + rounds
   }
+
+  private def bpeCtes: String = bpeCtesFor("", "documents")
+
+  /** rank-labeled union of one training chain's best-pair relations */
+  private def bpeRankUnion(bPrefix: String): String =
+    (1 to BpeMerges).map(i =>
+      s"SELECT lang, l || r AS merged, CAST($i AS BIGINT) AS rank FROM $bPrefix$i")
+      .mkString("\n  UNION ALL ")
+  private def RanksFull: String = bpeRankUnion("b")
+  private def RanksHalf: String = bpeRankUnion("hb")
 
   private def bpeOracle: String = {
     val unions = (1 to BpeMerges).map { i =>
@@ -1217,6 +1272,24 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "q204_bpe_train" -> bpeOracle,
+    // both trainings replayed unrolled (the prefixed twin of the q204
+    // chain), then the rank alignment restated as a FULL join
+    "q212_tokenizer_drift" ->
+      s"""WITH halfdocs AS MATERIALIZED (
+         |  SELECT * FROM documents WHERE doc_id % 2 = 0
+         |), $bpeCtes, ${bpeCtesFor("h", "halfdocs")}, fm AS (
+         |  $RanksFull
+         |), hm AS (
+         |  $RanksHalf
+         |)
+         |SELECT coalesce(fm.lang, hm.lang) AS lang,
+         |  coalesce(fm.rank, hm.rank) AS rank,
+         |  coalesce(fm.merged, '') AS full_merged,
+         |  coalesce(hm.merged, '') AS half_merged,
+         |  CAST(CASE WHEN coalesce(fm.merged, '') = coalesce(hm.merged, '')
+         |    THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM fm FULL JOIN hm ON fm.lang = hm.lang AND fm.rank = hm.rank
+         |ORDER BY lang, rank""".stripMargin,
     "q207_bpe_encode" -> bpeEncodeOracle,
     // gate 3's repetition signal replays q58's proven 3-gram slice shape;
     // gate 4's mean word length is the identical IEEE division both sides

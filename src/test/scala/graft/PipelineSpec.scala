@@ -271,6 +271,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q212 drift audit aligns with q204: full-corpus column is exactly the trained merges; agree is their equality") {
+    val drift = PipelineQueries.q212TokenizerDrift(spark, sf).collect()
+    assert(drift.nonEmpty)
+    val trained = PipelineQueries.q204BpeTrain(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank")) -> r.getAs[String]("merged")).toMap
+    drift.foreach { r =>
+      val key = (r.getString(0), r.getAs[Long]("rank"))
+      val full = r.getAs[String]("full_merged")
+      val half = r.getAs[String]("half_merged")
+      val agree = r.getAs[Long]("agree")
+      // the audit's full column IS the q204 artifact (empty only when the
+      // full training stopped before this rank)
+      assert(trained.get(key).getOrElse("") == full, s"$key: $full != trained")
+      assert(agree == (if (full == half) 1L else 0L), s"$key: agree mislabeled")
+    }
+    // deterministic: the audit is a pure function of the corpus
+    val again = PipelineQueries.q212TokenizerDrift(spark, sf).collect()
+    assert(drift.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("BPE merge-apply is greedy leftmost non-overlapping in Spark's replace semantics") {
     import spark.implicits._
     val sep = PipelineQueries.BpeSep
