@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   * VERDICT r11 (next #6) asks for: VecStress/TextStress already stress
   * two pillars at 10×; this covers all of them at once.
   *
-  * Key shifts use one constant stride (block i adds `i · 2⁴⁰` to every
-  * BIGINT key column), so cross-table references stay aligned by
-  * construction. `region`/`nation` stay single-copy (the TPC-H scaling
+  * Key shifts use one constant stride (block i adds `i · Shift` = i·10⁹
+  * to every BIGINT key column — see [[ScaleUp.Shift]]'s sizing note), so
+  * cross-table references stay aligned by construction. `region`/`nation` stay single-copy (the TPC-H scaling
   * rule: fixed-size dimensions), and nationkey references remain valid
   * because customers/suppliers keep their original nationkeys. Content
   * columns (text, embeddings, timestamps, prices) are NOT perturbed:

@@ -208,6 +208,13 @@ object EtlQueries {
     val out = graft.Scratch.path(
       s"fwb_tt_${graft.Scratch.tag(dir)}_pid${ProcessHandle.current.pid}")
     graft.Scratch.buildOnce(out) {
+      // Wipe any partial previous attempt FIRST: a crashed build leaves no
+      // marker but may have committed manifests, and version numbers only
+      // line up with the hard-coded `versionAsOf 1` below when the history
+      // starts empty — without this, a transient failure would make every
+      // rerun fail on a no-longer-reconstructable v1 (review r12).
+      Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .foreach(_.delete())
       val src = Tables.orders(s, dir)
         .select($"o_orderkey", $"o_custkey",
           round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
@@ -1069,22 +1076,6 @@ object EtlQueries {
         | count(DISTINCT o_custkey) AS n_cust
         |FROM orders WHERE o_orderkey < 1000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q211_time_travel" ->
-      """SELECT * FROM (
-        | SELECT 'v1' AS snapshot, count(*) AS n,
-        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
-        |  count(DISTINCT o_custkey) AS n_cust
-        | FROM orders WHERE o_orderkey % 3 = 0
-        | UNION ALL
-        | SELECT 'current', count(*),
-        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
-        |  count(DISTINCT o_custkey)
-        | FROM orders WHERE o_orderkey % 3 IN (0, 1)
-        |) ORDER BY snapshot""".stripMargin,
-    "q209_metadata_agg" ->
-      """SELECT count(*) AS n_orders, min(o_orderkey) AS min_key,
-        | max(o_orderkey) AS max_key, count(o_custkey) AS n_cust_vals
-        |FROM orders""".stripMargin,
     "q211_time_travel" ->
       """SELECT * FROM (
         | SELECT 'v1' AS snapshot, count(*) AS n,

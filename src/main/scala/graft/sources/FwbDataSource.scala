@@ -179,7 +179,11 @@ private[sources] class FwbAggScan(path: String, agg: Aggregation,
     })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    require(stats.nonEmpty || agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]),
+    // counts over an empty directory are a correct 0; only MIN/MAX have
+    // no defined stats-only answer there (review r12: the earlier guard
+    // wrongly rejected plain Count(col) too)
+    require(stats.nonEmpty || !agg.aggregateExpressions.exists(e =>
+      e.isInstanceOf[Min] || e.isInstanceOf[Max]),
       s"graft-fwb: MIN/MAX aggregate pushed over empty directory $path")
     Array(FwbAggResultPartition(values))
   }
@@ -296,8 +300,14 @@ private[sources] class FwbScan(path: String, required: StructType,
     s"graft-fwb files=${keptFiles.size}/${allFiles.size} pushedKeyRange=$kb pushedCustKeys=$cb"
   }
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // time travel is a batch concept; silently streaming the live
+    // directory under a versionAsOf option would be the silent-wrong-
+    // snapshot this tier promises never to serve (review r12)
+    require(versionAsOf.isEmpty,
+      "graft-fwb: versionAsOf is not supported on the streaming read path")
     new FwbMicroBatchStream(path, required, bounds)
+  }
 }
 
 /** Streaming read over a GROWING GFWB directory — the connector's third

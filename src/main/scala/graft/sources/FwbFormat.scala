@@ -103,12 +103,18 @@ object FwbFormat {
           // moment they exist, so a retried/speculative attempt can never
           // truncate a file a concurrent reader — or the streaming
           // reader's append-only listing — already trusts (ADVICE r11).
-          val staged = new File(s"$out/.part-$pid.attempt-${tc.taskAttemptId()}.gfwb")
+          // .tmp suffix: every reader listing filters endsWith(".gfwb"),
+          // so a half-written stage is structurally invisible (review r12
+          // — the earlier .gfwb-suffixed stage name leaked into listings)
+          val staged = new File(s"$out/.part-$pid.attempt-${tc.taskAttemptId()}.gfwb.tmp")
           writeFile(staged.getPath, it, d, codes) match {
             case Some(st) =>
               val fin = new File(s"$out/part-$pid.gfwb")
-              if (!staged.renameTo(fin) && !fin.exists())
-                throw new java.io.IOException(s"rename failed: $staged -> $fin")
+              if (!staged.renameTo(fin)) {
+                staged.delete() // lost the race: drop this attempt's bytes
+                if (!fin.exists())
+                  throw new java.io.IOException(s"rename failed: $staged -> $fin")
+              }
               Iterator.single(fin.getName -> st)
             case None => Iterator.empty
           }
@@ -214,12 +220,32 @@ object FwbFormat {
       }.sorted.toSeq
 
   private[graft] def writeManifest(dir: String, stats: Map[String, FwbStats]): Unit = {
-    val next = manifestVersions(dir).lastOption.getOrElse(0) + 1
-    writeManifestFile(new File(dir, s"_manifest.v$next.json"), stats)
-    writeManifestFile(new File(dir, ManifestName), stats)
+    // Version allocation is ATOMIC: snapshots are created with no
+    // REPLACE_EXISTING, so when two commits race to the same number the
+    // loser gets FileAlreadyExists and retries with the next one — no
+    // committed snapshot is ever clobbered (review r12). Snapshots carry
+    // n/min/max/dict but DROP the bloom bytes: they exist for
+    // point-in-time reconstruction, and keeping ~32 KB of bloom per file
+    // per version made cumulative manifest bytes O(files²) across
+    // appends/epochs; a versioned read with a custkey probe degrades to
+    // keep-all (empty bloom = "maybe"), never to a wrong answer.
+    val snapshot = stats.map { case (k, st) => k -> st.copy(custBloom = Array.empty) }
+    var v = manifestVersions(dir).lastOption.getOrElse(0) + 1
+    var placed = false
+    while (!placed) {
+      try {
+        writeManifestFile(new File(dir, s"_manifest.v$v.json"), snapshot,
+          replace = false)
+        placed = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => v += 1
+      }
+    }
+    writeManifestFile(new File(dir, ManifestName), stats, replace = true)
   }
 
-  private def writeManifestFile(fin: File, stats: Map[String, FwbStats]): Unit = {
+  private def writeManifestFile(fin: File, stats: Map[String, FwbStats],
+      replace: Boolean): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val b64 = java.util.Base64.getEncoder
@@ -230,12 +256,21 @@ object FwbFormat {
           ("bloom" -> b64.encodeToString(st.custBloom)): org.json4s.JValue)
       }.toList
     val json = JsonMethods.compact(JsonMethods.render(org.json4s.JObject(entries)))
+    // attempt-unique tmp (pid + thread + nanos): same-process concurrent
+    // commits must never share a staging file (review r12)
     val tmp = new File(fin.getParent,
-      s".${fin.getName}.tmp${ProcessHandle.current.pid}")
+      s".${fin.getName}.tmp${ProcessHandle.current.pid}" +
+        s"-${Thread.currentThread().getId}-${System.nanoTime()}")
     java.nio.file.Files.writeString(tmp.toPath, json)
-    java.nio.file.Files.move(tmp.toPath, fin.toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      if (replace)
+        java.nio.file.Files.move(tmp.toPath, fin.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else
+        java.nio.file.Files.move(tmp.toPath, fin.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch { case e: Throwable => tmp.delete(); throw e }
   }
 
   /** The manifest as a name-keyed stats cache; empty when absent (the
@@ -310,6 +345,9 @@ private[graft] object FwbBloom {
   }
 
   def mightContain(bits: Array[Byte], key: Long): Boolean = {
+    // bloom-stripped stats (version snapshots) carry an empty filter:
+    // "maybe present" — skipping degrades, correctness doesn't
+    if (bits.length == 0) return true
     val h = mix(key)
     val h1 = (h >>> 32).toInt
     val h2 = h.toInt | 1

@@ -557,10 +557,17 @@ object PipelineQueries {
     merges.result().reduce(_ unionByName _).orderBy($"lang", $"rank")
   }
 
-  /** Subword id space: single-character symbols encode as their Unicode
-    * codepoint; merge-created symbols as [[BpeMergedIdBase]] + merge
-    * rank (min rank when two merge paths ever produce the same string —
-    * merged symbols are ≥2 chars, so the two ranges can never collide).
+  /** Subword id space: single-character symbols encode as their
+    * character value (Spark `ascii` ↔ DuckDB `unicode` — the pair agrees
+    * EXACTLY on the single-byte ASCII alphabet this corpus generator
+    * emits, the same assumption the q188 word-encoder's char fallback
+    * already rests on; a multi-byte corpus would need a codepoint kernel
+    * on the Spark side first); merge-created symbols as
+    * [[BpeMergedIdBase]] + merge rank. Merged symbols are ≥2 chars and
+    * ASCII codepoints are < 128 < [[BpeMergedIdBase]], so within the
+    * stated alphabet the two ranges cannot collide (review r12: the
+    * earlier wording claimed this for all of Unicode, which is false —
+    * codepoints ≥ 256 would alias merged ids).
     */
   private[graft] val BpeMergedIdBase = 256L
 

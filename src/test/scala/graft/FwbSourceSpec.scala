@@ -321,6 +321,12 @@ class FwbSourceSpec extends AnyFunSuite {
     assert(aggV1 == gen1.count(), "pushed aggregate leaked across versions")
     // unknown version fails loudly
     intercept[Exception] { at(99).count() }
+    // streaming refuses time travel rather than silently ignoring it
+    intercept[Exception] {
+      spark.readStream.format("graft-fwb").option("versionAsOf", "1").load(out)
+        .writeStream.format("memory").queryName(s"tt_${System.nanoTime()}")
+        .outputMode("append").start().processAllAvailable()
+    }
     // a truncate ends reconstructability of older versions — LOUDLY
     gen2.write.format("graft-fwb").mode("overwrite").save(out) // v3, deletes v1/v2 files
     intercept[Exception] { at(1).count() }
