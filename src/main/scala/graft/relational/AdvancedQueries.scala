@@ -682,6 +682,9 @@ object AdvancedQueries {
     // (VERDICT r11 hygiene)
     val priorScripting = s.conf.getOption("spark.sql.scripting.enabled")
     s.conf.set("spark.sql.scripting.enabled", "true")
+    // the whole setup sits inside the try: an exception in the view /
+    // cache statements must not leak the scripting flag (ADVICE r12)
+    try {
     Tables.orders(s, dir).createOrReplaceTempView("graft_v_orders")
     // (cents → n_orders) histogram, cached across the loop's probes; the
     // uncache drops a stale entry when the sf dir changes mid-session
@@ -691,7 +694,7 @@ object AdvancedQueries {
         |SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, count(*) AS n
         |FROM graft_v_orders GROUP BY c""".stripMargin)
     s.catalog.cacheTable("graft_v_cents")
-    try s.sql(
+    s.sql(
       s"""BEGIN
          |  DECLARE lo BIGINT DEFAULT 0;
          |  DECLARE hi BIGINT DEFAULT ${1L << BisectionSteps};
@@ -723,7 +726,7 @@ object AdvancedQueries {
          |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > hi
          |  GROUP BY o_orderpriority ORDER BY o_orderpriority;
          |END""".stripMargin)
-    finally priorScripting match {
+    } finally priorScripting match {
       case Some(v) => s.conf.set("spark.sql.scripting.enabled", v)
       case None => s.conf.unset("spark.sql.scripting.enabled")
     }

@@ -56,11 +56,24 @@ private[sources] class FwbTable(path: String) extends Table
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FwbScanBuilder(path,
-      Option(options.get("versionAsOf")).map(_.trim.toInt))
+      Option(options.get("versionAsOf")).map { v =>
+        // a bare NumberFormatException names neither the option nor the
+        // connector (ADVICE r12) — fail with context instead
+        try v.trim.toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft-fwb: versionAsOf must be an integer manifest version, got '$v'")
+        }
+      })
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // time travel is a read concept; silently ignoring it on a write
+    // would let `.option("versionAsOf", …).save(dir)` look versioned
+    // while appending to the live generation (ADVICE r12)
+    require(!info.options().containsKey("versionAsOf"),
+      "graft-fwb: versionAsOf is not supported on the write path")
     new FwbWriteBuilder(path, info)
+  }
 }
 
 private[sources] class FwbScanBuilder(path: String, versionAsOf: Option[Int])
@@ -88,14 +101,31 @@ private[sources] class FwbScanBuilder(path: String, versionAsOf: Option[Int])
     * wrong "optimization" here would be a WRONG ANSWER, so the
     * conditions are strict and the oracle adjudicates the result.
     */
+  /** Whether the scanned table state has any committed files. MIN/MAX
+    * over an empty table has no stats-only answer (SQL says one NULL
+    * row); declining the pushdown there routes the query through the
+    * normal scan, which aggregates zero rows to NULL like any other
+    * source (ADVICE r12: the earlier planInputPartitions require was a
+    * behavioral regression vs the un-pushed path). Counts stay pushed:
+    * 0 is the correct metadata answer. Manifest-read failures don't
+    * decide here — the scan raises them loudly either way.
+    */
+  private lazy val hasCommittedFiles: Boolean = versionAsOf match {
+    case Some(v) =>
+      scala.util.Try(FwbFormat.readManifestVersion(path, v).nonEmpty).getOrElse(true)
+    case None =>
+      Option(new File(path).listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.endsWith(".gfwb"))
+  }
+
   private def statsAnswerable(agg: Aggregation): Boolean =
     pushed.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case c: Count => !c.isDistinct && colOf(c.column).isDefined
-        case m: Min => colOf(m.column).contains("o_orderkey")
-        case m: Max => colOf(m.column).contains("o_orderkey")
+        case m: Min => colOf(m.column).contains("o_orderkey") && hasCommittedFiles
+        case m: Max => colOf(m.column).contains("o_orderkey") && hasCommittedFiles
         case _ => false
       }
 
@@ -174,14 +204,17 @@ private[sources] class FwbAggScan(path: String, agg: Aggregation,
   }
 
   override def readSchema(): StructType =
-    StructType(agg.aggregateExpressions.zipWithIndex.map { case (_, i) =>
-      StructField(s"agg_$i", LongType, nullable = false)
+    // MIN/MAX are nullable in SQL (NULL over zero rows) even though the
+    // builder only pushes them when files exist — honest schema either way
+    StructType(agg.aggregateExpressions.zipWithIndex.map { case (e, i) =>
+      StructField(s"agg_$i", LongType,
+        nullable = e.isInstanceOf[Min] || e.isInstanceOf[Max])
     })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    // counts over an empty directory are a correct 0; only MIN/MAX have
-    // no defined stats-only answer there (review r12: the earlier guard
-    // wrongly rejected plain Count(col) too)
+    // counts over an empty directory are a correct 0; MIN/MAX over an
+    // empty table never reaches here (the builder declines the pushdown
+    // — ADVICE r12), so a hit means a concurrent truncate raced planning
     require(stats.nonEmpty || !agg.aggregateExpressions.exists(e =>
       e.isInstanceOf[Min] || e.isInstanceOf[Max]),
       s"graft-fwb: MIN/MAX aggregate pushed over empty directory $path")

@@ -131,8 +131,15 @@ private[graft] class FwbStreamingWrite(path: String)
       val base = f.getName.stripPrefix(".").stripSuffix(".tmp")
       val finName = "part-" + base.substring(0, base.lastIndexOf('-')) + ".gfwb"
       val fin = new File(f.getParent, finName)
-      if (fin.exists()) { f.delete(); None } // replayed epoch: drop the copy
-      else {
+      if (fin.exists()) {
+        // replayed epoch: drop the staged copy, but STILL merge the stats
+        // into the manifest — if the prior attempt crashed between its
+        // rename and its manifest write, the file would otherwise plan
+        // from footer reads forever (ADVICE r12: self-healing manifest;
+        // the content is replay-deterministic, so the stats are identical)
+        f.delete()
+        Some(fin.getName -> st)
+      } else {
         require(f.renameTo(fin), s"epoch commit rename failed: $f -> $fin")
         Some(fin.getName -> st)
       }

@@ -333,6 +333,38 @@ class FwbSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-fwb").load(out).count() == gen2.count())
   }
 
+  test("empty table: MIN/MAX answers NULL via the normal scan, counts stay metadata-only; option hygiene") {
+    import spark.implicits._
+    val out = Scratch.path(s"fwb_empty_spec_${System.nanoTime()}")
+    new java.io.File(out).mkdirs()
+    val empty = spark.read.format("graft-fwb").load(out)
+    // ADVICE r12: min/max over an empty dir used to throw at PLANNING;
+    // SQL semantics is one NULL row, same as the un-pushed path
+    val row = empty.agg(min($"o_orderkey").as("mn"), max($"o_orderkey").as("mx"),
+      count(lit(1)).as("n")).collect()(0)
+    assert(row.isNullAt(0) && row.isNullAt(1) && row.getLong(2) == 0L)
+    // COUNT alone keeps the metadata-only fast path (0 is the stats answer)
+    val cdf = empty.agg(count(lit(1)).as("n"))
+    val cdescs = PlanWalk.allNodes(cdf.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b.scan.description() }
+    assert(cdescs.exists(_.contains("METADATA-ONLY")), s"count not pushed: $cdescs")
+    assert(cdf.collect()(0).getLong(0) == 0L)
+    // versionAsOf is a read concept: the write path refuses it loudly
+    val src = Tables.orders(spark, sf).limit(5).select(
+      $"o_orderkey", $"o_custkey",
+      round($"o_totalprice" * 100).cast("long").as("o_cents"), $"o_orderpriority")
+    val wex = intercept[Exception] {
+      src.write.format("graft-fwb").option("versionAsOf", "1").mode("append").save(out)
+    }
+    assert(wex.getMessage.contains("versionAsOf"), s"uncontextual: ${wex.getMessage}")
+    // malformed versionAsOf names the connector and the option
+    val rex = intercept[Exception] {
+      spark.read.format("graft-fwb").option("versionAsOf", "latest").load(out).count()
+    }
+    assert(rex.getMessage != null && rex.getMessage.contains("graft-fwb"),
+      s"bare parse error leaked: $rex")
+  }
+
   test("column pruning reaches the reader: a 1-column aggregate reads 1 field") {
     import spark.implicits._
     val df = fwb.agg(sum($"o_cents").as("total"))
