@@ -601,7 +601,7 @@ object PipelineQueries {
   /** The trained merge table as a driver-side artifact, cached per
     * (process, corpus) — shared by q207/q208.
     */
-  private def trainedMerges(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
+  private[graft] def trainedMerges(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
     trainedMergesOn(s, dir, "full", Tables.documents(s, dir))
 
   /** Variant-keyed trained-merge artifacts (the q212 drift audit trains a
@@ -630,11 +630,39 @@ object PipelineQueries {
 
   /** The subword-encode core shared by q207 (full corpus) and q208
     * (cleaned survivors): every (doc, word-position) row of `docs` with
-    * its BPE id list — merges replayed in rank order as one map-side
-    * replace chain, ids per [[BpeMergedIdBase]]. Mirrors
-    * [[encodedWordsOf]]'s role for the word-level encoder.
+    * its BPE id list — ONE map-side projection through the native
+    * [[graft.expressions.BpeEncode]] kernel (VERDICT r12 top item: the
+    * merge table is a codegen REFERENCE object, so plan size and
+    * generated-code size are independent of merge count — a 30k-merge
+    * production table costs the same projection as BpeMerges=10). Ids
+    * per [[BpeMergedIdBase]]. Mirrors [[encodedWordsOf]]'s role for the
+    * word-level encoder.
     */
-  private def bpeEncodedWords(docs: DataFrame,
+  private[graft] def bpeEncodedWords(docs: DataFrame,
+      mergeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val table = graft.expressions.BpeMergeTable(
+      mergeRows.toSeq.map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3), r.getString(4))),
+      BpeMergedIdBase)
+    docs
+      .select($"doc_id", $"lang", posexplode(tokens($"text")).as(Seq("pos", "word")))
+      .filter(length($"word") >= 1)
+      .select($"doc_id", $"lang", $"pos",
+        graft.expressions.NativeKernels.bpeEncode($"lang", lower($"word"), table).as("ids"))
+  }
+
+  /** The replace-chain twin of [[bpeEncodedWords]] — the original
+    * engine-portable recipe (merges applied in rank order as
+    * boundary-safe delimited replaces), kept as the kernel's
+    * cross-validation reference at small merge counts (PipelineSpec
+    * pins chain ≡ kernel row-for-row). Not registered: its expression
+    * tree grows O(merges) deep, the exact ceiling the kernel removes.
+    * Fallback ids use `ascii` (first byte), the chain's documented
+    * ASCII-alphabet assumption; the kernel uses true codepoints.
+    */
+  private[graft] def bpeEncodedWordsChain(docs: DataFrame,
       mergeRows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -266,6 +266,131 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(viaSql.head.getSeq[Double](0).forall(v => v == 1.0 || v == -1.0))
   }
 
+  // ---- BpeEncode: the native tokenizer-apply kernel (round 13) ----
+
+  /** Sequential reference: apply merges strictly in rank order, each as a
+    * leftmost-non-overlapping sweep — the replace-chain/oracle recipe,
+    * restated over symbol arrays. The kernel's greedy min-rank loop must
+    * reproduce this on every rank-consistent table.
+    */
+  private def seqApply(word: String, merges: Seq[(String, String, String)]): Vector[String] = {
+    var syms = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val cc = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + cc); i += cc
+      }
+      b.result()
+    }
+    merges.foreach { case (l, r, m) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { out += m; i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  private def withCodegenOnly[T](body: => T): T = {
+    val prior = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try body finally prior match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("bpeEncode survives a 2000-merge table under CODEGEN_ONLY (plan size independent of merges)") {
+    import spark.implicits._
+    import graft.expressions.BpeMergeTable
+    // a 2000-deep merge chain: a+b→ab, ab+b→abb, … — the merge count that
+    // silently breaks an expression-tree encoder (Janino 64 KB / analyzer
+    // depth). The kernel's table is a reference object, so CODEGEN_ONLY
+    // (fallback-to-interpreted = hard error) proves the projection still
+    // fully codegens at production merge counts.
+    val n = 2000
+    val chain = (1 to n).map { i =>
+      val left = "a" + "b" * (i - 1)
+      ("xx", i.toLong, left, "b", left + "b")
+    }
+    val table = BpeMergeTable(chain, 1 << 21)
+    val words = Seq("a" + "b" * n, "a" + "b" * 700, "b" * 5, "a", "ba",
+      "a" + "b" * 3 + "a" + "b" * 2)
+    val got = withCodegenOnly {
+      words.toDF("word").select(bpeEncode(lit("xx"), $"word", table).as("ids"))
+        .collect().map(_.getSeq[Long](0).toList)
+    }
+    val mergesSeq = chain.map(t => (t._3, t._4, t._5))
+    val want = words.map { w =>
+      seqApply(w, mergesSeq).map { s =>
+        if (s.codePointCount(0, s.length) == 1) s.codePointAt(0).toLong
+        else (1L << 21) + chain.find(_._5 == s).get._2
+      }.toList
+    }
+    assert(got.toSeq == want,
+      s"kernel disagrees with sequential rank-order apply: $got vs $want")
+    // the deepest word collapsed to ONE merged symbol with the top-rank id
+    assert(got.head == List((1L << 21) + n))
+  }
+
+  test("bpeEncode ≡ sequential rank-order apply on random consistent tables (the equivalence law)") {
+    import spark.implicits._
+    import graft.expressions.BpeMergeTable
+    // random CONSISTENT tables (each merge's sides already exist — the
+    // invariant every trained table has by construction) + random words:
+    // the property behind swapping q207's replace chain for the greedy
+    // min-rank kernel loop. Fixed seed → reproducible.
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Vector("a", "b", "c")
+    (1 to 20).foreach { trial =>
+      var created = alphabet
+      val merges = (1 to 30).map { rank =>
+        val l = created(rnd.nextInt(created.size))
+        val r = created(rnd.nextInt(created.size))
+        created :+= (l + r)
+        ("xx", rank.toLong, l, r, l + r)
+      }
+      val table = BpeMergeTable(merges, 1 << 21)
+      val words = (1 to 40).map(_ =>
+        (1 to (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(3))).mkString)
+      val got = words.toDF("word")
+        .select($"word", bpeEncode(lit("xx"), $"word", table).as("ids"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val mergesSeq = merges.map(t => (t._3, t._4, t._5))
+      words.foreach { w =>
+        val want = seqApply(w, mergesSeq).map { s =>
+          if (s.codePointCount(0, s.length) == 1) s.codePointAt(0).toLong
+          else (1L << 21) + merges.filter(_._5 == s).map(_._2).min
+        }.toList
+        assert(got(w) == want, s"trial $trial word '$w': ${got(w)} vs $want")
+      }
+    }
+  }
+
+  test("bpeEncode ids are true codepoints: multibyte and supplementary symbols never alias") {
+    import spark.implicits._
+    import graft.expressions.BpeMergeTable
+    // é = U+00E9 (2 UTF-8 bytes), 𝄞 = U+1D11E (surrogate pair in UTF-16):
+    // the kernel must emit the CODEPOINT (DuckDB unicode()), not a first
+    // byte or a lone surrogate — the aliasing the ascii() fallback had.
+    val table = BpeMergeTable(Seq(("fr", 1L, "é", "é", "éé")), 0x110000L)
+    val got = Seq("héé", "𝄞é", "café")
+      .toDF("word").select($"word", bpeEncode(lit("fr"), $"word", table).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(got("héé") == List('h'.toLong, 0x110000L + 1))
+    assert(got("𝄞é") == List(0x1D11EL, 0xE9L))
+    assert(got("café") == List('c'.toLong, 'a'.toLong, 'f'.toLong, 0xE9L))
+    // untrained language: pure codepoint stream, no merges
+    val un = Seq("héé").toDF("word")
+      .select(bpeEncode(lit("zz"), $"word", table).as("ids"))
+      .collect()(0).getSeq[Long](0).toList
+    assert(un == List('h'.toLong, 0xE9L, 0xE9L))
+  }
+
   test("q78 chunk rows equal an independent per-doc recomputation (count, lengths, md5)") {
     import spark.implicits._
     // exercise the REGISTERED query end-to-end (the previous version of

@@ -310,4 +310,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("abab") == List("a", "b", "a", "b"))
     assert(out("aab") == List("aa", "b"))
   }
+
+  test("BpeEncode kernel ≡ replace-chain twin row-for-row on the trained table") {
+    import spark.implicits._
+    // the registered q207/q208 path runs the native kernel; the original
+    // O(merges)-deep replace chain stays as the cross-validation twin.
+    // Equality here is the empirical pin of the sequential-equivalence
+    // argument (greedy min-rank ≡ apply-in-rank-order on consistent
+    // tables) over every real corpus word.
+    val docs = Tables.documents(spark, sf)
+    val merges = PipelineQueries.trainedMerges(spark, sf)
+    val kern = PipelineQueries.bpeEncodedWords(docs, merges)
+      .select($"doc_id", $"pos", $"ids")
+    val chain = PipelineQueries.bpeEncodedWordsChain(docs, merges)
+      .select($"doc_id", $"pos", $"ids")
+    assert(kern.count() == chain.count())
+    assert(kern.except(chain).isEmpty && chain.except(kern).isEmpty,
+      "kernel and replace-chain disagree on some (doc, word) segmentation")
+  }
 }
