@@ -391,6 +391,33 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(un == List('h'.toLong, 0xE9L, 0xE9L))
   }
 
+  test("bpeEncode round-trips multi-byte words: decode(ids) == word for every id stream") {
+    import spark.implicits._
+    import graft.expressions.BpeMergeTable
+    // the lossless-ness law production tokenizers rely on, over a mixed
+    // Latin/accents/CJK/supplementary fixture: with the id base above the
+    // Unicode code space (0x110000), every id is unambiguously either a
+    // codepoint or a merge rank, so decoding is a total function.
+    val base = 0x110000L
+    val merges = Seq(
+      ("xx", 1L, "é", "e", "ée"), ("xx", 2L, "ée", "s", "ées"),
+      ("xx", 3L, "日", "本", "日本"), ("xx", 4L, "𝄞", "𝄞", "𝄞𝄞"))
+    val table = BpeMergeTable(merges, base)
+    val decode: Map[Long, String] =
+      merges.map(m => (base + m._2) -> m._5).toMap
+    val words = Seq("armées", "ée", "日本語", "𝄞𝄞𝄞", "naïve", "héé", "mixé𝄞日本")
+    val got = words.toDF("word")
+      .select($"word", bpeEncode(lit("xx"), $"word", table).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList)
+    got.foreach { case (w, ids) =>
+      val back = ids.map(id =>
+        decode.getOrElse(id, new String(Character.toChars(id.toInt)))).mkString
+      assert(back == w, s"round-trip broke: '$w' -> $ids -> '$back'")
+    }
+    // and the fixture really exercised merges, not just codepoints
+    assert(got.exists(_._2.exists(_ >= base)))
+  }
+
   test("q78 chunk rows equal an independent per-doc recomputation (count, lengths, md5)") {
     import spark.implicits._
     // exercise the REGISTERED query end-to-end (the previous version of
