@@ -603,9 +603,29 @@ object PipelineQueries {
   private[graft] def trainedMerges(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
     trainedMergesOn(s, dir, "full", Tables.documents(s, dir))
 
+  /** Lake root for the persisted tokenizer artifacts — scoped by corpus
+    * dir, TRAINING VERSION (the merge budget: a config change is a new
+    * tokenizer, never a silent overwrite of the old one — the versioning
+    * half of the q148 discipline), and process id (concurrent JVMs never
+    * contend, the single-writer contract Scratch.buildOnce documents).
+    */
+  private[graft] def tokenizerRoot(dir: String): String =
+    graft.Scratch.path(
+      s"bpetok_${graft.Scratch.tag(dir)}_m${BpeMerges}_p${ProcessHandle.current().pid()}")
+
   /** Variant-keyed trained-merge artifacts (the q212 drift audit trains a
     * second tokenizer on the half corpus). Bounded: <= BpeMerges rows per
     * language per variant.
+    *
+    * The merge table is a LAKE ARTIFACT, not process state (VERDICT r12
+    * #3 — the q148 train-once/serve-many discipline): training writes
+    * `<root>/<variant>/merges` parquet once per (corpus, version,
+    * process); every serve READS THE ARTIFACT BACK, so q207/q208 encode
+    * with exactly what a new session would load from the lake — parquet
+    * round-trip fidelity of the merge table is itself under the oracle
+    * gate, and a production cluster shares the tokenizer by path, not by
+    * retraining. The process map is now a read-through cache of the
+    * artifact (staleness-safe: artifacts are write-once per version).
     */
   private def trainedMergesOn(s: SparkSession, dir: String, variant: String,
       docs: => DataFrame): Array[org.apache.spark.sql.Row] = {
@@ -617,10 +637,16 @@ object PipelineQueries {
     // duplicate training; both produce identical rows, first-put wins.
     val key = s"$dir|$variant"
     val rows = Option(bpeMergeCache.get(key)).getOrElse {
-      val trained = bpeTrainOn(docs)
-        .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged").collect()
-      val prior = bpeMergeCache.putIfAbsent(key, trained)
-      if (prior != null) prior else trained
+      val vroot = s"${tokenizerRoot(dir)}/$variant"
+      graft.Scratch.buildOnce(vroot, "_trained") {
+        bpeTrainOn(docs)
+          .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged")
+          .coalesce(1).write.mode("overwrite").parquet(s"$vroot/merges")
+      }
+      val served = s.read.parquet(s"$vroot/merges")
+        .orderBy($"lang", $"rank").collect()
+      val prior = bpeMergeCache.putIfAbsent(key, served)
+      if (prior != null) prior else served
     }
     require(rows.length <= BpeMerges * 16,
       s"BPE merge table ($variant) exceeded its structural bound: ${rows.length}")
