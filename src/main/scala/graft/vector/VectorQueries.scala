@@ -235,6 +235,109 @@ object VectorQueries {
       .orderBy($"vec_id")
   }
 
+  // ---- q213: graph ANN (HNSW-class) — bounded-degree neighbor graph +
+  // ---- relational beam search ------------------------------------------
+
+  /** Out-degree of the built neighbor graph (before symmetrization — the
+    * NSW reverse-edge union makes effective degree ≤ 2·this). */
+  private[graft] val GraphDegree = 6
+  /** Beam width: live frontier size per probe per round (HNSW's ef). */
+  private[graft] val BeamWidth = 8
+  /** Fixed expansion rounds — the unrolled twin of HNSW's until-
+    * convergence loop, bounded so both engines replay identical work. */
+  private[graft] val BeamRounds = 4
+
+  /** Graph-based ANN, the HNSW/NSW family (Malkov & Yashunin '18) restated
+    * relationally — the index family the quantization menu (q19/q134/
+    * q35/q138/q193) was missing (VERDICT r12 #5). Two halves:
+    *
+    * BUILD (the index): a bounded-degree neighbor TABLE — per vector, its
+    * top-[[GraphDegree]] cosine neighbors among the multi-table LSH band
+    * candidates (q134's candidate machinery: band equi-joins, never
+    * all-pairs), then symmetrized (the NSW reverse-edge union) so greedy
+    * routing can both enter and leave a cluster. The edge relation is
+    * (src, dst) — 2·D longs per vector no matter the corpus; production
+    * persists it like the q148 artifacts and rebuilds incrementally.
+    *
+    * SERVE: greedy BEAM SEARCH per probe, the graph-traversal loop that
+    * dominates production ANN serving, as [[BeamRounds]] unrolled
+    * relational steps: frontier = top-[[BeamWidth]] of everything scored
+    * so far (window, (sim DESC, vec_id) tie-break); expand = frontier ⋈
+    * edges; score only NEVER-SEEN candidates (anti-join — the visited
+    * set every graph searcher maintains); union into the scored set.
+    * Entry point is the min vec_id (a 1-row broadcast aggregate), the
+    * deterministic stand-in for HNSW's top-layer descent. The final
+    * answer is q18's shape: top-5 scored neighbors per probe.
+    *
+    * Scale shape: each round's frontier is ≤ probes·[[BeamWidth]] rows
+    * joining the edge table on src (a sparse key lookup against a
+    * pre-partitioned index in production) and fetching ≤ 2·D·B
+    * embeddings per probe by hash join — per-probe work is
+    * O(L·B·D) regardless of corpus size, the whole point of graph
+    * serving. The oracle replays build + every round + the final ranking
+    * verbatim; VectorLawsSpec adds the recall law vs exact q18.
+    */
+  def q213GraphAnnBeam(s: SparkSession, dir: String): DataFrame =
+    graphBeamSearch(s, dir, BeamRounds)
+
+  /** The q213 machinery with the round count exposed — VectorLawsSpec
+    * states the depth law (more rounds ⇒ recall never degrades) by
+    * running rounds=1 against rounds=[[BeamRounds]].
+    */
+  private[graft] def graphBeamSearch(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    // ---- build: top-D among band candidates, symmetrized
+    val banded = Tables.embeddings(s, dir)
+      .select($"vec_id", posexplode(
+        array((0 until LshTables).map(t => lshBucketT($"embedding", t)): _*)))
+      .select($"vec_id", $"pos".as("tbl"), $"col".as("bucket"))
+    val candPairs = banded.as("a").join(banded.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"))
+      .distinct()
+    val ea = e.select($"vec_id".as("src"), $"embedding".as("s_emb"), $"nrm".as("s_nrm"))
+    val eb = e.select($"vec_id".as("dst"), $"embedding".as("d_emb"), $"nrm".as("d_nrm"))
+    val wDeg = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
+    val knn = candPairs.join(ea, "src").join(eb, "dst")
+      .select($"src", $"dst",
+        cosine($"s_emb", $"d_emb", $"s_nrm", $"d_nrm").as("sim"))
+      .withColumn("rn", row_number().over(wDeg)).filter($"rn" <= GraphDegree)
+      .select($"src", $"dst")
+    // localCheckpoint: the edge table is the INDEX — built once, then
+    // joined every round (without it each round would re-run the band
+    // join; the q204 loop idiom). Bounded: ≤ 2·D rows per vector.
+    val edges = knn.union(knn.select($"dst".as("src"), $"src".as("dst")))
+      .distinct().localCheckpoint()
+    // ---- serve: beam search from the deterministic entry point
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(e, "vec_id")
+        .join(broadcast(probes), "probe_id")
+        .select($"probe_id", $"vec_id",
+          cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
+    val entry = e.agg(min($"vec_id").as("vec_id")) // 1-row broadcast agg
+    var seen = score(probes.select($"probe_id").crossJoin(entry))
+      .localCheckpoint()
+    val wBeam = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    for (_ <- 1 to rounds) {
+      val frontier = seen
+        .withColumn("rn", row_number().over(wBeam)).filter($"rn" <= BeamWidth)
+        .select($"probe_id", $"vec_id")
+      val fresh = frontier.join(edges, $"vec_id" === $"src")
+        .select($"probe_id", $"dst".as("vec_id")).distinct()
+        .join(seen.select($"probe_id", $"vec_id"), Seq("probe_id", "vec_id"), "left_anti")
+      seen = seen.unionByName(score(fresh)).localCheckpoint()
+    }
+    seen.filter($"vec_id" =!= $"probe_id")
+      .withColumn("rank", row_number().over(wBeam)).filter($"rank" <= 5)
+      .select($"probe_id", $"rank".cast("long").as("rank"),
+        $"vec_id", round($"sim", 4).as("sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** ANN quality audit: recall@5 and candidate cost of the multi-table LSH
     * index (q134's L=4 bands) against the exact top-5 (q18's machinery),
     * per probe — the recall/cost measurement every production ANN
@@ -1130,6 +1233,7 @@ object VectorQueries {
     "q151_incremental_ann" -> (q151IncrementalAnnAudit _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q181_ann_recall" -> (q181AnnRecall _),
+    "q213_graph_ann_beam" -> (q213GraphAnnBeam _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q189_semantic_dedup" -> (q189SemanticDedup _),
     "q193_sq8_search" -> (q193Sq8Search _),
@@ -1559,6 +1663,66 @@ object VectorQueries {
          |)
          |SELECT vec_id, nn_id, round(sim, 4) AS sim
          |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    },
+    // graph build (band candidates → top-D → symmetrize) and every beam
+    // round replayed verbatim: frontier window, edge expand, NOT-EXISTS
+    // visited filter, union — the kmeans-replay discipline applied to a
+    // graph traversal. MATERIALIZED per round: each seen_i feeds three
+    // consumers (next frontier, next visited filter, next union).
+    "q213_graph_ann_beam" -> {
+      val bands = (0 until LshTables).map(t =>
+        s"SELECT vec_id, $t AS tbl, CAST(${bucketSqlT(t)} AS BIGINT) AS bucket FROM embeddings")
+        .mkString("\n  UNION ALL\n  ")
+      val rounds = (1 to BeamRounds).map { i =>
+        s""", f$i AS (
+           |  SELECT probe_id, vec_id FROM (
+           |    SELECT probe_id, vec_id,
+           |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+           |    FROM seen${i - 1}) WHERE rn <= $BeamWidth
+           |), c$i AS (
+           |  SELECT DISTINCT f.probe_id, ed.dst AS vec_id
+           |  FROM f$i f JOIN edges ed ON f.vec_id = ed.src
+           |  WHERE NOT EXISTS (SELECT 1 FROM seen${i - 1} s
+           |                    WHERE s.probe_id = f.probe_id AND s.vec_id = ed.dst)
+           |), seen$i AS MATERIALIZED (
+           |  SELECT * FROM seen${i - 1}
+           |  UNION ALL
+           |  SELECT c.probe_id, c.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
+           |  FROM c$i c
+           |  JOIN probes p ON c.probe_id = p.probe_id
+           |  JOIN embeddings e ON c.vec_id = e.vec_id
+           |)""".stripMargin
+      }.mkString
+      s"""WITH b AS (
+         |  $bands
+         |), pairs AS MATERIALIZED (
+         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |  FROM b x JOIN b y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id != y.vec_id
+         |), knn AS (
+         |  SELECT src, dst FROM (
+         |    SELECT p.src, p.dst,
+         |      row_number() OVER (PARTITION BY p.src
+         |        ORDER BY ${cosSql("ea.embedding", "eb.embedding")} DESC, p.dst) AS rn
+         |    FROM pairs p
+         |    JOIN embeddings ea ON p.src = ea.vec_id
+         |    JOIN embeddings eb ON p.dst = eb.vec_id
+         |  ) WHERE rn <= $GraphDegree
+         |), edges AS MATERIALIZED (
+         |  SELECT src, dst FROM knn UNION SELECT dst AS src, src AS dst FROM knn
+         |), probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+         |  WHERE ${probePredicateSql("vec_id")}
+         |), entry AS (SELECT min(vec_id) AS vec_id FROM embeddings),
+         |seen0 AS MATERIALIZED (
+         |  SELECT p.probe_id, en.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
+         |  FROM probes p CROSS JOIN entry en JOIN embeddings e ON en.vec_id = e.vec_id
+         |)$rounds
+         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim FROM (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM seen$BeamRounds WHERE vec_id != probe_id
+         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
     },
     "q199_mmr_diversified" -> mmrOracleSql,
     "q19_ann_lsh" ->
