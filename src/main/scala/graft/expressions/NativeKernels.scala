@@ -149,13 +149,20 @@ object NativeKernels {
     * GPT-2-class apply loop.
     *
     * Semantics: identical to applying the merges in rank order as
-    * leftmost-non-overlapping replaces (the chain/oracle recipe).
-    * Equivalence holds because trained tables are RANK-CONSISTENT — a
-    * pair's constituent symbols always exist before its rank, since
-    * training can only count a pair after both sides exist — so the
-    * lowest-ranked pair present is always the next one sequential apply
-    * would fire (the classic merge-priority-queue argument); the
-    * PipelineSpec parity tests pin chain ≡ kernel empirically.
+    * leftmost-non-overlapping replaces (the chain/oracle recipe). The
+    * loop is greedy-lowest-rank WITH A RANK FLOOR that advances past
+    * every applied rank. The floor is what makes greedy ≡ sequential:
+    * a sweep of rank r removes all occurrences of pair r and cannot
+    * create one (merged = left+right, both sides nonempty, so the merged
+    * symbol differs from either side), hence when greedy picks minimum
+    * present rank r' ≥ floor, every skipped rank in [floor, r') has no
+    * occurrence — sequential would no-op through them and fire r' next.
+    * WITHOUT the floor, greedy diverges on dual-derivation tables: a
+    * later sweep can re-create a LOWER-ranked pair that sequential
+    * already passed (e.g. (aa,b)→aab re-creating an (aab,aa) adjacency
+    * after the (aab,aa) pass ran), and such tables arise in real BPE
+    * training whenever a symbol has two derivations. NativeKernelsSpec
+    * pins the dual-derivation counterexample + a randomized law.
     */
   def bpeEncode(lang: Column, word: Column, table: BpeMergeTable): Column =
     c(BpeEncode(ColumnBridge.expression(lang), ColumnBridge.expression(word), table))
@@ -562,11 +569,13 @@ object KernelOps {
   /** The BPE apply loop (see [[NativeKernels.bpeEncode]] for the
     * sequential-equivalence argument): split the word into codepoint
     * symbols, repeatedly merge ALL leftmost-non-overlapping occurrences
-    * of the lowest-ranked adjacent pair (exactly `replace`'s scan), then
-    * map symbols to ids — single codepoint → the codepoint (DuckDB
-    * `unicode`, surrogate-pair-correct), merged → table id. In-place on
-    * one symbol array: no string concatenation until the final merged
-    * symbols, no per-iteration allocation.
+    * of the lowest-ranked adjacent pair AT OR ABOVE THE RANK FLOOR
+    * (exactly `replace`'s scan, each table rank fired at most once, in
+    * order), then map symbols to ids — single codepoint → the codepoint
+    * (DuckDB `unicode`, surrogate-pair-correct), merged → table id.
+    * In-place on one symbol array: no string concatenation until the
+    * final merged symbols, no per-iteration allocation. The floor bounds
+    * the outer loop at table-size iterations.
     */
   def bpeEncode(lang: UTF8String, word: UTF8String, table: BpeMergeTable): ArrayData = {
     val w = word.toString
@@ -583,13 +592,20 @@ object KernelOps {
       i += cc
     }
     if (lt != null) {
+      // Rank floor: only pairs with rank >= floor are candidates, and the
+      // floor advances past every applied rank. This is what makes greedy
+      // ≡ sequential (see the scaladoc theorem): a sweep can create NEW
+      // occurrences of LOWER-ranked pairs (dual-derivation tables), and
+      // sequential apply never revisits a rank it already passed — an
+      // unfloored global-min loop would.
+      var floor = 0
       var exhausted = false
       while (!exhausted && len >= 2) {
-        // lowest-ranked pair present anywhere in the word
+        // lowest-ranked pair present anywhere in the word, at or above floor
         var best = Int.MaxValue
         var j = 0
         while (j < len - 1) {
-          val r = lt.rankIndexOf(syms(j), syms(j + 1))
+          val r = lt.rankIndexFrom(syms(j), syms(j + 1), floor)
           if (r < best) best = r
           j += 1
         }
@@ -612,6 +628,10 @@ object KernelOps {
             dst += 1
           }
           len = dst
+          // a sweep of rank r removes every occurrence of pair r and
+          // cannot create one (merged = left+right differs from both,
+          // sides being nonempty) — so rank r is done forever
+          floor = best + 1
         }
       }
     }
@@ -854,10 +874,18 @@ final class BpeLangTable(rs: Seq[(String, Long, String, String, String)],
   private val lefts: Array[String] = rs.map(_._3).toArray
   private val rights: Array[String] = rs.map(_._4).toArray
   private val mergedSyms: Array[String] = rs.map(_._5).toArray
-  private val pairRank = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+  // (left → right → ascending rank indices): a pair CAN recur at a later
+  // rank — a later merge can recreate one of its sides (e.g. (a,ab)→aab
+  // swept, then (aa,b)→aab re-creates 'aab' adjacencies) and training may
+  // re-select the pair — and the replace chain replays every table row, so
+  // the apply loop needs every rank, not just the lowest.
+  private val pairRank = new java.util.HashMap[String, java.util.HashMap[String, Array[Int]]]()
   rs.indices.foreach { i =>
-    pairRank.computeIfAbsent(lefts(i), _ => new java.util.HashMap[String, Integer]())
-      .putIfAbsent(rights(i), Integer.valueOf(i)) // first = lowest rank (rs is rank-sorted)
+    val byRight = pairRank.computeIfAbsent(lefts(i),
+      _ => new java.util.HashMap[String, Array[Int]]())
+    val prev = byRight.get(rights(i))
+    // rs is rank-sorted, so appending keeps each list ascending
+    byRight.put(rights(i), if (prev == null) Array(i) else prev :+ i)
   }
   private val mergedIds = new java.util.HashMap[String, java.lang.Long]()
   rs.indices.foreach { i =>
@@ -866,12 +894,21 @@ final class BpeLangTable(rs: Seq[(String, Long, String, String, String)],
     if (prev == null || id < prev) mergedIds.put(mergedSyms(i), id)
   }
 
-  /** rank-sorted index of pair (a,b), or Int.MaxValue when untrained. */
-  def rankIndexOf(a: String, b: String): Int = {
+  /** Lowest rank-sorted index of pair (a,b) at or above `floor`, or
+    * Int.MaxValue when the pair has no remaining rank. Two hash probes +
+    * a scan of the (almost always length-1) rank list, zero allocation.
+    */
+  def rankIndexFrom(a: String, b: String, floor: Int): Int = {
     val m = pairRank.get(a)
     if (m == null) return Int.MaxValue
-    val r = m.get(b)
-    if (r == null) Int.MaxValue else r.intValue()
+    val arr = m.get(b)
+    if (arr == null) return Int.MaxValue
+    var i = 0
+    while (i < arr.length) {
+      if (arr(i) >= floor) return arr(i)
+      i += 1
+    }
+    Int.MaxValue
   }
   def leftOf(i: Int): String = lefts(i)
   def rightOf(i: Int): String = rights(i)

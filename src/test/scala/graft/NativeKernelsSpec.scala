@@ -270,8 +270,9 @@ class NativeKernelsSpec extends AnyFunSuite {
 
   /** Sequential reference: apply merges strictly in rank order, each as a
     * leftmost-non-overlapping sweep — the replace-chain/oracle recipe,
-    * restated over symbol arrays. The kernel's greedy min-rank loop must
-    * reproduce this on every rank-consistent table.
+    * restated over symbol arrays. The kernel's rank-floored greedy loop
+    * must reproduce this on EVERY table (including dual-derivation and
+    * duplicate-pair tables, where unfloored greedy diverges — ADVICE r13).
     */
   private def seqApply(word: String, merges: Seq[(String, String, String)]): Vector[String] = {
     var syms = {
@@ -337,16 +338,30 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(got.head == List((1L << 21) + n))
   }
 
+  /** Expected ids for `seqApply`'s segmentation under the min-rank id rule. */
+  private def seqIds(word: String, merges: Seq[(String, Long, String, String, String)],
+      base: Long): List[Long] =
+    seqApply(word, merges.map(t => (t._3, t._4, t._5))).map { s =>
+      if (s.codePointCount(0, s.length) == 1) s.codePointAt(0).toLong
+      else base + merges.filter(_._5 == s).map(_._2).min
+    }.toList
+
   test("bpeEncode ≡ sequential rank-order apply on random consistent tables (the equivalence law)") {
     import spark.implicits._
-    import graft.expressions.BpeMergeTable
+    import graft.expressions.{BpeMergeTable, KernelOps}
+    import org.apache.spark.unsafe.types.UTF8String
     // random CONSISTENT tables (each merge's sides already exist — the
-    // invariant every trained table has by construction) + random words:
-    // the property behind swapping q207's replace chain for the greedy
-    // min-rank kernel loop. Fixed seed → reproducible.
+    // invariant every trained table has by construction) + random words.
+    // A 2-LETTER alphabet maximizes dual-derivation symbols — the table
+    // class the unfloored greedy loop diverged on (ADVICE r13: ~0.2% of
+    // 3-letter draws diverge, so 20 trials passed by seed luck). The bulk
+    // runs at the kernel level (pure function, no job per trial) so 400
+    // trials × 60 words are cheap; a subset re-runs through the Spark
+    // projection to pin the expression path. Fixed seed → reproducible.
     val rnd = new scala.util.Random(20260815L)
-    val alphabet = Vector("a", "b", "c")
-    (1 to 20).foreach { trial =>
+    val alphabet = Vector("a", "b")
+    val base = 1L << 21
+    (1 to 400).foreach { trial =>
       var created = alphabet
       val merges = (1 to 30).map { rank =>
         val l = created(rnd.nextInt(created.size))
@@ -354,21 +369,82 @@ class NativeKernelsSpec extends AnyFunSuite {
         created :+= (l + r)
         ("xx", rank.toLong, l, r, l + r)
       }
-      val table = BpeMergeTable(merges, 1 << 21)
-      val words = (1 to 40).map(_ =>
-        (1 to (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(3))).mkString)
-      val got = words.toDF("word")
-        .select($"word", bpeEncode(lit("xx"), $"word", table).as("ids"))
-        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
-      val mergesSeq = merges.map(t => (t._3, t._4, t._5))
+      val table = BpeMergeTable(merges, base)
+      val words = (1 to 60).map(_ =>
+        (1 to (1 + rnd.nextInt(14))).map(_ => alphabet(rnd.nextInt(2))).mkString)
+      val lang = UTF8String.fromString("xx")
       words.foreach { w =>
-        val want = seqApply(w, mergesSeq).map { s =>
-          if (s.codePointCount(0, s.length) == 1) s.codePointAt(0).toLong
-          else (1L << 21) + merges.filter(_._5 == s).map(_._2).min
-        }.toList
-        assert(got(w) == want, s"trial $trial word '$w': ${got(w)} vs $want")
+        val got = KernelOps.bpeEncode(lang, UTF8String.fromString(w), table)
+          .toLongArray().toList
+        val want = seqIds(w, merges, base)
+        assert(got == want, s"trial $trial word '$w': $got vs $want")
+      }
+      if (trial <= 5) {
+        val viaSpark = words.distinct.toDF("word")
+          .select($"word", bpeEncode(lit("xx"), $"word", table).as("ids"))
+          .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+        words.distinct.foreach { w =>
+          assert(viaSpark(w) == seqIds(w, merges, base), s"spark path, trial $trial '$w'")
+        }
       }
     }
+  }
+
+  test("bpeEncode dual-derivation fixture: a sweep re-creating a lower-ranked pair (the rank floor)") {
+    import spark.implicits._
+    import graft.expressions.BpeMergeTable
+    // The ADVICE r13 counterexample, pinned forever: every merge's sides
+    // exist before its rank (a consistent, trainable table), yet 'aabaaa'
+    // diverges under unfloored greedy. Sequential: r1 → [aa,b,aa,a], r6 →
+    // [aab,aa,a] — the r6 sweep creates an (aab,aa) occurrence of rank 5
+    // AFTER sequential's r5 pass already ran, so an unfloored global-min
+    // loop fires r5 next and emits [aabaa, a]. The floor ignores it.
+    val base = 0x110000L
+    val merges = Seq(
+      ("xx", 1L, "a", "a", "aa"), ("xx", 2L, "a", "b", "ab"),
+      ("xx", 3L, "a", "ab", "aab"), ("xx", 4L, "b", "ab", "bab"),
+      ("xx", 5L, "aab", "aa", "aabaa"), ("xx", 6L, "aa", "b", "aab"))
+    val table = BpeMergeTable(merges, base)
+    val words = Seq("aabaaa", "aabab", "babab", "aaabaa", "abab")
+    val got = words.toDF("word")
+      .select($"word", bpeEncode(lit("xx"), $"word", table).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    words.foreach { w =>
+      assert(got(w) == seqIds(w, merges, base), s"word '$w': ${got(w)}")
+    }
+    // the headline word, spelled out: [aab, aa, a] — aab takes the
+    // min-rank id of its two derivations ((a,ab) r3 and (aa,b) r6)
+    assert(got("aabaaa") == List(base + 3, base + 1, 'a'.toLong))
+  }
+
+  test("bpeEncode replays duplicate pairs: the same (l,r) trained at two ranks fires at both") {
+    import spark.implicits._
+    import graft.expressions.BpeMergeTable
+    // A pair CAN recur at a later rank: a later sweep re-creates one of
+    // its occurrences (the dual-derivation mechanism) and training, which
+    // counts the live word table, re-selects it. The chain replays every
+    // table row, so the kernel keeps every rank per pair — a lowest-rank-
+    // only map would make the duplicate invisible once the floor passed
+    // rank 5. Here (aab,aa) is trained at r5 AND r7; on 'aabaaa' the r6
+    // sweep re-creates an (aab,aa) occurrence, so sequential fires the r7
+    // duplicate: [aab,aa,a] → [aabaa, a].
+    val base = 1L << 21
+    val merges = Seq(
+      ("xx", 1L, "a", "a", "aa"), ("xx", 2L, "a", "b", "ab"),
+      ("xx", 3L, "a", "ab", "aab"), ("xx", 4L, "b", "ab", "bab"),
+      ("xx", 5L, "aab", "aa", "aabaa"), ("xx", 6L, "aa", "b", "aab"),
+      ("xx", 7L, "aab", "aa", "aabaa"))
+    val table = BpeMergeTable(merges, base)
+    val words = Seq("aabaaa", "aabaa", "aab", "aabab", "babaa", "aaabaa")
+    val got = words.toDF("word")
+      .select($"word", bpeEncode(lit("xx"), $"word", table).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    words.foreach { w =>
+      assert(got(w) == seqIds(w, merges, base), s"word '$w': ${got(w)}")
+    }
+    // spelled out: the r7 duplicate fired, and 'aabaa' keeps the min-rank
+    // id of its two trained ranks (5 and 7)
+    assert(got("aabaaa") == List(base + 5, 'a'.toLong))
   }
 
   test("bpeEncode ids are true codepoints: multibyte and supplementary symbols never alias") {
