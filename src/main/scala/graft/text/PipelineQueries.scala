@@ -604,28 +604,72 @@ object PipelineQueries {
     trainedMergesOn(s, dir, "full", Tables.documents(s, dir))
 
   /** Lake root for the persisted tokenizer artifacts — scoped by corpus
-    * dir, TRAINING VERSION (the merge budget: a config change is a new
+    * dir and TRAINING VERSION (the merge budget: a config change is a new
     * tokenizer, never a silent overwrite of the old one — the versioning
-    * half of the q148 discipline), and process id (concurrent JVMs never
-    * contend, the single-writer contract Scratch.buildOnce documents).
+    * half of the q148 discipline). PID-FREE (ADVICE r13): the whole point
+    * of a lake artifact is that a NEW session/cluster serves by path
+    * instead of retraining, so the published path cannot embed the
+    * trainer's process id. Concurrent writers are handled by
+    * [[publishTokenizerOnce]]'s staging + atomic-rename protocol instead.
     */
+  /** Bump when the TRAINING RECIPE changes (tie-breaks, id space, fold
+    * rules …): the artifact is shared across processes now, so a recipe
+    * change without a version bump would silently serve stale merges.
+    */
+  private[graft] val BpeTrainerVersion = 1
+
   private[graft] def tokenizerRoot(dir: String): String =
     graft.Scratch.path(
-      s"bpetok_${graft.Scratch.tag(dir)}_m${BpeMerges}_p${ProcessHandle.current().pid()}")
+      s"bpetok_${graft.Scratch.tag(dir)}_m${BpeMerges}_v$BpeTrainerVersion")
+
+  /** Train-and-publish with first-writer-wins atomicity: train into a
+    * PID-SCOPED staging dir (concurrent JVMs never contend on partial
+    * files), stamp the completion marker, then rename(2) the staged dir
+    * to the pid-free `vroot` — atomic on POSIX, and it FAILS if another
+    * writer already published (non-empty target), in which case the
+    * loser discards its staging and serves the winner's artifact, which
+    * is equivalent by construction (same corpus, same merge budget,
+    * deterministic training). Readers only ever observe a complete
+    * artifact: the marker is staged before the rename makes anything
+    * visible at the published path.
+    */
+  private[graft] def publishTokenizerOnce(vroot: String, train: String => Unit): Unit = {
+    if (new java.io.File(s"$vroot/_trained").exists()) return
+    val staging = s"${vroot}_stage_p${ProcessHandle.current().pid()}"
+    train(staging)
+    new java.io.File(s"$staging/_trained").createNewFile()
+    val from = java.nio.file.Paths.get(staging)
+    val to = java.nio.file.Paths.get(vroot)
+    java.nio.file.Files.createDirectories(to.getParent)
+    try java.nio.file.Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException
+          if new java.io.File(s"$vroot/_trained").exists() =>
+        // lost the publish race — the winner's artifact is the one served
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val stream = Files.walk(from)
+        try stream.iterator().asScala.toSeq.reverseIterator
+          .foreach((p: Path) => Files.deleteIfExists(p))
+        finally stream.close()
+    }
+  }
 
   /** Variant-keyed trained-merge artifacts (the q212 drift audit trains a
     * second tokenizer on the half corpus). Bounded: <= BpeMerges rows per
     * language per variant.
     *
     * The merge table is a LAKE ARTIFACT, not process state (VERDICT r12
-    * #3 — the q148 train-once/serve-many discipline): training writes
-    * `<root>/<variant>/merges` parquet once per (corpus, version,
-    * process); every serve READS THE ARTIFACT BACK, so q207/q208 encode
-    * with exactly what a new session would load from the lake — parquet
-    * round-trip fidelity of the merge table is itself under the oracle
-    * gate, and a production cluster shares the tokenizer by path, not by
-    * retraining. The process map is now a read-through cache of the
-    * artifact (staleness-safe: artifacts are write-once per version).
+    * #3 — the q148 train-once/serve-many discipline): training publishes
+    * `<root>/<variant>/merges` parquet ONCE PER (corpus, version) at a
+    * pid-free path (ADVICE r13 — [[publishTokenizerOnce]]'s staging +
+    * atomic-rename protocol handles concurrent writers); every serve
+    * READS THE ARTIFACT BACK, so q207/q208 encode with exactly what a
+    * new session loads from the lake — a fresh JVM finds the published
+    * artifact and never retrains. Parquet round-trip fidelity of the
+    * merge table is itself under the oracle gate. The process map is a
+    * read-through cache of the artifact (staleness-safe: artifacts are
+    * write-once per version).
     */
   private def trainedMergesOn(s: SparkSession, dir: String, variant: String,
       docs: => DataFrame): Array[org.apache.spark.sql.Row] = {
@@ -638,11 +682,10 @@ object PipelineQueries {
     val key = s"$dir|$variant"
     val rows = Option(bpeMergeCache.get(key)).getOrElse {
       val vroot = s"${tokenizerRoot(dir)}/$variant"
-      graft.Scratch.buildOnce(vroot, "_trained") {
+      publishTokenizerOnce(vroot, staging =>
         bpeTrainOn(docs)
           .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged")
-          .coalesce(1).write.mode("overwrite").parquet(s"$vroot/merges")
-      }
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/merges"))
       val served = s.read.parquet(s"$vroot/merges")
         .orderBy($"lang", $"rank").collect()
       val prior = bpeMergeCache.putIfAbsent(key, served)

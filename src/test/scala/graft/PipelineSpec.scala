@@ -328,6 +328,36 @@ class PipelineSpec extends AnyFunSuite {
     val cold = spark.read.parquet(s"$vroot/merges")
       .orderBy("lang", "rank").collect().toSeq
     assert(cold == served)
+    // ADVICE r13: the published path is PID-FREE — a NEW JVM must find
+    // the artifact by (corpus, version) alone, or "lake artifact" is a
+    // process-scoped fiction
+    assert(!vroot.contains(s"p${ProcessHandle.current().pid()}"),
+      s"published path embeds the trainer's pid: $vroot")
+  }
+
+  test("tokenizer publish is first-writer-wins: a lost rename race serves the winner and removes staging") {
+    // simulate the interleaving publishTokenizerOnce documents: writer B
+    // passes the marker check, then writer A publishes while B trains —
+    // B's atomic rename must fail, B's staging must vanish, and A's
+    // artifact must be the one served, byte-for-byte untouched.
+    val vroot = graft.Scratch.path(s"bpetok_racetest_${System.nanoTime()}")
+    val staging = s"${vroot}_stage_p${ProcessHandle.current().pid()}"
+    def write(dir: String, body: String): Unit = {
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/payload"), body)
+    }
+    PipelineQueries.publishTokenizerOnce(vroot, stage => {
+      write(stage, "loser")
+      // the winner lands AFTER the marker check, BEFORE our rename
+      write(vroot, "winner")
+      new java.io.File(s"$vroot/_trained").createNewFile()
+    })
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$vroot/payload")) == "winner")
+    assert(!new java.io.File(staging).exists(), "loser's staging dir leaked")
+    // and the fast path: an existing artifact short-circuits training
+    PipelineQueries.publishTokenizerOnce(vroot,
+      _ => fail("retrained over a published artifact"))
   }
 
   test("BpeEncode kernel ≡ replace-chain twin row-for-row on the trained table") {
