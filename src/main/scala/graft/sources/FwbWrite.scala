@@ -124,6 +124,7 @@ private[graft] class FwbStreamingWrite(path: String)
     val committed = messages.collect {
       case FwbCommitMessage(p, st) if p != null => (new File(p), st)
     }
+    val prior = FwbFormat.readManifest(path)
     val promoted = committed.flatMap { case (f, st) =>
       // .e<epoch>-p<pid>-<task>.gfwb.tmp → part-e<epoch>-p<pid>.gfwb
       // (task attempt id dropped: the final name must be attempt- and
@@ -132,20 +133,24 @@ private[graft] class FwbStreamingWrite(path: String)
       val finName = "part-" + base.substring(0, base.lastIndexOf('-')) + ".gfwb"
       val fin = new File(f.getParent, finName)
       if (fin.exists()) {
-        // replayed epoch: drop the staged copy, but STILL merge the stats
-        // into the manifest — if the prior attempt crashed between its
-        // rename and its manifest write, the file would otherwise plan
-        // from footer reads forever (ADVICE r12: self-healing manifest;
-        // the content is replay-deterministic, so the stats are identical)
+        // replayed epoch: drop the staged copy. Merge the stats ONLY when
+        // the manifest lacks an entry — the self-healing case where the
+        // prior attempt crashed between its rename and its manifest write
+        // (ADVICE r12), leaving the file to plan from footer reads
+        // forever. An EXISTING entry already describes the committed
+        // bytes; the replay's staged bytes were just discarded and may
+        // differ (partition count / row routing can change across a
+        // restart), so overwriting would poison metadata-only pushdowns
+        // (ADVICE r13).
         f.delete()
-        Some(fin.getName -> st)
+        if (prior.contains(fin.getName)) None else Some(fin.getName -> st)
       } else {
         require(f.renameTo(fin), s"epoch commit rename failed: $f -> $fin")
         Some(fin.getName -> st)
       }
     }
     if (promoted.nonEmpty)
-      FwbFormat.writeManifest(path, FwbFormat.readManifest(path) ++ promoted)
+      FwbFormat.writeManifest(path, prior ++ promoted)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -263,6 +263,47 @@ class FwbSourceSpec extends AnyFunSuite {
       "replayed stage must be cleaned up")
   }
 
+  test("epoch replay never overwrites committed manifest stats; a missing entry still self-heals") {
+    // ADVICE r13: a replay whose staged bytes differ from the committed
+    // file (partition routing can change across a restart) must NOT
+    // replace the manifest entry — the entry describes the committed
+    // bytes, and metadata-only COUNT/MIN/MAX pushdowns answer from it.
+    // The self-healing path (prior attempt crashed between rename and
+    // manifest write → entry absent) must still adopt the replay stats.
+    val dst = Scratch.path(s"fwb_replay_${System.nanoTime()}")
+    new java.io.File(dst).mkdirs()
+    val sw = new sources.FwbStreamingWrite(dst)
+    val dict = Array("P"); val codeOf = Map("P" -> 0)
+    def stage(task: Int, rows: Seq[Long]): (String, sources.FwbFormat.FwbStats) = {
+      val p = s"$dst/.e7-p0-$task.gfwb.tmp"
+      val st = sources.FwbFormat.writeFile(p,
+        rows.iterator.map(k => org.apache.spark.sql.Row(k, k, k * 10L, "P")),
+        dict, codeOf).get
+      (p, st)
+    }
+    // FwbStats holds arrays (reference equality) — compare by field
+    def statsEq(a: sources.FwbFormat.FwbStats, b: sources.FwbFormat.FwbStats): Boolean =
+      a.n == b.n && a.minKey == b.minKey && a.maxKey == b.maxKey &&
+        a.dict.sameElements(b.dict) && a.custBloom.sameElements(b.custBloom)
+    val (p1, st1) = stage(1, Seq(1L, 2L, 3L))
+    sw.commit(7L, Array(sources.FwbCommitMessage(p1, st1)))
+    val fin = "part-e7-p0.gfwb"
+    assert(statsEq(sources.FwbFormat.readManifest(dst)(fin), st1))
+    // replay with DIVERGENT stats (one row instead of three)
+    val (p2, st2) = stage(2, Seq(9L))
+    assert(!statsEq(st2, st1))
+    sw.commit(7L, Array(sources.FwbCommitMessage(p2, st2)))
+    assert(statsEq(sources.FwbFormat.readManifest(dst)(fin), st1),
+      "replay overwrote the committed file's manifest stats")
+    // self-heal: drop the entry (simulating the crash window), replay again
+    sources.FwbFormat.writeManifest(dst,
+      sources.FwbFormat.readManifest(dst) - fin)
+    val (p3, st3) = stage(3, Seq(1L, 2L, 3L))
+    sw.commit(7L, Array(sources.FwbCommitMessage(p3, st3)))
+    assert(statsEq(sources.FwbFormat.readManifest(dst)(fin), st3),
+      "missing manifest entry was not healed by the replay")
+  }
+
   test("aggregate pushdown: whole-table COUNT/MIN/MAX is metadata-only; filtered aggregates fall back") {
     import spark.implicits._
     sources.FwbFormat.writeFixture(spark, sf) // ensure fixture+manifest exist
