@@ -6,9 +6,10 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -282,7 +283,7 @@ private[sources] object FwbSkipBounds {
 
 private[sources] class FwbScan(path: String, required: StructType,
     pushed: Array[Filter], versionAsOf: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   private val bounds = FwbSkipBounds(pushed)
 
@@ -326,6 +327,52 @@ private[sources] class FwbScan(path: String, required: StructType,
     keptFiles.map(FwbInputPartition(_)).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new FwbReaderFactory(required.fieldNames)
+
+  /** Planning statistics for Catalyst, from the manifest over the
+    * POST-PUSHDOWN file set (so a key-range probe reports its pruned
+    * size, not the table's). Three consequences upstream:
+    * exact `numRows` + real `sizeInBytes` make a small GFWB read
+    * BROADCASTABLE (a DSv2 scan without this reports the 8 EiB default
+    * and always sort-merges); `o_orderkey` min/max feed range
+    * selectivity; and — the connector→CBO composition (VERDICT r12 #8) —
+    * `o_orderpriority` ndv is the size of the UNION of footer
+    * dictionaries, EXACT by format construction (every value present in
+    * a file appears in that file's dictionary), which is what the
+    * cost-based join reorderer needs from a path-based table no ANALYZE
+    * can reach. Cost: arithmetic over the already-loaded manifest plus a
+    * file-length listing — zero data-file opens (the planning
+    * discipline FwbSourceSpec pins with footerReads).
+    */
+  override def estimateStatistics(): Statistics = {
+    val sts = keptFiles.map(statsOf)
+    val rows = sts.map(_.n).sum
+    val bytes = keptFiles.map(f => new File(f).length()).sum
+    val dictUnion = sts.flatMap(_.dict).distinct
+    val wantKey = required.fieldNames.contains("o_orderkey") && sts.nonEmpty
+    val wantPrio = required.fieldNames.contains("o_orderpriority") && dictUnion.nonEmpty
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(bytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+      override def columnStats(): util.Map[NamedReference, ColumnStatistics] = {
+        val m = new util.HashMap[NamedReference, ColumnStatistics]()
+        if (wantKey) m.put(Expressions.column("o_orderkey"), new ColumnStatistics {
+          override def min(): util.Optional[Object] =
+            util.Optional.of(Long.box(sts.map(_.minKey).min))
+          override def max(): util.Optional[Object] =
+            util.Optional.of(Long.box(sts.map(_.maxKey).max))
+          override def nullCount(): util.OptionalLong = util.OptionalLong.of(0L)
+        })
+        if (wantPrio) m.put(Expressions.column("o_orderpriority"), new ColumnStatistics {
+          override def distinctCount(): util.OptionalLong =
+            util.OptionalLong.of(dictUnion.length.toLong)
+          override def nullCount(): util.OptionalLong = util.OptionalLong.of(0L)
+          override def maxLen(): util.OptionalLong =
+            util.OptionalLong.of(dictUnion.map(_.length).max.toLong)
+        })
+        m
+      }
+    }
+  }
   override def description(): String = {
     val kb = if (bounds.lo == Long.MinValue && bounds.hi == Long.MaxValue) "none"
       else s"[${bounds.lo},${bounds.hi}]"
