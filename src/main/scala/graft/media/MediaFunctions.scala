@@ -11,9 +11,12 @@ import org.apache.spark.sql.Dataset
   * (P6, Netpbm) and uncompressed 24-bit BMP (BITMAPINFOHEADER) are fully
   * parsed — header grammar, comments, BGR order, bottom-up rows, 4-byte
   * row padding — into a top-down row-major luma raster, with matching
-  * encoders for the resize/transcode path and for fixtures. Formats this
-  * environment has no codec for (JPEG et al.) keep the deterministic
-  * hash-derived fallback on `format="fake"` records, clearly marked.
+  * encoders for the resize/transcode path and for fixtures. Audio-typed
+  * records ("wav"/"audio") likewise get a REAL RIFF/WAVE PCM parser
+  * (chunk walk, 8/16-bit, multi-channel interleave) and a PCM16 encoder.
+  * Formats this environment has no codec for (JPEG, MP3, video) keep the
+  * deterministic hash-derived fallback on `format="fake"` records,
+  * clearly marked.
   * The plumbing is shared by both paths (MediaSpec): the typed
   * record/row schemas, the `mapPartitions` batch iteration (one codec
   * context per partition, not per row — the pattern that amortizes
@@ -42,6 +45,102 @@ object MediaFunctions {
     * engines replay: (299·r + 587·g + 114·b) / 1000.
     */
   def luma601(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b) / 1000
+
+  /** A decoded PCM clip: interleaved samples widened to Int (16-bit
+    * signed, or 8-bit unsigned recentred to signed per the WAV spec).
+    */
+  case class DecodedAudio(channels: Int, sampleRate: Int, samples: Array[Int]) {
+    def framesPerChannel: Int = samples.length / channels
+  }
+
+  /** Formats the REAL audio codec handles ("wav"/"audio"); same typed-
+    * metadata gating discipline as [[isImageFormat]].
+    */
+  def isAudioFormat(format: String): Boolean =
+    format == "wav" || format == "audio"
+
+  /** Decode a canonical RIFF/WAVE PCM payload: chunk walk (unknown chunks
+    * skipped, odd sizes padded per spec), `fmt ` must say PCM with 8 or
+    * 16 bits/sample, `data` bounds-checked against the payload. Total —
+    * malformed bytes return None (the quarantine path), never throw.
+    */
+  def decodeWav(payload: Array[Byte]): Option[DecodedAudio] =
+    try decodeWav0(payload) catch { case _: RuntimeException => None }
+
+  private def decodeWav0(b: Array[Byte]): Option[DecodedAudio] = {
+    def u16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    def u32(off: Int): Long = (leInt(b, off) & 0xffffffffL)
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+      b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var off = 12
+    var channels = 0
+    var rate = 0
+    var bits = 0
+    var fmtSeen = false
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= b.length && (dataOff < 0 || !fmtSeen)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = u32(off + 4)
+      if (size > Int.MaxValue || off + 8 + size > b.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = u16(off + 8)
+          channels = u16(off + 10)
+          rate = leInt(b, off + 12)
+          bits = u16(off + 22)
+          if (audioFormat != 1 || channels < 1 || rate < 1 || (bits != 8 && bits != 16))
+            return None
+          fmtSeen = true
+        case "data" =>
+          dataOff = off + 8
+          dataLen = size.toInt
+        case _ => // LIST, fact, … — skipped, as any real parser must
+      }
+      off += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    if (!fmtSeen || dataOff < 0) return None
+    val bytesPerSample = bits / 8
+    val n = dataLen / bytesPerSample
+    val samples = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      samples(i) =
+        if (bits == 16) (u16(dataOff + 2 * i) << 16) >> 16 // sign-extend s16le
+        else (b(dataOff + i) & 0xff) - 128                 // u8 recentred
+      i += 1
+    }
+    Some(DecodedAudio(channels, rate, samples))
+  }
+
+  /** Encode interleaved samples as canonical 16-bit PCM RIFF/WAVE. */
+  def encodeWavPcm16(channels: Int, sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(channels >= 1 && sampleRate >= 1 && samples.length % channels == 0)
+    require(samples.forall(s => s >= Short.MinValue && s <= Short.MaxValue))
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putLe(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) => out(off + i) = c }
+    putTag(0, "RIFF"); putLe(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe(16, 16)
+    out(20) = 1 // PCM
+    out(22) = channels.toByte
+    putLe(24, sampleRate)
+    putLe(28, sampleRate * channels * 2) // byte rate
+    out(32) = (channels * 2).toByte      // block align
+    out(34) = 16                          // bits per sample
+    putTag(36, "data"); putLe(40, dataLen)
+    samples.indices.foreach { i =>
+      out(44 + 2 * i) = samples(i).toByte
+      out(44 + 2 * i + 1) = (samples(i) >> 8).toByte
+    }
+    out
+  }
 
   /** Formats the real codec handles; anything else takes the documented
     * deterministic fallback. The gate is the TYPED metadata, not content
@@ -406,6 +505,81 @@ object MediaFunctions {
             while (i < r.payload.length) { hist((r.payload(i) & 0xff) >> 4) += 1; i += 1 }
             FeatureVector(r.id, r.payload.length.toLong, hist)
         }
+      }
+    }
+  }
+
+  /** Per-clip decoded audio statistics: all integer-exact (peak, energy as
+    * Σs², FNV over the low 16 bits of each sample) so the oracle replays
+    * every value. Quarantine row (channels = 0, checksum of the raw
+    * bytes) for non-audio or corrupt payloads — real clips have ≥ 1
+    * channel, so bad data is filterable, never silent.
+    */
+  case class AudioStats(id: Long, channels: Int, sample_rate: Int,
+      n_frames: Long, duration_ms: Long, peak: Long, sum_sq: Long, checksum: Long)
+
+  /** Decode audio-typed payloads ([[isAudioFormat]]) through the REAL WAV
+    * parser — chunk walk, PCM width, interleave — to per-clip stats. Same
+    * per-partition codec-context shape as [[decodeFrames]].
+    */
+  def decodeAudioClips(records: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val clip = if (isAudioFormat(r.format)) decodeWav(r.payload) else None
+        clip match {
+          case Some(a) =>
+            var peak = 0L
+            var sumSq = 0L
+            var h = 0xcbf29ce484222325L
+            var i = 0
+            while (i < a.samples.length) {
+              val s = a.samples(i).toLong
+              if (math.abs(s) > peak) peak = math.abs(s)
+              sumSq += s * s
+              h = (h ^ (s & 0xffffL)) * 0x100000001b3L
+              i += 1
+            }
+            val frames = a.framesPerChannel.toLong
+            AudioStats(r.id, a.channels, a.sampleRate, frames,
+              frames * 1000L / a.sampleRate, peak, sumSq, h)
+          case None =>
+            AudioStats(r.id, 0, 0, 0L, 0L, 0L, 0L,
+              fnv64(r.payload, 0, r.payload.length))
+        }
+      }
+    }
+  }
+
+  /** One fixed-size analysis frame of channel 0. */
+  case class AudioEnergyFrame(id: Long, frame_idx: Int, energy: Long, peak: Long)
+
+  /** REAL frame-energy analysis: de-interleave channel 0 and emit one
+    * (energy = Σs², peak) row per COMPLETE `frameSize`-sample frame — the
+    * windowed-energy pass every audio pipeline runs before VAD/silence
+    * trimming. Map-side flatMap; only the bounded frame rows shuffle.
+    */
+  def audioFrameEnergy(records: Dataset[MediaRecord], frameSize: Int): Dataset[AudioEnergyFrame] = {
+    import records.sparkSession.implicits._
+    require(frameSize >= 1)
+    records.flatMap { r =>
+      val clip = if (isAudioFormat(r.format)) decodeWav(r.payload) else None
+      clip match {
+        case Some(a) =>
+          val nFrames = a.framesPerChannel / frameSize
+          (0 until nFrames).map { j =>
+            var energy = 0L
+            var peak = 0L
+            var i = 0
+            while (i < frameSize) {
+              val s = a.samples((j * frameSize + i) * a.channels).toLong // channel 0
+              energy += s * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            AudioEnergyFrame(r.id, j, energy, peak)
+          }
+        case None => Seq.empty
       }
     }
   }

@@ -257,6 +257,67 @@ object MediaQueries {
       .orderBy($"id")
   }
 
+  /** Audio-typed records with REAL RIFF/WAVE PCM16 bytes: per doc a mono
+    * or stereo clip at 8 kHz, 64 + (doc_id % 129) frames, sample values
+    * linear/quadratic integer formulas both engines replay. Stereo clips
+    * interleave a distinct right channel so de-interleaving is under the
+    * gate, not just header parsing. ≤ ~820 B per payload.
+    */
+  private def audioRecords(docs: DataFrame, stereo: Boolean) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      val n = (64 + id % 129).toInt
+      val samples =
+        if (!stereo) Array.tabulate(n)(i => (((id * 7 + i.toLong * i * 3) % 4001) - 2000).toInt)
+        else Array.tabulate(2 * n) { k =>
+          val i = k / 2
+          if (k % 2 == 0) (((id * 7 + i.toLong * i * 3) % 4001) - 2000).toInt
+          else (((id * 11 + i.toLong * 5) % 3001) - 1500).toInt
+        }
+      MediaFunctions.MediaRecord(id,
+        MediaFunctions.encodeWavPcm16(if (stereo) 2 else 1, 8000, samples), "wav")
+    }
+  }
+
+  /** REAL audio decode under the oracle gate: mono PCM16 WAV bytes built
+    * in Spark, parsed back by the real chunk-walking decoder, per-clip
+    * integer stats (duration, peak, energy, sample-stream FNV) rolled up
+    * by duration. The oracle predicts every value from the waveform
+    * formulas alone — header layout, sign extension, and sample order are
+    * all under the hash.
+    */
+  def q218AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MediaFunctions.decodeAudioClips(audioRecords(Tables.documents(s, dir), stereo = false)).toDF()
+      .groupBy($"duration_ms")
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum($"n_frames").as("total_frames"),
+        max($"peak").as("max_peak"),
+        sum($"sum_sq").as("total_energy"),
+        expr("bit_xor(checksum)").as("checksum_xor"))
+      .orderBy($"duration_ms")
+  }
+
+  /** REAL frame-energy analysis on STEREO clips: the decoder must
+    * de-interleave channel 0 correctly or every frame energy is wrong.
+    * One row per complete 32-sample frame, rolled up by frame index —
+    * the windowed pass before voice-activity/silence trimming. The
+    * oracle replays the interleave arithmetic (channel-0 sample i sits
+    * at position 2i) and the per-frame Σs².
+    */
+  def q219AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = audioRecords(Tables.documents(s, dir).filter($"doc_id" % 5 === 0), stereo = true)
+    MediaFunctions.audioFrameEnergy(recs, frameSize = 32).toDF()
+      .groupBy($"frame_idx".cast("long").as("frame_idx"))
+      .agg(
+        count(lit(1)).as("n_clips"),
+        sum($"energy").as("total_energy"),
+        max($"peak").as("max_peak"))
+      .orderBy($"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
@@ -267,6 +328,8 @@ object MediaQueries {
     "q214_image_decode" -> (q214ImageDecode _),
     "q215_container_invariance" -> (q215ContainerInvariance _),
     "q216_image_thumbnail" -> (q216ImageThumbnail _),
+    "q218_audio_decode" -> (q218AudioDecode _),
+    "q219_audio_frames" -> (q219AudioFrames _),
   )
 
   /** FNV-64 over a HUGEINT byte list in DuckDB mod-2⁶⁴ arithmetic, mapped
@@ -307,6 +370,12 @@ object MediaQueries {
     */
   private def lumaFnvSql: String =
     fnvListSql(s"list_transform(range(0, np), p -> ${lumaSql("p")}::HUGEINT)")
+
+  /** Predicted channel-0 PCM sample `i` for the current doc_id — the
+    * [[audioRecords]] waveform formula (signed, |s| ≤ 2000).
+    */
+  private def sampleSql(i: String): String =
+    s"(((doc_id * 7 + ($i) * ($i) * 3) % 4001) - 2000)"
 
   val oracles: Map[String, String] = Map(
     // real-decode gate: width/height/checksum predicted from the raster
@@ -428,6 +497,43 @@ object MediaQueries {
          |SELECT frame_idx, count(*) AS n_frames, max(off) AS max_offset,
          |  bit_xor(fc) AS checksum_xor
          |FROM fr GROUP BY frame_idx ORDER BY frame_idx""".stripMargin,
+    // real-audio gate: every per-clip stat predicted from the waveform
+    // formula; & 65535 = the two's-complement low 16 bits on both engines
+    "q218_audio_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 64 + doc_id % 129 AS n FROM documents
+         |), c AS (
+         |  SELECT doc_id, n, CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+         |    list_max(list_transform(range(0, n), i -> abs(${sampleSql("i")}))) AS peak,
+         |    list_sum(list_transform(range(0, n),
+         |      i -> ${sampleSql("i")} * ${sampleSql("i")})) AS sum_sq,
+         |    ${fnvListSql(
+             s"""list_transform(range(0, n), i -> (${sampleSql("i")} & 65535)::HUGEINT)""")} AS cks
+         |  FROM d
+         |)
+         |SELECT duration_ms, count(*) AS n_clips,
+         |  CAST(sum(n) AS BIGINT) AS total_frames,
+         |  CAST(max(peak) AS BIGINT) AS max_peak,
+         |  CAST(sum(sum_sq) AS BIGINT) AS total_energy,
+         |  bit_xor(cks) AS checksum_xor
+         |FROM c GROUP BY 1 ORDER BY duration_ms""".stripMargin,
+    // stereo de-interleave gate: channel-0 sample i IS the mono formula
+    // (interleaved at position 2i in the clip); frames are complete only
+    "q219_audio_frames" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 64 + doc_id % 129 AS n FROM documents WHERE doc_id % 5 = 0
+         |), f AS (
+         |  SELECT doc_id, CAST(u.j AS BIGINT) AS frame_idx,
+         |    list_sum(list_transform(range(u.j * 32, u.j * 32 + 32),
+         |      i -> ${sampleSql("i")} * ${sampleSql("i")})) AS energy,
+         |    list_max(list_transform(range(u.j * 32, u.j * 32 + 32),
+         |      i -> abs(${sampleSql("i")}))) AS peak
+         |  FROM d, UNNEST(range(0, n // 32)) AS u(j)
+         |)
+         |SELECT frame_idx, count(*) AS n_clips,
+         |  CAST(sum(energy) AS BIGINT) AS total_energy,
+         |  CAST(max(peak) AS BIGINT) AS max_peak
+         |FROM f GROUP BY 1 ORDER BY frame_idx""".stripMargin,
     // stride = ceil(len/64), thumb byte j (0-based) = byte at j*stride —
     // exactly resizePayloads' subsample; len <= 64 degenerates to stride 1
     "q66_media_resize" ->

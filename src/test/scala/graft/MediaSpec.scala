@@ -231,6 +231,58 @@ class MediaSpec extends AnyFunSuite {
     assert(out(3L).payload.sameElements("not an image at all".getBytes))
   }
 
+  test("codec: WAV PCM16 encode→decode round-trips samples, mono and stereo") {
+    val mono = Array.tabulate(97)(i => (i * 131 % 4001) - 2000)
+    val m = MediaFunctions.decodeWav(MediaFunctions.encodeWavPcm16(1, 8000, mono)).get
+    assert(m.channels == 1 && m.sampleRate == 8000 && m.samples.sameElements(mono))
+    val stereo = Array.tabulate(60)(i => (i * 977 % 65536) - 32768)
+    val st = MediaFunctions.decodeWav(MediaFunctions.encodeWavPcm16(2, 44100, stereo)).get
+    assert(st.channels == 2 && st.framesPerChannel == 30 && st.samples.sameElements(stereo))
+    // extreme values survive the sign extension
+    val edges = Array(Short.MinValue.toInt, -1, 0, 1, Short.MaxValue.toInt, 0)
+    val e = MediaFunctions.decodeWav(MediaFunctions.encodeWavPcm16(2, 8000, edges)).get
+    assert(e.samples.sameElements(edges))
+  }
+
+  test("codec: WAV chunk walk skips foreign chunks (odd sizes padded) and rejects malformed files") {
+    val samples = Array.tabulate(10)(i => i * 100 - 500)
+    val plain = MediaFunctions.encodeWavPcm16(1, 8000, samples)
+    // splice a 5-byte LIST chunk (odd size → 1 pad byte) before fmt/data
+    val foreign = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes ++ Array[Byte](0)
+    val spliced = plain.take(12) ++ foreign ++ plain.drop(12)
+    // RIFF size field is not re-checked by the parser; splice as-is
+    val dec = MediaFunctions.decodeWav(spliced)
+    assert(dec.exists(_.samples.sameElements(samples)), "foreign chunk broke the walk")
+    // rejections: wrong magic, truncated data chunk, non-PCM format code
+    assert(MediaFunctions.decodeWav("RIFFxxxxWAVX".getBytes).isEmpty)
+    assert(MediaFunctions.decodeWav(plain.dropRight(3)).isEmpty)
+    val nonPcm = plain.clone(); nonPcm(20) = 3 // IEEE float
+    assert(MediaFunctions.decodeWav(nonPcm).isEmpty)
+  }
+
+  test("decodeAudioClips + audioFrameEnergy: stats are integer-exact and stereo de-interleaves") {
+    import spark.implicits._
+    val mono = Array(3, -4, 0, 5, -5, 2, 1, -1)
+    val stereo = Array(10, -99, 20, -99, 30, -99, 40, -99) // ch0 = 10,20,30,40
+    val recs = Seq(
+      MediaRecord(1L, MediaFunctions.encodeWavPcm16(1, 1000, mono), "wav"),
+      MediaRecord(2L, MediaFunctions.encodeWavPcm16(2, 8000, stereo), "wav"),
+      MediaRecord(3L, "nonsense".getBytes, "wav") // corrupt
+    ).toDS()
+    val stats = MediaFunctions.decodeAudioClips(recs).collect().map(a => a.id -> a).toMap
+    assert(stats(1L).n_frames == 8 && stats(1L).duration_ms == 8 && stats(1L).peak == 5)
+    assert(stats(1L).sum_sq == mono.map(s => s.toLong * s).sum)
+    assert(stats(2L).channels == 2 && stats(2L).n_frames == 4)
+    assert(stats(3L).channels == 0 && stats(3L).n_frames == 0, "corrupt must quarantine")
+    val frames = MediaFunctions.audioFrameEnergy(recs, frameSize = 2)
+      .collect().map(f => (f.id, f.frame_idx) -> f).toMap
+    // stereo channel 0 only: frames (10,20) and (30,40)
+    assert(frames((2L, 0)).energy == 100 + 400 && frames((2L, 0)).peak == 20)
+    assert(frames((2L, 1)).energy == 900 + 1600 && frames((2L, 1)).peak == 40)
+    // mono: 4 complete frames; corrupt contributes none
+    assert(frames.keys.count(_._1 == 1L) == 4 && !frames.keys.exists(_._1 == 3L))
+  }
+
   test("aHash: real-image path is container-invariant and flips with inverted brightness") {
     import spark.implicits._
     val rgb = raster(8, 8, seed = 11)
