@@ -88,6 +88,75 @@ object VectorQueries {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** Integer RRF contribution of rank r: floor(1e12 / (K + r)) with the
+    * standard K = 60 (Cormack–Clarke–Büttcher '09). Integer so the fused
+    * score is a SUM OF EXACT INTEGERS — order-independent, hash-stable
+    * across engines, no float-rational drift.
+    */
+  private[graft] val RrfK = 60L
+  private[graft] val RrfScale = 1000000000000L
+
+  /** RECIPROCAL RANK FUSION — the hybrid-retrieval merge every production
+    * search stack runs when two retrievers score on incomparable scales:
+    * per probe, fuse the COSINE top-10 and the raw INNER-PRODUCT top-10
+    * by Σ floor(1e12/(60+rank)) over the lists each candidate appears in,
+    * then keep the fused top-5. Both retrievers are the bounded-probe
+    * broadcast + map-side TopKByScore shape (q18's scale contract: probe
+    * set ≤ MaxProbes regardless of corpus); the fusion itself touches
+    * ≤ probes·20 rows — driver-free, one tiny shuffle. The oracle
+    * replays both rankings and the integer fusion.
+    */
+  def q220RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
+    val topk = udaf(TopKByScore(10))
+    def ranked(score: Column): DataFrame =
+      e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+        .select($"probe_id", $"vec_id", score.as("s"))
+        .groupBy($"probe_id").agg(topk($"s", $"vec_id").as("nn"))
+        .select($"probe_id", posexplode($"nn"))
+        .select($"probe_id", $"col._2".as("vec_id"),
+          expr(s"$RrfScale div ($RrfK + pos + 1)").as("contrib"))
+    val byCos = ranked(cosine($"p_emb", $"embedding", $"p_nrm", $"nrm"))
+    val byDot = ranked(dotF($"p_emb", $"embedding"))
+    val wFused = Window.partitionBy($"probe_id").orderBy($"rrf".desc, $"vec_id")
+    byCos.unionByName(byDot)
+      .groupBy($"probe_id", $"vec_id").agg(sum($"contrib").as("rrf"))
+      .withColumn("rank", row_number().over(wFused)).filter($"rank" <= 5)
+      .select($"probe_id", $"rank".cast("long").as("rank"), $"vec_id", $"rrf")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** HARD-NEGATIVE MINING — the contrastive-training curation step: for
+    * each probe, its top-3 most-cosine-similar vectors whose DOCUMENT is
+    * in a DIFFERENT language (the embeddings↔documents id linkage q149
+    * established) — near neighbors that must NOT match, the negatives a
+    * contrastive loss learns the most from. Candidate langs ride an
+    * id equi-join (bucketing co-locates it at scale); probes + their
+    * langs broadcast (≤ MaxProbes rows); TopKByScore keeps the exchange
+    * at 3 rows per probe. The oracle replays the join and ranking.
+    */
+  def q221HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val langs = Tables.documents(s, dir).select($"doc_id".as("vec_id"), $"lang")
+    val probes = e.filter(probePredicate($"vec_id")).join(langs, "vec_id")
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"),
+        $"nrm".as("p_nrm"), $"lang".as("p_lang"))
+    val topk = udaf(TopKByScore(3))
+    e.join(langs, "vec_id")
+      .join(broadcast(probes), $"vec_id" =!= $"probe_id" && $"lang" =!= $"p_lang")
+      .select($"probe_id", $"vec_id", $"lang",
+        cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
+      .groupBy($"probe_id").agg(topk($"sim", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round($"col._1", 4).as("sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+
   /** Comparator-plane LSH bucket: bit i set iff v[a_i] > v[b_i] for fixed,
     * well-spread index pairs (a 6-bit winner-take-all-style signature →
     * 64 buckets). Deterministic and exactly reproducible in SQL. At larger
@@ -1283,6 +1352,8 @@ object VectorQueries {
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
     "q181_ann_recall" -> (q181AnnRecall _),
     "q213_graph_ann_beam" -> (q213GraphAnnBeam _),
+    "q220_rrf_fusion" -> (q220RrfFusion _),
+    "q221_hard_negatives" -> (q221HardNegatives _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q189_semantic_dedup" -> (q189SemanticDedup _),
     "q193_sq8_search" -> (q193Sq8Search _),
@@ -1578,6 +1649,52 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // both retriever rankings replayed, then the exact-integer fusion:
+    // contribution = 1e12 // (60 + rank), summed per (probe, candidate)
+    "q220_rrf_fusion" ->
+      s"""WITH probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+         |  WHERE ${probePredicateSql("vec_id")}
+         |), bycos AS (
+         |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY ${cosSql("p_emb", "embedding")} DESC, vec_id) AS r
+         |  FROM probes, embeddings WHERE vec_id != probe_id
+         |), bydot AS (
+         |  SELECT probe_id, vec_id, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY ${dotD.format("p_emb", "embedding")} DESC, vec_id) AS r
+         |  FROM probes, embeddings WHERE vec_id != probe_id
+         |), contribs AS (
+         |  SELECT probe_id, vec_id, $RrfScale // ($RrfK + r) AS c FROM bycos WHERE r <= 10
+         |  UNION ALL
+         |  SELECT probe_id, vec_id, $RrfScale // ($RrfK + r) AS c FROM bydot WHERE r <= 10
+         |), fused AS (
+         |  SELECT probe_id, vec_id, CAST(sum(c) AS BIGINT) AS rrf
+         |  FROM contribs GROUP BY 1, 2
+         |)
+         |SELECT probe_id, rank, vec_id, rrf FROM (
+         |  SELECT probe_id, vec_id, rrf, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY rrf DESC, vec_id) AS rank
+         |  FROM fused
+         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // candidate langs via the embeddings↔documents id linkage; negatives
+    // are cross-language only — ranking replayed verbatim
+    "q221_hard_negatives" ->
+      s"""WITH probes AS (
+         |  SELECT e.vec_id AS probe_id, e.embedding AS p_emb, d.lang AS p_lang
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |  WHERE ${probePredicateSql("e.vec_id")}
+         |), scored AS (
+         |  SELECT p.probe_id, e.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
+         |  FROM probes p
+         |  JOIN embeddings e ON e.vec_id != p.probe_id
+         |  JOIN documents d ON e.vec_id = d.doc_id AND d.lang != p.p_lang
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
     // l0's probe anchor is itself, so its probe condition is trivially true
     // — identical semantics to joining lut0 on cell alone
     // the PQ coding path's values, checksummed per subspace and training

@@ -315,6 +315,73 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(r4 >= r1)
   }
 
+  test("q220 RRF: fused top-5 comes from the retrievers' union; agreed top-1 wins the fusion") {
+    import org.apache.spark.sql.functions._
+    import graft.expressions.NativeKernels.dotF
+    val fused = vector.VectorQueries.q220RrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fused.nonEmpty)
+    // recompute both retriever top-10s exactly (driver-side, probe-bounded)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val p = e.filter(vector.VectorQueries.probePredicate(col("vec_id")))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val scored = e.join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        dotF(col("embedding"), col("p_emb")).as("dot"),
+        (dotF(col("embedding"), col("p_emb")) /
+          (sqrt(dotF(col("embedding"), col("embedding"))) *
+            sqrt(dotF(col("p_emb"), col("p_emb"))))).as("cos"))
+      .collect().groupBy(_.getLong(0))
+    def top(rows: Array[org.apache.spark.sql.Row], f: org.apache.spark.sql.Row => Double, k: Int) =
+      rows.sortBy(r => (-f(r), r.getLong(1))).take(k).map(_.getLong(1)).toSeq
+    fused.groupBy(_._1).foreach { case (probe, rows) =>
+      val cos10 = top(scored(probe), _.getDouble(3), 10)
+      val dot10 = top(scored(probe), _.getDouble(2), 10)
+      val union = (cos10 ++ dot10).toSet
+      rows.foreach { case (_, _, v, _) =>
+        assert(union(v), s"probe $probe fused candidate $v not in either retriever's top-10")
+      }
+      // agreement law: a shared rank-1 has the maximum possible RRF score
+      if (cos10.head == dot10.head)
+        assert(rows.minBy(_._2)._3 == cos10.head,
+          s"probe $probe: agreed top-1 ${cos10.head} did not win the fusion")
+      // exact-integer scores: every rrf is a sum of 1..2 valid contributions
+      val valid = (1 to 10).map(r => vector.VectorQueries.RrfScale / (vector.VectorQueries.RrfK + r)).toSet
+      rows.foreach { case (_, _, _, s) =>
+        assert(valid(s) || valid.exists(a => valid.exists(b => a + b == s)),
+          s"rrf score $s is not a valid contribution sum")
+      }
+    }
+  }
+
+  test("q221 hard negatives: every negative is cross-language and is the true cross-lang top-3") {
+    import org.apache.spark.sql.functions._
+    val langOf = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = vector.VectorQueries.q221HardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (p, _, v, _) =>
+      assert(langOf(v) != langOf(p), s"negative $v shares probe $p's language")
+    }
+    // agreement with a brute-force recomputation restricted to cross-lang
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i)).sum
+      dot / (math.sqrt(a.indices.map(i => a(i).toDouble * a(i)).sum) *
+        math.sqrt(b.indices.map(i => b(i).toDouble * b(i)).sum))
+    }
+    got.groupBy(_._1).foreach { case (p, rows) =>
+      val want = e.keys.filter(v => v != p && langOf.contains(v) && langOf.get(v) != langOf.get(p))
+        .map(v => (cos(e(p), e(v)), v)).toSeq
+        .sortBy { case (s, v) => (-s, v) }.take(3).map(_._2)
+      assert(rows.sortBy(_._2).map(_._3).toSeq == want,
+        s"probe $p: served negatives differ from brute force")
+    }
+  }
+
   test("q213 edge index is a persisted artifact: read-back serve ≡ a from-scratch build") {
     import org.apache.spark.sql.functions._
     // the q148 discipline applied to the graph tier: the artifact parquet
