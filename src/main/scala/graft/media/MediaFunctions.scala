@@ -114,6 +114,143 @@ object MediaFunctions {
     Some(DecodedAudio(channels, rate, samples))
   }
 
+  /** A decoded video: per-frame top-down RGB rasters + frame timing. */
+  case class DecodedVideo(width: Int, height: Int, usecPerFrame: Int,
+      frames: Vector[Array[Byte]])
+
+  /** Formats the REAL video codec handles ("avi"/"video"). */
+  def isVideoFormat(format: String): Boolean =
+    format == "avi" || format == "video"
+
+  /** Decode a canonical AVI (RIFF 'AVI ') with uncompressed 24-bit DIB
+    * frames: walk the top-level chunks to `LIST hdrl` (avih gives frame
+    * timing and dims) and `LIST movi` (each '..db' chunk is one
+    * bottom-up BGR padded raster — the BMP pixel layout). Total: any
+    * malformed structure, compressed stream, or short frame returns
+    * None. Frames decode to top-down RGB like [[decodeImage]].
+    */
+  def decodeAvi(payload: Array[Byte]): Option[DecodedVideo] =
+    try decodeAvi0(payload) catch { case _: RuntimeException => None }
+
+  private def decodeAvi0(b: Array[Byte]): Option[DecodedVideo] = {
+    def tag(off: Int): String =
+      if (off + 4 <= b.length) new String(b, off, 4, "US-ASCII") else ""
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var width = 0
+    var height = 0
+    var usec = 0
+    var avihSeen = false
+    val frames = Vector.newBuilder[Array[Byte]]
+    // walk top-level chunks; recurse one level into LISTs we care about
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = tag(off)
+        val size = leInt(b, off + 4).toLong & 0xffffffffL
+        if (size > Int.MaxValue || off + 8 + size > until) return
+        val body = off + 8
+        if (id == "LIST") {
+          val listType = tag(body)
+          if (listType == "hdrl" || listType == "movi" || listType == "strl")
+            walk(body + 4, body + size.toInt, inMovi || listType == "movi")
+        } else if (id == "avih" && size >= 40) {
+          usec = leInt(b, body)
+          width = leInt(b, body + 32)
+          height = leInt(b, body + 36)
+          avihSeen = true
+        } else if (inMovi && id.length == 4 && id.endsWith("db")) {
+          frames += b.slice(body, body + size.toInt)
+        }
+        off = body + size.toInt + (size.toInt & 1) // chunks pad to even
+      }
+    }
+    walk(12, b.length, inMovi = false)
+    if (!avihSeen || width < 1 || width > (1 << 16) || height < 1 || height > (1 << 16))
+      return None
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val decoded = frames.result().map { raw =>
+      if (raw.length < rowSize * height) return None
+      val rgb = new Array[Byte](3 * width * height)
+      var y = 0
+      while (y < height) {
+        val base = (height - 1 - y) * rowSize // DIB frames are bottom-up
+        var x = 0
+        while (x < width) {
+          val d = 3 * (y * width + x)
+          rgb(d) = raw(base + 3 * x + 2)
+          rgb(d + 1) = raw(base + 3 * x + 1)
+          rgb(d + 2) = raw(base + 3 * x)
+          x += 1
+        }
+        y += 1
+      }
+      rgb
+    }
+    if (decoded.isEmpty) return None
+    Some(DecodedVideo(width, height, usec, decoded))
+  }
+
+  /** Encode top-down RGB frames as a canonical AVI with uncompressed
+    * 24-bit DIB '00db' frames (bottom-up BGR, 4-byte row padding).
+    */
+  def encodeAvi(width: Int, height: Int, usecPerFrame: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && frames.nonEmpty &&
+      frames.forall(_.length == 3 * width * height))
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val frameBytes = rowSize * height
+    // every LIST size field covers its 4-byte type tag plus children
+    val strl = 4 + (8 + 56) + (8 + 40)         // 'strl' + strh + strf
+    val hdrl = 4 + (8 + 56) + (8 + strl)       // 'hdrl' + avih + LIST strl
+    val movi = 4 + frames.size * (8 + frameBytes)
+    val riff = 4 + (8 + hdrl) + (8 + movi)
+    val out = new Array[Byte](8 + riff)
+    var off = 0
+    def putTag(s: String): Unit = { s.getBytes("US-ASCII").foreach { c => out(off) = c; off += 1 } }
+    def putLe(v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte; off += 4
+    }
+    putTag("RIFF"); putLe(riff); putTag("AVI ")
+    putTag("LIST"); putLe(hdrl); putTag("hdrl")
+    putTag("avih"); putLe(56)
+    putLe(usecPerFrame); putLe(0); putLe(0); putLe(0)
+    putLe(frames.size); putLe(0); putLe(1); putLe(frameBytes)
+    putLe(width); putLe(height); putLe(0); putLe(0); putLe(0); putLe(0)
+    putTag("LIST"); putLe(strl); putTag("strl")
+    putTag("strh"); putLe(56)
+    putTag("vids"); putTag("DIB ")
+    putLe(0); putLe(0); putLe(0)
+    putLe(1); putLe(1000000 / math.max(usecPerFrame, 1)) // scale, rate
+    putLe(0); putLe(frames.size); putLe(frameBytes); putLe(-1); putLe(0)
+    putLe(0); putLe(0) // rcFrame
+    putTag("strf"); putLe(40)
+    putLe(40); putLe(width); putLe(height)
+    out(off) = 1; off += 2          // planes
+    out(off) = 24; off += 2         // bpp
+    putLe(0); putLe(frameBytes); putLe(0); putLe(0); putLe(0); putLe(0)
+    putTag("LIST"); putLe(movi); putTag("movi")
+    frames.foreach { rgb =>
+      putTag("00db"); putLe(frameBytes)
+      var y = 0
+      while (y < height) {
+        val base = off + (height - 1 - y) * rowSize
+        var x = 0
+        while (x < width) {
+          val s = 3 * (y * width + x)
+          out(base + 3 * x) = rgb(s + 2)
+          out(base + 3 * x + 1) = rgb(s + 1)
+          out(base + 3 * x + 2) = rgb(s)
+          x += 1
+        }
+        y += 1
+      }
+      off += frameBytes
+    }
+    require(off == out.length, s"encodeAvi layout bug: $off != ${out.length}")
+    out
+  }
+
   /** Encode interleaved samples as canonical 16-bit PCM RIFF/WAVE. */
   def encodeWavPcm16(channels: Int, sampleRate: Int, samples: Array[Int]): Array[Byte] = {
     require(channels >= 1 && sampleRate >= 1 && samples.length % channels == 0)
@@ -578,6 +715,75 @@ object MediaFunctions {
               i += 1
             }
             AudioEnergyFrame(r.id, j, energy, peak)
+          }
+        case None => Seq.empty
+      }
+    }
+  }
+
+  /** Per-video decoded statistics; checksum is FNV over the luma of every
+    * frame in order (frame-major) — a pixel-content hash of the whole
+    * clip. Quarantine row (width = 0) for corrupt/non-video payloads.
+    */
+  case class VideoStats(id: Long, width: Int, height: Int, n_frames: Long,
+      usec_per_frame: Long, checksum: Long)
+
+  /** Decode video-typed payloads ([[isVideoFormat]]) through the REAL AVI
+    * parser to per-clip stats — dims and timing from `avih`, frame count
+    * and content hash from the actual '00db' rasters.
+    */
+  def decodeVideoMeta(records: Dataset[MediaRecord]): Dataset[VideoStats] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val v = if (isVideoFormat(r.format)) decodeAvi(r.payload) else None
+        v match {
+          case Some(vid) =>
+            var h = 0xcbf29ce484222325L
+            vid.frames.foreach { rgb =>
+              var p = 0
+              val n = vid.width * vid.height
+              while (p < n) {
+                val l = luma601(rgb(3 * p) & 0xff, rgb(3 * p + 1) & 0xff, rgb(3 * p + 2) & 0xff)
+                h = (h ^ l.toLong) * 0x100000001b3L
+                p += 1
+              }
+            }
+            VideoStats(r.id, vid.width, vid.height, vid.frames.size.toLong,
+              vid.usecPerFrame.toLong, h)
+          case None =>
+            VideoStats(r.id, 0, 0, 0L, 0L, fnv64(r.payload, 0, r.payload.length))
+        }
+      }
+    }
+  }
+
+  /** One sampled, fully-decoded video frame. */
+  case class VideoFrameSample(id: Long, frame_idx: Int, frame_checksum: Long)
+
+  /** REAL frame sampling: decode the container, keep every `stride`-th
+    * frame, hash its decoded luma raster — the seek+decode access pattern
+    * [[sampleFrames]] stubs for opaque payloads, now against real frames.
+    * flatMap emits ≤ n_frames/stride bounded rows map-side.
+    */
+  def sampleVideoFrames(records: Dataset[MediaRecord], stride: Int): Dataset[VideoFrameSample] = {
+    import records.sparkSession.implicits._
+    require(stride >= 1)
+    records.flatMap { r =>
+      val v = if (isVideoFormat(r.format)) decodeAvi(r.payload) else None
+      v match {
+        case Some(vid) =>
+          (0 until vid.frames.size by stride).map { t =>
+            val rgb = vid.frames(t)
+            var h = 0xcbf29ce484222325L
+            var p = 0
+            val n = vid.width * vid.height
+            while (p < n) {
+              val l = luma601(rgb(3 * p) & 0xff, rgb(3 * p + 1) & 0xff, rgb(3 * p + 2) & 0xff)
+              h = (h ^ l.toLong) * 0x100000001b3L
+              p += 1
+            }
+            VideoFrameSample(r.id, t, h)
           }
         case None => Seq.empty
       }

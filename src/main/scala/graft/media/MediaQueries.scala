@@ -318,6 +318,64 @@ object MediaQueries {
       .orderBy($"frame_idx")
   }
 
+  /** Video-typed records with REAL AVI container bytes: per doc a clip of
+    * 2 + (doc_id % 5) uncompressed 24-bit DIB frames at (4 + doc_id % 9)
+    * × (3 + doc_id % 5), 25 fps, pixel channels linear in (id, frame,
+    * pixel) — formulas both engines replay. ≤ ~1 KB per payload.
+    */
+  private def videoRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      val w = (4 + id % 9).toInt
+      val h = (3 + id % 5).toInt
+      val f = (2 + id % 5).toInt
+      val frames = (0 until f).map { t =>
+        val rgb = new Array[Byte](3 * w * h)
+        var p = 0
+        while (p < w * h) {
+          rgb(3 * p) = ((id * 31 + t * 101 + p * 7) % 256).toByte
+          rgb(3 * p + 1) = ((id * 17 + t * 59 + p * 13) % 256).toByte
+          rgb(3 * p + 2) = ((id * 53 + t * 211 + p * 29) % 256).toByte
+          p += 1
+        }
+        rgb
+      }
+      MediaFunctions.MediaRecord(id, MediaFunctions.encodeAvi(w, h, 40000, frames), "avi")
+    }
+  }
+
+  /** REAL video decode under the oracle gate: AVI bytes built in Spark
+    * (RIFF lists, avih header, bottom-up padded DIB frames), parsed back
+    * by the real chunk walker, whole-clip luma checksummed frame-major,
+    * rolled up by frame count. The oracle predicts dims, timing, and the
+    * checksum from the generator formulas alone.
+    */
+  def q222VideoDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MediaFunctions.decodeVideoMeta(videoRecords(Tables.documents(s, dir))).toDF()
+      .groupBy($"n_frames")
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum($"width".cast("long") * $"height").as("total_pixels_per_frame"),
+        min($"usec_per_frame").as("min_usec"),
+        expr("bit_xor(checksum)").as("checksum_xor"))
+      .orderBy($"n_frames")
+  }
+
+  /** REAL frame sampling under the oracle gate: every 2nd frame of each
+    * clip decoded and luma-hashed — the stub q56 contract (seek + bounded
+    * decode per sample) against actual container bytes. Per-(id, frame)
+    * rows on a bounded doc slice; the oracle replays frame t's raster
+    * from the formulas.
+    */
+  def q223VideoFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recs = videoRecords(Tables.documents(s, dir).filter($"doc_id" % 25 === 0))
+    MediaFunctions.sampleVideoFrames(recs, stride = 2).toDF()
+      .select($"id", $"frame_idx".cast("long").as("frame_idx"), $"frame_checksum")
+      .orderBy($"id", $"frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
@@ -330,6 +388,8 @@ object MediaQueries {
     "q216_image_thumbnail" -> (q216ImageThumbnail _),
     "q218_audio_decode" -> (q218AudioDecode _),
     "q219_audio_frames" -> (q219AudioFrames _),
+    "q222_video_decode" -> (q222VideoDecode _),
+    "q223_video_frame_sample" -> (q223VideoFrameSample _),
   )
 
   /** FNV-64 over a HUGEINT byte list in DuckDB mod-2⁶⁴ arithmetic, mapped
@@ -376,6 +436,14 @@ object MediaQueries {
     */
   private def sampleSql(i: String): String =
     s"(((doc_id * 7 + ($i) * ($i) * 3) % 4001) - 2000)"
+
+  /** Predicted luma of video frame `t`, pixel `p` — [[videoRecords]]'
+    * generator composed with integer BT.601.
+    */
+  private def vLumaSql(t: String, p: String): String =
+    s"""((299 * ((doc_id * 31 + ($t) * 101 + ($p) * 7) % 256)
+       |  + 587 * ((doc_id * 17 + ($t) * 59 + ($p) * 13) % 256)
+       |  + 114 * ((doc_id * 53 + ($t) * 211 + ($p) * 29) % 256)) // 1000)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // real-decode gate: width/height/checksum predicted from the raster
@@ -497,6 +565,36 @@ object MediaQueries {
          |SELECT frame_idx, count(*) AS n_frames, max(off) AS max_offset,
          |  bit_xor(fc) AS checksum_xor
          |FROM fr GROUP BY frame_idx ORDER BY frame_idx""".stripMargin,
+    // real-video gate: dims/timing/whole-clip luma hash predicted from
+    // the frame generator; frame-major order k -> (k//np, k%np)
+    "q222_video_decode" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 2 + doc_id % 5 AS f,
+         |    (4 + doc_id % 9) * (3 + doc_id % 5) AS np FROM documents
+         |), c AS (
+         |  SELECT doc_id, f, np, ${fnvListSql(
+             s"""list_transform(range(0, f * np),
+                |      k -> ${vLumaSql("k // np", "k % np")}::HUGEINT)""".stripMargin)} AS cks
+         |  FROM d
+         |)
+         |SELECT CAST(f AS BIGINT) AS n_frames, count(*) AS n_videos,
+         |  CAST(sum(np) AS BIGINT) AS total_pixels_per_frame,
+         |  CAST(40000 AS BIGINT) AS min_usec,
+         |  bit_xor(cks) AS checksum_xor
+         |FROM c GROUP BY 1 ORDER BY n_frames""".stripMargin,
+    // every 2nd frame's raster replayed at t = frame_idx
+    "q223_video_frame_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 2 + doc_id % 5 AS f,
+         |    (4 + doc_id % 9) * (3 + doc_id % 5) AS np
+         |  FROM documents WHERE doc_id % 25 = 0
+         |), fr AS (
+         |  SELECT doc_id, CAST(u.t AS BIGINT) AS frame_idx, np, ${fnvListSql(
+             s"""list_transform(range(0, np), p -> ${vLumaSql("u.t", "p")}::HUGEINT)""")} AS fc
+         |  FROM d, UNNEST(range(0, f)) AS u(t) WHERE u.t % 2 = 0
+         |)
+         |SELECT doc_id AS id, frame_idx, fc AS frame_checksum
+         |FROM fr ORDER BY id, frame_idx""".stripMargin,
     // real-audio gate: every per-clip stat predicted from the waveform
     // formula; & 65535 = the two's-complement low 16 bits on both engines
     "q218_audio_decode" ->

@@ -283,6 +283,52 @@ class MediaSpec extends AnyFunSuite {
     assert(frames.keys.count(_._1 == 1L) == 4 && !frames.keys.exists(_._1 == 3L))
   }
 
+  test("codec: AVI encode→decode round-trips every frame at every padding width; foreign chunks skipped") {
+    for (w <- Seq(3, 4, 5, 6); h <- Seq(2, 3)) {
+      val frames = (0 until 3).map(t => raster(w, h, seed = t * 17 + w))
+      val avi = MediaFunctions.encodeAvi(w, h, 40000, frames)
+      val dec = MediaFunctions.decodeAvi(avi).getOrElse(fail(s"decode failed at ${w}x$h"))
+      assert(dec.width == w && dec.height == h && dec.usecPerFrame == 40000)
+      assert(dec.frames.size == 3)
+      frames.indices.foreach(t => assert(dec.frames(t).sameElements(frames(t)),
+        s"frame $t broke at ${w}x$h (padding ${(4 - (w * 3) % 4) % 4})"))
+    }
+    // splice a JUNK chunk (odd size, padded) between hdrl and movi —
+    // every real muxer emits alignment junk; the walker must skip it
+    val avi = MediaFunctions.encodeAvi(4, 3, 40000, Seq(raster(4, 3)))
+    val hdrlEnd = 12 + 8 + 192 // RIFF hdr + LIST hdrl chunk
+    val junk = "JUNK".getBytes ++ Array[Byte](3, 0, 0, 0) ++ "xyz".getBytes ++ Array[Byte](0)
+    val spliced = avi.take(hdrlEnd) ++ junk ++ avi.drop(hdrlEnd)
+    val dec = MediaFunctions.decodeAvi(spliced)
+    assert(dec.exists(_.frames.size == 1), "JUNK chunk broke the walk")
+    // rejections: wrong form type, truncated frame data
+    assert(MediaFunctions.decodeAvi("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(MediaFunctions.decodeAvi(avi.dropRight(5)).isEmpty)
+  }
+
+  test("decodeVideoMeta + sampleVideoFrames: real stats, stride sampling, quarantine") {
+    import spark.implicits._
+    val frames = (0 until 5).map(t => raster(4, 3, seed = t))
+    val recs = Seq(
+      MediaRecord(1L, MediaFunctions.encodeAvi(4, 3, 40000, frames), "avi"),
+      MediaRecord(2L, "definitely not a video".getBytes, "video")
+    ).toDS()
+    val meta = MediaFunctions.decodeVideoMeta(recs).collect().map(v => v.id -> v).toMap
+    assert(meta(1L).width == 4 && meta(1L).n_frames == 5 && meta(1L).usec_per_frame == 40000)
+    assert(meta(2L).width == 0, "corrupt video must quarantine")
+    val sampled = MediaFunctions.sampleVideoFrames(recs, stride = 2).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+    // a sampled frame's checksum equals the whole-clip hash restricted to
+    // that frame — recompute frame 2's luma FNV directly
+    val rgb = frames(2)
+    var want = 0xcbf29ce484222325L
+    (0 until 12).foreach { p =>
+      val l = MediaFunctions.luma601(rgb(3 * p) & 0xff, rgb(3 * p + 1) & 0xff, rgb(3 * p + 2) & 0xff)
+      want = (want ^ l.toLong) * 0x100000001b3L
+    }
+    assert(sampled.find(_.frame_idx == 2).get.frame_checksum == want)
+  }
+
   test("aHash: real-image path is container-invariant and flips with inverted brightness") {
     import spark.implicits._
     val rgb = raster(8, 8, seed = 11)
