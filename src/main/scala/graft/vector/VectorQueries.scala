@@ -376,35 +376,53 @@ object VectorQueries {
     * may be directed (a kept edge's reverse can be pruned on the other
     * side), which greedy routing tolerates — exactly HNSW's shape.
     */
-  private[graft] def builtGraphEdges(s: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, tbl, bucket) band rows of an embedding relation. */
+  private def bandedOf(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
-    val e = withNorm(Tables.embeddings(s, dir))
-    val banded = Tables.embeddings(s, dir)
-      .select($"vec_id", posexplode(
+    emb.select($"vec_id", posexplode(
         array((0 until LshTables).map(t => lshBucketT($"embedding", t)): _*)))
       .select($"vec_id", $"pos".as("tbl"), $"col".as("bucket"))
-    val candPairs = banded.as("a").join(banded.as("b"),
+  }
+
+  /** Distinct (src, dst) candidate pairs from two band relations. */
+  private def bandPairs(a: DataFrame, b: DataFrame): DataFrame = {
+    val s = a.sparkSession
+    import s.implicits._
+    a.as("a").join(b.as("b"),
         $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
           $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("src"), $"b.vec_id".as("dst"))
       .distinct()
+  }
+
+  /** Per-src best-K prune of a pair relation by cosine (sim recomputed —
+    * structurally identical to the oracle's replay).
+    */
+  private def bestKPerSrc(s: SparkSession, dir: String, pairs: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
     val ea = e.select($"vec_id".as("src"), $"embedding".as("s_emb"), $"nrm".as("s_nrm"))
     val eb = e.select($"vec_id".as("dst"), $"embedding".as("d_emb"), $"nrm".as("d_nrm"))
-    val wDeg = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
-    val knn = candPairs.join(ea, "src").join(eb, "dst")
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
+    pairs.join(ea, "src").join(eb, "dst")
       .select($"src", $"dst",
         cosine($"s_emb", $"d_emb", $"s_nrm", $"d_nrm").as("sim"))
-      .withColumn("rn", row_number().over(wDeg)).filter($"rn" <= GraphDegree)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= k)
       .select($"src", $"dst")
-    val sym = knn.union(knn.select($"dst".as("src"), $"src".as("dst"))).distinct()
-    // M_max cap: keep each source's best 2·D edges by sim (recomputed
-    // after the union — structurally identical to the oracle's replay)
-    val wCap = Window.partitionBy($"src").orderBy($"sim".desc, $"dst")
-    sym.join(ea, "src").join(eb, "dst")
-      .select($"src", $"dst",
-        cosine($"s_emb", $"d_emb", $"s_nrm", $"d_nrm").as("sim"))
-      .withColumn("rn", row_number().over(wCap)).filter($"rn" <= 2 * GraphDegree)
-      .select($"src", $"dst")
+  }
+
+  private def symmetrized(knn: DataFrame): DataFrame = {
+    val s = knn.sparkSession
+    import s.implicits._
+    knn.union(knn.select($"dst".as("src"), $"src".as("dst"))).distinct()
+  }
+
+  private[graft] def builtGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val banded = bandedOf(Tables.embeddings(s, dir))
+    val knn = bestKPerSrc(s, dir, bandPairs(banded, banded), GraphDegree)
+    // M_max cap: keep each source's best 2·D edges by sim
+    bestKPerSrc(s, dir, symmetrized(knn), 2 * GraphDegree)
   }
 
   /** The persisted edge artifact: built once per (process, dir, degree)
@@ -424,10 +442,16 @@ object VectorQueries {
     * states the depth law (more rounds ⇒ recall never degrades) by
     * running rounds=1 against rounds=[[BeamRounds]].
     */
-  private[graft] def graphBeamSearch(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+  private[graft] def graphBeamSearch(s: SparkSession, dir: String, rounds: Int): DataFrame =
+    beamServe(s, dir, graphEdges(s, dir), rounds)
+
+  /** The SERVE half, over any edge relation — shared by the full-build
+    * (q213) and incremental (q224) indexes.
+    */
+  private[graft] def beamServe(s: SparkSession, dir: String, edges: DataFrame,
+      rounds: Int): DataFrame = {
     import s.implicits._
     val e = withNorm(Tables.embeddings(s, dir))
-    val edges = graphEdges(s, dir)
     // ---- serve: beam search from the deterministic entry point
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
@@ -455,6 +479,55 @@ object VectorQueries {
         $"vec_id", round($"sim", 4).as("sim"))
       .orderBy($"probe_id", $"rank")
   }
+
+  /** Root for the q224 incremental graph artifacts (same scoping as
+    * [[graphIndexRoot]]). */
+  private[graft] def graphIncrRoot(dir: String): String =
+    graft.Scratch.path(
+      s"graphincr_${graft.Scratch.tag(dir)}_d${GraphDegree}_p${ProcessHandle.current().pid()}")
+
+  /** INCREMENTAL index maintenance — the q151 discipline applied to the
+    * graph tier (the promise q213's build made: "rebuilds incrementally"):
+    * the BASE graph (top-D + symmetrize + M_max cap over the non-increment
+    * corpus) is the expensive persisted artifact; appending the increment
+    * slice ([[isIncrement]], the daily-arrivals 10%) computes top-D edges
+    * for the NEW nodes ONLY (their band candidates against the full
+    * corpus — increment-proportional work, never a base rebuild), unions
+    * them with their reverse edges into the base graph, and re-applies
+    * the M_max cap — exactly HNSW's insert: new node links out, touched
+    * neighbors re-prune. Both stages land as parquet behind one
+    * completion marker; the serve reads the merged artifact.
+    */
+  private[graft] def incrementalGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graphIncrRoot(dir)
+    graft.Scratch.buildOnce(root, "_graphbuilt") {
+      val all = Tables.embeddings(s, dir)
+      val baseBands = bandedOf(all.filter(!isIncrement($"vec_id")))
+      val baseKnn = bestKPerSrc(s, dir, bandPairs(baseBands, baseBands), GraphDegree)
+      bestKPerSrc(s, dir, symmetrized(baseKnn), 2 * GraphDegree)
+        .write.mode("overwrite").parquet(s"$root/base_edges")
+      // append: new-node out-edges against the FULL corpus, reverse-linked
+      val incBands = bandedOf(all.filter(isIncrement($"vec_id")))
+      val newOut = bestKPerSrc(s, dir, bandPairs(incBands, bandedOf(all)), GraphDegree)
+      val pre = s.read.parquet(s"$root/base_edges")
+        .unionByName(newOut)
+        .unionByName(newOut.select($"dst".as("src"), $"src".as("dst")))
+        .distinct()
+      bestKPerSrc(s, dir, pre, 2 * GraphDegree)
+        .write.mode("overwrite").parquet(s"$root/edges")
+    }
+    s.read.parquet(s"$root/edges")
+  }
+
+  /** Graph ANN served from the INCREMENTALLY-maintained index: same beam
+    * search as q213 over base⊕increment edges. The oracle replays base
+    * build, new-node linking, reverse union, re-cap, and every beam round
+    * verbatim; VectorLawsSpec adds the structural laws (degree cap after
+    * append, increment-only new sources, recall parity with full build).
+    */
+  def q224GraphAnnIncremental(s: SparkSession, dir: String): DataFrame =
+    beamServe(s, dir, incrementalGraphEdges(s, dir), BeamRounds)
 
   /** ANN quality audit: recall@5 and candidate cost of the multi-table LSH
     * index (q134's L=4 bands) against the exact top-5 (q18's machinery),
@@ -1354,6 +1427,7 @@ object VectorQueries {
     "q213_graph_ann_beam" -> (q213GraphAnnBeam _),
     "q220_rrf_fusion" -> (q220RrfFusion _),
     "q221_hard_negatives" -> (q221HardNegatives _),
+    "q224_graph_ann_incremental" -> (q224GraphAnnIncremental _),
     "q35_ivf_assign" -> (q35IvfAssign _),
     "q189_semantic_dedup" -> (q189SemanticDedup _),
     "q193_sq8_search" -> (q193Sq8Search _),
@@ -1374,6 +1448,68 @@ object VectorQueries {
     */
   private def d2Sql(an2: String, bn2: String, a: String, b: String): String =
     s"($an2 + $bn2) - 2 * list_dot_product($a, $b)"
+
+  // ---- graph-ANN oracle builders, single-sourced for q213 and q224 ----
+
+  /** The L multi-table band rows of the full corpus ([[bandedOf]]'s twin). */
+  private def graphBandsSql: String = (0 until LshTables).map(t =>
+    s"SELECT vec_id, $t AS tbl, CAST(${bucketSqlT(t)} AS BIGINT) AS bucket FROM embeddings")
+    .mkString("\n  UNION ALL\n  ")
+
+  /** Per-src best-K prune CTE over a (src, dst) relation ([[bestKPerSrc]]'s
+    * twin — same recomputed-cosine window, same tie-break).
+    */
+  private def bestKCteSql(name: String, rel: String, k: Int, mat: Boolean = false): String =
+    s"""$name AS ${if (mat) "MATERIALIZED " else ""}(
+       |  SELECT src, dst FROM (
+       |    SELECT p.src, p.dst,
+       |      row_number() OVER (PARTITION BY p.src
+       |        ORDER BY ${cosSql("ea.embedding", "eb.embedding")} DESC, p.dst) AS rn
+       |    FROM $rel p
+       |    JOIN embeddings ea ON p.src = ea.vec_id
+       |    JOIN embeddings eb ON p.dst = eb.vec_id
+       |  ) WHERE rn <= $k
+       |)""".stripMargin
+
+  /** The serve half ([[beamServe]]'s twin): probes, entry, unrolled beam
+    * rounds, final ranking — over whatever `buildCtes` defines as `edges`.
+    */
+  private def graphServeSql(buildCtes: String): String = {
+    val rounds = (1 to BeamRounds).map { i =>
+      s""", f$i AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
+         |    FROM seen${i - 1}) WHERE rn <= $BeamWidth
+         |), c$i AS (
+         |  SELECT DISTINCT f.probe_id, ed.dst AS vec_id
+         |  FROM f$i f JOIN edges ed ON f.vec_id = ed.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM seen${i - 1} s
+         |                    WHERE s.probe_id = f.probe_id AND s.vec_id = ed.dst)
+         |), seen$i AS MATERIALIZED (
+         |  SELECT * FROM seen${i - 1}
+         |  UNION ALL
+         |  SELECT c.probe_id, c.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
+         |  FROM c$i c
+         |  JOIN probes p ON c.probe_id = p.probe_id
+         |  JOIN embeddings e ON c.vec_id = e.vec_id
+         |)""".stripMargin
+    }.mkString
+    s"""WITH $buildCtes,
+       |probes AS (
+       |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
+       |  WHERE ${probePredicateSql("vec_id")}
+       |), entry AS (SELECT min(vec_id) AS vec_id FROM embeddings),
+       |seen0 AS MATERIALIZED (
+       |  SELECT p.probe_id, en.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
+       |  FROM probes p CROSS JOIN entry en JOIN embeddings e ON en.vec_id = e.vec_id
+       |)$rounds
+       |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim FROM (
+       |  SELECT probe_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM seen$BeamRounds WHERE vec_id != probe_id
+       |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+  }
 
   /** Trained per-dim [min,max] bounds over `$rel(emb DOUBLE[])`, as the
     * CTE `b` — the oracle twin of [[sqBounds]], single-sourced so the
@@ -1832,74 +1968,47 @@ object VectorQueries {
     },
     // graph build (band candidates → top-D → symmetrize → 2·D degree cap)
     // and every beam round replayed verbatim: frontier window, edge
-    // expand, NOT-EXISTS
-    // visited filter, union — the kmeans-replay discipline applied to a
-    // graph traversal. MATERIALIZED per round: each seen_i feeds three
-    // consumers (next frontier, next visited filter, next union).
-    "q213_graph_ann_beam" -> {
-      val bands = (0 until LshTables).map(t =>
-        s"SELECT vec_id, $t AS tbl, CAST(${bucketSqlT(t)} AS BIGINT) AS bucket FROM embeddings")
-        .mkString("\n  UNION ALL\n  ")
-      val rounds = (1 to BeamRounds).map { i =>
-        s""", f$i AS (
-           |  SELECT probe_id, vec_id FROM (
-           |    SELECT probe_id, vec_id,
-           |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rn
-           |    FROM seen${i - 1}) WHERE rn <= $BeamWidth
-           |), c$i AS (
-           |  SELECT DISTINCT f.probe_id, ed.dst AS vec_id
-           |  FROM f$i f JOIN edges ed ON f.vec_id = ed.src
-           |  WHERE NOT EXISTS (SELECT 1 FROM seen${i - 1} s
-           |                    WHERE s.probe_id = f.probe_id AND s.vec_id = ed.dst)
-           |), seen$i AS MATERIALIZED (
-           |  SELECT * FROM seen${i - 1}
-           |  UNION ALL
-           |  SELECT c.probe_id, c.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
-           |  FROM c$i c
-           |  JOIN probes p ON c.probe_id = p.probe_id
-           |  JOIN embeddings e ON c.vec_id = e.vec_id
-           |)""".stripMargin
-      }.mkString
-      s"""WITH b AS (
-         |  $bands
+    // expand, NOT-EXISTS visited filter, union — the kmeans-replay
+    // discipline applied to a graph traversal. MATERIALIZED per round:
+    // each seen_i feeds three consumers. Build + serve fragments are
+    // single-sourced with the q224 incremental oracle.
+    "q213_graph_ann_beam" -> graphServeSql(
+      s"""b AS (
+         |  $graphBandsSql
          |), pairs AS MATERIALIZED (
          |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
          |  FROM b x JOIN b y
          |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id != y.vec_id
-         |), knn AS (
-         |  SELECT src, dst FROM (
-         |    SELECT p.src, p.dst,
-         |      row_number() OVER (PARTITION BY p.src
-         |        ORDER BY ${cosSql("ea.embedding", "eb.embedding")} DESC, p.dst) AS rn
-         |    FROM pairs p
-         |    JOIN embeddings ea ON p.src = ea.vec_id
-         |    JOIN embeddings eb ON p.dst = eb.vec_id
-         |  ) WHERE rn <= $GraphDegree
-         |), sym AS (
+         |), ${bestKCteSql("knn", "pairs", GraphDegree)},
+         |sym AS (
          |  SELECT src, dst FROM knn UNION SELECT dst AS src, src AS dst FROM knn
-         |), edges AS MATERIALIZED (
-         |  SELECT src, dst FROM (
-         |    SELECT s.src, s.dst,
-         |      row_number() OVER (PARTITION BY s.src
-         |        ORDER BY ${cosSql("ea.embedding", "eb.embedding")} DESC, s.dst) AS rn
-         |    FROM sym s
-         |    JOIN embeddings ea ON s.src = ea.vec_id
-         |    JOIN embeddings eb ON s.dst = eb.vec_id
-         |  ) WHERE rn <= ${2 * GraphDegree}
-         |), probes AS (
-         |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
-         |  WHERE ${probePredicateSql("vec_id")}
-         |), entry AS (SELECT min(vec_id) AS vec_id FROM embeddings),
-         |seen0 AS MATERIALIZED (
-         |  SELECT p.probe_id, en.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
-         |  FROM probes p CROSS JOIN entry en JOIN embeddings e ON en.vec_id = e.vec_id
-         |)$rounds
-         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim FROM (
-         |  SELECT probe_id, vec_id, sim,
-         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
-         |  FROM seen$BeamRounds WHERE vec_id != probe_id
-         |) WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
-    },
+         |), ${bestKCteSql("edges", "sym", 2 * GraphDegree, mat = true)}""".stripMargin),
+    // incremental maintenance: base graph over the non-increment corpus,
+    // new-node top-D against the FULL corpus, reverse union, re-cap —
+    // then the identical serve. vec_id % 10 = 9 is isIncrement's twin.
+    "q224_graph_ann_incremental" -> graphServeSql(
+      s"""b AS MATERIALIZED (
+         |  $graphBandsSql
+         |), pairs_b AS MATERIALIZED (
+         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |  FROM b x JOIN b y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id != y.vec_id
+         |  WHERE x.vec_id % 10 != 9 AND y.vec_id % 10 != 9
+         |), ${bestKCteSql("knn_b", "pairs_b", GraphDegree)},
+         |sym_b AS (
+         |  SELECT src, dst FROM knn_b UNION SELECT dst AS src, src AS dst FROM knn_b
+         |), ${bestKCteSql("base_edges", "sym_b", 2 * GraphDegree, mat = true)},
+         |pairs_i AS MATERIALIZED (
+         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+         |  FROM b x JOIN b y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id != y.vec_id
+         |  WHERE x.vec_id % 10 = 9
+         |), ${bestKCteSql("knn_i", "pairs_i", GraphDegree)},
+         |pre AS (
+         |  SELECT src, dst FROM base_edges
+         |  UNION SELECT src, dst FROM knn_i
+         |  UNION SELECT dst AS src, src AS dst FROM knn_i
+         |), ${bestKCteSql("edges", "pre", 2 * GraphDegree, mat = true)}""".stripMargin),
     "q199_mmr_diversified" -> mmrOracleSql,
     "q19_ann_lsh" ->
       s"""WITH e AS (

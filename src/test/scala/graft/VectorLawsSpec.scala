@@ -382,6 +382,39 @@ class VectorLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("q224 incremental graph: every increment node links in, the cap survives the append, recall holds") {
+    val exact = vector.VectorQueries.q18KnnTopk(spark, sf)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val served = vector.VectorQueries.q224GraphAnnIncremental(spark, sf)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(served.nonEmpty && served.keySet == exact.keySet)
+    val recall = served.keysIterator
+      .map(k => (served(k) & exact(k)).size / 5.0).sum / served.size
+    info(f"incremental graph-ANN recall@5 vs exact: $recall%.3f")
+    assert(recall >= 0.3, f"incremental recall collapsed: $recall%.3f")
+    // the merged artifact: M_max cap holds AFTER the append (the HNSW
+    // insert re-prune), and every increment node became a source
+    val root = vector.VectorQueries.graphIncrRoot(sf)
+    val edges = spark.read.parquet(s"$root/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDeg = edges.groupBy(_._1).values.map(_.size).max
+    assert(maxDeg <= 2 * vector.VectorQueries.GraphDegree,
+      s"append broke the degree cap: $maxDeg")
+    val incIds = Tables.embeddings(spark, sf)
+      .filter(vector.VectorQueries.isIncrement(org.apache.spark.sql.functions.col("vec_id")))
+      .collect().map(_.getLong(0)).toSet
+    val srcs = edges.map(_._1).toSet
+    assert(incIds.nonEmpty && incIds.forall(srcs),
+      s"unlinked increment nodes: ${(incIds -- srcs).take(3)}")
+    // the base artifact is increment-free (built strictly pre-append)
+    val baseSrcs = spark.read.parquet(s"$root/base_edges")
+      .collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(baseSrcs.intersect(incIds).isEmpty,
+      "base artifact contains increment nodes — the append rebuilt the base")
+  }
+
   test("q213 edge index is a persisted artifact: read-back serve ≡ a from-scratch build") {
     import org.apache.spark.sql.functions._
     // the q148 discipline applied to the graph tier: the artifact parquet
