@@ -359,7 +359,12 @@ class ScaleSpec extends AnyFunSuite {
       "q178_quality_funnel", "q179_mixture_resample", "q182_source_kl",
       // q198 crossJoins the 1-row corpus token total onto the ≤64-row
       // exact recount of sketch-nominated candidates (q178's shape)
-      "q198_approx_top_k")
+      "q198_approx_top_k",
+      // q220's two retrievers and q221's cross-language miner are q18's
+      // machinery verbatim: a =!= sweep against the id-capped probe
+      // broadcast (≤ MaxProbes rows by construction; q221's carries the
+      // probe's lang for the inequality filter)
+      "q220_rrf_fusion", "q221_hard_negatives")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       withClue(name) {
