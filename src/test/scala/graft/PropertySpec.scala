@@ -205,4 +205,60 @@ class PropertySpec extends AnyFunSuite {
       assert(viaSource == rows.count(_._1 >= cut).toLong)
     }
   }
+
+  test("media codec laws: arbitrary rasters/waveforms/clips round-trip; decode is TOTAL on garbage") {
+    import graft.media.MediaFunctions
+    // round-trip on generated content — degenerate dims/values included
+    val raster = for {
+      w <- Gen.chooseNum(1, 9); h <- Gen.chooseNum(1, 6)
+      px <- Gen.listOfN(3 * w * h, Gen.chooseNum(0, 255))
+    } yield (w, h, px.map(_.toByte).toArray)
+    samples(raster, 8).foreach { case (w, h, rgb) =>
+      assert(MediaFunctions.decodeImage(MediaFunctions.encodePpm(w, h, rgb))
+        .exists(i => i.width == w && i.height == h && i.rgb.sameElements(rgb)))
+      assert(MediaFunctions.decodeImage(MediaFunctions.encodeBmp(w, h, rgb))
+        .exists(i => i.rgb.sameElements(rgb)))
+      assert(MediaFunctions.decodeAvi(MediaFunctions.encodeAvi(w, h, 1000, Seq(rgb, rgb)))
+        .exists(v => v.frames.size == 2 && v.frames.head.sameElements(rgb)))
+    }
+    val wave = for {
+      ch <- Gen.oneOf(1, 2)
+      n <- Gen.chooseNum(1, 40)
+      ss <- Gen.listOfN(ch * n, Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (ch, ss.toArray)
+    samples(wave, 8).foreach { case (ch, ss) =>
+      assert(MediaFunctions.decodeWav(MediaFunctions.encodeWavPcm16(ch, 8000, ss))
+        .exists(a => a.channels == ch && a.samples.sameElements(ss)))
+    }
+    // TOTALITY FUZZ — the 100 TB claim that one bad object can never kill
+    // a stage: random garbage and bit-flipped VALID payloads must return
+    // None or a valid decode, never throw. Bit flips target headers too.
+    val garbage = Gen.listOf(Gen.chooseNum(-128, 127)).map(_.map(_.toByte).toArray)
+    samples(garbage, 40).foreach { bytes =>
+      MediaFunctions.decodeImage(bytes); MediaFunctions.decodeWav(bytes)
+      MediaFunctions.decodeAvi(bytes) // no assertion needed: not throwing IS the law
+    }
+    val valid = Seq(
+      MediaFunctions.encodePpm(5, 4, Array.fill(60)(7.toByte)),
+      MediaFunctions.encodeBmp(5, 4, Array.fill(60)(9.toByte)),
+      MediaFunctions.encodeWavPcm16(2, 8000, Array.tabulate(20)(_ * 3 - 30)),
+      MediaFunctions.encodeAvi(3, 3, 1000, Seq(Array.fill(27)(5.toByte))))
+    val rnd = new scala.util.Random(20260815L)
+    valid.foreach { payload =>
+      (0 until 200).foreach { _ =>
+        val mutated = payload.clone()
+        (0 until 1 + rnd.nextInt(4)).foreach { _ =>
+          mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+        }
+        MediaFunctions.decodeImage(mutated)
+        MediaFunctions.decodeWav(mutated)
+        MediaFunctions.decodeAvi(mutated)
+      }
+      (0 until 50).foreach { _ => // truncations at every kind of boundary
+        MediaFunctions.decodeImage(payload.take(rnd.nextInt(payload.length)))
+        MediaFunctions.decodeWav(payload.take(rnd.nextInt(payload.length)))
+        MediaFunctions.decodeAvi(payload.take(rnd.nextInt(payload.length)))
+      }
+    }
+  }
 }
