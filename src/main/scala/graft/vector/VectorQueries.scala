@@ -464,14 +464,19 @@ object VectorQueries {
     var seen = score(probes.select($"probe_id").crossJoin(entry))
       .localCheckpoint()
     val wBeam = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val frontier = seen
         .withColumn("rn", row_number().over(wBeam)).filter($"rn" <= BeamWidth)
         .select($"probe_id", $"vec_id")
       val fresh = frontier.join(edges, $"vec_id" === $"src")
         .select($"probe_id", $"dst".as("vec_id")).distinct()
         .join(seen.select($"probe_id", $"vec_id"), Seq("probe_id", "vec_id"), "left_anti")
-      seen = seen.unionByName(score(fresh)).localCheckpoint()
+      val unioned = seen.unionByName(score(fresh))
+      // checkpoint every OTHER round: the barrier (a full job submit +
+      // materialize) costs more than recomputing one round's tiny plan
+      // three times — lineage still never nests more than two rounds, so
+      // plan size stays bounded (the q204 loop idiom, halved)
+      seen = if (i % 2 == 0 || i == rounds) unioned.localCheckpoint() else unioned
     }
     seen.filter($"vec_id" =!= $"probe_id")
       .withColumn("rank", row_number().over(wBeam)).filter($"rank" <= 5)
