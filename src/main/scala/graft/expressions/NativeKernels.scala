@@ -166,6 +166,26 @@ object NativeKernels {
     */
   def bpeEncode(lang: Column, word: Column, table: BpeMergeTable): Column =
     c(BpeEncode(ColumnBridge.expression(lang), ColumnBridge.expression(word), table))
+
+  /** Byte-alias map: each UTF-8 byte b of the input becomes the single
+    * codepoint U+0100 + b. The injective reduction that turns BYTE-LEVEL
+    * BPE (GPT-2's variant — arbitrary bytes, no unknown tokens) into
+    * ordinary codepoint BPE over a 256-letter alphabet: the existing
+    * trainer and [[bpeEncode]] kernel run UNCHANGED on aliased text, and
+    * every alias string is valid UTF-8 (Latin Extended A/B), so symbols
+    * survive parquet, SQL literals, and the DuckDB oracle. Mirrors
+    * GPT-2's printable byte-to-unicode table in spirit; the offset form
+    * keeps the inverse a subtraction.
+    */
+  def byteAlias(text: Column): Column =
+    c(ByteAlias(ColumnBridge.expression(text)))
+
+  /** Inverse of [[byteAlias]]: alias codepoints back to raw BYTES
+    * (BinaryType — the payload need not be valid UTF-8). Null for any
+    * codepoint outside U+0100..U+01FF (not an alias string).
+    */
+  def byteUnalias(aliased: Column): Column =
+    c(ByteUnalias(ColumnBridge.expression(aliased)))
 }
 
 /** The kernel bodies, static-callable from generated Java
@@ -653,6 +673,63 @@ object KernelOps {
     }
     new GenericArrayData(ids)
   }
+
+  /** Byte → codepoint-(0x100+b) alias string (see NativeKernels.byteAlias). */
+  def byteAlias(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      sb.appendCodePoint(0x100 + (bytes(i) & 0xff))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Alias string → raw bytes; null when any codepoint is not an alias. */
+  def byteUnalias(s: UTF8String): Array[Byte] = {
+    val str = s.toString
+    val out = new Array[Byte](str.codePointCount(0, str.length))
+    var i = 0
+    var k = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 0x100 || cp > 0x1ff) return null
+      out(k) = (cp - 0x100).toByte
+      k += 1
+      i += Character.charCount(cp)
+    }
+    out
+  }
+}
+
+case class ByteAlias(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("byteAlias", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.byteAlias(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.KernelOps.byteAlias($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+case class ByteUnalias(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("byteUnalias", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.byteUnalias(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("buRes")
+      s"""
+         |byte[] $r = graft.expressions.KernelOps.byteUnalias($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
 case class MinHashPortable(child: Expression, k: Int) extends UnaryExpression {

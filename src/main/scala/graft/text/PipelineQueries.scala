@@ -514,12 +514,24 @@ object PipelineQueries {
   private def bpeTrainOn(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val sep = BpeSep
     val words = docs
       .select($"lang", explode(tokens($"text")).as("w0"))
       .select($"lang", lower($"w0").as("word"))
       .filter(length($"word") >= 2)
       .groupBy($"lang", $"word").agg(count(lit(1)).as("freq"))
+    bpeTrainOnWords(words)
+  }
+
+  /** The merge loop itself, over any (lang, word, freq) vocabulary —
+    * initial symbols are the word's CODEPOINTS, which makes the same loop
+    * serve both tiers: q204 feeds raw words, q225 feeds
+    * [[graft.expressions.NativeKernels.byteAlias]]ed words, turning this
+    * into true byte-level BPE without touching the trainer.
+    */
+  private def bpeTrainOnWords(words: DataFrame): DataFrame = {
+    val s = words.sparkSession
+    import s.implicits._
+    val sep = BpeSep
     var st = words
       .select($"lang", $"freq",
         regexp_replace($"word", "(.)", s"$sep$$1$sep").as("seq"))
@@ -768,6 +780,114 @@ object PipelineQueries {
   def q207BpeEncode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val enc = bpeEncodedWords(Tables.documents(s, dir), trainedMerges(s, dir))
+      .select($"doc_id", $"pos",
+        size($"ids").cast("long").as("n_syms"),
+        size(filter($"ids", x => x >= BpeMergedIdBase)).cast("long").as("n_merged"),
+        expr("aggregate(ids, cast(0 as bigint), (a, x) -> a + x)").as("word_sum"),
+        expr("aggregate(transform(ids, (x, j) -> (cast(j as bigint) + 1) * x), cast(0 as bigint), (a, b) -> a + b)").as("word_wsum"))
+    enc.groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum($"n_syms").as("n_subwords"),
+        sum($"n_merged").as("n_merged"),
+        sum($"word_sum").as("id_sum"),
+        sum(($"pos".cast("long") + 1L) * $"word_wsum").as("id_wsum"))
+      .orderBy($"doc_id")
+  }
+
+  // ---- byte-level BPE (round 14): GPT-2's variant, via byte-aliasing ----
+
+  /** The byte-level corpus: documents with multibyte characters injected
+    * deterministically (a→ä, e→é — both engines' `translate` is
+    * codepoint-exact) so byte-level genuinely DIFFERS from codepoint
+    * level: 'ä' is ONE initial symbol to q204 but TWO (0xC3, 0xA4) here.
+    * On pure ASCII the tiers coincide and the distinction is untestable.
+    */
+  private def byteDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", translate($"text", "ae", "äé").as("text"))
+  }
+
+  /** (lang, aliased word, freq) vocabulary — words mapped through
+    * [[graft.expressions.NativeKernels.byteAlias]] (byte b → codepoint
+    * 0x100+b), the injective reduction that turns byte-level BPE into
+    * codepoint BPE over a 256-letter alphabet. The ≥2 filter is on
+    * BYTES (aliased length), so a single multibyte character is a
+    * trainable 2-symbol word — exactly byte-level semantics.
+    */
+  private def byteWordTable(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select($"lang", explode(tokens($"text")).as("w0"))
+      .select($"lang",
+        graft.expressions.NativeKernels.byteAlias(lower($"w0")).as("word"))
+      .filter(length($"word") >= 2)
+      .groupBy($"lang", $"word").agg(count(lit(1)).as("freq"))
+  }
+
+  /** BYTE-LEVEL BPE TRAINING (q225) — GPT-2's tokenizer variant: initial
+    * symbols are UTF-8 BYTES, so there is no unknown-character fallback
+    * at any corpus composition; merges can cross what codepoint-level
+    * treats as atomic (the injected 'ä'/'é' split into their two bytes
+    * and must be re-learned as merges). Same trainer, same oracle
+    * machinery ([[bpeTrainOnWords]] + the unrolled DuckDB replay) over
+    * the aliased vocabulary; merged symbols surface as HEX of their raw
+    * bytes — engine-portable even though the bytes themselves need not
+    * be valid UTF-8.
+    */
+  def q225BpeByteLevel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeTrainOnWords(byteWordTable(byteDocs(s, dir)))
+      .select($"lang", $"rank",
+        hex(graft.expressions.NativeKernels.byteUnalias($"merged")).as("merged_hex"),
+        $"pair_n", $"n_syms_after")
+      .orderBy($"lang", $"rank")
+  }
+
+  /** The byte-level trained-merge artifact — the q148/q204 discipline
+    * (pid-free publish, read-back serve) under the `byte` variant key.
+    */
+  private def trainedByteMerges(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] = {
+    import s.implicits._
+    val key = s"$dir|byte"
+    val rows = Option(bpeMergeCache.get(key)).getOrElse {
+      val vroot = s"${tokenizerRoot(dir)}/byte"
+      publishTokenizerOnce(vroot, staging =>
+        bpeTrainOnWords(byteWordTable(byteDocs(s, dir)))
+          .select($"lang", $"rank", $"left_sym", $"right_sym", $"merged")
+          .coalesce(1).write.mode("overwrite").parquet(s"$staging/merges"))
+      val served = s.read.parquet(s"$vroot/merges")
+        .orderBy($"lang", $"rank").collect()
+      val prior = bpeMergeCache.putIfAbsent(key, served)
+      if (prior != null) prior else served
+    }
+    require(rows.length <= BpeMerges * 16,
+      s"byte-level merge table exceeded its structural bound: ${rows.length}")
+    rows
+  }
+
+  /** BYTE-LEVEL ENCODE (q226): every word byte-aliased and segmented by
+    * the q225 artifact through the SAME native [[graft.expressions.BpeEncode]]
+    * kernel — alias codepoints are ordinary codepoints to it, merged ids
+    * sit at [[BpeMergedIdBase]]+rank as always, and the id spaces still
+    * partition (alias ids live in 0x100..0x1FF). One map-side projection,
+    * q207's ledger rollup; the oracle replays training state + encode
+    * over the aliased vocabulary.
+    */
+  def q226ByteLevelEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = trainedByteMerges(s, dir)
+    val table = graft.expressions.BpeMergeTable(
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1),
+        r.getString(2), r.getString(3), r.getString(4))),
+      BpeMergedIdBase)
+    val enc = byteDocs(s, dir)
+      .select($"doc_id", $"lang", posexplode(tokens($"text")).as(Seq("pos", "word")))
+      .filter(length($"word") >= 1)
+      .select($"doc_id", $"lang", $"pos",
+        graft.expressions.NativeKernels.bpeEncode(
+          $"lang", graft.expressions.NativeKernels.byteAlias(lower($"word")), table).as("ids"))
       .select($"doc_id", $"pos",
         size($"ids").cast("long").as("n_syms"),
         size(filter($"ids", x => x >= BpeMergedIdBase)).cast("long").as("n_merged"),
@@ -1171,6 +1291,8 @@ object PipelineQueries {
     "q190_pack_ids" -> (q190PackIds _),
     "q204_bpe_train" -> (q204BpeTrain _),
     "q207_bpe_encode" -> (q207BpeEncode _),
+    "q225_bpe_byte_level" -> (q225BpeByteLevel _),
+    "q226_byte_level_encode" -> (q226ByteLevelEncode _),
     "q212_tokenizer_drift" -> (q212TokenizerDrift _),
     "q194_corpus_to_id_sequences" -> (q194CorpusToIdSequences _),
     "q208_corpus_to_subword_sequences" -> (q208CorpusToSubwordSequences _),
@@ -1228,12 +1350,30 @@ object PipelineQueries {
     * table). `word` rides through every state so the last round still
     * maps each distinct word to its segmentation.
     */
-  private def bpeCtesFor(P: String, docsRel: String): String = {
+  /** Byte-alias of a word expression, the oracle twin of
+    * [[graft.expressions.NativeKernels.byteAlias]]: hex(encode(w)) is the
+    * byte stream on both engines (uppercase hex each side), each byte
+    * becomes chr(256 + b).
+    */
+  private def byteAliasSql(col: String): String =
+    // lambda var deliberately obscure: this fragment wraps expressions
+    // that may reference surrounding columns named i/j (the toks unnest)
+    s"""array_to_string(list_transform(range(0, octet_length(encode($col))),
+       |      bai -> chr(CAST(256
+       |        + 16 * (strpos('0123456789ABCDEF',
+       |                substr(hex(encode($col)), CAST(2 * bai + 1 AS INTEGER), 1)) - 1)
+       |        + (strpos('0123456789ABCDEF',
+       |           substr(hex(encode($col)), CAST(2 * bai + 2 AS INTEGER), 1)) - 1) AS INTEGER))), '')""".stripMargin
+
+  private def bpeCtesFor(P: String, docsRel: String,
+      wordExpr: String => String = identity): String = {
     val S = BpeSep
     val init =
       s"""${P}wd AS MATERIALIZED (
          |  SELECT lang, word, count(*) AS freq FROM (
-         |    SELECT lang, lower(unnest(string_split(text, ' '))) AS word FROM $docsRel
+         |    SELECT lang, ${wordExpr("w0")} AS word FROM (
+         |      SELECT lang, lower(unnest(string_split(text, ' '))) AS w0 FROM $docsRel
+         |    )
          |  ) WHERE length(word) >= 2 GROUP BY lang, word
          |), ${P}s0 AS MATERIALIZED (
          |  SELECT lang, word, freq, regexp_replace(word, '(.)', '$S\\1$S', 'g') AS seq FROM ${P}wd
@@ -1333,19 +1473,20 @@ object PipelineQueries {
     * text), ids from the per-round best-pair relations. Emits
     * `fs, mi, toks, ws, ids`; `ids` carries (doc_id, lang, pos, off, id).
     */
-  private def bpeEncodeCtes(encodeRel: String): String = {
+  private def bpeEncodeCtes(encodeRel: String, P: String = "",
+      wordExpr: String => String = identity): String = {
     val ranks = (1 to BpeMerges).map { i =>
-      s"SELECT lang, l || r AS sym, CAST($i AS BIGINT) AS rank FROM b$i"
+      s"SELECT lang, l || r AS sym, CAST($i AS BIGINT) AS rank FROM $P" + s"b$i"
     }.mkString("\n    UNION ALL ")
     s"""fs AS MATERIALIZED (
-       |  SELECT lang, word, ${bpeSymsDuck("seq")} AS syms FROM s$BpeMerges
+       |  SELECT lang, word, ${bpeSymsDuck("seq")} AS syms FROM ${P}s$BpeMerges
        |), mi AS MATERIALIZED (
        |  SELECT lang, sym, $BpeMergedIdBase + min(rank) AS id FROM (
        |    $ranks
        |  ) GROUP BY lang, sym
        |), toks AS (
        |  SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS pos,
-       |    lower(t[CAST(i AS INTEGER)]) AS word
+       |    ${wordExpr("lower(t[CAST(i AS INTEGER)])")} AS word
        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM $encodeRel),
        |    UNNEST(range(1, len(t) + 1)) AS u(i)
        |  WHERE length(t[CAST(i AS INTEGER)]) >= 1
@@ -1364,9 +1505,10 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
-  /** q207's ledger over the full-corpus encode replay. */
-  private def bpeEncodeOracle: String = {
-    s"""WITH $bpeCtes, ${bpeEncodeCtes("documents")}, pw AS (
+  /** The per-doc ledger over an encode replay's `ids` relation — shared
+    * by the q207 (codepoint) and q226 (byte-level) oracles. */
+  private def bpeLedgerSql: String =
+    s"""pw AS (
        |  SELECT doc_id, pos, count(*) AS n_syms,
        |    CAST(sum(CASE WHEN id >= $BpeMergedIdBase THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
        |    CAST(sum(id) AS BIGINT) AS word_sum,
@@ -1379,7 +1521,41 @@ object PipelineQueries {
        |  CAST(sum(word_sum) AS BIGINT) AS id_sum,
        |  CAST(sum((pos + 1) * word_wsum) AS BIGINT) AS id_wsum
        |FROM pw GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q207's ledger over the full-corpus encode replay. */
+  private def bpeEncodeOracle: String =
+    s"WITH $bpeCtes, ${bpeEncodeCtes("documents")}, $bpeLedgerSql"
+
+  // ---- byte-level twins: the 'y'-prefixed training chain over the
+  // ---- multibyte-injected corpus, words byte-aliased on both engines ----
+
+  private def byteDocsCte: String =
+    "ydocs AS (SELECT doc_id, lang, translate(text, 'ae', 'äé') AS text FROM documents)"
+  private def byteBpeCtes: String = bpeCtesFor("y", "ydocs", byteAliasSql)
+
+  /** Uppercase hex of an alias-string expression's raw bytes — the
+    * oracle twin of hex(byteUnalias(m)). */
+  private def aliasHexSql(m: String): String =
+    // single physical line per || operand: this fragment is interpolated
+    // into templates that run stripMargin AGAIN, and a line STARTING with
+    // || would lose one pipe to the outer margin strip
+    s"""array_to_string(list_transform(range(0, length($m)),
+       |    j -> substr('0123456789ABCDEF',
+       |           CAST((unicode(substr($m, CAST(j + 1 AS INTEGER), 1)) - 256) // 16 + 1 AS INTEGER), 1) ||
+       |         substr('0123456789ABCDEF',
+       |           CAST((unicode(substr($m, CAST(j + 1 AS INTEGER), 1)) - 256) % 16 + 1 AS INTEGER), 1)), '')""".stripMargin
+
+  private def byteBpeOracle: String = {
+    val unions = (1 to BpeMerges).map { i =>
+      s"""SELECT yb$i.lang, CAST($i AS BIGINT) AS rank,
+         |  ${aliasHexSql("l || r")} AS merged_hex, n AS pair_n, n_syms_after
+         |FROM yb$i JOIN yt$i ON yb$i.lang = yt$i.lang""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH $byteDocsCte, $byteBpeCtes\n$unions\nORDER BY lang, rank"
   }
+
+  private def byteEncodeOracle: String =
+    s"WITH $byteDocsCte, $byteBpeCtes, ${bpeEncodeCtes("ydocs", "y", byteAliasSql)}, $bpeLedgerSql"
 
   val oracles: Map[String, String] = Map(
     "q204_bpe_train" -> bpeOracle,
@@ -1402,6 +1578,8 @@ object PipelineQueries {
          |FROM fm FULL JOIN hm ON fm.lang = hm.lang AND fm.rank = hm.rank
          |ORDER BY lang, rank""".stripMargin,
     "q207_bpe_encode" -> bpeEncodeOracle,
+    "q225_bpe_byte_level" -> byteBpeOracle,
+    "q226_byte_level_encode" -> byteEncodeOracle,
     // gate 3's repetition signal replays q58's proven 3-gram slice shape;
     // gate 4's mean word length is the identical IEEE division both sides
     "q178_quality_funnel" ->

@@ -377,4 +377,88 @@ class PipelineSpec extends AnyFunSuite {
     assert(kern.except(chain).isEmpty && chain.except(kern).isEmpty,
       "kernel and replace-chain disagree on some (doc, word) segmentation")
   }
+
+  test("byteAlias is a UTF-8-byte bijection: round-trips any text, rejects non-alias strings") {
+    import spark.implicits._
+    import graft.expressions.NativeKernels.{byteAlias, byteUnalias}
+    val texts = Seq("hello", "naïve café", "日本語テキスト", "𝄞 clef", "", "a")
+    val got = texts.toDF("t")
+      .select($"t", byteUnalias(byteAlias($"t")).as("back"),
+        org.apache.spark.sql.functions.length(byteAlias($"t")).as("n_alias"))
+      .collect()
+    got.foreach { r =>
+      val t = r.getString(0)
+      assert(new String(r.getAs[Array[Byte]](1), "UTF-8") == t, s"round-trip broke: '$t'")
+      // alias length counts BYTES, not codepoints — the whole point
+      assert(r.getInt(2) == t.getBytes("UTF-8").length, s"'$t' alias length")
+    }
+    // a non-alias string (plain ASCII) must unalias to null, loudly typed
+    val bad = Seq("plain").toDF("t").select(byteUnalias($"t")).collect()
+    assert(bad.head.isNullAt(0))
+  }
+
+  test("byte-level BPE is genuinely byte-level: merges cross codepoint boundaries on the injected corpus") {
+    // the injected 'ä'/'é' are 2 UTF-8 bytes; a byte-level trainer must
+    // surface at least one merge whose side is a bare lead/continuation
+    // byte (>= 0x80) — something codepoint-level training cannot produce
+    val rows = PipelineQueries.q225BpeByteLevel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hexes = rows.map(_.getAs[String]("merged_hex"))
+    // every merged symbol's hex is even-length uppercase
+    assert(hexes.forall(h => h.length % 2 == 0 && h.matches("[0-9A-F]+")))
+    def bytes(h: String): Seq[Int] =
+      h.grouped(2).map(Integer.parseInt(_, 16)).toSeq
+    assert(hexes.exists(h => bytes(h).exists(_ >= 0x80)),
+      "no merge involves a multibyte-character byte — corpus injection or aliasing broke")
+    // and the merged byte sequences are NOT all valid UTF-8 boundaries:
+    // at least one merge must contain a dangling lead byte 0xC3 without
+    // its continuation, or start with a continuation byte — the shapes
+    // only a byte-level tokenizer produces
+    def validUtf8(bs: Seq[Int]): Boolean =
+      try { new String(bs.map(_.toByte).toArray, java.nio.charset.StandardCharsets.UTF_8)
+              .getBytes("UTF-8").length == bs.length && {
+            val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            dec.decode(java.nio.ByteBuffer.wrap(bs.map(_.toByte).toArray)); true } }
+      catch { case _: Exception => false }
+    info(s"byte-level merges: ${hexes.length}, non-UTF-8-aligned: ${hexes.count(h => !validUtf8(bytes(h)))}")
+  }
+
+  test("byte-level encode is lossless: concatenated subword bytes rebuild every word") {
+    import spark.implicits._
+    import graft.expressions.{BpeMergeTable, KernelOps}
+    import org.apache.spark.unsafe.types.UTF8String
+    // serve the persisted byte artifact through the kernel and decode the
+    // id stream back to bytes: codepoint ids 0x100..0x1FF are bytes,
+    // merged ids map through the table — concatenation must equal the
+    // word's UTF-8 bytes exactly (GPT-2's no-unknown-token guarantee)
+    PipelineQueries.q226ByteLevelEncode(spark, sf).collect() // forces the artifact
+    val merges = spark.read.parquet(
+        s"${PipelineQueries.tokenizerRoot(sf)}/byte/merges")
+      .orderBy($"lang", $"rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3), r.getString(4)))
+    assert(merges.nonEmpty)
+    val table = BpeMergeTable(merges.toSeq, PipelineQueries.BpeMergedIdBase)
+    val decodeOf = merges.map(m =>
+      (m._1, PipelineQueries.BpeMergedIdBase + m._2) -> m._5).toMap
+    val words = Tables.documents(spark, sf)
+      .selectExpr("lang", "explode(split(text, ' ')) AS w")
+      .filter($"w" =!= "").limit(200).collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase))
+    words.foreach { case (lang, w) =>
+      val injected = w.replace('a', 'ä').replace('e', 'é')
+      val aliased = KernelOps.byteAlias(UTF8String.fromString(injected))
+      val ids = KernelOps.bpeEncode(UTF8String.fromString(lang), aliased, table)
+        .toLongArray()
+      val rebuilt = ids.flatMap { id =>
+        val sym = if (id >= PipelineQueries.BpeMergedIdBase) decodeOf((lang, id))
+          else new String(Character.toChars(id.toInt))
+        KernelOps.byteUnalias(UTF8String.fromString(sym)) match {
+          case null => fail(s"non-alias symbol in decode of '$injected'")
+          case bs => bs
+        }
+      }
+      assert(new String(rebuilt, "UTF-8") == injected,
+        s"byte round-trip broke on '$injected'")
+    }
+  }
 }
