@@ -4,12 +4,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Binary-column surface with a DuckDB oracle: payloads are the documents'
-  * UTF-8 bytes (`cast(text as binary)` ≡ DuckDB `encode(text)`), so byte
-  * length, content hash and first-byte semantics are cross-checkable while
-  * exercising real BinaryType columns. The codec-shaped processing lives in
-  * MediaFunctions (typed Datasets, mapPartitions) and is covered by
-  * MediaSpec; this query covers the relational side of the multimodal
+/** Binary-column surface with a DuckDB oracle. Two payload classes:
+  * q23/q55/q56/q66/q75/q147 run over the documents' text bytes with
+  * `format="fake"` — the OPAQUE-format path, whose decode is the
+  * documented deterministic stand-in — while q214–q219/q222–q223 run
+  * the REAL codecs (PPM/BMP/WAV/AVI, MediaFunctions) over actual
+  * container bytes synthesized from integer formulas both engines
+  * replay. The fake-format tier stays registered because opaque
+  * payloads (formats with no JVM codec) are a real class at 100 TB and
+  * their plumbing laws differ (byte-stride resize vs pixel-budget
+  * resize, payload hashing vs content hashing).
+  *
+  * The opaque-tier payloads are the documents' UTF-8 bytes
+  * (`cast(text as binary)` ≡ DuckDB `encode(text)`), so byte length,
+  * content hash and first-byte semantics are cross-checkable while
+  * exercising real BinaryType columns. The codec-shaped processing lives
+  * in MediaFunctions (typed Datasets, mapPartitions) and is covered by
+  * MediaSpec; these queries cover the relational side of the multimodal
   * pillar.
   */
 object MediaQueries {

@@ -447,6 +447,21 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(got("aabaaa") == List(base + 5, 'a'.toLong))
   }
 
+  test("byteAlias/byteUnalias round-trip under CODEGEN_ONLY; non-alias input nulls out in codegen") {
+    import spark.implicits._
+    import graft.expressions.NativeKernels.{byteAlias, byteUnalias}
+    val texts = Seq("café", "日本", "plain", "𝄞")
+    val got = withCodegenOnly {
+      texts.toDF("t")
+        .select($"t", byteUnalias(byteAlias($"t")).as("back"), byteUnalias($"t").as("bad"))
+        .collect()
+    }
+    got.foreach { r =>
+      assert(new String(r.getAs[Array[Byte]](1), "UTF-8") == r.getString(0))
+      assert(r.isNullAt(2), s"'${r.getString(0)}' is not an alias string; unalias must null")
+    }
+  }
+
   test("bpeEncode ids are true codepoints: multibyte and supplementary symbols never alias") {
     import spark.implicits._
     import graft.expressions.BpeMergeTable
