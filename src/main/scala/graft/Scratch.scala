@@ -43,4 +43,59 @@ object Scratch {
     }
     root
   }
+
+  /** Cheap content fingerprint of an input table path (a parquet file or
+    * a directory of part files): md5 over the sorted (name, length,
+    * mtime) triples — filesystem metadata only, no data scan. Folded
+    * into published-artifact roots (ADVICE r14) so REGENERATING the
+    * corpus at the same path invalidates the artifact instead of leaving
+    * a stale published copy that every new session silently serves.
+    */
+  def fingerprint(path: String): String = {
+    val f = new java.io.File(path)
+    val files: Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+    val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+      .mkString("\n")
+    tag(desc)
+  }
+
+  /** Build-and-publish with first-writer-wins atomicity — the shared
+    * lake-artifact protocol (generalized from the tokenizer's
+    * publishTokenizerOnce, ADVICE r13/VERDICT r14 #1): build into a
+    * PID-SCOPED staging dir (concurrent JVMs never contend on partial
+    * files), stamp the completion marker, then rename(2) the staged dir
+    * to the pid-free `root` — atomic on POSIX, and it FAILS if another
+    * writer already published (non-empty target), in which case the
+    * loser discards its staging and serves the winner's artifact, which
+    * is equivalent by construction (same inputs, deterministic build).
+    * Readers only ever observe a complete artifact: the marker is staged
+    * before the rename makes anything visible at the published path —
+    * this is what lets a NEW session/cluster serve by path instead of
+    * rebuilding, the difference between a lake artifact and a
+    * per-process cache.
+    */
+  def publishOnce(root: String, marker: String = "_built")(build: String => Unit): String = {
+    if (new java.io.File(s"$root/$marker").exists()) return root
+    val staging = s"${root}_stage_p${ProcessHandle.current().pid()}"
+    build(staging)
+    new java.io.File(staging).mkdirs() // a no-file build still publishes
+    new java.io.File(s"$staging/$marker").createNewFile()
+    val from = java.nio.file.Paths.get(staging)
+    val to = java.nio.file.Paths.get(root)
+    java.nio.file.Files.createDirectories(to.getParent)
+    try java.nio.file.Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException
+          if new java.io.File(s"$root/$marker").exists() =>
+        // lost the publish race — the winner's artifact is the one served
+        import java.nio.file.{Files, Path}
+        import scala.jdk.CollectionConverters._
+        val stream = Files.walk(from)
+        try stream.iterator().asScala.toSeq.reverseIterator
+          .foreach((p: Path) => Files.deleteIfExists(p))
+        finally stream.close()
+    }
+    root
+  }
 }

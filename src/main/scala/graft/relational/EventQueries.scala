@@ -576,18 +576,17 @@ object EventQueries {
     import s.implicits._
     val ev = Tables.events(s, dir)
       .select($"user_id", $"event_id", $"event_type", unix_micros($"ts").as("us"))
-    // The persisted dimension a production merge starts from — built once
-    // behind a marker (pid-scoped, same single-writer policy as q148/q157)
-    // and partitioned by is_current, so the merge's own cost is what the
+    // The persisted dimension a production merge starts from — published
+    // once, pid-free (round 15: same lake-artifact policy as q148) and
+    // partitioned by is_current, so the merge's own cost is what the
     // bench min measures (q132's build/apply-split lesson) and the seed
     // read below prunes to the open partition instead of scanning history.
     val root = graft.Scratch.path(
-      s"scd2dim_${graft.Scratch.tag(dir)}_c${cutUs}_p${ProcessHandle.current().pid()}")
-    val marker = new java.io.File(s"$root/_dim_complete")
-    if (!marker.exists()) {
+      s"scd2dim_${graft.Scratch.tag(dir)}" +
+        s"_f${graft.Scratch.fingerprint(s"$dir/events.parquet")}_c$cutUs")
+    graft.Scratch.publishOnce(root, "_dim_complete") { staging =>
       scd2Segments(s, ev.where($"us" < cutUs))
-        .write.mode("overwrite").partitionBy("is_current").parquet(s"$root/dim")
-      marker.createNewFile()
+        .write.mode("overwrite").partitionBy("is_current").parquet(s"$staging/dim")
     }
     // explicit schema: pins partition-column type AND keeps the read legal
     // when the pre-cut dimension is empty (no files to infer from — the

@@ -41,19 +41,20 @@ object GraphQueries {
     */
   def q157GraphPagerank(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // pid-scoped like annIndexRoot: concurrent JVMs never clobber each
-    // other's edge files; a fresh process pays one extraction
+    // pid-free like annIndexRoot (round 15): published atomically, keyed
+    // on the content fingerprints of both input tables — a fresh session
+    // serves the extracted edge list by path instead of re-extracting
     val root = graft.Scratch.path(
-      s"tradegraph_${graft.Scratch.tag(dir)}_p${ProcessHandle.current().pid()}")
-    val marker = new java.io.File(s"$root/_edges_complete")
-    if (!marker.exists()) {
+      s"tradegraph_${graft.Scratch.tag(dir)}" +
+        s"_f${graft.Scratch.fingerprint(s"$dir/orders.parquet")}" +
+        s"${graft.Scratch.fingerprint(s"$dir/lineitem.parquet")}")
+    graft.Scratch.publishOnce(root, "_edges_complete") { staging =>
       Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
         .join(Tables.lineitem(s, dir).select($"l_orderkey", $"l_suppkey"),
           $"o_orderkey" === $"l_orderkey")
         .select($"o_custkey".as("c"), $"l_suppkey".as("sup"))
         .distinct()
-        .write.mode("overwrite").parquet(s"$root/edges")
-      marker.createNewFile()
+        .write.mode("overwrite").parquet(s"$staging/edges")
     }
     val e = s.read.parquet(s"$root/edges")
     val outc = e.groupBy($"c").agg(count(lit(1)).as("dc"))

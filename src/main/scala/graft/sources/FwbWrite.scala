@@ -133,7 +133,7 @@ private[graft] class FwbStreamingWrite(path: String)
       val finName = "part-" + base.substring(0, base.lastIndexOf('-')) + ".gfwb"
       val fin = new File(f.getParent, finName)
       if (fin.exists()) {
-        // replayed epoch: drop the staged copy. Merge the stats ONLY when
+        // replayed epoch: drop the staged copy. Heal the stats ONLY when
         // the manifest lacks an entry — the self-healing case where the
         // prior attempt crashed between its rename and its manifest write
         // (ADVICE r12), leaving the file to plan from footer reads
@@ -141,9 +141,15 @@ private[graft] class FwbStreamingWrite(path: String)
         // bytes; the replay's staged bytes were just discarded and may
         // differ (partition count / row routing can change across a
         // restart), so overwriting would poison metadata-only pushdowns
-        // (ADVICE r13).
+        // (ADVICE r13). For the same reason the heal reads the COMMITTED
+        // file's footer instead of adopting the replay's stats (ADVICE
+        // r14): in exactly the crash window the heal targets, `st`
+        // describes bytes that were just thrown away — one footer read,
+        // only in the rare heal case, keeps the manifest describing the
+        // bytes that are actually in the file.
         f.delete()
-        if (prior.contains(fin.getName)) None else Some(fin.getName -> st)
+        if (prior.contains(fin.getName)) None
+        else Some(fin.getName -> FwbFormat.readFooter(fin.getPath))
       } else {
         require(f.renameTo(fin), s"epoch commit rename failed: $f -> $fin")
         Some(fin.getName -> st)

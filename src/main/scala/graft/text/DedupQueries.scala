@@ -272,13 +272,16 @@ object DedupQueries {
     */
   private[graft] def isNewBatch(docId: Column): Column = docId % 5 === 0
 
-  /** pid-scoped root for the persisted corpus-side dedup index — same
-    * single-writer isolation policy as annIndexRoot (concurrent JVMs never
-    * clobber each other; a fresh process rebuilds).
+  /** PID-FREE root for the persisted corpus-side dedup index — same
+    * lake-artifact policy as annIndexRoot (round 15): scoped by corpus
+    * dir + content fingerprint, published atomically via
+    * [[graft.Scratch.publishOnce]], so a fresh session serves the
+    * published index by path instead of re-sketching the corpus.
     */
   private[graft] def dedupIndexRoot(dir: String): String =
     graft.Scratch.path(
-      s"dedupindex_${graft.Scratch.tag(dir)}_p${ProcessHandle.current().pid()}")
+      s"dedupindex_${graft.Scratch.tag(dir)}" +
+        s"_f${graft.Scratch.fingerprint(s"$dir/documents.parquet")}")
 
   /** Build half of the incremental dedup path: sketch + band the INDEXED
     * corpus (everything outside the new batch) ONCE and persist both the
@@ -292,18 +295,18 @@ object DedupQueries {
   private[graft] def buildDedupIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
     val root = dedupIndexRoot(dir)
-    graft.Scratch.buildOnce(root) {
+    graft.Scratch.publishOnce(root) { staging =>
       val corpusSh = shingleSets(s, dir).filter(!isNewBatch($"doc_id"))
       bandedKeys(s, corpusSh)
-        .write.mode("overwrite").parquet(s"$root/bands")
-      corpusSh.write.mode("overwrite").parquet(s"$root/shingles")
+        .write.mode("overwrite").parquet(s"$staging/bands")
+      corpusSh.write.mode("overwrite").parquet(s"$staging/shingles")
     }
   }
 
   /** Incremental near-dup dedup — the production ingestion shape: a NEW
     * batch (~20%, [[isNewBatch]]) checked against the PERSISTED corpus
-    * index ([[buildDedupIndex]] — built once per process, q148/q164's
-    * build-once pattern), never new×new or corpus×corpus. The recurring
+    * index ([[buildDedupIndex]] — built once per corpus, q148/q164's
+    * publish-once pattern), never new×new or corpus×corpus. The recurring
     * work this registers is exactly the per-batch path: sketch ONLY the
     * new batch (a pruned scan — the batch predicate pushes to parquet),
     * equi-join its bands against the stored band index, verify candidates
@@ -341,10 +344,14 @@ object DedupQueries {
   private[graft] def buildExactIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
     import graft.functions.TextFunctions.fingerprint
-    graft.Scratch.buildOnce(dedupIndexRoot(dir), "_fp_built") {
+    // its OWN published root (suffix `_fp`), not a subdir of the banded
+    // index: publishOnce makes a root visible in one atomic rename, so
+    // two artifacts may not share one — whichever published second would
+    // find the root already occupied (round 15)
+    graft.Scratch.publishOnce(s"${dedupIndexRoot(dir)}_fp", "_fp_built") { staging =>
       Tables.documents(s, dir).filter(!isNewBatch($"doc_id"))
         .select(fingerprint($"text").as("fp")).distinct()
-        .write.mode("overwrite").parquet(s"${dedupIndexRoot(dir)}/fps")
+        .write.mode("overwrite").parquet(s"$staging/fps")
     }
   }
 

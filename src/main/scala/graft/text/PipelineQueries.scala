@@ -632,40 +632,18 @@ object PipelineQueries {
 
   private[graft] def tokenizerRoot(dir: String): String =
     graft.Scratch.path(
-      s"bpetok_${graft.Scratch.tag(dir)}_m${BpeMerges}_v$BpeTrainerVersion")
+      s"bpetok_${graft.Scratch.tag(dir)}" +
+        s"_f${graft.Scratch.fingerprint(s"$dir/documents.parquet")}" +
+        s"_m${BpeMerges}_v$BpeTrainerVersion")
 
-  /** Train-and-publish with first-writer-wins atomicity: train into a
-    * PID-SCOPED staging dir (concurrent JVMs never contend on partial
-    * files), stamp the completion marker, then rename(2) the staged dir
-    * to the pid-free `vroot` — atomic on POSIX, and it FAILS if another
-    * writer already published (non-empty target), in which case the
-    * loser discards its staging and serves the winner's artifact, which
-    * is equivalent by construction (same corpus, same merge budget,
-    * deterministic training). Readers only ever observe a complete
-    * artifact: the marker is staged before the rename makes anything
-    * visible at the published path.
+  /** Train-and-publish with first-writer-wins atomicity — the protocol
+    * now lives in [[graft.Scratch.publishOnce]] (round 15 generalized it
+    * so the vector-index tier shares it, VERDICT r14 #1); this forwarder
+    * keeps the tokenizer call sites and the PipelineSpec race law on the
+    * tokenizer's own name.
     */
-  private[graft] def publishTokenizerOnce(vroot: String, train: String => Unit): Unit = {
-    if (new java.io.File(s"$vroot/_trained").exists()) return
-    val staging = s"${vroot}_stage_p${ProcessHandle.current().pid()}"
-    train(staging)
-    new java.io.File(s"$staging/_trained").createNewFile()
-    val from = java.nio.file.Paths.get(staging)
-    val to = java.nio.file.Paths.get(vroot)
-    java.nio.file.Files.createDirectories(to.getParent)
-    try java.nio.file.Files.move(from, to, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException | _: java.nio.file.FileSystemException
-          if new java.io.File(s"$vroot/_trained").exists() =>
-        // lost the publish race — the winner's artifact is the one served
-        import java.nio.file.{Files, Path}
-        import scala.jdk.CollectionConverters._
-        val stream = Files.walk(from)
-        try stream.iterator().asScala.toSeq.reverseIterator
-          .foreach((p: Path) => Files.deleteIfExists(p))
-        finally stream.close()
-    }
-  }
+  private[graft] def publishTokenizerOnce(vroot: String, train: String => Unit): Unit =
+    graft.Scratch.publishOnce(vroot, "_trained")(train)
 
   /** Variant-keyed trained-merge artifacts (the q212 drift audit trains a
     * second tokenizer on the half corpus). Bounded: <= BpeMerges rows per

@@ -295,13 +295,18 @@ class FwbSourceSpec extends AnyFunSuite {
     sw.commit(7L, Array(sources.FwbCommitMessage(p2, st2)))
     assert(statsEq(sources.FwbFormat.readManifest(dst)(fin), st1),
       "replay overwrote the committed file's manifest stats")
-    // self-heal: drop the entry (simulating the crash window), replay again
+    // self-heal: drop the entry (simulating the crash window), replay
+    // again with DIVERGENT staged bytes (ADVICE r14: routing can change
+    // across the restart, so the replay's stats describe bytes that were
+    // just discarded) — the heal must adopt the COMMITTED file's footer
+    // stats (st1), never the replay's (st3)
     sources.FwbFormat.writeManifest(dst,
       sources.FwbFormat.readManifest(dst) - fin)
-    val (p3, st3) = stage(3, Seq(1L, 2L, 3L))
+    val (p3, st3) = stage(3, Seq(42L))
+    assert(!statsEq(st3, st1))
     sw.commit(7L, Array(sources.FwbCommitMessage(p3, st3)))
-    assert(statsEq(sources.FwbFormat.readManifest(dst)(fin), st3),
-      "missing manifest entry was not healed by the replay")
+    assert(statsEq(sources.FwbFormat.readManifest(dst)(fin), st1),
+      "heal must describe the committed bytes, not the discarded replay")
   }
 
   test("aggregate pushdown: whole-table COUNT/MIN/MAX is metadata-only; filtered aggregates fall back") {

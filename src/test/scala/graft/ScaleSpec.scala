@@ -328,6 +328,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(reg.forall(_.getAs[Boolean]("within_bound")))
   }
 
+  test("q98 joins aggregates, never enumerates pairs (counts-product plan)") {
+    // VERDICT r14 wrong #1: the key domain is a constant 7 values, so a
+    // join that enumerates matching (customer, supplier) pairs grows as
+    // |C|·|S| — quadratic in data size. The rewrite aggregates each side
+    // FIRST; pin the shape: every join in the plan must have an
+    // aggregate on BOTH input subtrees, so the join touches ≤8-row
+    // relations at any corpus size and the answer still hash-matches the
+    // pair-counting oracle.
+    val df = relational.AdvancedQueries.q98NullSafeJoin(spark, sf)
+    df.collect()
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, "q98 must still exercise the <=> join surface")
+    def hasAgg(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      PlanWalk.allNodes(p).exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case _ => false
+      }
+    joins.foreach { j =>
+      assert(hasAgg(j.left) && hasAgg(j.right),
+        s"q98 join enumerates raw pairs on one side:\n$j")
+    }
+  }
+
   test("registry-wide plan hygiene: no cartesian product anywhere; BNLJ only on the audited bounded-anchor list") {
     // The r9 manual sweep of all 174 plans found 0 CartesianProduct and 16
     // BroadcastNestedLoopJoins, every one a broadcast of a bounded anchor

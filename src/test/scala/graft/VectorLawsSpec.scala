@@ -194,6 +194,65 @@ class VectorLawsSpec extends AnyFunSuite {
       .forall(parts.contains), s"missing artifacts in $parts")
   }
 
+  test("vector/graph index roots are pid-free lake artifacts: cold-served, trained exactly once (VERDICT r14 #1)") {
+    // The difference between "a vector store" and "a per-process cache":
+    // a FRESH session must find the published index by (corpus, recipe)
+    // alone — so the path may not embed the trainer's pid — and serving
+    // again must never retrain (artifact bytes untouched).
+    val pid = s"p${ProcessHandle.current().pid()}"
+    val roots = Seq(
+      vector.VectorQueries.annIndexRoot(sf),
+      vector.VectorQueries.annIndexRoot(sf) + "_incr",
+      vector.VectorQueries.graphIndexRoot(sf),
+      vector.VectorQueries.graphIncrRoot(sf))
+    roots.foreach(r => assert(!r.contains(pid), s"pid-scoped artifact path: $r"))
+    // ensure all four artifacts are published
+    vector.VectorQueries.q148AnnIndexRoundtrip(spark, sf).collect()
+    vector.VectorQueries.q151IncrementalAnnUpdate(spark, sf).collect()
+    vector.VectorQueries.q213GraphAnnBeam(spark, sf).collect()
+    vector.VectorQueries.q224GraphAnnIncremental(spark, sf).collect()
+    def snapshot(root: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val base = java.nio.file.Paths.get(root)
+      val stream = java.nio.file.Files.walk(base)
+      try stream.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => base.relativize(p).toString -> p.toFile.lastModified()).toMap
+      finally stream.close()
+    }
+    val before = roots.map(r => r -> snapshot(r)).toMap
+    // serve again — a retrain would rewrite artifact files
+    vector.VectorQueries.q148AnnIndexRoundtrip(spark, sf).collect()
+    vector.VectorQueries.q151IncrementalAnnUpdate(spark, sf).collect()
+    vector.VectorQueries.q213GraphAnnBeam(spark, sf).collect()
+    vector.VectorQueries.q224GraphAnnIncremental(spark, sf).collect()
+    roots.foreach { r =>
+      assert(snapshot(r) == before(r), s"re-serve retrained/rewrote artifacts under $r")
+      // and no staging residue — the publish either renamed or cleaned up
+      assert(!new java.io.File(s"${r}_stage_$pid").exists(), s"staging leaked: $r")
+    }
+  }
+
+  test("index roots key on corpus CONTENT: a regenerated corpus is a new index, never a stale serve (ADVICE r14)") {
+    // simulate a testdata regen: same path, different file metadata
+    val dir = java.nio.file.Files.createTempDirectory("graft_fp_corpus").toFile
+    try {
+      val emb = new java.io.File(dir, "embeddings.parquet")
+      java.nio.file.Files.writeString(emb.toPath, "generation-one")
+      val r1 = vector.VectorQueries.annIndexRoot(dir.getPath)
+      val g1 = vector.VectorQueries.graphIndexRoot(dir.getPath)
+      java.nio.file.Files.writeString(emb.toPath, "generation-two!") // longer + newer
+      val r2 = vector.VectorQueries.annIndexRoot(dir.getPath)
+      val g2 = vector.VectorQueries.graphIndexRoot(dir.getPath)
+      assert(r1 != r2, "ann root ignored a corpus regeneration")
+      assert(g1 != g2, "graph root ignored a corpus regeneration")
+      // unchanged content ⇒ same root (the artifact stays servable)
+      assert(r2 == vector.VectorQueries.annIndexRoot(dir.getPath))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("q151 incremental append serves identically to a full re-code against the same artifacts") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) =
