@@ -125,9 +125,12 @@ object MediaFunctions {
   /** Decode a canonical AVI (RIFF 'AVI ') with uncompressed 24-bit DIB
     * frames: walk the top-level chunks to `LIST hdrl` (avih gives frame
     * timing and dims) and `LIST movi` (each '..db' chunk is one
-    * bottom-up BGR padded raster — the BMP pixel layout). Total: any
-    * malformed structure, compressed stream, or short frame returns
-    * None. Frames decode to top-down RGB like [[decodeImage]].
+    * bottom-up BGR padded raster — the BMP pixel layout; frames grouped
+    * in 'rec ' LISTs inside movi are walked too). Total: any malformed
+    * structure, short frame, compressed ('..dc') frame chunk, or
+    * unknown LIST inside movi returns None — frame LOSS is impossible,
+    * the clip either decodes completely or quarantines (ADVICE r14).
+    * Frames decode to top-down RGB like [[decodeImage]].
     */
   def decodeAvi(payload: Array[Byte]): Option[DecodedVideo] =
     try decodeAvi0(payload) catch { case _: RuntimeException => None }
@@ -153,6 +156,15 @@ object MediaFunctions {
           val listType = tag(body)
           if (listType == "hdrl" || listType == "movi" || listType == "strl")
             walk(body + 4, body + size.toInt, inMovi || listType == "movi")
+          else if (inMovi && listType == "rec ")
+            // real muxers commonly group frame chunks in 'rec ' LISTs
+            // inside movi (ADVICE r14) — skipping them would decode
+            // "successfully" with fewer frames, the silent-loss failure
+            // mode the quarantine discipline exists to prevent
+            walk(body + 4, body + size.toInt, inMovi = true)
+          else if (inMovi)
+            // an unknown LIST inside movi could hide frames: loud, not lossy
+            throw new RuntimeException(s"unknown LIST '$listType' inside movi")
         } else if (id == "avih" && size >= 40) {
           usec = leInt(b, body)
           width = leInt(b, body + 32)
@@ -160,6 +172,11 @@ object MediaFunctions {
           avihSeen = true
         } else if (inMovi && id.length == 4 && id.endsWith("db")) {
           frames += b.slice(body, body + size.toInt)
+        } else if (inMovi && id.length == 4 && id.endsWith("dc")) {
+          // '..dc' is a COMPRESSED stream chunk — this codec only
+          // handles uncompressed DIB; decoding around it would silently
+          // drop frames, so the whole clip quarantines (VERDICT r14 #5)
+          throw new RuntimeException("compressed ('..dc') frame chunk")
         }
         off = body + size.toInt + (size.toInt & 1) // chunks pad to even
       }
@@ -167,9 +184,13 @@ object MediaFunctions {
     walk(12, b.length, inMovi = false)
     if (!avihSeen || width < 1 || width > (1 << 16) || height < 1 || height > (1 << 16))
       return None
+    // decodeBmp's overflow discipline (ADVICE r14): cap total pixels and
+    // do the frame-size bound in Long BEFORE allocating — adversarial
+    // avih dims must quarantine by check, never by wrap-around accident
+    if (width.toLong * height > (1 << 24)) return None
     val rowSize = ((width * 3 + 3) / 4) * 4
     val decoded = frames.result().map { raw =>
-      if (raw.length < rowSize * height) return None
+      if (raw.length < rowSize.toLong * height) return None
       val rgb = new Array[Byte](3 * width * height)
       var y = 0
       while (y < height) {

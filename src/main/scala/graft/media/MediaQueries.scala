@@ -387,6 +387,106 @@ object MediaQueries {
       .orderBy($"id", $"frame_idx")
   }
 
+  /** Canonical RIFF/WAVE whose `fmt ` tag says IEEE-float (3), not PCM
+    * (1) — the most common real-world WAV the PCM-only decoder must
+    * REJECT, byte-deterministic so the fixture and the q227 record
+    * builder share it.
+    */
+  private[graft] def floatWavBytes(id: Long): Array[Byte] = {
+    val data = Array.tabulate(8)(i => ((id + 7 * i) % 256).toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    tag("RIFF"); le32(4 + 24 + 8 + data.length); tag("WAVE")
+    tag("fmt "); le32(16)
+    le16(3); le16(1); le32(8000); le32(32000); le16(4); le16(32) // format 3 = float
+    tag("data"); le32(data.length); out.write(data)
+    out.toByteArray
+  }
+
+  /** A valid encodeAvi container with its first frame tag patched
+    * '00db' → '00dc' — a COMPRESSED stream chunk the uncompressed-DIB
+    * decoder must quarantine rather than skip (frame loss).
+    */
+  private[graft] def compressedAviBytes(id: Long): Array[Byte] = {
+    val w = (4 + id % 9).toInt
+    val h = (3 + id % 5).toInt
+    val avi = MediaFunctions.encodeAvi(w, h, 40000, Seq(new Array[Byte](3 * w * h)))
+    val tagAt = avi.indexOfSlice("movi".getBytes("US-ASCII")) + 4
+    avi(tagAt + 3) = 'c'
+    avi
+  }
+
+  /** JPEG SOI/APP0 magic + deterministic filler, declared "ppm". */
+  private[graft] def jpegMagicBytes(id: Long): Array[Byte] =
+    Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte) ++
+      Array.tabulate(16)(i => ((id + i) % 256).toByte)
+
+  /** PNG signature + deterministic filler, declared "bmp". */
+  private[graft] def pngMagicBytes(id: Long): Array[Byte] =
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      Array.tabulate(16)(i => ((id * 3 + i) % 256).toByte)
+
+  /** A 5-kind poisoned corpus (kind = doc_id % 5): one valid PPM class
+    * plus the four most common real-world rejects — JPEG bytes declared
+    * "ppm", PNG bytes declared "bmp", an IEEE-float WAV, and an AVI with
+    * a compressed '00dc' frame chunk. Callers filter `docs` to the kinds
+    * their decoder family handles BEFORE this map (the pushdown rule).
+    */
+  private def poisonRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      (id % 5) match {
+        case 0 =>
+          val w = (4 + id % 13).toInt
+          val h = (3 + id % 7).toInt
+          MediaFunctions.MediaRecord(
+            id, MediaFunctions.encodePpm(w, h, syntheticRgb(id, w, h)), "ppm")
+        case 1 => MediaFunctions.MediaRecord(id, jpegMagicBytes(id), "ppm")
+        case 2 => MediaFunctions.MediaRecord(id, pngMagicBytes(id), "bmp")
+        case 3 => MediaFunctions.MediaRecord(id, floatWavBytes(id), "wav")
+        case _ => MediaFunctions.MediaRecord(id, compressedAviBytes(id), "avi")
+      }
+    }
+  }
+
+  /** Quarantine audit under the oracle gate (VERDICT r14 #5): the most
+    * common REAL-WORLD media inputs are exactly the ones these codecs
+    * don't parse — compressed containers — so the production-critical
+    * path is the rejection, not the decode. A 5-kind poisoned corpus
+    * runs through the real decoder of its DECLARED family; the output
+    * pins, per kind, that every poison row quarantined (width-0 /
+    * channels-0 — never a wrong checksum, never a throw) and that the
+    * valid class still decodes to its formula-predicted luma hashes
+    * (poison handling must not perturb the good path). Kinds 1/2 pin
+    * the quarantine checksum too — the raw-byte FNV the quarantine row
+    * carries, replayed by the oracle from the byte formulas. All
+    * map-side; the only shuffle is the 5-row aggregate.
+    */
+  def q227MediaQuarantine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val img = MediaFunctions.decodeFrames(
+        poisonRecords(docs.filter($"doc_id" % 5 <= 2))).toDF()
+      .select($"id", ($"width" === 0).as("quarantined"), $"checksum")
+    val aud = MediaFunctions.decodeAudioClips(
+        poisonRecords(docs.filter($"doc_id" % 5 === 3))).toDF()
+      .select($"id", ($"channels" === 0).as("quarantined"), $"checksum")
+    val vid = MediaFunctions.decodeVideoMeta(
+        poisonRecords(docs.filter($"doc_id" % 5 === 4))).toDF()
+      .select($"id", ($"width" === 0).as("quarantined"), $"checksum")
+    img.unionByName(aud).unionByName(vid)
+      .groupBy(($"id" % 5).as("kind"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"quarantined", 1L).otherwise(0L)).as("n_quarantined"),
+        coalesce(expr("bit_xor(CASE WHEN id % 5 <= 2 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+      .orderBy($"kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
@@ -401,6 +501,7 @@ object MediaQueries {
     "q219_audio_frames" -> (q219AudioFrames _),
     "q222_video_decode" -> (q222VideoDecode _),
     "q223_video_frame_sample" -> (q223VideoFrameSample _),
+    "q227_media_quarantine" -> (q227MediaQuarantine _),
   )
 
   /** FNV-64 over a HUGEINT byte list in DuckDB mod-2⁶⁴ arithmetic, mapped
@@ -675,5 +776,33 @@ object MediaQueries {
         |  CAST(min(first_byte) AS BIGINT) AS min_first_byte,
         |  CAST(max(first_byte) AS BIGINT) AS max_first_byte
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // quarantine gate: every poison kind rejects completely (counts),
+    // the valid kind's luma hashes survive, and the JPEG/PNG kinds'
+    // quarantine checksums (raw-byte FNV) replay from the byte formulas.
+    // The poison byte lists are built in the CTE (q66's device): DuckDB
+    // only correlates fnvListSql's scalar subquery when an outer column
+    // appears OUTSIDE the lambda, so doc_id-only-in-lambda won't bind.
+    "q227_media_quarantine" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, doc_id % 5 AS kind,
+         |    (4 + doc_id % 13) * (3 + doc_id % 7) AS np,
+         |    CASE WHEN doc_id % 5 = 1 THEN list_concat(
+         |        list_transform([255, 216, 255, 224], v -> v::HUGEINT),
+         |        list_transform(range(0, 16), i -> ((doc_id + i) % 256)::HUGEINT))
+         |      WHEN doc_id % 5 = 2 THEN list_concat(
+         |        list_transform([137, 80, 78, 71, 13, 10, 26, 10], v -> v::HUGEINT),
+         |        list_transform(range(0, 16), i -> ((doc_id * 3 + i) % 256)::HUGEINT))
+         |      ELSE [] END AS pbytes
+         |  FROM documents
+         |), c AS (
+         |  SELECT kind, $lumaFnvSql AS luma_cks, ${fnvListSql("pbytes")} AS raw_cks
+         |  FROM d
+         |)
+         |SELECT CAST(kind AS BIGINT) AS kind, count(*) AS n_records,
+         |  CAST(sum(CASE WHEN kind = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined,
+         |  CAST(coalesce(bit_xor(CASE WHEN kind = 0 THEN luma_cks
+         |                             WHEN kind <= 2 THEN raw_cks END), 0) AS BIGINT)
+         |    AS checksum_xor
+         |FROM c GROUP BY 1 ORDER BY kind""".stripMargin,
   )
 }

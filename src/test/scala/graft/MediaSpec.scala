@@ -306,6 +306,67 @@ class MediaSpec extends AnyFunSuite {
     assert(MediaFunctions.decodeAvi(avi.dropRight(5)).isEmpty)
   }
 
+  test("compressed/foreign payloads quarantine, never a wrong answer (VERDICT r14 #5)") {
+    // the most common REAL inputs are the ones these codecs don't parse:
+    // compressed containers. Each must hit the quarantine path (None →
+    // width-0/channels-0 rows) — never a partial decode, never a throw.
+    // JPEG and PNG magic bytes declared as image formats
+    assert(MediaFunctions.decodeImage(media.MediaQueries.jpegMagicBytes(7L)).isEmpty,
+      "JPEG bytes must not parse as PPM/BMP")
+    assert(MediaFunctions.decodeImage(media.MediaQueries.pngMagicBytes(7L)).isEmpty,
+      "PNG bytes must not parse as PPM/BMP")
+    // WAV whose fmt tag says IEEE float (3), not PCM (1)
+    assert(MediaFunctions.decodeWav(media.MediaQueries.floatWavBytes(7L)).isEmpty,
+      "non-PCM WAV must quarantine")
+    // AVI with a compressed '00dc' frame chunk: decoding "around" it
+    // would silently drop frames — the whole clip must quarantine
+    assert(MediaFunctions.decodeAvi(media.MediaQueries.compressedAviBytes(7L)).isEmpty,
+      "compressed AVI frame must quarantine the clip")
+    // an unknown LIST inside movi could hide frames — loud, not lossy
+    val base = MediaFunctions.encodeAvi(4, 3, 40000, Seq(raster(4, 3)))
+    def patchLe32(b: Array[Byte], off: Int, delta: Int): Unit = {
+      val v = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+      val n = v + delta
+      b(off) = n.toByte; b(off + 1) = (n >> 8).toByte
+      b(off + 2) = (n >> 16).toByte; b(off + 3) = (n >> 24).toByte
+    }
+    def wrapMoviIn(listType: String): Array[Byte] = {
+      val moviTag = base.indexOfSlice("movi".getBytes("US-ASCII"))
+      val framesStart = moviTag + 4
+      val framesLen = base.length - framesStart
+      val out = new Array[Byte](base.length + 12)
+      System.arraycopy(base, 0, out, 0, framesStart)
+      "LIST".getBytes("US-ASCII").copyToArray(out, framesStart)
+      out(framesStart + 4) = (4 + framesLen).toByte
+      out(framesStart + 5) = ((4 + framesLen) >> 8).toByte
+      out(framesStart + 6) = ((4 + framesLen) >> 16).toByte
+      out(framesStart + 7) = ((4 + framesLen) >> 24).toByte
+      listType.getBytes("US-ASCII").copyToArray(out, framesStart + 8)
+      System.arraycopy(base, framesStart, out, framesStart + 12, framesLen)
+      patchLe32(out, 4, 12)           // RIFF size
+      patchLe32(out, moviTag - 4, 12) // LIST movi size
+      out
+    }
+    assert(MediaFunctions.decodeAvi(wrapMoviIn("wtf ")).isEmpty,
+      "unknown LIST inside movi must quarantine, not skip frames")
+    // 'rec ' LISTs are how real muxers group frames inside movi
+    // (ADVICE r14): the walker must recurse and lose NOTHING
+    val recWrapped = MediaFunctions.decodeAvi(wrapMoviIn("rec "))
+      .getOrElse(fail("'rec '-wrapped frames failed to decode"))
+    val plain = MediaFunctions.decodeAvi(base).get
+    assert(recWrapped.frames.size == plain.frames.size &&
+      recWrapped.frames.head.sameElements(plain.frames.head),
+      "'rec ' wrapping changed the decoded frames")
+    // adversarial avih dims: width·height overflows Int — must
+    // quarantine by the Long-checked pixel cap, not by wrap-around luck
+    val bomb = MediaFunctions.encodeAvi(4, 3, 40000, Seq(raster(4, 3)))
+    val avihAt = bomb.indexOfSlice("avih".getBytes("US-ASCII"))
+    patchLe32(bomb, avihAt + 8 + 32, 65536 - 4) // width  = 65536
+    patchLe32(bomb, avihAt + 8 + 36, 65536 - 3) // height = 65536
+    assert(MediaFunctions.decodeAvi(bomb).isEmpty, "dimension bomb must quarantine")
+  }
+
   test("decodeVideoMeta + sampleVideoFrames: real stats, stride sampling, quarantine") {
     import spark.implicits._
     val frames = (0 until 5).map(t => raster(4, 3, seed = t))
