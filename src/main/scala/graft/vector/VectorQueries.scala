@@ -428,11 +428,19 @@ object VectorQueries {
     knn.union(knn.select($"dst".as("src"), $"src".as("dst"))).distinct()
   }
 
-  private[graft] def builtGraphEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def builtGraphEdges(s: SparkSession, dir: String): DataFrame =
+    builtGraphEdgesD(s, dir, GraphDegree)
+
+  /** The build parameterized over the degree D — the registered q213
+    * runs [[GraphDegree]]; VectorLawsSpec stresses the production
+    * degrees HNSW actually runs (M = 16–48, Malkov & Yashunin '18 §4.1)
+    * and SCALING.md records the measured recall/cost envelope.
+    */
+  private[graft] def builtGraphEdgesD(s: SparkSession, dir: String, d: Int): DataFrame = {
     val banded = bandedOf(Tables.embeddings(s, dir))
-    val knn = bestKPerSrc(s, dir, bandPairs(banded, banded), GraphDegree)
+    val knn = bestKPerSrc(s, dir, bandPairs(banded, banded), d)
     // M_max cap: keep each source's best 2·D edges by sim
-    bestKPerSrc(s, dir, symmetrized(knn), 2 * GraphDegree)
+    bestKPerSrc(s, dir, symmetrized(knn), 2 * d)
   }
 
   /** The persisted edge artifact: built once per (dir, degree, corpus
