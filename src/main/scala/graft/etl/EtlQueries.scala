@@ -310,7 +310,7 @@ object EtlQueries {
     * column before the write gives each output file a tight min/max range
     * on `o_orderdate`, so a later range-filtered read prunes whole files /
     * row groups via parquet statistics instead of scanning. The re-read
-    * aggregate proves fidelity; EtlSinksSpec pins the file count and the
+    * aggregate proves fidelity; BreadthSpec pins the file count and the
     * pushed filter.
     */
   def q97RangeClusteredWrite(s: SparkSession, dir: String): DataFrame = {
