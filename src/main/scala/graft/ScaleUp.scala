@@ -54,9 +54,25 @@ object ScaleUp {
   def replicaDir(src: String): String =
     Scratch.path(s"sfx${Blocks}_${Scratch.tag(src)}")
 
-  def build(s: SparkSession, src: String): String =
-    Scratch.buildOnce(replicaDir(src)) {
-      val out = replicaDir(src)
+  /** The JITTERED replica (VERDICT r14 #7): identical key-shifted blocks
+    * except the `embeddings` replicas get a deterministic epsilon
+    * perturbation per (vec_id, element, block) — replicated vectors are
+    * NEAR-duplicates of their source (realistic organic structure)
+    * instead of EXACT copies, so the LSH/banding tiers measure true
+    * candidate growth rather than the ~100× same-bucket collision
+    * artifact of 10 identical copies (SCALING.md's q19/q50/q134 caveat).
+    * Block 0 stays untouched, so probe vectors are byte-identical.
+    */
+  def jitterDir(src: String): String =
+    Scratch.path(s"sfx${Blocks}j_${Scratch.tag(src)}")
+
+  def build(s: SparkSession, src: String): String = buildImpl(s, src, jitter = false)
+
+  def buildJittered(s: SparkSession, src: String): String = buildImpl(s, src, jitter = true)
+
+  private def buildImpl(s: SparkSession, src: String, jitter: Boolean): String =
+    Scratch.buildOnce(if (jitter) jitterDir(src) else replicaDir(src)) {
+      val out = if (jitter) jitterDir(src) else replicaDir(src)
       copyOnly.foreach { t =>
         s.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -68,7 +84,17 @@ object ScaleUp {
         val blocks = s.range(Blocks).select((col("id") * Shift).as("_shift"))
         val replicated = raw.crossJoin(broadcast(blocks))
           .select(raw.columns.map { c =>
-            if (keys.contains(c)) (col(c) + col("_shift")).as(c) else col(c)
+            if (keys.contains(c)) (col(c) + col("_shift")).as(c)
+            else if (jitter && t == "embeddings" && c == "embedding")
+              // ±0.5% deterministic element noise, block 0 exact: the
+              // hash is over (vec_id-pre-shift, element, block) so every
+              // replica of a vector perturbs differently; FLOAT cast
+              // keeps the source dtype
+              expr("""transform(embedding, (x, j) ->
+                  |  CAST(x + CASE WHEN _shift = 0 THEN 0.0
+                  |    ELSE (pmod(hash(vec_id, j, _shift), 1001) - 500) / 100000.0
+                  |  END AS FLOAT))""".stripMargin).as(c)
+            else col(c)
           }: _*)
         replicated
           .repartition(32)
@@ -87,7 +113,8 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val out = build(spark, src)
+    val jitter = args.lift(1).contains("jitter")
+    val out = if (jitter) buildJittered(spark, src) else build(spark, src)
     // row-count audit: every replicated table must hold exactly Blocks×
     // the source rows (a silent partial write would corrupt the scaling
     // measurement, not just a query)
