@@ -63,7 +63,14 @@ object Bench {
     // names each exclusion next to its measurement).
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
-    val results = SparkEntry.queries.filter(q => !skip.contains(q._1)).map { case (name, fn) =>
+    // Dev aid (driver never sets it): SPARK_GRAFT_ONLY=q19_...,q20_...
+    // restricts to named queries — Verify's targeting device, used by the
+    // jittered-replica LSH measurements (SCALING.md round 15).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries
+      .filter(q => only.forall(_.contains(q._1)) && !skip.contains(q._1))
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // NonFatal here too (review r10): an OOM mid-bench must kill the
