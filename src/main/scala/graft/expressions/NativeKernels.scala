@@ -51,6 +51,13 @@ object NativeKernels {
   def dotF(a: Column, b: Column): Column =
     c(DotProductFloat(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Membership probe against a [[KernelOps.BloomBytes]]-sized bloom
+    * (binary column) — codegen'd, so the corpus-side pre-filter of q228
+    * sits inside the generated scan loop.
+    */
+  def bloomMightContain(bloom: Column, key: Column): Column =
+    c(BloomMightContain(ColumnBridge.expression(bloom), ColumnBridge.expression(key)))
+
   /** Distinct word k-shingles of a space-separated text, sorted (binary
     * UTF8 order) so downstream set ops can two-pointer merge. Matches
     * TextFunctions.shingles ∘ array_distinct up to order, including the
@@ -194,6 +201,53 @@ object NativeKernels {
   * codegen paths.
   */
 object KernelOps {
+
+  /** Broadcastable bloom filter over 64-bit keys — the "ship a filter,
+    * not the set" device for decontamination-class joins (q228): the
+    * membership side travels as a FIXED 64 KiB byte array no matter how
+    * many keys it holds, and the corpus side is pre-filtered map-side so
+    * only might-contain survivors reach the exact-verify join. Same
+    * double-hash probing scheme as the GFWB footer bloom
+    * (FwbFormat.FwbBloom) but its own constants — that one's size is
+    * baked into committed file footers and must not drift with this one.
+    * Sizing: 2¹⁹ bits / 4 probes ≈ 1.2% false positives at 64k keys
+    * (m/n = 8); false positives only cost verify work, never answers.
+    */
+  val BloomBytes = 65536
+  private val BloomHashes = 4
+  private val BloomBitMask = BloomBytes * 8 - 1
+
+  private def bloomMix(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def bloomInsert(bits: Array[Byte], key: Long): Unit = {
+    val h = bloomMix(key)
+    val h1 = (h >>> 32).toInt
+    val h2 = h.toInt | 1 // odd stride: all probes distinct mod 2^k
+    var i = 0
+    while (i < BloomHashes) {
+      val bit = (h1 + i * h2) & BloomBitMask
+      bits(bit >>> 3) = (bits(bit >>> 3) | (1 << (bit & 7))).toByte
+      i += 1
+    }
+  }
+
+  def bloomMightContain(bits: Array[Byte], key: Long): Boolean = {
+    val h = bloomMix(key)
+    val h1 = (h >>> 32).toInt
+    val h2 = h.toInt | 1
+    var i = 0
+    while (i < BloomHashes) {
+      val bit = (h1 + i * h2) & BloomBitMask
+      if ((bits(bit >>> 3) & (1 << (bit & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
 
   /** HOF-equivalent dot product: NULL (boxed null) when the lengths differ
     * or any element is null — exactly what `aggregate(zip_with(a,b,*),0d,+)`
@@ -996,6 +1050,19 @@ final class BpeLangTable(rs: Seq[(String, Long, String, String, String)],
     val v = mergedIds.get(sym)
     if (v == null) Long.MinValue else v.longValue()
   }
+}
+
+case class BloomMightContain(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("bloomMightContain", Seq(left.dataType, right.dataType),
+      Seq(BinaryType, LongType))
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(bloom: Any, key: Any): Any =
+    KernelOps.bloomMightContain(bloom.asInstanceOf[Array[Byte]], key.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) => s"graft.expressions.KernelOps.bloomMightContain($b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class BpeEncode(left: Expression, right: Expression, table: BpeMergeTable)

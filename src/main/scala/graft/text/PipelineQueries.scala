@@ -157,6 +157,50 @@ object PipelineQueries {
     decontaminate(Tables.documents(s, dir), evalPredicate($"doc_id"), k = 8)
   }
 
+  /** Decontamination with a BLOOM-broadcast membership side — q63's exact
+    * semantics (same oracle, single-sourced) under the scale shape a
+    * CLUSTER-SIZED benchmark suite needs: q63 broadcasts the eval GRAM
+    * relation itself, which grows with the suite (strings, GBs at a
+    * realistic eval registry), while this variant aggregates the eval
+    * grams' xxhash64 keys into ONE fixed-64-KiB bloom ([[BloomBuild]],
+    * mergeable partial aggregation — the shuffle carries one buffer per
+    * partition, never a gram), broadcasts that single row, pre-filters the
+    * corpus grams MAP-SIDE with the codegen'd bloomMightContain probe, and
+    * only the might-contain survivors (true hits + ~1.2% false positives)
+    * reach the exact-verify equi-join against the eval grams. False
+    * positives cost verify work, never answers — the output is exact, and
+    * ScaleSpec pins both the law (q228 ≡ q63 row-for-row) and the plan
+    * (the bloom probe in the scan stage; the verify join's input is the
+    * filtered relation). Spark's own bloom machinery (q77) lives inside
+    * the optimizer's runtime-filter injection and is not callable surface,
+    * hence the §2.11 Aggregator + kernel pair.
+    */
+  def q228BloomDecontamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sh = docs.withColumn("__eval", evalPredicate($"doc_id"))
+      .select($"doc_id", $"__eval", explode(wordShingles($"text", 8)).as("g"))
+    val evalSide = sh.filter($"__eval")
+      .select($"doc_id".as("eval_id"), $"g")
+    val bloomOf = udaf(graft.operators.BloomBuild)
+    val bloom = evalSide.agg(bloomOf(xxhash64($"g")).as("bloom")) // 1 row, 64 KiB
+    val cand = sh.filter(!$"__eval")
+      .select($"doc_id".as("corpus_id"), $"g")
+      .join(broadcast(bloom))
+      .filter(graft.expressions.NativeKernels.bloomMightContain($"bloom", xxhash64($"g")))
+      .select($"corpus_id", $"g")
+    val hits = cand.join(broadcast(evalSide), "g")
+      .groupBy($"eval_id")
+      .agg(
+        countDistinct($"corpus_id").as("n_contaminating_docs"),
+        countDistinct($"g").as("n_shared_grams"))
+    docs.filter(evalPredicate($"doc_id"))
+      .select($"doc_id".as("eval_id"))
+      .join(hits, Seq("eval_id"), "left")
+      .na.fill(0L, Seq("n_contaminating_docs", "n_shared_grams"))
+      .orderBy($"eval_id")
+  }
+
   /** Vocabulary building (tokenizer-training prep): token counts over the
     * corpus, min-count threshold, then deterministic id assignment by
     * (count DESC, token ASC). The count is a partial-aggregated shuffle of
@@ -1278,6 +1322,7 @@ object PipelineQueries {
     "q61_token_histogram" -> (q61TokenHistogram _),
     "q62_sequence_packing" -> (q62SequencePacking _),
     "q63_decontamination" -> (q63Decontamination _),
+    "q228_bloom_decontamination" -> (q228BloomDecontamination _),
   )
 
   /** The encoder replay, shared verbatim by the q188/q190/q194 oracles
@@ -1882,8 +1927,15 @@ object PipelineQueries {
         |SELECT lang, CAST((cum - n_toks) // 512 AS BIGINT) AS chunk, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS chunk_tokens
         |FROM c GROUP BY 1, 2 ORDER BY lang, chunk""".stripMargin,
-    // 8-gram CTE mirrors the wordShingles degenerate: < 8 tokens → whole text
-    "q63_decontamination" ->
+    // 8-gram CTE mirrors the wordShingles degenerate: < 8 tokens → whole text.
+    // q228 is the bloom-broadcast plan for the SAME semantics (false
+    // positives are removed by the exact verify), so ONE oracle serves both
+    // keys — the single-sourcing rule for shared recipes.
+    "q63_decontamination" -> decontaminationOracle,
+    "q228_bloom_decontamination" -> decontaminationOracle,
+  )
+
+  private lazy val decontaminationOracle: String =
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(t[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS g
@@ -1905,6 +1957,5 @@ object PipelineQueries {
         |LEFT JOIN nd ON nd.eval_id = d.doc_id
         |LEFT JOIN ng ON ng.eval_id = d.doc_id
         |WHERE ${evalPredicateSql("d.doc_id")}
-        |ORDER BY eval_id""".stripMargin,
-  )
+        |ORDER BY eval_id""".stripMargin
 }

@@ -1197,30 +1197,75 @@ object VectorQueries {
       .write.mode("overwrite").parquet(s"$root/codes/batch=$batch")
   }
 
-  def q148AnnIndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def q148AnnIndexRoundtrip(s: SparkSession, dir: String): DataFrame =
+    // serve: artifacts + probe vectors only
+    serveFromArtifacts(s, dir, ensureAnnIndex(s, dir))
+
+  /** Build-if-needed for the q148/q229 index: train + persist every
+    * artifact, once per CORPUS — published atomically behind
+    * Scratch.publishOnce (pid-free root + staging + rename): "train once,
+    * serve many" is the operator's own contract, so the recurring cost a
+    * min-of-N bench should land on is the serve path, not a re-train the
+    * production system never repeats — and a FRESH session finds the
+    * artifact by path too, which is what makes it a vector store rather
+    * than a per-process cache (VERDICT r14 #1).
+    */
+  private[graft] def ensureAnnIndex(s: SparkSession, dir: String): String = {
     val root = annIndexRoot(dir)
-    // ---- build: train + persist every artifact, once per CORPUS ----
-    // published atomically behind Scratch.publishOnce (pid-free root +
-    // staging + rename): "train once, serve many" is the operator's own
-    // contract, so the recurring cost a min-of-N bench should land on is
-    // the serve path, not a re-train the production system never
-    // repeats — and a FRESH session finds the artifact by path too,
-    // which is what makes it a vector store rather than a per-process
-    // cache (VERDICT r14 #1).
     graft.Scratch.publishOnce(root, "_trained") { staging =>
       val raw = Tables.embeddings(s, dir)
       trainIndexArtifacts(s, staging, raw)
       codeIntoIndex(s, staging, raw, "full")
     }
-    // ---- serve: artifacts + probe vectors only ----
-    serveFromArtifacts(s, dir, root)
+    root
+  }
+
+  /** Two-stage retrieval — the production serving pattern the index menu
+    * was missing: a cheap RECALL stage over the compressed index (q148's
+    * persisted IVF-PQ artifacts, ADC top-20 per probe — reads codes, not
+    * vectors) followed by an exact RERANK that fetches ONLY the ≤20
+    * candidate vectors per probe by sparse id join and rescores them
+    * with true cosine. At 100 TB the full-precision vectors are touched
+    * for 20 rows per query instead of a corpus scan — compressed-scan
+    * recall, full-precision precision. Stage-1 candidates are
+    * probe-bounded (≤ 20·MaxProbes rows); the rerank join is an id
+    * equi-join against that bounded relation with the probe side
+    * broadcast. Oracle: q140's replay chain extended with the rerank
+    * (rank ≤ 20 → exact cosine → top-5); VectorLawsSpec states the
+    * within-candidates optimality law — the served 5 ARE the exact-cosine
+    * top-5 of the stage-1 candidate set, per probe.
+    */
+  def q229RerankedAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = ensureAnnIndex(s, dir)
+    val cand = adcTopKFromArtifacts(s, dir, root, 20)
+      .select($"probe_id", $"vec_id")
+    val e = withNorm(Tables.embeddings(s, dir))
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
+    val w = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
+    cand.join(e, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .select($"probe_id", $"vec_id",
+        cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"probe_id", $"rank".cast("long").as("rank"),
+        $"vec_id", round($"sim", 4).as("sim"))
+      .orderBy($"probe_id", $"rank")
   }
 
   /** Serve half shared by q148/q151: answer the q140 search reading ONLY
     * the artifacts under `root` plus the probe vectors.
     */
-  private[graft] def serveFromArtifacts(s: SparkSession, dir: String, root: String): DataFrame = {
+  private[graft] def serveFromArtifacts(s: SparkSession, dir: String, root: String): DataFrame =
+    adcTopKFromArtifacts(s, dir, root, 5)
+
+  /** The artifact serve parameterized over k — q148/q151 return the ADC
+    * top-5 directly; q229's RECALL STAGE takes the top-20 as candidates
+    * for the exact rerank.
+    */
+  private[graft] def adcTopKFromArtifacts(s: SparkSession, dir: String, root: String,
+      k: Int): DataFrame = {
     import s.implicits._
     val e = withN2(Tables.embeddings(s, dir))
     val cents = s.read.parquet(s"$root/centroids")
@@ -1242,7 +1287,7 @@ object VectorQueries {
       .join(broadcast(probeCells), Seq("cell"))
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id")
-    val topk = udaf(TopKByScore(5))
+    val topk = udaf(TopKByScore(k))
     cand.join(s.read.parquet(s"$root/codes"), Seq("vec_id"))
       .join(broadcast(lut), Seq("probe_id", "m", "code"))
       .groupBy($"probe_id", $"vec_id")
@@ -1463,6 +1508,7 @@ object VectorQueries {
     "q176_pq_code_checksum" -> (q176PqCodeChecksum _),
     "q140_ivf_pq_search" -> (q140IvfPqSearch _),
     "q148_ann_index_roundtrip" -> (q148AnnIndexRoundtrip _),
+    "q229_reranked_ann" -> (q229RerankedAnn _),
     "q149_filtered_ann" -> (q149FilteredAnn _),
     "q151_incremental_ann" -> (q151IncrementalAnnAudit _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
@@ -1944,6 +1990,35 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(adc, 4) AS adc
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // q140's replay chain with the cut at rank ≤ 20, then the exact-cosine
+    // rerank — the two-stage serving pattern under one hash
+    "q229_reranked_ann" ->
+      s"""WITH $kmeansCtes, $pqChains, $ivfAssignCte, $ivfProbeCellsCte,
+         |$pqCodeCtes, $pqLutCtes, scored AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
+         |  FROM pc
+         |  JOIN assign a ON pc.cell = a.cell
+         |${adcJoinSql("a.vec_id", "pc.probe_id")}
+         |  WHERE a.vec_id != pc.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+         |  FROM scored
+         |), cand20 AS (
+         |  SELECT probe_id, vec_id FROM ranked WHERE rank <= 20
+         |), rer AS (
+         |  SELECT c.probe_id, c.vec_id, ${cosSql("pe.embedding", "ce.embedding")} AS sim
+         |  FROM cand20 c
+         |  JOIN embeddings pe ON pe.vec_id = c.probe_id
+         |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+         |), rr AS (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM rer
+         |)
+         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
+         |FROM rr WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // q18's exact-top-5 CTEs ∘ q134's band relation, joined into per-probe
     // hit counts — recall is a ratio of exact integers
     "q181_ann_recall" -> {

@@ -16,6 +16,46 @@ class NativeKernelsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("bloom kernel: zero false negatives, bounded false positives, merge = union, codegen path") {
+    import graft.expressions.KernelOps
+    // deterministic key streams (an LCG — no Random, reproducible)
+    def keys(seed: Long, n: Int): Array[Long] = {
+      var x = seed
+      Array.fill(n) { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    }
+    val present = keys(7L, 32768)
+    val absent = keys(99L, 32768)
+    val bits = new Array[Byte](KernelOps.BloomBytes)
+    present.foreach(KernelOps.bloomInsert(bits, _))
+    // the bloom contract: NO false negatives, ever
+    assert(present.forall(KernelOps.bloomMightContain(bits, _)),
+      "bloom dropped an inserted key (false negative)")
+    // sizing claim: ~1.2% fpp at 64k keys → at 32k keys well under 1%;
+    // bound loosely at 3% so the law survives unlucky seeds
+    val fpp = absent.count(k => !present.contains(k) &&
+      KernelOps.bloomMightContain(bits, k)).toDouble / absent.length
+    info(f"measured fpp at n=32768: $fpp%.4f")
+    assert(fpp < 0.03, f"false-positive rate $fpp%.4f exceeds the sizing claim")
+    // merge = union: OR of two blooms answers like one built from both
+    val (h1, h2) = present.splitAt(16384)
+    val a = new Array[Byte](KernelOps.BloomBytes)
+    val b = new Array[Byte](KernelOps.BloomBytes)
+    h1.foreach(KernelOps.bloomInsert(a, _))
+    h2.foreach(KernelOps.bloomInsert(b, _))
+    val merged = graft.operators.BloomBuild.merge(a, b)
+    assert(merged.sameElements(bits), "merge(a, b) != insert-all (union law)")
+    // the Column surface under codegen: aggregate + probe end-to-end
+    import spark.implicits._
+    val bloomOf = udaf(graft.operators.BloomBuild)
+    val bloomDf = present.take(100).toSeq.toDF("k")
+      .agg(bloomOf($"k").as("bloom"))
+    val probed = present.take(100).toSeq.toDF("k")
+      .join(broadcast(bloomDf))
+      .select(bloomMightContain($"bloom", $"k").as("hit"))
+      .collect()
+    assert(probed.forall(_.getBoolean(0)), "codegen probe missed an inserted key")
+  }
+
   test("wordShingles == sorted distinct of TextFunctions.shingles∘tokens") {
     import spark.implicits._
     val bad = Tables.documents(spark, sf)

@@ -354,6 +354,24 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q228 bloom decontamination ≡ q63 row-for-row; the probe is codegen'd into the corpus side") {
+    // the law that makes the bloom SAFE: false positives only add verify
+    // work, so the exact-verify join restores q63's answer exactly
+    val exact = text.PipelineQueries.q63Decontamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bloomed = text.PipelineQueries.q228BloomDecontamination(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.nonEmpty && bloomed == exact,
+      s"bloom plan diverged from exact: ${bloomed.diff(exact).take(3)}")
+    // plan pin: the bloommightcontain probe runs BELOW the verify join
+    // (map-side pre-filter), and the broadcast membership side is the
+    // 1-row bloom aggregate, not a gram relation
+    val plan = text.PipelineQueries.q228BloomDecontamination(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloommightcontain"),
+      s"bloom probe missing from the physical plan:\n${plan.take(800)}")
+  }
+
   test("registry-wide plan hygiene: no cartesian product anywhere; BNLJ only on the audited bounded-anchor list") {
     // The r9 manual sweep of all 174 plans found 0 CartesianProduct and 16
     // BroadcastNestedLoopJoins, every one a broadcast of a bounded anchor
@@ -390,7 +408,15 @@ class ScaleSpec extends AnyFunSuite {
       // machinery verbatim: a =!= sweep against the id-capped probe
       // broadcast (≤ MaxProbes rows by construction; q221's carries the
       // probe's lang for the inequality filter)
-      "q220_rrf_fusion", "q221_hard_negatives")
+      "q220_rrf_fusion", "q221_hard_negatives",
+      // q228 crossJoins the ONE-ROW 64 KiB bloom aggregate onto the corpus
+      // gram relation (the whole point: the membership side is a single
+      // fixed-size row, not the eval gram set)
+      "q228_bloom_decontamination",
+      // q229's recall stage is q148's serve verbatim (8-row persisted
+      // centroid/codebook broadcast crosses); the rerank joins are plain
+      // equi-joins against the probe-bounded candidate relation
+      "q229_reranked_ann")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       withClue(name) {

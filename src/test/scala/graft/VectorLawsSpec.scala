@@ -253,6 +253,35 @@ class VectorLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("q229 rerank is exactly the cosine top-5 of its stage-1 candidates (within-candidates optimality)") {
+    import org.apache.spark.sql.functions.col
+    // the law that defines a two-stage retriever: stage 2 may not lose
+    // precision WITHIN the recall stage's candidate set — per probe, the
+    // served 5 must equal the brute-force cosine top-5 of the ADC top-20
+    val root = vector.VectorQueries.ensureAnnIndex(spark, sf)
+    val cand = vector.VectorQueries.adcTopKFromArtifacts(spark, sf, root, 20)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val served = vector.VectorQueries.q229RerankedAnn(spark, sf)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(served.nonEmpty && served.keySet == cand.keySet)
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(i => a(i).toDouble * b(i)).sum
+      dot / (math.sqrt(a.indices.map(i => a(i).toDouble * a(i)).sum) *
+        math.sqrt(b.indices.map(i => b(i).toDouble * b(i)).sum))
+    }
+    served.foreach { case (p, got) =>
+      assert(got.toSet.subsetOf(cand(p)), s"probe $p served outside its candidates")
+      val want = cand(p).toSeq.map(v => (cos(e(p), e(v)), v))
+        .sortBy { case (s, v) => (-s, v) }.take(5).map(_._2)
+      assert(got == want, s"probe $p: rerank is not the within-candidates optimum")
+    }
+  }
+
   test("q151 incremental append serves identically to a full re-code against the same artifacts") {
     import spark.implicits._
     def rows(df: org.apache.spark.sql.DataFrame) =
