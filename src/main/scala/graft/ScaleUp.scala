@@ -66,13 +66,33 @@ object ScaleUp {
   def jitterDir(src: String): String =
     Scratch.path(s"sfx${Blocks}j_${Scratch.tag(src)}")
 
-  def build(s: SparkSession, src: String): String = buildImpl(s, src, jitter = false)
+  /** The NOVEL-vector replica — the third point of the scaling triptych
+    * (exact copies / ±0.5% jitter / novel): replicated embedding blocks
+    * get fully SYNTHETIC vectors (deterministic hash-derived uniform
+    * floats, same dimensionality and scale as the source), so the 10×
+    * corpus models ORGANIC growth — new content, not denser duplicates.
+    * The LSH family's ratios on this replica measure the true
+    * linear-growth regime; on the other two they measure the
+    * near-dup-dense worst case (SCALING.md round 15).
+    */
+  def novelDir(src: String): String =
+    Scratch.path(s"sfx${Blocks}n_${Scratch.tag(src)}")
 
-  def buildJittered(s: SparkSession, src: String): String = buildImpl(s, src, jitter = true)
+  def build(s: SparkSession, src: String): String = buildImpl(s, src, "exact")
 
-  private def buildImpl(s: SparkSession, src: String, jitter: Boolean): String =
-    Scratch.buildOnce(if (jitter) jitterDir(src) else replicaDir(src)) {
-      val out = if (jitter) jitterDir(src) else replicaDir(src)
+  def buildJittered(s: SparkSession, src: String): String = buildImpl(s, src, "jitter")
+
+  def buildNovel(s: SparkSession, src: String): String = buildImpl(s, src, "novel")
+
+  private def outDir(src: String, mode: String): String = mode match {
+    case "jitter" => jitterDir(src)
+    case "novel" => novelDir(src)
+    case _ => replicaDir(src)
+  }
+
+  private def buildImpl(s: SparkSession, src: String, mode: String): String =
+    Scratch.buildOnce(outDir(src, mode)) {
+      val out = outDir(src, mode)
       copyOnly.foreach { t =>
         s.read.parquet(s"$src/$t.parquet")
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -85,7 +105,7 @@ object ScaleUp {
         val replicated = raw.crossJoin(broadcast(blocks))
           .select(raw.columns.map { c =>
             if (keys.contains(c)) (col(c) + col("_shift")).as(c)
-            else if (jitter && t == "embeddings" && c == "embedding")
+            else if (mode == "jitter" && t == "embeddings" && c == "embedding")
               // ±0.5% deterministic element noise, block 0 exact: the
               // hash is over (vec_id-pre-shift, element, block) so every
               // replica of a vector perturbs differently; FLOAT cast
@@ -93,6 +113,13 @@ object ScaleUp {
               expr("""transform(embedding, (x, j) ->
                   |  CAST(x + CASE WHEN _shift = 0 THEN 0.0
                   |    ELSE (pmod(hash(vec_id, j, _shift), 1001) - 500) / 100000.0
+                  |  END AS FLOAT))""".stripMargin).as(c)
+            else if (mode == "novel" && t == "embeddings" && c == "embedding")
+              // replicas become fully synthetic uniform[-1,1] vectors
+              // (deterministic hash floats), block 0 the source corpus
+              expr("""transform(embedding, (x, j) ->
+                  |  CAST(CASE WHEN _shift = 0 THEN x
+                  |    ELSE (pmod(hash(vec_id, j, _shift, 42), 2001) - 1000) / 1000.0
                   |  END AS FLOAT))""".stripMargin).as(c)
             else col(c)
           }: _*)
@@ -113,8 +140,11 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val jitter = args.lift(1).contains("jitter")
-    val out = if (jitter) buildJittered(spark, src) else build(spark, src)
+    val out = args.lift(1) match {
+      case Some("jitter") => buildJittered(spark, src)
+      case Some("novel") => buildNovel(spark, src)
+      case _ => build(spark, src)
+    }
     // row-count audit: every replicated table must hold exactly Blocks×
     // the source rows (a silent partial write would corrupt the scaling
     // measurement, not just a query)
