@@ -164,9 +164,12 @@ object PipelineQueries {
     * realistic eval registry), while this variant aggregates the eval
     * grams' xxhash64 keys into ONE fixed-64-KiB bloom ([[BloomBuild]],
     * mergeable partial aggregation — the shuffle carries one buffer per
-    * partition, never a gram), broadcasts that single row, pre-filters the
-    * corpus grams MAP-SIDE with the codegen'd bloomMightContain probe, and
-    * only the might-contain survivors (true hits + ~1.2% false positives)
+    * partition, never a gram), ships it to every executor as a LITERAL in
+    * the probe expression (how a runtime filter actually travels — one
+    * reference per generated class, not a per-row joined column),
+    * pre-filters the corpus grams MAP-SIDE with the codegen'd
+    * bloomMightContain probe, and only the might-contain survivors (true
+    * hits + ~1.2% false positives)
     * reach the exact-verify equi-join against the eval grams. False
     * positives cost verify work, never answers — the output is exact, and
     * ScaleSpec pins both the law (q228 ≡ q63 row-for-row) and the plan
@@ -178,16 +181,23 @@ object PipelineQueries {
   def q228BloomDecontamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val sh = docs.withColumn("__eval", evalPredicate($"doc_id"))
-      .select($"doc_id", $"__eval", explode(wordShingles($"text", 8)).as("g"))
-    val evalSide = sh.filter($"__eval")
-      .select($"doc_id".as("eval_id"), $"g")
+    // filter BEFORE the explode on both branches: the eval id-cap
+    // predicate reaches the parquet scan, so the (tiny) eval side never
+    // pays a corpus explode — q66's pushdown rule
+    val evalSide = docs.filter(evalPredicate($"doc_id"))
+      .select($"doc_id".as("eval_id"), explode(wordShingles($"text", 8)).as("g"))
     val bloomOf = udaf(graft.operators.BloomBuild)
-    val bloom = evalSide.agg(bloomOf(xxhash64($"g")).as("bloom")) // 1 row, 64 KiB
-    val cand = sh.filter(!$"__eval")
-      .select($"doc_id".as("corpus_id"), $"g")
-      .join(broadcast(bloom))
-      .filter(graft.expressions.NativeKernels.bloomMightContain($"bloom", xxhash64($"g")))
+    // ONE fixed-64-KiB row, bounded by construction (the aggregate's
+    // output type) — collected and embedded as a LITERAL in the probe
+    // expression rather than joined as data: a broadcast-joined column
+    // would copy the 64 KiB array into every joined gram row (measured
+    // ~2.3 s of memcpy at sf0.1), while a literal is referenced once per
+    // generated class. This is how a runtime filter actually ships.
+    val bloom = evalSide.agg(bloomOf(xxhash64($"g")).as("bloom"))
+      .collect()(0).getAs[Array[Byte]]("bloom")
+    val cand = docs.filter(!evalPredicate($"doc_id"))
+      .select($"doc_id".as("corpus_id"), explode(wordShingles($"text", 8)).as("g"))
+      .filter(graft.expressions.NativeKernels.bloomMightContain(lit(bloom), xxhash64($"g")))
       .select($"corpus_id", $"g")
     val hits = cand.join(broadcast(evalSide), "g")
       .groupBy($"eval_id")

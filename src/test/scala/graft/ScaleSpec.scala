@@ -409,10 +409,6 @@ class ScaleSpec extends AnyFunSuite {
       // broadcast (≤ MaxProbes rows by construction; q221's carries the
       // probe's lang for the inequality filter)
       "q220_rrf_fusion", "q221_hard_negatives",
-      // q228 crossJoins the ONE-ROW 64 KiB bloom aggregate onto the corpus
-      // gram relation (the whole point: the membership side is a single
-      // fixed-size row, not the eval gram set)
-      "q228_bloom_decontamination",
       // q229's recall stage is q148's serve verbatim (8-row persisted
       // centroid/codebook broadcast crosses); the rerank joins are plain
       // equi-joins against the probe-bounded candidate relation
