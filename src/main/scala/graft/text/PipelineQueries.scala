@@ -173,10 +173,10 @@ object PipelineQueries {
     * reach the exact-verify equi-join against the eval grams. False
     * positives cost verify work, never answers — the output is exact, and
     * ScaleSpec pins both the law (q228 ≡ q63 row-for-row) and the plan
-    * (the bloom probe in the scan stage; the verify join's input is the
-    * filtered relation). Spark's own bloom machinery (q77) lives inside
-    * the optimizer's runtime-filter injection and is not callable surface,
-    * hence the §2.11 Aggregator + kernel pair.
+    * (the bloommightcontain probe present in the executed plan, i.e. the
+    * pre-filter survived optimization). Spark's own bloom machinery (q77)
+    * lives inside the optimizer's runtime-filter injection and is not
+    * callable surface, hence the §2.11 Aggregator + kernel pair.
     */
   def q228BloomDecontamination(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
