@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Host-throughput probe (VERDICT r15 #6): seconds to sha256-chain a
+    * fixed 512 MiB of deterministic bytes, min of two passes. Fixed work
+    * on one core → the number IS the host's current single-thread
+    * throughput, so certification can compare runs on evidence instead of
+    * narrative: tools/certify.py refuses to merge runs whose probes
+    * differ >5% and reports probe-normalized totals next to raw. Runs
+    * BEFORE the warm-ups and again AFTER the measured loop, so a
+    * mid-bench host slowdown (the r15 morning elevation) is visible as
+    * pre/post disagreement inside one artifact.
+    */
+  private def cpuProbe(): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](1 << 20)
+    var i = 0
+    while (i < buf.length) { buf(i) = (i * 31 + 7).toByte; i += 1 }
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      var k = 0
+      while (k < 512) { md.update(buf); k += 1 }
+      md.digest() // consume so the JIT can't drop the chain
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(pass(), pass())
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -46,6 +71,7 @@ object Bench {
       try body catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
       }
+    val probePre = cpuProbe()
     warm(SparkEntry.entry(spark).count())
     // q40 additionally warms the langid regexps + anti-join codegen paths
     Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly", "q40_corpus_clean")
@@ -112,12 +138,13 @@ object Bench {
     val errs = if (failed.isEmpty) ""
       else failed.mkString(""","errors":[""", ",", "]")
     val total = results.values.filter(_ >= 0).sum
+    val probePost = cpuProbe()
     spark.stop()
     // sf basename only: the full path spends 16 line chars repeating
     // "/root/testdata/" that the driver already knows.
     val sf = new java.io.File(sfDir).getName
     val perQueryJson =
-      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"queries":$qs}"""
+      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"cpu_probe_sec":[${fmt(probePre, 3)},${fmt(probePost, 3)}],"queries":$qs}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File(s"bench_perquery_$sf.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), perQueryJson + "\n")

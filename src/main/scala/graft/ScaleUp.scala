@@ -67,7 +67,7 @@ object ScaleUp {
     Scratch.path(s"sfx${Blocks}j_${Scratch.tag(src)}")
 
   /** The NOVEL-vector replica — the third point of the scaling triptych
-    * (exact copies / ±0.5% jitter / novel): replicated embedding blocks
+    * (exact copies / ±0.005-absolute jitter / novel): replicated embedding blocks
     * get fully SYNTHETIC vectors (deterministic hash-derived uniform
     * floats, same dimensionality and scale as the source), so the 10×
     * corpus models ORGANIC growth — new content, not denser duplicates.
@@ -106,7 +106,8 @@ object ScaleUp {
           .select(raw.columns.map { c =>
             if (keys.contains(c)) (col(c) + col("_shift")).as(c)
             else if (mode == "jitter" && t == "embeddings" && c == "embedding")
-              // ±0.5% deterministic element noise, block 0 exact: the
+              // ±0.005 ABSOLUTE deterministic element noise (≈0.5% of the
+              // [-1,1] element range, NOT multiplicative), block 0 exact: the
               // hash is over (vec_id-pre-shift, element, block) so every
               // replica of a vector perturbs differently; FLOAT cast
               // keeps the source dtype

@@ -45,19 +45,41 @@ object Scratch {
   }
 
   /** Cheap content fingerprint of an input table path (a parquet file or
-    * a directory of part files): md5 over the sorted (name, length,
-    * mtime) triples — filesystem metadata only, no data scan. Folded
-    * into published-artifact roots (ADVICE r14) so REGENERATING the
-    * corpus at the same path invalidates the artifact instead of leaving
-    * a stale published copy that every new session silently serves.
+    * a directory of part files): md5 over the sorted (relative path,
+    * length, mtime) triples of every LEAF file — filesystem metadata
+    * only, no data scan. Folded into published-artifact roots (ADVICE
+    * r14) so REGENERATING the corpus at the same path invalidates the
+    * artifact instead of leaving a stale published copy that every new
+    * session silently serves. Hardened per ADVICE r15: a nonexistent
+    * path FAILS (a stable tag for missing input would pin an artifact
+    * to garbage), an unlistable dir FAILS (silently fingerprinting
+    * nothing is the same bug), and the walk is RECURSIVE so a
+    * partitioned/nested table fingerprints its leaf files, not the
+    * top-level subdir metadata (dir mtimes don't reliably change when a
+    * leaf inside is rewritten in place).
     */
   def fingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    val files: Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
-    val desc = files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+    val root = new java.io.File(path)
+    require(root.exists(), s"Scratch.fingerprint: input path does not exist: $path")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(
+          throw new java.io.IOException(s"Scratch.fingerprint: cannot list $f"))
+        kids.sortBy(_.getName).toIndexedSeq.flatMap(walk)
+      } else Seq(f)
+    val base = root.toPath
+    val desc = walk(root)
+      .map(x => s"${base.relativize(x.toPath)}:${x.length}:${x.lastModified}")
       .mkString("\n")
     tag(desc)
+  }
+
+  private def deleteRecursively(dir: java.io.File): Unit = if (dir.exists()) {
+    import scala.jdk.CollectionConverters._
+    val stream = java.nio.file.Files.walk(dir.toPath)
+    try stream.iterator().asScala.toSeq.reverseIterator
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    finally stream.close()
   }
 
   /** Build-and-publish with first-writer-wins atomicity — the shared
@@ -77,7 +99,27 @@ object Scratch {
     */
   def publishOnce(root: String, marker: String = "_built")(build: String => Unit): String = {
     if (new java.io.File(s"$root/$marker").exists()) return root
+    // ADVICE r15 hardening, both about leaked staging dirs:
+    // (1) OUR staging path may already exist — a crashed earlier process
+    //     plus OS pid reuse — and Spark's overwrite only replaces the
+    //     paths the current recipe writes, so stale strays would be
+    //     PUBLISHED alongside the fresh build. Clear it first.
+    // (2) Staging dirs of OTHER, now-dead pids have no owner left to
+    //     clean them; sweep siblings whose pid no longer runs. Live pids
+    //     are left alone — they are a concurrent writer mid-build.
     val staging = s"${root}_stage_p${ProcessHandle.current().pid()}"
+    deleteRecursively(new java.io.File(staging))
+    val parent = new java.io.File(root).getParentFile
+    val stagePat = s"${new java.io.File(root).getName}_stage_p(\\d+)".r
+    Option(parent).flatMap(p => Option(p.listFiles())).getOrElse(Array.empty)
+      .foreach { f =>
+        f.getName match {
+          case stagePat(pid) if !ProcessHandle.of(pid.toLong)
+              .map[Boolean](_.isAlive).orElse(false) =>
+            deleteRecursively(f)
+          case _ =>
+        }
+      }
     build(staging)
     new java.io.File(staging).mkdirs() // a no-file build still publishes
     new java.io.File(s"$staging/$marker").createNewFile()

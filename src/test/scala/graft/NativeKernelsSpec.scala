@@ -32,7 +32,10 @@ class NativeKernelsSpec extends AnyFunSuite {
       "bloom dropped an inserted key (false negative)")
     // sizing claim: ~1.2% fpp at 64k keys → at 32k keys well under 1%;
     // bound loosely at 3% so the law survives unlucky seeds
-    val fpp = absent.count(k => !present.contains(k) &&
+    // Set probe, not Array.contains: the linear scan was ~1e9 long
+    // comparisons per run (32k absent × 32k present) — ADVICE r15
+    val presentSet = present.toSet
+    val fpp = absent.count(k => !presentSet.contains(k) &&
       KernelOps.bloomMightContain(bits, k)).toDouble / absent.length
     info(f"measured fpp at n=32768: $fpp%.4f")
     assert(fpp < 0.03, f"false-positive rate $fpp%.4f exceeds the sizing claim")
