@@ -16,14 +16,44 @@ object Bench {
     val buf = new Array[Byte](1 << 20)
     var i = 0
     while (i < buf.length) { buf(i) = (i * 31 + 7).toByte; i += 1 }
-    def pass(): Double = {
+    def pass(n: Int): Double = {
       val t0 = System.nanoTime()
       var k = 0
-      while (k < 512) { md.update(buf); k += 1 }
+      while (k < n) { md.update(buf); k += 1 }
       md.digest() // consume so the JIT can't drop the chain
       (System.nanoTime() - t0) / 1e9
     }
-    math.min(pass(), pass())
+    // untimed 64 MiB warm-up: the first movers runs showed the PRE probe
+    // ~8% above POST purely from JIT/intrinsic warm-up of this loop —
+    // that bias would eat the whole 5% merge band certify.py enforces
+    pass(64)
+    math.min(pass(512), pass(512))
+  }
+
+  /** Parallel-throughput probe: 8 threads each sha256-chaining 256 MiB,
+    * wall seconds. Round-16 finding: the r12→r16 host elevation (+12%
+    * registry median) is INVISIBLE to the single-thread probe (python
+    * and JVM both at parity) — whatever degrades the box under
+    * multi-core load (co-tenancy, memory bandwidth, frequency caps)
+    * only shows when all cores push at once, which is exactly how the
+    * bench runs. Certification compares BOTH probes: single-thread for
+    * silicon parity, this one for the machine's deliverable throughput.
+    */
+  private def cpuProbeMt(): Double = {
+    def chain(iters: Int): Unit = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val buf = new Array[Byte](1 << 20)
+      var i = 0
+      while (i < buf.length) { buf(i) = (i * 17 + 3).toByte; i += 1 }
+      var k = 0
+      while (k < iters) { md.update(buf); k += 1 }
+      md.digest()
+    }
+    chain(32) // JIT warm-up on the calling thread, untimed
+    val t0 = System.nanoTime()
+    val threads = (1 to 8).map(_ => new Thread(() => chain(256)))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,6 +102,7 @@ object Bench {
         System.err.println(s"[bench] warm-up failed (continuing): ${e.getMessage}")
       }
     val probePre = cpuProbe()
+    val probeMtPre = cpuProbeMt()
     warm(SparkEntry.entry(spark).count())
     // q40 additionally warms the langid regexps + anti-join codegen paths
     Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly", "q40_corpus_clean")
@@ -139,12 +170,13 @@ object Bench {
       else failed.mkString(""","errors":[""", ",", "]")
     val total = results.values.filter(_ >= 0).sum
     val probePost = cpuProbe()
+    val probeMtPost = cpuProbeMt()
     spark.stop()
     // sf basename only: the full path spends 16 line chars repeating
     // "/root/testdata/" that the driver already knows.
     val sf = new java.io.File(sfDir).getName
     val perQueryJson =
-      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"cpu_probe_sec":[${fmt(probePre, 3)},${fmt(probePost, 3)}],"queries":$qs}"""
+      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"cpu_probe_sec":[${fmt(probePre, 3)},${fmt(probePost, 3)}],"cpu_probe_mt_sec":[${fmt(probeMtPre, 3)},${fmt(probeMtPost, 3)}],"queries":$qs}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File(s"bench_perquery_$sf.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), perQueryJson + "\n")

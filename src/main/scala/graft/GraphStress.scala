@@ -47,6 +47,24 @@ object GraphStress {
       println(f"D=$d%2d edges=$nEdges%7d maxOutDeg=$maxDeg%3d (cap ${2 * d}%3d) " +
         f"build=$tBuild%6.2fs serve=$tServe%6.2fs recall@5=$recall%.3f")
     }
+
+    // the NN-Descent widening (q232's machinery) at the degrees where the
+    // LSH pool binds: does each round buy recall, and at what build cost?
+    for (d <- Seq(16, 32); rounds <- Seq(1, 2)) {
+      val t0 = System.nanoTime()
+      val edges = vector.VectorQueries.builtGraphEdgesRefinedD(spark, sfDir, d, rounds)
+        .localCheckpoint()
+      val nEdges = edges.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val served = vector.VectorQueries.beamServe(spark, sfDir, edges,
+          vector.VectorQueries.BeamRounds)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      val recall = served.keysIterator
+        .map(k => (served(k) & exact(k)).size / 5.0).sum / served.size
+      println(f"D=$d%2d NN-Descent rounds=$rounds edges=$nEdges%7d " +
+        f"build=$tBuild%6.2fs recall@5=$recall%.3f")
+    }
     spark.stop()
   }
 }

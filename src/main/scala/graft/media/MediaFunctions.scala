@@ -306,17 +306,20 @@ object MediaFunctions {
     * bytes can never silently change meaning.
     */
   def isImageFormat(format: String): Boolean =
-    format == "ppm" || format == "bmp" || format == "image"
+    format == "ppm" || format == "bmp" || format == "png" || format == "image"
 
-  /** Decode a binary-PPM (P6) or 24-bit uncompressed BMP payload. Total:
-    * any malformed header, short body, or unsupported variant returns
-    * None (the caller's quarantine path) rather than throwing — corrupt
-    * bytes are data, not exceptions, in a 100 TB scan.
+  /** Decode a binary-PPM (P6), 24-bit uncompressed BMP, or 8-bit
+    * truecolor non-interlaced PNG payload. Total: any malformed header,
+    * short body, CRC mismatch, or unsupported variant returns None (the
+    * caller's quarantine path) rather than throwing — corrupt bytes are
+    * data, not exceptions, in a 100 TB scan.
     */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     try {
       if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') decodePpm(payload)
       else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+      else if (payload.length >= 8 && payload(0) == PngSignature(0) && payload(1) == 'P')
+        decodePng(payload)
       else None
     } catch { case _: RuntimeException => None }
 
@@ -435,6 +438,185 @@ object MediaFunctions {
       y += 1
     }
     out
+  }
+
+  // ---- PNG (public spec: ISO/IEC 15948 / RFC 2083) — 8-bit truecolor,
+  // ---- non-interlaced; zlib via java.util.zip, the five filter types ----
+
+  private val PngSignature = Array[Byte](
+    0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Paeth predictor (PNG filter type 4): nearest of left/up/up-left to
+    * the linear estimate p = a + b − c, ties resolved a, then b, then c —
+    * the exact order the spec fixes.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngPredictor(f: Int, left: Int, up: Int, ul: Int): Int = f match {
+    case 0 => 0
+    case 1 => left
+    case 2 => up
+    case 3 => (left + up) / 2
+    case 4 => paeth(left, up, ul)
+  }
+
+  /** Encode a top-down row-major RGB raster as a real PNG: signature,
+    * IHDR (8-bit truecolor, non-interlaced), one zlib-deflated IDAT,
+    * IEND — CRC32 on every chunk. The per-row filter type is `y % 5`, so
+    * every encoded image ≥ 5 rows exercises ALL FIVE filter types and the
+    * round-trip law covers the whole unfilter kernel, not just the None
+    * path. Compressed bytes come from java.util.zip.Deflater — the
+    * oracle never parses PNG bytes (only DECODED pixels are hashed), so
+    * deflate's exact byte choice is free to vary.
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && rgb.length == 3 * width * height)
+    val bpr = 3 * width
+    val raw = new Array[Byte](height * (1 + bpr))
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      val o = y * (1 + bpr)
+      raw(o) = f.toByte
+      var x = 0
+      while (x < bpr) {
+        val cur = rgb(y * bpr + x) & 0xff
+        val left = if (x >= 3) rgb(y * bpr + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * bpr + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) rgb((y - 1) * bpr + x - 3) & 0xff else 0
+        raw(o + 1 + x) = ((cur - pngPredictor(f, left, up, ul)) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val z = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(z.size() + 64)
+    out.write(PngSignature, 0, 8)
+    def beInt(v: Int): Array[Byte] =
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(beInt(data.length), 0, 4)
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(t, 0, 4); out.write(data, 0, data.length)
+      out.write(beInt(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(beInt(width), 0, ihdr, 0, 4)
+    System.arraycopy(beInt(height), 0, ihdr, 4, 4)
+    ihdr(8) = 8  // bit depth
+    ihdr(9) = 2  // color type: truecolor
+    // compression 0, filter method 0, interlace 0 — already zeroed
+    chunk("IHDR", ihdr)
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Decode a PNG payload. Total like the other codecs — None, never
+    * throw. DECODES only the tier this engine claims: 8-bit truecolor
+    * (colorType 2), non-interlaced, filter method 0. Everything else —
+    * Adam7 interlace, 16-bit depth, palette/alpha color types, unknown
+    * compression — QUARANTINES (the q227 discipline: reject loudly, no
+    * silent partial decode). Every chunk's CRC32 is verified (a corrupt
+    * chunk is a corrupt image), IDAT chunks are concatenated per spec,
+    * the inflate is BOUNDED to exactly height·(1+3·width) bytes (a
+    * declared-dims bound, so a zip bomb can't balloon past the header's
+    * own dimension guard), and the stream must end exactly there.
+    */
+  private def decodePng(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 8 + 25 + 12) return None // sig + IHDR + IEND minimum
+    var i = 0
+    while (i < 8) { if (b(i) != PngSignature(i)) return None; i += 1 }
+    def beInt(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    var off = 8
+    var w = 0; var h = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!seenIend) {
+      if (off + 12 > b.length) return None
+      val len = beInt(off)
+      if (len < 0 || off.toLong + 12 + len > b.length) return None
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue.toInt != beInt(off + 8 + len)) return None
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13 || off != 8) return None // must be first
+          seenIhdr = true
+          w = beInt(off + 8); h = beInt(off + 12)
+          val depth = b(off + 16) & 0xff
+          val color = b(off + 17) & 0xff
+          val compression = b(off + 18) & 0xff
+          val filterMethod = b(off + 19) & 0xff
+          val interlace = b(off + 20) & 0xff
+          if (w < 1 || h < 1 || w > (1 << 24) || h > (1 << 24)) return None
+          if (3L * w * h > (1L << 26)) return None // inflate-size bound
+          if (depth != 8 || color != 2 || compression != 0 ||
+            filterMethod != 0 || interlace != 0) return None
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(b, off + 8, len)
+        case "IEND" =>
+          if (!seenIhdr || len != 0) return None
+          seenIend = true
+        case _ => () // ancillary chunk: CRC verified above, content skipped
+      }
+      off += 12 + len
+    }
+    val bpr = 3 * w
+    val raw = new Array[Byte](h * (1 + bpr)) // ≤ 2^26 + 2^24 by the bounds
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var n = 0
+      while (!inf.finished()) {
+        if (n == raw.length) {
+          // declared dims are full: the stream must END here — a longer
+          // stream is a dims/payload mismatch, a shorter one truncation
+          val probe = new Array[Byte](1)
+          if (inf.inflate(probe) > 0) return None
+          if (!inf.finished()) return None
+        } else {
+          val k = inf.inflate(raw, n, raw.length - n)
+          if (k == 0 && !inf.finished()) return None // truncated/needs-dict
+          n += k
+        }
+      }
+      if (n != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val rgb = new Array[Byte](3 * w * h)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + bpr)) & 0xff
+      if (f > 4) return None
+      var x = 0
+      while (x < bpr) {
+        val v = raw(y * (1 + bpr) + 1 + x) & 0xff
+        val left = if (x >= 3) rgb(y * bpr + x - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * bpr + x) & 0xff else 0
+        val ul = if (x >= 3 && y > 0) rgb((y - 1) * bpr + x - 3) & 0xff else 0
+        rgb(y * bpr + x) = ((v + pngPredictor(f, left, up, ul)) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(w, h, rgb))
   }
 
   /** Decoded per-item features (dimensions, derived stats, content hash). */

@@ -203,10 +203,14 @@ object MediaQueries {
       val w = (4 + id % 13).toInt
       val h = (3 + id % 7).toInt
       val rgb = syntheticRgb(id, w, h)
-      if (container == "bmp")
-        MediaFunctions.MediaRecord(id, MediaFunctions.encodeBmp(w, h, rgb), "bmp")
-      else
-        MediaFunctions.MediaRecord(id, MediaFunctions.encodePpm(w, h, rgb), "ppm")
+      container match {
+        case "bmp" =>
+          MediaFunctions.MediaRecord(id, MediaFunctions.encodeBmp(w, h, rgb), "bmp")
+        case "png" =>
+          MediaFunctions.MediaRecord(id, MediaFunctions.encodePng(w, h, rgb), "png")
+        case _ =>
+          MediaFunctions.MediaRecord(id, MediaFunctions.encodePpm(w, h, rgb), "ppm")
+      }
     }
   }
 
@@ -487,6 +491,132 @@ object MediaQueries {
       .orderBy($"kind")
   }
 
+  /** Chunk surgery on a VALID [[MediaFunctions.encodePng]] output,
+    * producing the four corrupt variants the PNG decoder must QUARANTINE
+    * (VERDICT r15 #3's "corrupt variants still quarantining"):
+    * `interlaced` (Adam7 flag set, CRC re-fixed so the rejection is the
+    * HEADER gate, not the checksum), `depth16` (16-bit depth, CRC
+    * re-fixed, same reason), `badcrc` (one IDAT byte flipped, CRC left
+    * stale — the integrity gate), and `truncated` (IDAT shortened 4
+    * bytes with length+CRC re-fixed, so every chunk verifies but the
+    * zlib stream ends early — the inflate-boundary gate). Each variant
+    * isolates ONE rejection branch.
+    */
+  private[graft] def pngPoison(kind: String, png: Array[Byte]): Array[Byte] = {
+    def beInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    def putBe(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+      b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+    }
+    def fixCrc(b: Array[Byte], chunkOff: Int): Unit = {
+      val len = beInt(b, chunkOff)
+      val c = new java.util.zip.CRC32()
+      c.update(b, chunkOff + 4, 4 + len)
+      putBe(b, chunkOff + 8 + len, c.getValue.toInt)
+    }
+    def chunkOff(b: Array[Byte], typ: String): Int = {
+      var off = 8
+      while (new String(b, off + 4, 4, "US-ASCII") != typ) off += 12 + beInt(b, off)
+      off
+    }
+    kind match {
+      case "interlaced" =>
+        val o = png.clone(); o(28) = 1; fixCrc(o, 8); o // IHDR data+12
+      case "depth16" =>
+        val o = png.clone(); o(24) = 16; fixCrc(o, 8); o // IHDR data+8
+      case "badcrc" =>
+        val o = png.clone()
+        val c = chunkOff(o, "IDAT")
+        o(c + 8) = (o(c + 8) ^ 0x01).toByte
+        o
+      case _ => // truncated
+        val c = chunkOff(png, "IDAT")
+        val len = beInt(png, c)
+        require(len > 4, s"IDAT too short to truncate: $len")
+        val newLen = len - 4
+        val out = new Array[Byte](png.length - 4)
+        System.arraycopy(png, 0, out, 0, c)
+        putBe(out, c, newLen)
+        System.arraycopy(png, c + 4, out, c + 4, 4 + newLen)
+        val crc = new java.util.zip.CRC32()
+        crc.update(out, c + 4, 4 + newLen)
+        putBe(out, c + 8 + newLen, crc.getValue.toInt)
+        System.arraycopy(png, c + 12 + len, out, c + 12 + newLen,
+          png.length - (c + 12 + len))
+        out
+    }
+  }
+
+  private[graft] val PngPoisonKinds =
+    Array("interlaced", "depth16", "badcrc", "truncated")
+
+  /** One poisoned PNG per doc (callers pre-filter to doc_id % 5 = 0);
+    * kind rotates by (doc_id / 5) % 4 so the oracle can replay the
+    * assignment with integer division.
+    */
+  private def pngPoisonRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 7).toInt
+      val good = MediaFunctions.encodePng(w, h, syntheticRgb(id, w, h))
+      MediaFunctions.MediaRecord(
+        id, pngPoison(PngPoisonKinds(((id / 5) % 4).toInt), good), "png")
+    }
+  }
+
+  /** REAL PNG decode under the oracle gate (VERDICT r15 #3) — the
+    * dominant production image container, pure-JVM (zlib via
+    * java.util.zip.Inflater + the five filter types; the encoder cycles
+    * filter = row % 5, so rasters ≥ 5 rows round-trip through ALL of
+    * them). One output row per class:
+    *   `valid`  — every doc's raster encoded as real PNG bytes, decoded
+    *     by the real codec; the oracle predicts the luma-FNV hashes from
+    *     the generator formulas alone (PNG bytes exist only Spark-side),
+    *     and n_container_invariant counts per-image checksum agreement
+    *     with the SAME raster decoded from PPM — q215's invariance law
+    *     extended to the compressed container;
+    *   four poison kinds — [[pngPoison]] variants that must quarantine
+    *     to the last record (n_quarantined = n_records, pinned by the
+    *     oracle; a silent partial decode flips a hashed count, not a
+    *     log line).
+    * All decode work is map-side typed iteration; the only shuffles are
+    * the id-equi-join for invariance and the 5-row rollup.
+    */
+  def q231PngPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val png = MediaFunctions.decodeFrames(imageRecords(docs, "png")).toDF()
+    val ppm = MediaFunctions.decodeFrames(imageRecords(docs, "ppm")).toDF()
+      .select($"id", $"checksum".as("ppm_sum"))
+    val valid = png.join(ppm, "id")
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"width" === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when($"checksum" === $"ppm_sum", 1L).otherwise(0L))
+          .as("n_container_invariant"),
+        sum($"n_pixels").as("total_pixels"),
+        coalesce(expr("bit_xor(CASE WHEN width > 0 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+      .select(lit("valid").as("kind"), $"n_records", $"n_quarantined",
+        $"n_container_invariant", $"total_pixels", $"checksum_xor")
+    val poison = MediaFunctions.decodeFrames(
+        pngPoisonRecords(docs.filter($"doc_id" % 5 === 0))).toDF()
+      .groupBy(element_at(
+        typedLit(PngPoisonKinds.toSeq), (expr("(id div 5) % 4") + 1).cast("int"))
+        .as("kind"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"width" === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        min(lit(0L)).as("n_container_invariant"), // poison never joins ppm
+        sum($"n_pixels").as("total_pixels"),
+        coalesce(expr("bit_xor(CASE WHEN width > 0 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+    valid.unionByName(poison).orderBy($"kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
@@ -502,6 +632,7 @@ object MediaQueries {
     "q222_video_decode" -> (q222VideoDecode _),
     "q223_video_frame_sample" -> (q223VideoFrameSample _),
     "q227_media_quarantine" -> (q227MediaQuarantine _),
+    "q231_png_pipeline" -> (q231PngPipeline _),
   )
 
   /** FNV-64 over a HUGEINT byte list in DuckDB mod-2⁶⁴ arithmetic, mapped
@@ -586,6 +717,36 @@ object MediaQueries {
          |  count(*) AS n_container_invariant,
          |  bit_xor(cks) AS checksum_xor
          |FROM c GROUP BY 1 ORDER BY height""".stripMargin,
+    // PNG gate: the valid class replays q214's generator-formula luma
+    // hashes (the PNG bytes exist only Spark-side — a filter/inflate bug
+    // is a checksum_xor mismatch) and predicts full container invariance
+    // vs PPM; each poison kind must quarantine to the last record
+    "q231_png_pipeline" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+         |    (4 + doc_id % 13) * (3 + doc_id % 7) AS np FROM documents
+         |), c AS (
+         |  SELECT doc_id, np, $lumaFnvSql AS cks FROM d
+         |), valid AS (
+         |  SELECT 'valid' AS kind, count(*) AS n_records,
+         |    0 AS n_quarantined, count(*) AS n_container_invariant,
+         |    sum(np) AS total_pixels, bit_xor(cks) AS checksum_xor
+         |  FROM c
+         |), poison AS (
+         |  SELECT CASE (doc_id // 5) % 4 WHEN 0 THEN 'interlaced'
+         |           WHEN 1 THEN 'depth16' WHEN 2 THEN 'badcrc'
+         |           ELSE 'truncated' END AS kind,
+         |    count(*) AS n_records, count(*) AS n_quarantined,
+         |    0 AS n_container_invariant, 0 AS total_pixels, 0 AS checksum_xor
+         |  FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+         |)
+         |SELECT kind, CAST(n_records AS BIGINT) AS n_records,
+         |  CAST(n_quarantined AS BIGINT) AS n_quarantined,
+         |  CAST(n_container_invariant AS BIGINT) AS n_container_invariant,
+         |  CAST(total_pixels AS BIGINT) AS total_pixels,
+         |  CAST(checksum_xor AS BIGINT) AS checksum_xor
+         |FROM (SELECT * FROM valid UNION ALL SELECT * FROM poison)
+         |ORDER BY kind""".stripMargin,
     // thumbnail gate: k = smallest integer with ceil(w/k)·ceil(h/k) ≤ 24,
     // thumb pixel q samples original p = (q//w2)·k·w + (q%w2)·k
     "q216_image_thumbnail" ->

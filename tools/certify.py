@@ -31,9 +31,16 @@ def main() -> int:
     for p in run_paths:
         with open(p) as f:
             d = json.load(f)
-        probe = min(d.get("cpu_probe_sec") or [float("nan")])
+        # gate on the MULTI-thread probe when present: the r16 finding is
+        # that host elevation under full-core load is invisible to the
+        # single-thread probe (both at parity while the registry median
+        # ran +12%) — the mt probe measures the throughput the bench
+        # actually gets
+        raw = d.get("cpu_probe_mt_sec") or d.get("cpu_probe_sec")
+        probe = min(raw or [float("nan")])
         runs.append({"path": p, "probe": probe,
-                     "probe_raw": d.get("cpu_probe_sec"),
+                     "probe_raw": {"st": d.get("cpu_probe_sec"),
+                                   "mt": d.get("cpu_probe_mt_sec")},
                      "queries": d["queries"], "sf": d.get("sf")})
 
     keysets = {frozenset(r["queries"]) for r in runs}
@@ -49,8 +56,8 @@ def main() -> int:
     kept = []
     for r in runs:
         bad = r["probe"] != r["probe"] or r["probe"] / p_ref > 1.05
-        intra = (r["probe_raw"] and len(r["probe_raw"]) == 2
-                 and max(r["probe_raw"]) / min(r["probe_raw"]) > 1.05)
+        gate = r["probe_raw"]["mt"] or r["probe_raw"]["st"]
+        intra = gate and len(gate) == 2 and max(gate) / min(gate) > 1.05
         if intra:
             flagged.append({"path": r["path"], "why": "pre/post probe disagree >5%",
                             "probe": r["probe_raw"]})
