@@ -48,6 +48,43 @@ object SketchBench {
         .filter($"n" * 200 >= $"n_tot")
         .select($"lang", $"g", $"n")
 
+    // ---- q197 stage split (VERDICT r15 #7): is the 10× ratio the
+    // ---- linear accumulate pass or the (sketch-sized) union stage? ----
+    if (sys.env.get("SPARK_GRAFT_Q197_SPLIT").contains("1")) {
+      def time(label: String)(body: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        body
+        println(f"[q197split] $sfDir $label: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      val o = Tables.orders(spark, sfDir)
+      (1 to reps).foreach { _ =>
+        time("sketch-build (scan+agg)") {
+          o.groupBy($"o_orderpriority")
+            .agg(hll_sketch_agg($"o_custkey", lit(14)).as("sk"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val sketches = o.groupBy($"o_orderpriority")
+        .agg(hll_sketch_agg($"o_custkey", lit(14)).as("sk"))
+        .localCheckpoint() // 5 rows, materialized — union timed alone below
+      (1 to reps).foreach { _ =>
+        time("union+estimate (5 sketches)") {
+          sketches.agg(hll_sketch_estimate(hll_union_agg($"sk")))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      (1 to reps).foreach { _ =>
+        time("exact adjudication (2x countDistinct)") {
+          o.groupBy($"o_orderpriority").agg(countDistinct($"o_custkey").as("d"))
+            .union(o.agg(countDistinct($"o_custkey").as("d"))
+              .select(lit("(all)"), $"d"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop()
+      return
+    }
+
     def sketched: DataFrame = {
       val mg = udaf(new graft.operators.MisraGries(256))
       val cand = grams.groupBy($"lang").agg(mg($"g").as("s"))
