@@ -56,6 +56,35 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Scratch-I/O probe: write 256 MiB to the scratch dir (where shuffle
+    * spills and artifacts live), fsync, read it back, delete; wall
+    * seconds. Round-16 finding #2: the shuffle-heavy family's 10× times
+    * moved 3–4× between rounds on identical code while BOTH sha probes
+    * sat near parity — CPU instruments cannot see storage/writeback
+    * pressure, which is exactly what prices a 9M-pair banded shuffle.
+    * This probe makes the third axis (scratch I/O) part of every run
+    * artifact, so a movers table can cite it instead of narrative.
+    */
+  private def ioProbe(): Double = {
+    val f = new java.io.File(Scratch.path(s"_ioprobe_p${ProcessHandle.current().pid()}"))
+    f.getParentFile.mkdirs()
+    val buf = new Array[Byte](1 << 20)
+    var i = 0
+    while (i < buf.length) { buf(i) = (i * 13 + 11).toByte; i += 1 }
+    val t0 = System.nanoTime()
+    try {
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var k = 0
+        while (k < 256) { out.write(buf); k += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      val in = new java.io.FileInputStream(f)
+      try { var n = 0; while (n != -1) n = in.read(buf) } finally in.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -103,6 +132,7 @@ object Bench {
       }
     val probePre = cpuProbe()
     val probeMtPre = cpuProbeMt()
+    val probeIoPre = ioProbe()
     warm(SparkEntry.entry(spark).count())
     // q40 additionally warms the langid regexps + anti-join codegen paths
     Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly", "q40_corpus_clean")
@@ -171,12 +201,13 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val probePost = cpuProbe()
     val probeMtPost = cpuProbeMt()
+    val probeIoPost = ioProbe()
     spark.stop()
     // sf basename only: the full path spends 16 line chars repeating
     // "/root/testdata/" that the driver already knows.
     val sf = new java.io.File(sfDir).getName
     val perQueryJson =
-      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"cpu_probe_sec":[${fmt(probePre, 3)},${fmt(probePost, 3)}],"cpu_probe_mt_sec":[${fmt(probeMtPre, 3)},${fmt(probeMtPost, 3)}],"queries":$qs}"""
+      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"cpu_probe_sec":[${fmt(probePre, 3)},${fmt(probePost, 3)}],"cpu_probe_mt_sec":[${fmt(probeMtPre, 3)},${fmt(probeMtPost, 3)}],"io_probe_sec":[${fmt(probeIoPre, 3)},${fmt(probeIoPost, 3)}],"queries":$qs}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File(s"bench_perquery_$sf.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), perQueryJson + "\n")

@@ -1,21 +1,31 @@
 #!/usr/bin/env python3
 """Merge per-query bench run files into one certified artifact.
 
-VERDICT r15 #6: certification must consume the CPU probe instead of
-relitigating host drift with narrative. Each run file (written by
-graft.Bench) carries "cpu_probe_sec":[pre, post] — seconds for a fixed
-512 MiB sha256 chain, lower = faster host.
+VERDICT r15 #6: certification must consume host probes instead of
+relitigating drift with narrative. graft.Bench stamps three probes into
+every run artifact (all [pre, post] around the measured loop):
 
-Rules enforced here:
+  cpu_probe_sec     — single-thread sha256 over 512 MiB. STABLE (±2%
+                      run-to-run) → this is the merge GATE: silicon
+                      parity between runs.
+  cpu_probe_mt_sec  — 8-thread sha256, 2 GiB total. Catches full-load
+                      elevation the single-thread probe misses (r16:
+                      +12% registry median at single-thread parity).
+                      Noisy (±15%) → reported + flagged, never a gate.
+  io_probe_sec      — 256 MiB write+fsync+read in the scratch dir.
+                      Catches storage/writeback pressure (r16: the
+                      shuffle-heavy family's 10x times moved 3-4x on
+                      identical code with both CPU probes at parity).
+
+Rules:
   * every run must cover the same query set (a partial run is a
     different experiment — refuse);
-  * probe spread across merged runs must be <= 5% (max/min of each
-    run's min(pre, post)); a run outside the band is REFUSED from the
-    merge unless --force, in which case it is kept but flagged;
-  * a run whose own pre/post disagree > 5% is flagged (the host moved
-    DURING that run — its minimums are still valid, its totals not);
-  * output: per-query MIN (cs), raw totals per run, and totals
-    normalized to the FASTEST probe seen (t_norm = t_raw * p_ref/p_run).
+  * a run whose single-thread probe is >5% off the fastest run is
+    refused from the merge unless --force (kept but flagged);
+  * mt/io probes that disagree >15% pre-vs-post inside one run flag it
+    (the host moved DURING the run — its MINs are valid, totals not);
+  * output: per-query MIN (cs), raw totals per run, totals normalized
+    to the fastest st probe (t_norm = t_raw * p_ref/p_run), all probes.
 
 Usage: certify.py out.json run1.json run2.json [...]
 """
@@ -31,16 +41,10 @@ def main() -> int:
     for p in run_paths:
         with open(p) as f:
             d = json.load(f)
-        # gate on the MULTI-thread probe when present: the r16 finding is
-        # that host elevation under full-core load is invisible to the
-        # single-thread probe (both at parity while the registry median
-        # ran +12%) — the mt probe measures the throughput the bench
-        # actually gets
-        raw = d.get("cpu_probe_mt_sec") or d.get("cpu_probe_sec")
-        probe = min(raw or [float("nan")])
-        runs.append({"path": p, "probe": probe,
-                     "probe_raw": {"st": d.get("cpu_probe_sec"),
-                                   "mt": d.get("cpu_probe_mt_sec")},
+        st = d.get("cpu_probe_sec")
+        runs.append({"path": p, "probe": min(st) if st else float("nan"),
+                     "probes": {"st": st, "mt": d.get("cpu_probe_mt_sec"),
+                                "io": d.get("io_probe_sec")},
                      "queries": d["queries"], "sf": d.get("sf")})
 
     keysets = {frozenset(r["queries"]) for r in runs}
@@ -55,30 +59,32 @@ def main() -> int:
     flagged = []
     kept = []
     for r in runs:
+        for name in ("mt", "io"):
+            v = r["probes"][name]
+            if v and len(v) == 2 and min(v) > 0 and max(v) / min(v) > 1.15:
+                flagged.append({"path": r["path"], "keep": True,
+                                "why": f"{name} probe pre/post disagree >15% "
+                                       "(host moved during the run)",
+                                name: v})
         bad = r["probe"] != r["probe"] or r["probe"] / p_ref > 1.05
-        gate = r["probe_raw"]["mt"] or r["probe_raw"]["st"]
-        intra = gate and len(gate) == 2 and max(gate) / min(gate) > 1.05
-        if intra:
-            flagged.append({"path": r["path"], "why": "pre/post probe disagree >5%",
-                            "probe": r["probe_raw"]})
         if bad and not force:
-            flagged.append({"path": r["path"], "why": "probe >5% off the fastest run",
-                            "probe": r["probe_raw"]})
+            flagged.append({"path": r["path"], "keep": False,
+                            "why": "st probe >5% off the fastest run",
+                            "st": r["probes"]["st"]})
         else:
             kept.append(r)
     if not kept:
         sys.exit("refuse: every run was outside the probe band; --force to override")
 
     names = sorted(kept[0]["queries"])
-    merged = {q: min(r["queries"][q] for r in kept
-                     if r["queries"][q] >= 0) if any(r["queries"][q] >= 0 for r in kept)
-              else -1 for q in names}
-    run_rows = [{"path": r["path"], "probe_sec": r["probe_raw"],
+    merged = {q: min((r["queries"][q] for r in kept if r["queries"][q] >= 0),
+                     default=-1) for q in names}
+    run_rows = [{"path": r["path"], "probes": r["probes"],
                  "raw_total_sec": round(sum(v for v in r["queries"].values() if v >= 0) / 100, 2),
                  "norm_total_sec": round(sum(v for v in r["queries"].values() if v >= 0)
                                          / 100 * p_ref / r["probe"], 2)}
                 for r in kept]
-    out = {"method": f"per-query MIN over {len(kept)} probe-gated runs; "
+    out = {"method": f"per-query MIN over {len(kept)} st-probe-gated runs; "
                      "norm_total = raw * p_ref/p_run (p = min cpu_probe_sec)",
            "qunit": "cs", "sf": kept[0]["sf"], "nq": len(names),
            "probe_ref_sec": p_ref, "runs": run_rows,
@@ -87,7 +93,7 @@ def main() -> int:
            "queries": merged}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
-    print(f"wrote {out_path}: {len(kept)} runs kept, {len(flagged)} flagged, "
+    print(f"wrote {out_path}: {len(kept)} runs kept, {len(flagged)} flags, "
           f"merged {out['merged_total_sec']} s over {len(names)} queries")
     return 0
 
