@@ -381,18 +381,22 @@ object VectorQueries {
 
   /** Multi-table LSH ANN with the band plan SIZED TO THE CORPUS — q134's
     * machinery made scale-safe (VERDICT r15 #1, the one weak mark). The
-    * only input to the sizing is the corpus CARDINALITY — a statistics
-    * read (parquet row-group counts), never a data scan — from which both
+    * only input to the sizing is the corpus CARDINALITY — a zero-column
+    * count (Spark answers it from parquet row-group metadata, no column
+    * data is read) — from which both
     * engines derive b via the integer ladder in [[scaledBandBits]] and
     * L = b − 2, and emit the derived plan as columns so the oracle
     * adjudicates the co-tuning itself, not just the neighbor output.
     * At the tested corpora: sf0.01 (n=500) → (b=6, L=4), q134's setting;
-    * sf0.1 (n=2000) → (8, 6); the 10× novel replica (n=20000) → (12, 10).
-    * Candidates stay ∝ n by construction, so the 10× bench ratio is
-    * bounded by the linear scan+band stages where q134's fixed-b sits at
-    * 14.8× — the registered proof that the shipped banding plan IS the
-    * 100× plan. Recall under deeper bands is held by the extra tables:
-    * VectorLawsSpec pins the floor at both sf0.01 and sf0.1.
+    * sf0.1 (n=2000) → (8, 6); the 10× replicas (n=20000) → (12, 10).
+    * Candidates stay near-linear by construction (measured: 6.8× pairs
+    * on a 4× corpus where fixed b grows them quadratically), and the
+    * certified 10× wall ratio is 2.08–2.13× on the novel (organic-
+    * growth) replica / 2.27× on the exact replica (duplication
+    * concentrates occupancy) — vs fixed-b q134 at 3.6× same-context and
+    * 14.8× r15-certified. Recall under deeper bands is held by the
+    * extra tables: VectorLawsSpec pins the floor at both sf0.01 and
+    * sf0.1.
     */
   def q230LshCotuned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
