@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * capped edge count, max out-degree before/after the 2·D M_max prune
   * (does the cap BIND at this degree?), build and serve wall time, and
   * recall@5 of the beam serve against the exact q18 top-5 — the
-  * recall/cost curve a deployment reads before picking D.
+  * recall/cost curve a deployment reads before picking D. A second
+  * sweep (round 16) measures the NN-Descent widening (q232's
+  * machinery) at D ∈ {16, 32} × rounds ∈ {1, 2}: recall bought per
+  * round and its build cost.
   * Usage: runMain graft.GraphStress [sfDir]
   */
 object GraphStress {
