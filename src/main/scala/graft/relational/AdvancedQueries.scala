@@ -450,27 +450,40 @@ object AdvancedQueries {
 
   /** Column profiling (the ANALYZE pass run before planning a migration or
     * a training run): per column, null count, distinct count, min/max as
-    * strings — computed in ONE pass over the table (a per-column-union
-    * formulation scans N× for N columns; at 100 TB that is N extra reads).
-    * The three exact countDistincts plan as a single multi-distinct Expand
-    * (×3 map-side row amplification, still one scan); at scale each swaps
-    * for approx_count_distinct (q37's sketch tier) and the Expand
-    * disappears. The 1-row aggregate then melts to rows via `stack` —
+    * strings. The non-distinct stats come from one scan; each exact
+    * distinct count is its own single-COLUMN distinct→count joined back as
+    * a broadcast 1-row relation. Round 16 replaced the previous
+    * one-scan multi-distinct formulation (Spark's Expand plan: every row
+    * quadrupled between scan and partial aggregate): measured 4× faster
+    * here (graft.ProfileStress: 1.20 s → 0.30 s at sf0.1 min-of-6) — the
+    * registry's last unexplained mover, which was never the host after
+    * all. The 100 TB reading: columnar pruning makes each re-scan read
+    * ONE column (~total bytes ≈ 2× the single-scan plan), both plans
+    * shuffle the same partial distinct sets, and only Expand pays the
+    * N× row materialization — so the re-scan plan wins everywhere the
+    * storage is columnar; at scale each distinct count swaps for
+    * approx_count_distinct (q37's sketch tier) and the re-scans
+    * disappear entirely. The 1-row aggregate melts to rows via `stack` —
     * plan-level, no shuffle.
     */
   def q85Profile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val o = Tables.orders(s, dir)
     def statsOf(c: String, p: String) = Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${p}_nulls"),
-      countDistinct(col(c)).as(s"${p}_d"),
       min(col(c).cast("string")).as(s"${p}_min"),
       max(col(c).cast("string")).as(s"${p}_max"))
     val cols = Seq("o_custkey" -> "ck", "o_orderpriority" -> "pr", "o_orderstatus" -> "st")
     val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (c, p) => statsOf(c, p) }
+    // count(col) over the distinct values == countDistinct(col): distinct
+    // keeps a NULL row, count(col) skips it — null-skipping preserved
+    val distincts = cols.map { case (c, p) =>
+      o.select(col(c)).distinct().agg(count(col(c)).as(s"${p}_d"))
+    }
     val stackArgs = cols.map { case (c, p) =>
       s"'$c', n_rows, ${p}_nulls, ${p}_d, ${p}_min, ${p}_max" }.mkString(", ")
-    Tables.orders(s, dir)
-      .agg(aggs.head, aggs.tail: _*)
+    distincts.foldLeft(o.agg(aggs.head, aggs.tail: _*))(
+        (acc, d) => acc.crossJoin(broadcast(d)))
       .select(expr(s"stack(${cols.size}, $stackArgs)" +
         " AS (column_name, n_rows, n_nulls, n_distinct, min_str, max_str)"))
       .orderBy($"column_name")
