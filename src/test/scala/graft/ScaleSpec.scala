@@ -412,7 +412,12 @@ class ScaleSpec extends AnyFunSuite {
       // q229's recall stage is q148's serve verbatim (8-row persisted
       // centroid/codebook broadcast crosses); the rerank joins are plain
       // equi-joins against the probe-bounded candidate relation
-      "q229_reranked_ann")
+      "q229_reranked_ann",
+      // q85 (round-16 rewrite): the three per-column distinct counts are
+      // GLOBAL aggregates — each build side is exactly ONE row by the
+      // aggregate's output type, broadcast-crossed into the 1-row base
+      // stats before the stack melt
+      "q85_profile")
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       withClue(name) {
