@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.LshStress <sfDir> <replicaDir>
   */
 object LshStress {
-  // same comparator-plane device as VectorQueries.lshBucketT, extended to
-  // b planes: plane i compares dims (1 + 2i, 33 + 2i) (1-indexed), table t
-  // shifts both by +t — all indices stay ≤ 64 for b ≤ 12, t ≤ 3
+  // round-16 fix: the original stride-2 +t-shift planes made tables t and
+  // t+2 share b−1 planes (near-identical bucketings — effective L ≈ 2),
+  // UNDERSTATING the recall column of the SCALING.md lever table. Now uses
+  // q230's md5-decorrelated CotunedPlanes, so per-depth recall is what
+  // independent tables actually give. Pair counts/times are plane-family-
+  // insensitive (occupancy statistics, not plane identity).
   private def bucketT(emb: Column, t: Int, bits: Int): Column =
     (0 until bits).map { i =>
-      when(element_at(emb, 1 + 2 * i + t) > element_at(emb, 33 + 2 * i + t),
+      val (a, b) = vector.VectorQueries.CotunedPlanes(t)(i)
+      when(element_at(emb, a) > element_at(emb, b),
         lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
