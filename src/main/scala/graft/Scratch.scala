@@ -56,7 +56,12 @@ object Scratch {
     * nothing is the same bug), and the walk is RECURSIVE so a
     * partitioned/nested table fingerprints its leaf files, not the
     * top-level subdir metadata (dir mtimes don't reliably change when a
-    * leaf inside is rewritten in place).
+    * leaf inside is rewritten in place). ADVICE r16: when the walk root
+    * IS the file, relativize against it yields "" and the leaf NAME
+    * dropped out of the descriptor — two single-file tables with equal
+    * length+mtime fingerprinted identically; fall back to getName so
+    * the name stays in (one more one-time artifact rebuild, as r16's
+    * recursive-walk change was).
     */
   def fingerprint(path: String): String = {
     val root = new java.io.File(path)
@@ -69,7 +74,11 @@ object Scratch {
       } else Seq(f)
     val base = root.toPath
     val desc = walk(root)
-      .map(x => s"${base.relativize(x.toPath)}:${x.length}:${x.lastModified}")
+      .map { x =>
+        val rel = base.relativize(x.toPath).toString
+        val name = if (rel.isEmpty) x.getName else rel
+        s"$name:${x.length}:${x.lastModified}"
+      }
       .mkString("\n")
     tag(desc)
   }
@@ -107,16 +116,26 @@ object Scratch {
     // (2) Staging dirs of OTHER, now-dead pids have no owner left to
     //     clean them; sweep siblings whose pid no longer runs. Live pids
     //     are left alone — they are a concurrent writer mid-build.
+    //     ADVICE r16 hardening: ProcessHandle.of only sees the LOCAL pid
+    //     namespace — a writer in another container sharing this
+    //     filesystem looks dead — so "dead" alone is not enough; the dir
+    //     must ALSO be stale (mtime > 1h: far beyond any artifact build
+    //     here, so a mid-build sibling is never younger-than-live). And
+    //     a non-Long pid string (hand-made dir) must not throw out of
+    //     publishOnce — parse under Try, skip on failure.
     val staging = s"${root}_stage_p${ProcessHandle.current().pid()}"
     deleteRecursively(new java.io.File(staging))
     val parent = new java.io.File(root).getParentFile
     val stagePat = s"${new java.io.File(root).getName}_stage_p(\\d+)".r
+    val staleMs = 60L * 60 * 1000
     Option(parent).flatMap(p => Option(p.listFiles())).getOrElse(Array.empty)
       .foreach { f =>
         f.getName match {
-          case stagePat(pid) if !ProcessHandle.of(pid.toLong)
-              .map[Boolean](_.isAlive).orElse(false) =>
-            deleteRecursively(f)
+          case stagePat(pid) =>
+            val dead = scala.util.Try(pid.toLong).toOption.exists(p =>
+              !ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+            val stale = System.currentTimeMillis() - f.lastModified() > staleMs
+            if (dead && stale) deleteRecursively(f)
           case _ =>
         }
       }

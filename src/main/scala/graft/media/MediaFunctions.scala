@@ -533,6 +533,11 @@ object MediaFunctions {
     * the inflate is BOUNDED to exactly height·(1+3·width) bytes (a
     * declared-dims bound, so a zip bomb can't balloon past the header's
     * own dimension guard), and the stream must end exactly there.
+    * ADVICE r16 strictness closure: IDAT chunks must be CONSECUTIVE
+    * (ISO/IEC 15948 §5.6 "multiple IDAT chunks ... shall appear
+    * consecutively") and nothing may follow IEND (§5.6: IEND "shall be
+    * the last chunk") — a quarantine decoder rejects both, it doesn't
+    * skip them.
     */
   private def decodePng(b: Array[Byte]): Option[DecodedImage] = {
     if (b.length < 8 + 25 + 12) return None // sig + IHDR + IEND minimum
@@ -544,6 +549,7 @@ object MediaFunctions {
     var off = 8
     var w = 0; var h = 0
     var seenIhdr = false; var seenIend = false
+    var seenIdat = false; var idatClosed = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!seenIend) {
       if (off + 12 > b.length) return None
@@ -568,15 +574,18 @@ object MediaFunctions {
           if (depth != 8 || color != 2 || compression != 0 ||
             filterMethod != 0 || interlace != 0) return None
         case "IDAT" =>
-          if (!seenIhdr) return None
+          if (!seenIhdr || idatClosed) return None // IDATs must be consecutive
+          seenIdat = true
           idat.write(b, off + 8, len)
         case "IEND" =>
           if (!seenIhdr || len != 0) return None
           seenIend = true
-        case _ => () // ancillary chunk: CRC verified above, content skipped
+        case _ => // ancillary chunk: CRC verified above, content skipped;
+          if (seenIdat) idatClosed = true // it does close the IDAT run
       }
       off += 12 + len
     }
+    if (off != b.length) return None // nothing may trail IEND
     val bpr = 3 * w
     val raw = new Array[Byte](h * (1 + bpr)) // ≤ 2^26 + 2^24 by the bounds
     val inf = new java.util.zip.Inflater()

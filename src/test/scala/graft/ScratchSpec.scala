@@ -62,16 +62,27 @@ class ScratchSpec extends AnyFunSuite {
     assert(!published("stray.bin"), "pre-existing staging strays must be cleared")
   }
 
-  test("publishOnce: orphaned staging dirs of dead pids are swept; live-pid dirs survive") {
+  test("publishOnce: stale dead-pid staging swept; fresh, other-root, and non-numeric survive") {
     val base = tmpDir("sweep")
     val root = s"${base.getPath}/artifact"
-    // a staging dir whose pid is certainly dead (pid numbers are bounded
-    // well below this) and one owned by THIS live process under a
-    // DIFFERENT artifact root (must not be touched — wrong root)
+    // swept: pid certainly dead (pid numbers are bounded well below this)
+    // AND stale (ADVICE r16: liveness alone can't see writers in another
+    // container's pid namespace sharing this filesystem)
     val dead = new java.io.File(s"${root}_stage_p999999999")
     dead.mkdirs()
     java.nio.file.Files.write(
       new java.io.File(dead, "junk.bin").toPath, Array[Byte](7))
+    dead.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    // survives: same dead pid but FRESH mtime — could be a live writer in
+    // a sibling container mid-build
+    val fresh = new java.io.File(s"${root}_stage_p999999998")
+    fresh.mkdirs()
+    // survives: a pid string beyond Long range must neither throw out of
+    // publishOnce nor be swept (we can't reason about its owner)
+    val junkPid = new java.io.File(s"${root}_stage_p99999999999999999999")
+    junkPid.mkdirs()
+    junkPid.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    // survives: THIS live process under a DIFFERENT artifact root
     val otherRoot = new java.io.File(
       s"${base.getPath}/other_stage_p999999999")
     otherRoot.mkdirs()
@@ -80,7 +91,9 @@ class ScratchSpec extends AnyFunSuite {
       java.nio.file.Files.write(
         new java.io.File(dir, "real.bin").toPath, Array[Byte](1))
     }
-    assert(!dead.exists(), "dead-pid staging for this root must be swept")
+    assert(!dead.exists(), "stale dead-pid staging for this root must be swept")
+    assert(fresh.exists(), "a fresh staging dir may be a cross-namespace writer mid-build")
+    assert(junkPid.exists(), "unparseable pid: skipped, not thrown on and not swept")
     assert(otherRoot.exists(), "staging dirs of OTHER artifact roots are not ours to sweep")
     assert(new java.io.File(s"$root/real.bin").exists())
   }

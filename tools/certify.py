@@ -27,7 +27,14 @@ Rules:
   * output: per-query MIN (cs), raw totals per run, totals normalized
     to the fastest st probe (t_norm = t_raw * p_ref/p_run), all probes.
 
-Usage: certify.py out.json run1.json run2.json [...]
+  * with --io-gate (VERDICT r16 #7, for 10x merges): a run whose io
+    probe (min of pre/post) is >25% off the fastest run's is refused —
+    the banded family's 3-4x swing on identical code was an io-band
+    artifact, so sfx10 ratios are only round-comparable at io parity.
+    The st gate stays the 1x gate; io is opt-in because io probes are
+    noisier (the 25% band is wider than st's 5% for that reason).
+
+Usage: certify.py [--force] [--io-gate] out.json run1.json run2.json [...]
 """
 import json
 import sys
@@ -35,7 +42,8 @@ import sys
 
 def main() -> int:
     force = "--force" in sys.argv
-    args = [a for a in sys.argv[1:] if a != "--force"]
+    io_gate = "--io-gate" in sys.argv
+    args = [a for a in sys.argv[1:] if a not in ("--force", "--io-gate")]
     out_path, run_paths = args[0], args[1:]
     runs = []
     for p in run_paths:
@@ -56,6 +64,11 @@ def main() -> int:
     if not probes:
         sys.exit("refuse: no run carries cpu_probe_sec (re-run graft.Bench)")
     p_ref = min(probes)
+    io_mins = [min(r["probes"]["io"]) for r in runs
+               if r["probes"]["io"] and min(r["probes"]["io"]) > 0]
+    if io_gate and not io_mins:
+        sys.exit("refuse: --io-gate but no run carries io_probe_sec")
+    io_ref = min(io_mins) if io_mins else None
     flagged = []
     kept = []
     for r in runs:
@@ -67,10 +80,14 @@ def main() -> int:
                                        "(host moved during the run)",
                                 name: v})
         bad = r["probe"] != r["probe"] or r["probe"] / p_ref > 1.05
+        why = "st probe >5% off the fastest run"
+        if io_gate and not bad:
+            io = r["probes"]["io"]
+            bad = not io or min(io) <= 0 or min(io) / io_ref > 1.25
+            why = "io probe >25% off the fastest run (or missing)"
         if bad and not force:
-            flagged.append({"path": r["path"], "keep": False,
-                            "why": "st probe >5% off the fastest run",
-                            "st": r["probes"]["st"]})
+            flagged.append({"path": r["path"], "keep": False, "why": why,
+                            "st": r["probes"]["st"], "io": r["probes"]["io"]})
         else:
             kept.append(r)
     if not kept:
@@ -79,15 +96,22 @@ def main() -> int:
     names = sorted(kept[0]["queries"])
     merged = {q: min((r["queries"][q] for r in kept if r["queries"][q] >= 0),
                      default=-1) for q in names}
+    # ADVICE r16: a probe-less run kept under --force has probe=NaN;
+    # NaN * anything is NaN and json.dump would emit a bare NaN token
+    # (non-standard JSON). Emit null for its normalized total instead.
     run_rows = [{"path": r["path"], "probes": r["probes"],
                  "raw_total_sec": round(sum(v for v in r["queries"].values() if v >= 0) / 100, 2),
-                 "norm_total_sec": round(sum(v for v in r["queries"].values() if v >= 0)
-                                         / 100 * p_ref / r["probe"], 2)}
+                 "norm_total_sec": (None if r["probe"] != r["probe"] else
+                                    round(sum(v for v in r["queries"].values() if v >= 0)
+                                          / 100 * p_ref / r["probe"], 2))}
                 for r in kept]
-    out = {"method": f"per-query MIN over {len(kept)} st-probe-gated runs; "
+    gate_desc = "st+io-probe-gated" if io_gate else "st-probe-gated"
+    out = {"method": f"per-query MIN over {len(kept)} {gate_desc} runs; "
                      "norm_total = raw * p_ref/p_run (p = min cpu_probe_sec)",
            "qunit": "cs", "sf": kept[0]["sf"], "nq": len(names),
-           "probe_ref_sec": p_ref, "runs": run_rows,
+           "probe_ref_sec": p_ref,
+           **({"io_probe_ref_sec": io_ref} if io_gate else {}),
+           "runs": run_rows,
            "refused_or_flagged": flagged,
            "merged_total_sec": round(sum(v for v in merged.values() if v >= 0) / 100, 2),
            "queries": merged}
