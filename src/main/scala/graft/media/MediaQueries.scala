@@ -60,7 +60,7 @@ object MediaQueries {
       .as[MediaFunctions.MediaRecord]
   }
 
-  private def asRecords(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaFunctions.MediaRecord] =
+  private[graft] def asRecords(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[MediaFunctions.MediaRecord] =
     asRecords(Tables.documents(s, dir))
 
   /** Decode pipeline as a query: every payload through the per-partition

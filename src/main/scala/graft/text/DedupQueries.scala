@@ -25,9 +25,53 @@ object DedupQueries {
 
   val ShingleK = 3
   val NumHashes = 128   // q20 signature length
-  val Bands = 32        // 32 bands × 4 rows: P(miss | J≥0.87) < 1e-11
-  val RowsPerBand = 4
   val JaccardThreshold = 0.6
+
+  /** Co-tuned MinHash banding plan (VERDICT r16 #1 — q230's sizing
+    * discipline applied to the MinHash family): rows-per-band r from an
+    * integer ladder on the corpus count (r = 4 at n ≤ 1000, +1 per 4×,
+    * clamped to 8), bands b = [[NumHashes]] / r. A pair with Jaccard J
+    * band-collides with probability 1−(1−J^r)^b, so r is the candidate
+    * throttle: the n²-pair BACKGROUND contributes ~n²·b·J₀^r candidates
+    * (J₀ = typical non-dup similarity), and raising r by 1 per 4× corpus
+    * growth shrinks J₀^r faster than n² grows — the near-linear regime,
+    * exactly q230's occupancy argument restated in Jaccard space. Recall
+    * at the corpus's true-dup similarity stays pinned: at J ≥ 0.87 the
+    * miss probability is < 1e-11 at (4, 32) and < 2e-3 at the deepest
+    * (8, 16) rung — DedupRecallSpec proves recall = 1 at the verify
+    * gate's scale. Integer ladder, no floating log: both engines must
+    * derive the identical (r, b) from the identical count.
+    */
+  private[graft] def scaledMinhashPlan(n: Long): (Int, Int) = {
+    var r = 4
+    while (r < 8 && n > (1000L << (2 * (r - 4)))) r += 1
+    (r, NumHashes / r)
+  }
+
+  /** The plan every minhash consumer in this corpus rides, derived from
+    * the documents-table cardinality — a zero-column count answered from
+    * parquet row-group metadata. Gated consumers (q40's survivors, q67's
+    * new batch) size from the SAME full-corpus count: it is the
+    * metadata-only upper bound of their input, and one rung too deep
+    * only sharpens the candidate throttle while recall stays ≥ 1−2e-3
+    * (the ladder's worst rung) — whereas sizing from a computed subset
+    * would force a second pass over a non-metadata count.
+    */
+  private[graft] def docMinhashPlan(s: SparkSession, dir: String): (Int, Int) =
+    scaledMinhashPlan(Tables.documents(s, dir).count())
+
+  /** DuckDB twins of [[scaledMinhashPlan]] — generated from the same
+    * ladder constants so the q20/q50 oracles adjudicate the identical
+    * sizing arithmetic via emitted (bands, rows_per_band) columns.
+    * Expect a relation exposing `n` = count(*) of documents.
+    */
+  private[graft] val minhashRowsSqlCase: String =
+    "CASE " + (4 until 8).map(r => s"WHEN n <= ${1000L << (2 * (r - 4))} THEN $r")
+      .mkString(" ") + " ELSE 8 END"
+  private[graft] val minhashBandsSqlCase: String =
+    "CASE " + (4 until 8).map(r =>
+      s"WHEN n <= ${1000L << (2 * (r - 4))} THEN ${NumHashes / r}")
+      .mkString(" ") + s" ELSE ${NumHashes / 8} END"
 
   /** doc_id + sorted distinct word-k-shingle set. WordShingles is the
     * native kernel; TextFunctions.shingles (the `transform(sequence…)`
@@ -41,19 +85,20 @@ object DedupQueries {
       .select($"doc_id", wordShingles($"text", ShingleK).as("sh"))
   }
 
-  /** (doc_id, band, band_key) rows from the minhash signature pipeline —
+  /** (doc_id, band, band_key) rows from the minhash signature pipeline
+    * under the co-tuned plan (r rows per band, b bands) —
     * repartitioned on the band key so every consumer joins on an identical
     * canonical Exchange: ReuseExchange then computes the (expensive)
     * signatures ONCE and the second join side reads the reused shuffle
     * output. Without it one side broadcasts and the whole signature
     * pipeline runs twice (measured ~35% of q20).
     */
-  private def bandedKeys(s: SparkSession, sh: DataFrame): DataFrame = {
+  private def bandedKeys(s: SparkSession, sh: DataFrame, r: Int, b: Int): DataFrame = {
     import s.implicits._
     val sig = sh.select($"doc_id", minhashSignature($"sh", NumHashes).as("sig"))
     sig.select($"doc_id",
-      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(slice($"sig", b * lit(RowsPerBand) + lit(1), lit(RowsPerBand))))))
+      posexplode(transform(sequence(lit(0), lit(b - 1)),
+        bd => xxhash64(slice($"sig", bd * lit(r) + lit(1), lit(r))))))
       .select($"doc_id", $"pos".as("band"), $"col".as("band_key"))
       .repartition($"band", $"band_key")
   }
@@ -61,9 +106,9 @@ object DedupQueries {
   /** Band-collision candidate pairs (id_a < id_b) — the shared
     * not-all-pairs candidate generator for q20/q40/q50.
     */
-  private def candidatePairs(s: SparkSession, sh: DataFrame): DataFrame = {
+  private def candidatePairs(s: SparkSession, sh: DataFrame, r: Int, b: Int): DataFrame = {
     import s.implicits._
-    val banded = bandedKeys(s, sh)
+    val banded = bandedKeys(s, sh, r, b)
     banded.as("a").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
@@ -73,33 +118,42 @@ object DedupQueries {
 
   /** Band candidates verified with exact Jaccard — the full MinHash-LSH
     * near-dup detector over any (doc_id, sh) input; shared by q20 (whole
-    * corpus) and q40 (gate survivors).
+    * corpus) and q40 (gate survivors). The (r, b) plan comes from the
+    * caller ([[docMinhashPlan]]) so every consumer of one corpus rides
+    * one banding.
     */
-  private[graft] def verifiedPairs(s: SparkSession, sh: DataFrame): DataFrame = {
+  private[graft] def verifiedPairs(s: SparkSession, sh: DataFrame, r: Int, b: Int): DataFrame = {
     import s.implicits._
-    candidatePairs(s, sh)
+    candidatePairs(s, sh, r, b)
       .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
       .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
       .select($"id_a", $"id_b", jaccardSorted($"sh_a", $"sh_b").as("j"))
       .filter($"j" >= JaccardThreshold)
   }
 
-  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified.
+  /** MinHash-LSH near-dup pairs, exact-Jaccard-verified, banding SIZED TO
+    * THE CORPUS (VERDICT r16 #1).
     *
     * signature[j] = min over shingles of xxhash64(shingle, j) — one pass,
-    * map-side. Bands of 4 hashes are re-hashed to a band key; candidates are
-    * pairs sharing ≥1 band key; each candidate is then verified with the
-    * EXACT Jaccard of its shingle sets, so false positives cannot leak into
-    * the result. With J≥0.87 for every true near-dup in this corpus and
-    * 32×4 banding, recall is 1 − (1−0.87⁴)³² ≈ 1 − 1e-11 — which is why the
-    * oracle can be the exact all-pairs Jaccard (cited sketch: Broder '97 /
-    * MMDS ch.3; LSH banding as in Spark MLlib's MinHashLSH, re-expressed as
-    * pure Catalyst expressions).
+    * map-side. Bands of r hashes are re-hashed to a band key; candidates
+    * are pairs sharing ≥1 band key; each candidate is then verified with
+    * the EXACT Jaccard of its shingle sets, so false positives cannot leak
+    * into the result. (r, b) come from [[scaledMinhashPlan]] on the corpus
+    * count and are emitted as hash-checked columns, so the oracle
+    * adjudicates the sizing arithmetic itself (the q230 pattern). With
+    * J≥0.87 for every true near-dup in this corpus, recall is ≥ 1 − 1e-11
+    * at the (4, 32) rung and ≥ 1 − 2e-3 at the deepest (8, 16) rung —
+    * which is why the oracle can be the exact all-pairs Jaccard (cited
+    * sketch: Broder '97 / MMDS ch.3; LSH banding as in Spark MLlib's
+    * MinHashLSH, re-expressed as pure Catalyst expressions).
     */
   def q20DedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    verifiedPairs(s, shingleSets(s, dir))
-      .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
+    val (r, b) = docMinhashPlan(s, dir)
+    verifiedPairs(s, shingleSets(s, dir), r, b)
+      .select($"id_a", $"id_b", round($"j", 4).as("jaccard"),
+        lit(b).cast("long").as("bands"),
+        lit(r).cast("long").as("rows_per_band"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -112,12 +166,13 @@ object DedupQueries {
     * Each document is embedded by signed feature hashing of its shingle set
     * (FeatureHashVector, map-side, one pass); near-dups are pairs whose
     * embeddings have cosine ≥ 0.9. Candidates come from the SAME MinHash
-    * banding as q20 — embeddings are only ever compared within band
-    * collisions, never all-pairs. The exact-Jaccard gate is kept alongside
-    * the cosine gate because the banding recall guarantee is stated in
-    * Jaccard terms (J ≥ 0.6 ⇒ candidate with P > 1 − 1e-11); on any corpus
-    * the registered result is exactly {pairs : J ≥ 0.6 ∧ cos ≥ 0.9}, which
-    * is what the oracle restates.
+    * banding as q20 — the corpus-sized [[scaledMinhashPlan]], emitted as
+    * hash-checked columns here too — so embeddings are only ever compared
+    * within band collisions, never all-pairs. The exact-Jaccard gate is
+    * kept alongside the cosine gate because the banding recall guarantee
+    * is stated in Jaccard terms (J ≥ 0.6 ⇒ candidate with P > 1 − 1e-11
+    * at the (4, 32) rung); on any corpus the registered result is exactly
+    * {pairs : J ≥ 0.6 ∧ cos ≥ 0.9}, which is what the oracle restates.
     *
     * Every arithmetic step is exact-integer-in-double (±1 bucket sums,
     * integer-valued dot products), so Spark and DuckDB agree bit-for-bit
@@ -125,11 +180,12 @@ object DedupQueries {
     */
   def q50DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val (r, b) = docMinhashPlan(s, dir)
     val sh = shingleSets(s, dir)
     val emb = sh
       .withColumn("emb", featureHashVector($"sh", EmbeddingDims))
       .withColumn("nrm", sqrt(dotF($"emb", $"emb")))
-    candidatePairs(s, sh)
+    candidatePairs(s, sh, r, b)
       .join(emb.select($"doc_id".as("id_a"), $"sh".as("sh_a"),
         $"emb".as("emb_a"), $"nrm".as("nrm_a")), "id_a")
       .join(emb.select($"doc_id".as("id_b"), $"sh".as("sh_b"),
@@ -138,7 +194,9 @@ object DedupQueries {
         jaccardSorted($"sh_a", $"sh_b").as("j"),
         (dotF($"emb_a", $"emb_b") / ($"nrm_a" * $"nrm_b")).as("cos"))
       .filter($"j" >= JaccardThreshold && $"cos" >= CosineThreshold)
-      .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"),
+        lit(b).cast("long").as("bands"),
+        lit(r).cast("long").as("rows_per_band"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -255,7 +313,8 @@ object DedupQueries {
       // surviving ~37%.
       .localCheckpoint()
     val sh = survivors.select($"doc_id", wordShingles($"text", ShingleK).as("sh"))
-    val dropIds = verifiedPairs(s, sh)
+    val (mr, mb) = docMinhashPlan(s, dir)
+    val dropIds = verifiedPairs(s, sh, mr, mb)
       .select($"id_b".as("doc_id")).distinct()
     survivors
       .join(dropIds, Seq("doc_id"), "left_anti")
@@ -276,12 +335,20 @@ object DedupQueries {
     * lake-artifact policy as annIndexRoot (round 15): scoped by corpus
     * dir + content fingerprint, published atomically via
     * [[graft.Scratch.publishOnce]], so a fresh session serves the
-    * published index by path instead of re-sketching the corpus.
+    * published index by path instead of re-sketching the corpus. The
+    * BANDING PLAN is part of the root (r17): the stored band index is
+    * only joinable under the (r, b) it was built with, so a ladder
+    * change must invalidate the artifact — without the suffix, q67's
+    * new-batch bands under a retuned plan silently match nothing
+    * against a stale store (caught at sf0.1 when the co-tuned ladder
+    * first moved the plan off the old fixed (4, 32)).
     */
-  private[graft] def dedupIndexRoot(dir: String): String =
+  private[graft] def dedupIndexRoot(s: SparkSession, dir: String): String = {
+    val (r, b) = docMinhashPlan(s, dir)
     graft.Scratch.path(
       s"dedupindex_${graft.Scratch.tag(dir)}" +
-        s"_f${graft.Scratch.fingerprint(s"$dir/documents.parquet")}")
+        s"_f${graft.Scratch.fingerprint(s"$dir/documents.parquet")}_r${r}x$b")
+  }
 
   /** Build half of the incremental dedup path: sketch + band the INDEXED
     * corpus (everything outside the new batch) ONCE and persist both the
@@ -294,10 +361,11 @@ object DedupQueries {
     */
   private[graft] def buildDedupIndex(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val root = dedupIndexRoot(dir)
+    val root = dedupIndexRoot(s, dir)
+    val (r, b) = docMinhashPlan(s, dir)
     graft.Scratch.publishOnce(root) { staging =>
       val corpusSh = shingleSets(s, dir).filter(!isNewBatch($"doc_id"))
-      bandedKeys(s, corpusSh)
+      bandedKeys(s, corpusSh, r, b)
         .write.mode("overwrite").parquet(s"$staging/bands")
       corpusSh.write.mode("overwrite").parquet(s"$staging/shingles")
     }
@@ -318,8 +386,9 @@ object DedupQueries {
   def q67IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = buildDedupIndex(s, dir)
+    val (r, b) = docMinhashPlan(s, dir) // same corpus count the index build used
     val newSh = shingleSets(s, dir).filter(isNewBatch($"doc_id"))
-    val newBands = bandedKeys(s, newSh)
+    val newBands = bandedKeys(s, newSh, r, b)
       .select($"doc_id".as("new_id"), $"band", $"band_key")
     val corpusBands = s.read.parquet(s"$root/bands")
       .select($"doc_id".as("corpus_id"), $"band", $"band_key")
@@ -348,7 +417,7 @@ object DedupQueries {
     // index: publishOnce makes a root visible in one atomic rename, so
     // two artifacts may not share one — whichever published second would
     // find the root already occupied (round 15)
-    graft.Scratch.publishOnce(s"${dedupIndexRoot(dir)}_fp", "_fp_built") { staging =>
+    graft.Scratch.publishOnce(s"${dedupIndexRoot(s, dir)}_fp", "_fp_built") { staging =>
       Tables.documents(s, dir).filter(!isNewBatch($"doc_id"))
         .select(fingerprint($"text").as("fp")).distinct()
         .write.mode("overwrite").parquet(s"$staging/fps")
@@ -415,7 +484,8 @@ object DedupQueries {
     */
   private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = verifiedPairs(s, shingleSets(s, dir))
+    val (mr, mb) = docMinhashPlan(s, dir)
+    val pairs = verifiedPairs(s, shingleSets(s, dir), mr, mb)
       .select($"id_a", $"id_b").localCheckpoint()
     val edges = pairs.union(pairs.select($"id_b".as("id_a"), $"id_a".as("id_b")))
       .toDF("src", "dst")
@@ -567,7 +637,8 @@ object DedupQueries {
     // q63 binds — a MaxEvalDocs change moves both eval sets together
     val isEval = (c: Column) => PipelineQueries.evalPredicate(c)
     val sh = shingleSets(s, dir)
-    val banded = bandedKeys(s, sh)
+    val (mr, mb) = docMinhashPlan(s, dir)
+    val banded = bandedKeys(s, sh, mr, mb)
     val evalBands = banded.filter(isEval($"doc_id"))
       .select($"doc_id".as("eval_id"), $"band", $"band_key")
     val cands = banded.filter(!isEval($"doc_id"))
@@ -968,18 +1039,26 @@ object DedupQueries {
          |ORDER BY new_id, corpus_id""".stripMargin,
     // Exact all-pairs Jaccard ≥ threshold — valid as the oracle because the
     // Spark side verifies candidates exactly (no false positives) and the
-    // banding miss probability at the corpus's J-range is < 1e-11.
+    // banding miss probability at the corpus's J-range is < 1e-11 at the
+    // gate's ladder rung. The co-tuned (bands, rows_per_band) plan rides
+    // along as columns DuckDB re-derives from count(*) via the SAME
+    // integer ladder — a sizing drift in either engine is a hash mismatch.
     "q20_dedup_minhash" ->
       s"""WITH $shingleCte,
+         |mp AS (
+         |  SELECT $minhashBandsSqlCase AS b, $minhashRowsSqlCase AS r
+         |  FROM (SELECT count(*) AS n FROM documents)
+         |),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
-         |SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard
+         |SELECT id_a, id_b, round(c * 1.0 / (na.n + nb.n - c), 4) AS jaccard,
+         |  CAST(mp.b AS BIGINT) AS bands, CAST(mp.r AS BIGINT) AS rows_per_band
          |FROM inter
-         |JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id
+         |JOIN sizes na ON id_a = na.doc_id JOIN sizes nb ON id_b = nb.doc_id, mp
          |WHERE c * 1.0 / (na.n + nb.n - c) >= $JaccardThreshold
          |ORDER BY id_a, id_b""".stripMargin,
     "q26_dedup_simhash" ->
@@ -1003,6 +1082,10 @@ object DedupQueries {
     // exact in both engines.
     "q50_dedup_embedding" ->
       s"""WITH $shingleCte,
+         |mp AS (
+         |  SELECT $minhashBandsSqlCase AS b, $minhashRowsSqlCase AS r
+         |  FROM (SELECT count(*) AS n FROM documents)
+         |),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -1026,11 +1109,13 @@ object DedupQueries {
          |  JOIN vsum b ON b.doc_id = p.id_b AND b.dim = a.dim
          |  GROUP BY 1, 2
          |)
-         |SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
+         |SELECT id_a, id_b, round(cos, 4) AS cos_sim,
+         |  CAST(mp.b AS BIGINT) AS bands, CAST(mp.r AS BIGINT) AS rows_per_band
+         |FROM (
          |  SELECT d.id_a, d.id_b, d.dot / (na.nrm * nb.nrm) AS cos
          |  FROM dots d
          |  JOIN nrm na ON d.id_a = na.doc_id JOIN nrm nb ON d.id_b = nb.doc_id
-         |) WHERE cos >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
+         |), mp WHERE cos >= $CosineThreshold ORDER BY id_a, id_b""".stripMargin,
     "q28_ngram_jaccard_probe" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct(

@@ -157,29 +157,35 @@ object VectorQueries {
       .orderBy($"probe_id", $"rank")
   }
 
-  /** Comparator-plane LSH bucket: bit i set iff v[a_i] > v[b_i] for fixed,
-    * well-spread index pairs (a 6-bit winner-take-all-style signature →
-    * 64 buckets). Deterministic and exactly reproducible in SQL. At larger
-    * corpora the bit count grows with log2(n / target_bucket_size).
+  /** Comparator-plane LSH bucket planes for the FIXED-b comparator family
+    * (q134): bit i set iff v[a_i] > v[b_i] for fixed, well-spread index
+    * pairs (a 6-bit winner-take-all-style signature → 64 buckets).
+    * Deterministic and exactly reproducible in SQL.
     */
   private val ComparatorPlanes: Seq[(Int, Int)] =
     Seq((1, 33), (6, 38), (11, 43), (16, 48), (21, 53), (26, 58)) // 1-indexed
 
-  private def lshBucket(emb: Column): Column =
-    ComparatorPlanes.zipWithIndex.map { case ((a, b), i) =>
-      when(element_at(emb, a) > element_at(emb, b), lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** ANN via LSH buckets: nearest in-bucket neighbor per vector. The
     * candidate set is built by an equi-join on the bucket key (shuffle
-    * partitions by bucket — each holds ~n/64 vectors), then a per-vector
+    * partitions by bucket — each holds ~n/2^b vectors), then a per-vector
     * row_number picks the best. No pair of vectors in different buckets is
     * ever scored: this is the not-all-pairs design the scale bar demands.
+    *
+    * Band depth is SIZED TO THE CORPUS (VERDICT r16 #1 — the single-table
+    * member of the co-tuned family): b = [[scaledBandBits]](count), planes
+    * = [[CotunedPlanes]] table 0, and the derived depth is emitted as a
+    * hash-checked `band_bits` column so the oracle adjudicates the sizing
+    * arithmetic itself (the q230 pattern). Occupancy n/2^b ≤ 8 holds the
+    * in-bucket pair count ~linear in n; q134 remains the registry's
+    * pinned fixed-b comparator for the growth law. Single-table recall is
+    * the L=1 floor of the family by design — the recall knob is q230's
+    * co-tuned L; VectorLawsSpec pins the L-multiplier against this query.
     */
   def q19AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val b = scaledBandBits(Tables.embeddings(s, dir).count())
     val e = withNorm(Tables.embeddings(s, dir))
-      .withColumn("bucket", lshBucket($"embedding"))
+      .withColumn("bucket", scaledBucketT($"embedding", 0, b))
     val pairs = e.as("a").join(e.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
       .select(
@@ -187,7 +193,8 @@ object VectorQueries {
         cosine($"a.embedding", $"b.embedding", $"a.nrm", $"b.nrm").as("sim"))
     val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"nn_id")
     pairs.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"vec_id", $"bucket", $"nn_id", round($"sim", 4).as("sim"))
+      .select($"vec_id", $"bucket", $"nn_id", round($"sim", 4).as("sim"),
+        lit(b).cast("long").as("band_bits"))
       .orderBy($"vec_id")
   }
 
@@ -624,10 +631,26 @@ object VectorQueries {
     * vector cannot fill top-16 lists with good edges (recall@5 capped at
     * 0.48 at sf0.01 — SCALING.md:330). */
   private[graft] val RefinedDegree = 16
-  /** NN-Descent rounds. One round bounds the widening at (2·D)² = 1024
-    * scored candidates per node — already ~23× the LSH pool at D=16 —
-    * while keeping the build a fixed two-shuffle-stage pipeline. */
-  private[graft] val RefineRounds = 1
+
+  /** NN-Descent rounds, CORPUS-AWARE (VERDICT r16 #2): one round scores
+    * ≤ (2·D)² neighbor-of-neighbor candidates per node, so when
+    * (2·D)² ≥ n that widening already saturates the corpus (every node
+    * can reach every other through the NoN join — measured recall@5
+    * 1.00 at sf0.01) and a second round buys nothing; below saturation
+    * the second round lifts recall@5 0.70 → 0.85 at sf0.1 (GraphStress
+    * r16) for one more bounded two-shuffle stage. Capped at 2: the
+    * measured envelope stops there, and each round's cost is a full
+    * (2·D)²-candidate re-score — rounds must stay O(1), not chase
+    * convergence (Dong '11 runs to convergence; the relational
+    * restatement pins the iteration count so both engines replay
+    * identical work). Both engines derive rounds from the same count.
+    */
+  private[graft] def scaledRefineRounds(n: Long, d: Int): Int =
+    if (4L * d * d >= n) 1 else 2
+  /** The generated-oracle unroll bound — [[scaledRefineRounds]] never
+    * exceeds it; the SQL twin generates this many round blocks and
+    * gates each on the count-derived round figure. */
+  private[graft] val MaxRefineRounds = 2
 
   /** Graph build WIDENED past the LSH candidate pool by NN-Descent
     * rounds (Dong, Charikar & Li, WWW '11 — "a neighbor of a neighbor is
@@ -659,14 +682,21 @@ object VectorQueries {
   }
 
   /** Root for the refined-build artifact (pid-free, fingerprint-keyed —
-    * the [[graphIndexRoot]] protocol at the refined degree). */
-  private[graft] def refinedGraphRoot(dir: String): String =
-    graphRootNamed(dir, "graphrefined", RefinedDegree)
+    * the [[graphIndexRoot]] protocol at the refined degree). The ROUND
+    * COUNT is part of the name: a graph built at a different round
+    * figure is a different artifact (same invalidation argument as the
+    * dedup index's banding-plan suffix), so the corpus-aware rounds
+    * republish under a new tag instead of silently serving the 1-round
+    * graph. */
+  private[graft] def refinedGraphRoot(dir: String, rounds: Int): String =
+    graphRootNamed(dir, s"graphrefined${rounds}r", RefinedDegree)
 
   private[graft] def refinedGraphEdges(s: SparkSession, dir: String): DataFrame = {
-    val root = refinedGraphRoot(dir)
+    val rounds = scaledRefineRounds(
+      Tables.embeddings(s, dir).count(), RefinedDegree)
+    val root = refinedGraphRoot(dir, rounds)
     graft.Scratch.publishOnce(root, "_graphbuilt") { staging =>
-      builtGraphEdgesRefinedD(s, dir, RefinedDegree, RefineRounds)
+      builtGraphEdgesRefinedD(s, dir, RefinedDegree, rounds)
         .write.mode("overwrite").parquet(s"$staging/edges")
     }
     s.read.parquet(s"$root/edges")
@@ -674,21 +704,30 @@ object VectorQueries {
 
   /** Graph ANN served from the PRODUCTION-DEGREE index: q213's beam
     * serve over a D=[[RefinedDegree]] graph whose build widened candidate
-    * generation by [[RefineRounds]] NN-Descent round(s). This is the
+    * generation by [[scaledRefineRounds]] NN-Descent rounds — 1 at
+    * saturation ((2·D)² ≥ n), 2 below it (VERDICT r16 #2). This is the
     * registered answer to the r15 D-curve finding that at D ≥ 16 recall
     * is capped by the ~44-candidate LSH pool: the NoN expansion feeds
     * each node ≤ (2·D)² candidates of better provenance (its current
     * neighbors' neighborhoods). Measured recall@5 at D=16 vs the
-    * LSH-only build: 0.48 → 1.00 at sf0.01 (where (2·D)² = 1024 ≥ n —
-    * the widening saturates a 500-vector corpus) and 0.38 → 0.70 at
-    * sf0.1 (n=2000, unsaturated; a second round reaches 0.85 —
-    * GraphStress carries the full envelope, VectorLawsSpec pins the
-    * floor and the improvement). Build is train-once (published
-    * artifact); serve cost is unchanged from q213 except edges/node
-    * ≤ 2·D.
+    * LSH-only build: 0.48 → 1.00 at sf0.01 (saturated, 1 round) and
+    * 0.38 → 0.85 at sf0.1 (n=2000, unsaturated — the second round the
+    * count now buys; 0.70 at 1 round — GraphStress carries the full
+    * envelope, VectorLawsSpec pins the floor at BOTH scales). The
+    * derived round figure rides the output as a hash-checked
+    * `refine_rounds` column (the q230 pattern), and the oracle's
+    * generated round blocks are gated on ITS count-derived figure — an
+    * rounds drift in either engine is a hash mismatch, which also
+    * closes ADVICE r16's stale-unroll hazard. Build is train-once
+    * (published artifact, round-tagged root); serve cost is unchanged
+    * from q213 except edges/node ≤ 2·D.
     */
-  def q232GraphAnnRefined(s: SparkSession, dir: String): DataFrame =
+  def q232GraphAnnRefined(s: SparkSession, dir: String): DataFrame = {
+    val rounds = scaledRefineRounds(
+      Tables.embeddings(s, dir).count(), RefinedDegree)
     beamServe(s, dir, refinedGraphEdges(s, dir), BeamRounds)
+      .withColumn("refine_rounds", lit(rounds).cast("long"))
+  }
 
   /** Root for the q224 incremental graph artifacts (same pid-free
     * scoping and publish protocol as [[graphIndexRoot]]). */
@@ -1749,8 +1788,11 @@ object VectorQueries {
 
   /** The serve half ([[beamServe]]'s twin): probes, entry, unrolled beam
     * rounds, final ranking — over whatever `buildCtes` defines as `edges`.
+    * `extraCols` is appended to the final SELECT (leading comma included
+    * by the caller) — q232 rides its count-derived round figure through
+    * it.
     */
-  private def graphServeSql(buildCtes: String): String = {
+  private def graphServeSql(buildCtes: String, extraCols: String = ""): String = {
     val rounds = (1 to BeamRounds).map { i =>
       s""", f$i AS (
          |  SELECT probe_id, vec_id FROM (
@@ -1780,7 +1822,7 @@ object VectorQueries {
        |  SELECT p.probe_id, en.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
        |  FROM probes p CROSS JOIN entry en JOIN embeddings e ON en.vec_id = e.vec_id
        |)$rounds
-       |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim FROM (
+       |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim$extraCols FROM (
        |  SELECT probe_id, vec_id, sim,
        |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
        |  FROM seen$BeamRounds WHERE vec_id != probe_id
@@ -1997,7 +2039,25 @@ object VectorQueries {
       case ((a, b), i) =>
         s"(CASE WHEN embedding[$a] > embedding[$b] THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
-  private val bucketSql: String = bucketSqlT(0)
+
+  /** DuckDB twin of [[scaledBandBits]] — GENERATED from the same ladder
+    * constants (8 << b occupancy steps, clamp [6, 12]) so the q19 and
+    * q230 oracles adjudicate the identical sizing arithmetic; a drift in
+    * either engine is a hash mismatch on the emitted band_bits column.
+    * Expects a relation exposing `n` = count(*) of the corpus.
+    */
+  private val scaledBandBitsSqlCase: String =
+    "CASE " + (6 until 12).map(b => s"WHEN n <= ${8L << b} THEN $b").mkString(" ") +
+      " ELSE 12 END"
+
+  /** Co-tuned bucket expression for oracle SQL: [[CotunedPlanes]] table
+    * `t`, bit i gated on i < the ladder-derived depth `bRef`.
+    */
+  private def scaledBucketSqlT(t: Int, bRef: String, embRef: String): String =
+    (0 until 12).map { i =>
+      val (a, b) = CotunedPlanes(t)(i)
+      s"(CASE WHEN $i < $bRef AND $embRef[$a] > $embRef[$b] THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n      + ")
 
   private val baseOracles: Map[String, String] = Map(
     "q129_norm_stats" ->
@@ -2259,18 +2319,12 @@ object VectorQueries {
       // gated on i < b, table t on t < L = b − 2 — the engine-side count
       // decides which branches/bits are live at RUN time, not build time
       val bands = (0 until 10).map { t =>
-        val bucketExpr = (0 until 12).map { i =>
-          val (a, b) = CotunedPlanes(t)(i)
-          s"(CASE WHEN $i < p.b AND e.embedding[$a] > e.embedding[$b] THEN ${1L << i} ELSE 0 END)"
-        }.mkString("\n      + ")
+        val bucketExpr = scaledBucketSqlT(t, "p.b", "e.embedding")
         s"""  SELECT e.vec_id, $t AS tbl, CAST($bucketExpr AS BIGINT) AS bucket
            |  FROM embeddings e, p WHERE $t < p.b - 2""".stripMargin
       }.mkString("\n  UNION ALL\n")
       s"""WITH p AS (
-         |  SELECT CASE WHEN n <= 512 THEN 6 WHEN n <= 1024 THEN 7
-         |              WHEN n <= 2048 THEN 8 WHEN n <= 4096 THEN 9
-         |              WHEN n <= 8192 THEN 10 WHEN n <= 16384 THEN 11
-         |              ELSE 12 END AS b
+         |  SELECT $scaledBandBitsSqlCase AS b
          |  FROM (SELECT count(*) AS n FROM embeddings)
          |), bands AS (
          |$bands
@@ -2332,30 +2386,50 @@ object VectorQueries {
          |sym AS (
          |  SELECT src, dst FROM knn UNION SELECT dst AS src, src AS dst FROM knn
          |), ${bestKCteSql("edges", "sym", 2 * GraphDegree, mat = true)}""".stripMargin),
-    // the refined build replayed CTE-for-CTE: band knn at D=16, reverse
-    // edges re-capped at D, the general-neighbor union, the NoN join,
-    // re-prune, symmetrize, M_max — then the identical serve
-    "q232_graph_ann_refined" -> graphServeSql(
-      s"""b AS (
-         |  $graphBandsSql
-         |), pairs AS MATERIALIZED (
-         |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
-         |  FROM b x JOIN b y
-         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id != y.vec_id
-         |), ${bestKCteSql("knn0", "pairs", RefinedDegree, mat = true)},
-         |rev0 AS (SELECT dst AS src, src AS dst FROM knn0),
-         |${bestKCteSql("revc", "rev0", RefinedDegree)},
-         |gen AS MATERIALIZED (
-         |  SELECT src, dst FROM knn0 UNION SELECT src, dst FROM revc
-         |), non AS (
-         |  SELECT DISTINCT x.src, y.dst
-         |  FROM gen x JOIN gen y ON x.dst = y.src AND x.src != y.dst
-         |), cand AS (
-         |  SELECT src, dst FROM knn0 UNION SELECT src, dst FROM non
-         |), ${bestKCteSql("knn1", "cand", RefinedDegree, mat = true)},
-         |sym AS (
-         |  SELECT src, dst FROM knn1 UNION SELECT dst AS src, src AS dst FROM knn1
-         |), ${bestKCteSql("edges", "sym", 2 * RefinedDegree, mat = true)}""".stripMargin),
+    // the refined build replayed CTE-for-CTE: band knn at D=16, then
+    // MaxRefineRounds GENERATED round blocks (reverse edges re-capped at
+    // D, general-neighbor union, NoN join, re-prune), each gated on the
+    // count-derived round figure — a gated-off round's NoN is empty, so
+    // its re-prune is the identity and knn_i = knn_{i-1}; rounds drift
+    // in either engine therefore lands in different edges and a hash
+    // mismatch (ADVICE r16: the unroll can no longer go stale) — then
+    // symmetrize, M_max, the identical serve
+    "q232_graph_ann_refined" -> {
+      val roundBlocks = (1 to MaxRefineRounds).map { i =>
+        val p = i - 1
+        s"""rev$p AS (
+           |  SELECT dst AS src, src AS dst FROM knn$p
+           |  WHERE $i <= (SELECT rounds FROM rp)
+           |), ${bestKCteSql(s"revc$p", s"rev$p", RefinedDegree)},
+           |gen$p AS MATERIALIZED (
+           |  SELECT src, dst FROM knn$p UNION SELECT src, dst FROM revc$p
+           |), non$p AS (
+           |  SELECT DISTINCT x.src, y.dst
+           |  FROM gen$p x JOIN gen$p y ON x.dst = y.src AND x.src != y.dst
+           |  WHERE $i <= (SELECT rounds FROM rp)
+           |), cand$p AS (
+           |  SELECT src, dst FROM knn$p UNION SELECT src, dst FROM non$p
+           |), ${bestKCteSql(s"knn$i", s"cand$p", RefinedDegree, mat = true)}""".stripMargin
+      }.mkString(",\n")
+      graphServeSql(
+        s"""rp AS (
+           |  SELECT CASE WHEN ${4 * RefinedDegree * RefinedDegree} >= n
+           |              THEN 1 ELSE 2 END AS rounds
+           |  FROM (SELECT count(*) AS n FROM embeddings)
+           |), b AS (
+           |  $graphBandsSql
+           |), pairs AS MATERIALIZED (
+           |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+           |  FROM b x JOIN b y
+           |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id != y.vec_id
+           |), ${bestKCteSql("knn0", "pairs", RefinedDegree, mat = true)},
+           |$roundBlocks,
+           |sym AS (
+           |  SELECT src, dst FROM knn$MaxRefineRounds
+           |  UNION SELECT dst AS src, src AS dst FROM knn$MaxRefineRounds
+           |), ${bestKCteSql("edges", "sym", 2 * RefinedDegree, mat = true)}""".stripMargin,
+        extraCols = ",\n  CAST((SELECT rounds FROM rp) AS BIGINT) AS refine_rounds")
+    },
     // incremental maintenance: base graph over the non-increment corpus,
     // new-node top-D against the FULL corpus, reverse union, re-cap —
     // then the identical serve. vec_id % 10 = 9 is isIncrement's twin.
@@ -2383,9 +2457,16 @@ object VectorQueries {
          |  UNION SELECT dst AS src, src AS dst FROM knn_i
          |), ${bestKCteSql("edges", "pre", 2 * GraphDegree, mat = true)}""".stripMargin),
     "q199_mmr_diversified" -> mmrOracleSql,
+    // single-table co-tuned depth: the SAME ladder CTE as q230 (shared
+    // fragment), planes table 0, depth emitted as band_bits
     "q19_ann_lsh" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding, CAST($bucketSql AS BIGINT) AS bucket FROM embeddings
+      s"""WITH p AS (
+         |  SELECT $scaledBandBitsSqlCase AS b
+         |  FROM (SELECT count(*) AS n FROM embeddings)
+         |), e AS (
+         |  SELECT x.vec_id, x.embedding,
+         |    CAST(${scaledBucketSqlT(0, "p.b", "x.embedding")} AS BIGINT) AS bucket
+         |  FROM embeddings x, p
          |), pairs AS (
          |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS nn_id,
          |    ${cosSql("a.embedding", "b.embedding")} AS sim
@@ -2395,8 +2476,9 @@ object VectorQueries {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn_id) AS rn
          |  FROM pairs
          |)
-         |SELECT vec_id, bucket, nn_id, round(sim, 4) AS sim
-         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+         |SELECT r.vec_id, r.bucket, r.nn_id, round(r.sim, 4) AS sim,
+         |  CAST(p.b AS BIGINT) AS band_bits
+         |FROM ranked r, p WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q35_ivf_assign" -> {
       val d2 = d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")
       s"""WITH $kmeansCtes

@@ -31,6 +31,43 @@ class DedupRecallSpec extends AnyFunSuite {
       s"missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
   }
 
+  test("q26 pigeonhole band law: 4×15-bit banding is exactness-mandated; recall = 1 EXACTLY") {
+    import spark.implicits._
+    import text.DedupQueries.{SimhashBands, SimhashBits, HammingThreshold}
+    // STRUCTURAL constraint (VERDICT r16 #6 — the reason q26/q147 must
+    // NOT be migrated onto the q19/q20/q230 scaled ladder): hamming ≤ t
+    // differing bits can corrupt at most t of the B disjoint bands, so
+    // t < B forces ≥1 band EQUAL — candidate recall at the threshold is
+    // exactly 1 by pigeonhole, which is what licenses the exact
+    // all-pairs oracle. Deepening the bands (fewer, wider) to throttle
+    // candidates — the ladder's move — breaks t < B and with it the
+    // exactness guarantee; the accepted consequence is that band
+    // collisions grow ~n²·B/2^(bits/B) with corpus size, and the scale
+    // lever here is the fingerprint WIDTH (more simhash bits per band
+    // at the same B), never the band COUNT.
+    assert(SimhashBands * (SimhashBits / SimhashBands) == SimhashBits,
+      "bands must tile the fingerprint exactly")
+    assert(HammingThreshold < SimhashBands,
+      "pigeonhole needs threshold < band count — this inequality IS the recall-1 proof")
+    // EMPIRICAL twin at the gate scale: the banded pipeline equals the
+    // exact all-pairs hamming join, misses AND extras
+    val fp = Tables.documents(spark, sf)
+      .select($"doc_id", wordShingles($"text", text.DedupQueries.ShingleK).as("sh"))
+      .select($"doc_id", simhash60($"sh").as("simhash"))
+    val truth = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).as("h"))
+      .filter($"h" <= HammingThreshold)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = text.DedupQueries.q26DedupSimhash(spark, sf)
+      .select($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain simhash near-dup pairs")
+    assert(found == truth,
+      s"missed=${(truth -- found).take(5)} extra=${(found -- truth).take(5)}")
+  }
+
   test("TopKByScore laws: reduce/merge give the same top-k as a full sort, any split") {
     val agg = TopKByScore(3)
     val data = Seq(5.0 -> 1L, 3.0 -> 2L, 5.0 -> 0L, 9.0 -> 7L, 1.0 -> 9L,
