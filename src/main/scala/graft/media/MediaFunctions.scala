@@ -14,9 +14,10 @@ import org.apache.spark.sql.Dataset
   * encoders for the resize/transcode path and for fixtures. Audio-typed
   * records ("wav"/"audio") likewise get a REAL RIFF/WAVE PCM parser
   * (chunk walk, 8/16-bit, multi-channel interleave) and a PCM16 encoder.
-  * Formats this environment has no codec for (JPEG, MP3, video) keep the
-  * deterministic hash-derived fallback on `format="fake"` records,
-  * clearly marked.
+  * JPEG gets a real baseline-sequential T.81 codec (see the JPEG
+  * section). Formats this environment has no codec for (MP3, compressed
+  * video) keep the deterministic hash-derived fallback on
+  * `format="fake"` records, clearly marked.
   * The plumbing is shared by both paths (MediaSpec): the typed
   * record/row schemas, the `mapPartitions` batch iteration (one codec
   * context per partition, not per row — the pattern that amortizes
@@ -306,7 +307,8 @@ object MediaFunctions {
     * bytes can never silently change meaning.
     */
   def isImageFormat(format: String): Boolean =
-    format == "ppm" || format == "bmp" || format == "png" || format == "image"
+    format == "ppm" || format == "bmp" || format == "png" || format == "jpg" ||
+      format == "image"
 
   /** Decode a binary-PPM (P6), 24-bit uncompressed BMP, or 8-bit
     * truecolor non-interlaced PNG payload. Total: any malformed header,
@@ -320,6 +322,8 @@ object MediaFunctions {
       else if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
       else if (payload.length >= 8 && payload(0) == PngSignature(0) && payload(1) == 'P')
         decodePng(payload)
+      else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8) decodeJpeg(payload)
       else None
     } catch { case _: RuntimeException => None }
 
@@ -624,6 +628,461 @@ object MediaFunctions {
         x += 1
       }
       y += 1
+    }
+    Some(DecodedImage(w, h, rgb))
+  }
+
+  // ---- JPEG: baseline sequential DCT, 4:4:4 (ITU-T T.81) ---------------
+  //
+  // The compressed-DCT boundary decided (VERDICT r16 #4): this engine
+  // DECODES baseline JFIF — SOI/APP0/DQT/DHT/SOF0/SOS marker grammar,
+  // canonical Huffman entropy decode with DC prediction and byte
+  // stuffing, dequantization, an INTEGER 8×8 IDCT, and fixed-point
+  // BT.601 YCbCr→RGB — and QUARANTINES everything outside that tier
+  // loudly (progressive SOF2, 16-bit DQT, subsampled chroma, restart
+  // intervals, arithmetic coding, truncation, trailing bytes). The q231
+  // discipline: the in-engine encoder exists to make fixtures whose
+  // decoded pixels an independent SQL oracle can predict; JPEG is lossy,
+  // so fixtures are defined IN THE COEFFICIENT DOMAIN (the quantized
+  // coefficients are the image) and every post-entropy step is exact
+  // integer arithmetic both engines replay literally.
+
+  /** Zigzag order: z → raster index v·8+u (T.81 Figure A.6). */
+  private[graft] val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Quantization tables (T.81 Annex K.1, raster order): 0 = luminance,
+    * 1 = chrominance. */
+  private[graft] val JpegQuant: Array[Array[Int]] = Array(
+    Array(
+      16, 11, 10, 16, 24, 40, 51, 61,
+      12, 12, 14, 19, 26, 58, 60, 55,
+      14, 13, 16, 24, 40, 57, 69, 56,
+      14, 17, 22, 29, 51, 87, 80, 62,
+      18, 22, 37, 56, 68, 109, 103, 77,
+      24, 35, 55, 64, 81, 104, 113, 92,
+      49, 64, 78, 87, 103, 121, 120, 101,
+      72, 92, 95, 98, 112, 100, 103, 99),
+    Array(
+      17, 18, 24, 47, 99, 99, 99, 99,
+      18, 21, 26, 66, 99, 99, 99, 99,
+      24, 26, 56, 99, 99, 99, 99, 99,
+      47, 66, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99))
+
+  /** Integer IDCT basis: B(x)(u) = round(1024·c(u)·cos((2x+1)uπ/16)/2),
+    * c(0) = 1/√2 else 1 — hardcoded literals (not runtime cos) so the
+    * generated oracle SQL and the JVM can never disagree on a rounding
+    * boundary. pixel(x,y) = clamp(128 + (ΣΣ dq(v,u)·B(x)(u)·B(y)(v)
+    * rounded-shifted 20 bits)).
+    */
+  private[graft] val JpegIdctBasis: Array[Array[Long]] = Array(
+    Array(362L, 502L, 473L, 426L, 362L, 284L, 196L, 100L),
+    Array(362L, 426L, 196L, -100L, -362L, -502L, -473L, -284L),
+    Array(362L, 284L, -196L, -502L, -362L, 100L, 473L, 426L),
+    Array(362L, 100L, -473L, -284L, 362L, 426L, -196L, -502L),
+    Array(362L, -100L, -473L, 284L, 362L, -426L, -196L, 502L),
+    Array(362L, -284L, -196L, 502L, -362L, -100L, 473L, -426L),
+    Array(362L, -426L, 196L, 100L, -362L, 502L, -473L, 284L),
+    Array(362L, -502L, 473L, -426L, 362L, -284L, 196L, -100L))
+
+  /** Huffman table specs (T.81 Annex K.3): (bits per code length 1..16,
+    * symbol values). Order: DC luma, AC luma, DC chroma, AC chroma. */
+  private val JpegHuffSpecs: Array[(Array[Int], Array[Int])] = Array(
+    (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      (0 to 11).toArray),
+    (Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125),
+      Array(
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+        0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+        0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+        0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+        0xf9, 0xfa)),
+    (Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+      (0 to 11).toArray),
+    (Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119),
+      Array(
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+        0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+        0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+        0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+        0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+        0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+        0xf9, 0xfa)))
+
+  /** Canonical (code, length) per symbol from a (bits, vals) spec —
+    * T.81 Annex C code assignment, used by the encoder. */
+  private def jpegHuffCodes(spec: (Array[Int], Array[Int])): Map[Int, (Int, Int)] = {
+    val (bits, vals) = spec
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var code = 0
+    var k = 0
+    for (l <- 1 to 16) {
+      for (_ <- 0 until bits(l - 1)) { out += vals(k) -> (code, l); code += 1; k += 1 }
+      code <<= 1
+    }
+    out.result()
+  }
+  private lazy val JpegEncTables: Array[Map[Int, (Int, Int)]] =
+    JpegHuffSpecs.map(jpegHuffCodes)
+
+  /** Magnitude category (T.81 F.1.2.1.2): smallest t with |v| < 2^t. */
+  private def jpegCat(v: Int): Int = {
+    var t = 0
+    var a = math.abs(v)
+    while (a != 0) { a >>= 1; t += 1 }
+    t
+  }
+  /** The t extra bits for value v (negatives as v − 1 in t bits). */
+  private def jpegExtendBits(v: Int, t: Int): Int =
+    if (v < 0) v + (1 << t) - 1 else v
+
+  /** Rounded arithmetic shift with an offset big enough to keep the
+    * dividend nonnegative — so the DuckDB twin is plain `//` (floor and
+    * truncate agree on nonnegatives; raw >> on negatives would not). */
+  private def jpegShr(sum: Long, k: Int, off: Long): Long =
+    ((sum + (1L << (k - 1)) + (off << k)) >> k) - off
+
+  /** Integer 8×8 IDCT + level shift + clamp: dq in RASTER order, out
+    * row-major 0..255. |Σ| < 2^37, offset 2^16·2^20 keeps it positive. */
+  private[graft] def jpegIdctBlock(dq: Array[Long]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var sum = 0L
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            sum += dq(v * 8 + u) * JpegIdctBasis(x)(u) * JpegIdctBasis(y)(v)
+            u += 1
+          }
+          v += 1
+        }
+        val pix = jpegShr(sum, 20, 65536L) + 128L
+        out(y * 8 + x) = if (pix < 0) 0 else if (pix > 255) 255 else pix.toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Fixed-point BT.601 YCbCr→RGB (the JFIF conversion), exact-integer. */
+  private[graft] def jpegYccToRgb(yy: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def cl(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    val r = cl(yy + jpegShr(91881L * (cr - 128), 16, 1024L))
+    val g = cl(yy + jpegShr(-22554L * (cb - 128) - 46802L * (cr - 128), 16, 1024L))
+    val b = cl(yy + jpegShr(116130L * (cb - 128), 16, 1024L))
+    (r, g, b)
+  }
+
+  /** Encode a baseline JFIF: 3 components, 4:4:4, Annex K quantization
+    * and Huffman tables. `coef(c, blockIndex)` returns the 64 QUANTIZED
+    * coefficients of that block in ZIGZAG order — the image IS its
+    * coefficients (see the section comment); blocks are raster-ordered
+    * MCUs of one block per component.
+    */
+  def encodeJpeg(width: Int, height: Int, coef: (Int, Int) => Array[Int]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width < 4096 && height < 4096)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, p: Array[Byte]): Unit = {
+      marker(m); out.write((p.length + 2) >> 8); out.write((p.length + 2) & 0xff)
+      out.write(p, 0, p.length)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = new Array[Byte](2 * 65)
+    for (t <- 0 to 1) {
+      dqt(65 * t) = t.toByte // Pq=0 (8-bit), Tq=t
+      for (z <- 0 until 64) dqt(65 * t + 1 + z) = JpegQuant(t)(JpegZigzag(z)).toByte
+    }
+    seg(0xdb, dqt)
+    seg(0xc0, Array[Byte](8, (height >> 8).toByte, (height & 0xff).toByte,
+      (width >> 8).toByte, (width & 0xff).toByte, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val dht = Array(0x00, 0x10, 0x01, 0x11).zip(JpegHuffSpecs).flatMap {
+      case (tc, (bits, vals)) => (tc +: bits).map(_.toByte) ++ vals.map(_.toByte)
+    }
+    seg(0xc4, dht)
+    seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    // entropy-coded segment: MSB-first bits, 0xFF byte-stuffed, 1-padded
+    var acc = 0
+    var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc); if (acc == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    val pred = Array(0, 0, 0)
+    val dcT = Array(JpegEncTables(0), JpegEncTables(2), JpegEncTables(2))
+    val acT = Array(JpegEncTables(1), JpegEncTables(3), JpegEncTables(3))
+    for (bi <- 0 until bw * bh; c <- 0 until 3) {
+      val zz = coef(c, bi)
+      val diff = zz(0) - pred(c)
+      pred(c) = zz(0)
+      val t = jpegCat(diff)
+      val (dc, dl) = dcT(c)(t)
+      putBits(dc, dl)
+      if (t > 0) putBits(jpegExtendBits(diff, t), t)
+      var lastNz = 0
+      for (k <- 1 until 64) if (zz(k) != 0) lastNz = k
+      var run = 0
+      for (k <- 1 to lastNz) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) { val (zc, zl) = acT(c)(0xf0); putBits(zc, zl); run -= 16 }
+          val s = jpegCat(zz(k))
+          val (ac, al) = acT(c)((run << 4) | s)
+          putBits(ac, al)
+          putBits(jpegExtendBits(zz(k), s), s)
+          run = 0
+        }
+      }
+      if (lastNz < 63) { val (ec, el) = acT(c)(0x00); putBits(ec, el) }
+    }
+    while (nbits != 0) { // 1-pad the final byte
+      acc = (acc << 1) | 1; nbits += 1
+      if (nbits == 8) { out.write(acc); if (acc == 0xff) out.write(0x00); acc = 0; nbits = 0 }
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decode a baseline JFIF payload. Total like the other codecs — None,
+    * never throw. DECODES only the declared tier: SOF0, 8-bit precision,
+    * 3 components all at 1×1 sampling (4:4:4), 8-bit DQT, Huffman
+    * entropy coding, no restart intervals. Everything else — progressive
+    * / extended / lossless / arithmetic SOFs, 16-bit quantization
+    * tables, subsampled chroma, DRI/RSTn, DNL — QUARANTINES (the q227
+    * discipline). Entropy data is decoded with full bounds checks: an
+    * invalid Huffman code, a coefficient index past 63, bit starvation
+    * mid-MCU, a missing EOI, or bytes trailing EOI all reject.
+    */
+  private def decodeJpeg(b: Array[Byte]): Option[DecodedImage] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var off = 2
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    // parsed state
+    val quant = new Array[Array[Int]](4)
+    // huffman: (class 0/1)(id 0..3) → (maxcode, valptr, mincode, vals)
+    val huffMax = Array.fill(2, 4)(null: Array[Int])
+    val huffMin = Array.fill(2, 4)(null: Array[Int])
+    val huffPtr = Array.fill(2, 4)(null: Array[Int])
+    val huffVal = Array.fill(2, 4)(null: Array[Int])
+    var w = 0; var h = 0
+    var compQ: Array[Int] = null // quant table id per component
+    var sosAt = -1
+    var compDc: Array[Int] = null; var compAc: Array[Int] = null
+    // ---- marker segment walk up to SOS ----
+    while (sosAt < 0) {
+      if (off + 4 > b.length || u8(off) != 0xff) return None
+      val m = u8(off + 1)
+      if (m == 0xd9 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) return None // EOI/TEM/RSTn before SOS
+      val len = u16(off + 2)
+      if (len < 2 || off + 2 + len > b.length) return None
+      val pEnd = off + 2 + len
+      m match {
+        case 0xc0 => // SOF0 — the only accepted frame type
+          if (w != 0 || len < 8) return None
+          if (u8(off + 4) != 8) return None // precision
+          h = u16(off + 5); w = u16(off + 7)
+          val nf = u8(off + 9)
+          if (w < 1 || h < 1 || nf != 3) return None // tier: 3-comp 4:4:4 JFIF
+          if (3L * w * h > (1L << 26)) return None
+          if (len != 8 + 3 * nf) return None
+          compQ = new Array[Int](nf)
+          for (i <- 0 until nf) {
+            val base = off + 10 + 3 * i
+            if (u8(base + 1) != 0x11) return None // 4:4:4 only
+            compQ(i) = u8(base + 2)
+            if (compQ(i) > 3) return None
+          }
+        case 0xc4 => // DHT (possibly several tables)
+          var p = off + 4
+          while (p < pEnd) {
+            if (p + 17 > pEnd) return None
+            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+            if (tc > 1 || th > 3) return None
+            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+            val n = bits.sum
+            if (n == 0 || n > 256 || p + 17 + n > pEnd) return None
+            val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+            // canonical decode tables (T.81 F.2.2.3)
+            val mincode = new Array[Int](17)
+            val maxcode = Array.fill(17)(-1)
+            val valptr = new Array[Int](17)
+            var code = 0; var k = 0
+            for (l <- 1 to 16) {
+              if (bits(l - 1) > 0) {
+                valptr(l) = k; mincode(l) = code
+                code += bits(l - 1); k += bits(l - 1)
+                maxcode(l) = code - 1
+              }
+              code <<= 1
+            }
+            huffMax(tc)(th) = maxcode; huffMin(tc)(th) = mincode
+            huffPtr(tc)(th) = valptr; huffVal(tc)(th) = vals
+            p += 17 + n
+          }
+        case 0xdb => // DQT (possibly several tables)
+          var p = off + 4
+          while (p < pEnd) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 0x0f
+            if (pq != 0) return None // 16-bit tables out of tier
+            if (tq > 3 || p + 65 > pEnd) return None
+            val q = new Array[Int](64)
+            for (z <- 0 until 64) q(JpegZigzag(z)) = u8(p + 1 + z)
+            quant(tq) = q
+            p += 65
+          }
+        case 0xda => // SOS
+          if (w == 0) return None // no frame header yet
+          val ns = u8(off + 4)
+          if (ns != compQ.length || len != 6 + 2 * ns) return None
+          compDc = new Array[Int](ns); compAc = new Array[Int](ns)
+          for (i <- 0 until ns) {
+            compDc(i) = u8(off + 6 + 2 * i) >> 4
+            compAc(i) = u8(off + 6 + 2 * i) & 0x0f
+          }
+          // baseline full-spectrum scan only
+          if (u8(off + 5 + 2 * ns) != 0 || u8(off + 6 + 2 * ns) != 63 ||
+            u8(off + 7 + 2 * ns) != 0) return None
+          sosAt = pEnd
+        case 0xe0 | 0xe1 | 0xe2 | 0xe3 | 0xe4 | 0xe5 | 0xe6 | 0xe7 | 0xe8 |
+            0xe9 | 0xea | 0xeb | 0xec | 0xed | 0xee | 0xef | 0xfe => () // APPn/COM: skip
+        case _ => return None // SOF1/2/…, DRI, DNL, DAC, unknown: out of tier
+      }
+      off = pEnd
+    }
+    // table presence for every scan component
+    val nc = compQ.length
+    for (i <- 0 until nc) {
+      if (quant(compQ(i)) == null) return None
+      if (huffVal(0)(compDc(i)) == null || huffVal(1)(compAc(i)) == null) return None
+    }
+    // ---- entropy decode (T.81 F.2): bit reader with stuffing removal ----
+    var pos = sosAt
+    var acc = 0; var nbits = 0
+    var starved = false
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) { starved = true; return 0 }
+        val v = u8(pos)
+        if (v == 0xff) {
+          if (pos + 1 >= b.length || u8(pos + 1) != 0x00) { starved = true; return 0 }
+          pos += 2
+        } else pos += 1
+        acc = v; nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def decodeSym(tc: Int, th: Int): Int = {
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        code = (code << 1) | bit()
+        if (starved) return -1
+        val mx = huffMax(tc)(th)
+        if (mx(l) >= 0 && code <= mx(l))
+          return huffVal(tc)(th)(huffPtr(tc)(th)(l) + code - huffMin(tc)(th)(l))
+        l += 1
+      }
+      -1
+    }
+    def receiveExtend(t: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < t) { v = (v << 1) | bit(); i += 1 }
+      if (starved) return 0
+      if (t > 0 && v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    }
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val planes = Array.fill(nc)(new Array[Int](bw * bh * 64))
+    val pred = new Array[Int](nc)
+    val dq = new Array[Long](64)
+    var bi = 0
+    while (bi < bw * bh) {
+      var c = 0
+      while (c < nc) {
+        java.util.Arrays.fill(dq, 0L)
+        val q = quant(compQ(c))
+        val t = decodeSym(0, compDc(c))
+        if (t < 0 || t > 11) return None
+        pred(c) += receiveExtend(t)
+        if (starved) return None
+        dq(0) = pred(c).toLong * q(0)
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = decodeSym(1, compAc(c))
+          if (rs < 0) return None
+          val r = rs >> 4; val s = rs & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else eob = true      // EOB (r must be 0 in baseline; others invalid)
+            if (r != 15 && r != 0) return None
+          } else {
+            k += r
+            if (k > 63) return None // run past the block
+            val raster = JpegZigzag(k)
+            dq(raster) = receiveExtend(s).toLong * q(raster)
+            if (starved) return None
+            k += 1
+          }
+        }
+        val px = jpegIdctBlock(dq)
+        System.arraycopy(px, 0, planes(c), bi * 64, 64)
+        c += 1
+      }
+      bi += 1
+    }
+    // padding bits of the final byte are discarded; EOI must follow and
+    // end the payload exactly (the PNG trailing-bytes discipline)
+    if (pos + 2 != b.length || u8(pos) != 0xff || u8(pos + 1) != 0xd9) return None
+    val rgb = new Array[Byte](3 * w * h)
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        val blockAt = ((py / 8) * bw + (px / 8)) * 64 + (py % 8) * 8 + (px % 8)
+        val p = 3 * (py * w + px)
+        val (r, g, bb) = jpegYccToRgb(
+          planes(0)(blockAt), planes(1)(blockAt), planes(2)(blockAt))
+        rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = bb.toByte
+        px += 1
+      }
+      py += 1
     }
     Some(DecodedImage(w, h, rgb))
   }

@@ -434,10 +434,13 @@ object MediaQueries {
       Array.tabulate(16)(i => ((id * 3 + i) % 256).toByte)
 
   /** A 5-kind poisoned corpus (kind = doc_id % 5): one valid PPM class
-    * plus the four most common real-world rejects — JPEG bytes declared
-    * "ppm", PNG bytes declared "bmp", an IEEE-float WAV, and an AVI with
-    * a compressed '00dc' frame chunk. Callers filter `docs` to the kinds
-    * their decoder family handles BEFORE this map (the pushdown rule).
+    * plus the four most common real-world rejects — a JPEG FRAGMENT
+    * (SOI/APP0 magic + garbage; since r17 it routes through the real
+    * baseline decoder and is rejected by the marker walk, not by the
+    * absence of a codec) declared "ppm", PNG bytes declared "bmp", an
+    * IEEE-float WAV, and an AVI with a compressed '00dc' frame chunk.
+    * Callers filter `docs` to the kinds their decoder family handles
+    * BEFORE this map (the pushdown rule).
     */
   private def poisonRecords(docs: DataFrame) = {
     import docs.sparkSession.implicits._
@@ -617,7 +620,137 @@ object MediaQueries {
     valid.unionByName(poison).orderBy($"kind")
   }
 
+  // ---- q233: JPEG pipeline (VERDICT r16 #4 — the compressed-DCT
+  // ---- boundary, decided as DECODE) -----------------------------------
+
+  /** Deterministic quantized coefficients of fixture block (c, bi) for
+    * doc `id` — the JPEG fixture IS this spectrum (lossy coding means
+    * pixel-domain generators can't be oracle-replayed; coefficient-
+    * domain ones can, exactly). Sparse by design: a DC term (exercises
+    * the per-component predictor, negatives included), one low AC and
+    * one high AC (their gap exceeds 16 often, forcing ZRL codes; either
+    * may be 0, exercising pure-EOB blocks). All arithmetic nonnegative
+    * before the final shift so the DuckDB twin's % matches the JVM.
+    */
+  private[graft] def jpegQuantCoefs(id: Long)(c: Int, bi: Int): Array[Int] = {
+    val z = new Array[Int](64)
+    z(0) = (((id * 7 + c * 11 + bi * 5) % 64) - 32).toInt
+    val z1 = (1 + ((id + bi + 3 * c) % 20)).toInt
+    val a1 = (((id * 3 + bi * (c + 2)) % 9) - 4).toInt
+    val z2 = (24 + ((id * 5 + bi * 3 + c) % 38)).toInt
+    val a2 = (((id + bi + c * 7) % 5) - 2).toInt
+    z(z1) = a1
+    z(z2) = a2
+    z
+  }
+
+  private[graft] def jpegDims(id: Long): (Int, Int) =
+    ((8 + id % 13).toInt, (8 + id % 11).toInt)
+
+  /** Real baseline-JFIF bytes per doc (≤ 20×18 px, 3 components 4:4:4,
+    * non-multiple-of-8 dims exercise the MCU crop). Map-side typed work.
+    */
+  private def jpegRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      val (w, h) = jpegDims(id)
+      MediaFunctions.MediaRecord(
+        id, MediaFunctions.encodeJpeg(w, h, jpegQuantCoefs(id)), "jpg")
+    }
+  }
+
+  /** Marker surgery on a VALID [[MediaFunctions.encodeJpeg]] output —
+    * four corrupt variants, each isolating ONE rejection gate of the
+    * declared baseline tier: `progressive` (SOF0→SOF2 marker byte — the
+    * frame-type gate), `dqt16` (DQT precision nibble set to 1 — the
+    * 16-bit-table gate; the segment is otherwise untouched and the gate
+    * fires on the Pq field itself), `subsampled` (Y sampling 1×1→2×1 —
+    * the 4:4:4 gate, rejected at SOF before any entropy work), and
+    * `truncated` (4 entropy bytes cut before EOI — bit starvation
+    * mid-MCU; padding is < 1 byte so a 4-byte cut always removes real
+    * payload).
+    */
+  private[graft] def jpegPoison(kind: String, jpg: Array[Byte]): Array[Byte] = {
+    def markerAt(m: Int): Int = {
+      var off = 2
+      while (!((jpg(off) & 0xff) == 0xff && (jpg(off + 1) & 0xff) == m))
+        off += 2 + (((jpg(off + 2) & 0xff) << 8) | (jpg(off + 3) & 0xff))
+      off
+    }
+    kind match {
+      case "progressive" =>
+        val o = jpg.clone(); o(markerAt(0xc0) + 1) = 0xc2.toByte; o
+      case "dqt16" =>
+        val o = jpg.clone(); val d = markerAt(0xdb)
+        o(d + 4) = (0x10 | (o(d + 4) & 0x0f)).toByte; o
+      case "subsampled" =>
+        val o = jpg.clone(); val f = markerAt(0xc0)
+        o(f + 11) = 0x21.toByte; o // first component's H·V factors
+      case _ => // truncated
+        require(jpg.length > 8)
+        val out = new Array[Byte](jpg.length - 4)
+        System.arraycopy(jpg, 0, out, 0, jpg.length - 6) // cut 4 pre-EOI bytes
+        out(out.length - 2) = 0xff.toByte
+        out(out.length - 1) = 0xd9.toByte
+        out
+    }
+  }
+
+  private[graft] val JpegPoisonKinds =
+    Array("progressive", "dqt16", "subsampled", "truncated")
+
+  /** One poisoned JPEG per doc (callers pre-filter to doc_id % 5 = 0);
+    * kind rotates by (doc_id / 5) % 4, replayable with integer division.
+    */
+  private def jpegPoisonRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      val (w, h) = jpegDims(id)
+      val good = MediaFunctions.encodeJpeg(w, h, jpegQuantCoefs(id))
+      MediaFunctions.MediaRecord(
+        id, jpegPoison(JpegPoisonKinds(((id / 5) % 4).toInt), good), "jpg")
+    }
+  }
+
+  /** REAL JPEG decode under the oracle gate (VERDICT r16 #4): every doc's
+    * coefficient-domain fixture encoded to real baseline-JFIF bytes,
+    * decoded by the real codec (marker walk, canonical Huffman + DC
+    * prediction + stuffing, dequantize, integer IDCT, fixed-point
+    * YCbCr→RGB), and the oracle predicts the decoded luma-FNV hashes by
+    * replaying the GENERATOR FORMULAS through the identical integer
+    * post-entropy arithmetic — the JPEG bytes exist only Spark-side, so
+    * any entropy/marker bug lands in checksum_xor. Four poison kinds
+    * ([[jpegPoison]]) must quarantine to the last record. All decode work
+    * is map-side typed iteration; the only shuffle is the rollup.
+    */
+  def q233JpegPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val valid = MediaFunctions.decodeFrames(jpegRecords(docs)).toDF()
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"width" === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum($"n_pixels").as("total_pixels"),
+        coalesce(expr("bit_xor(CASE WHEN width > 0 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+      .select(lit("valid").as("kind"), $"n_records", $"n_quarantined",
+        $"total_pixels", $"checksum_xor")
+    val poison = MediaFunctions.decodeFrames(
+        jpegPoisonRecords(docs.filter($"doc_id" % 5 === 0))).toDF()
+      .groupBy(element_at(
+        typedLit(JpegPoisonKinds.toSeq), (expr("(id div 5) % 4") + 1).cast("int"))
+        .as("kind"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"width" === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum($"n_pixels").as("total_pixels"),
+        coalesce(expr("bit_xor(CASE WHEN width > 0 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+    valid.unionByName(poison).orderBy($"kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_jpeg_pipeline" -> (q233JpegPipeline _),
     "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
     "q23_binary_metadata" -> (q23BinaryMetadata _),
@@ -688,7 +821,112 @@ object MediaQueries {
        |  + 587 * ((doc_id * 17 + ($t) * 59 + ($p) * 13) % 256)
        |  + 114 * ((doc_id * 53 + ($t) * 211 + ($p) * 29) % 256)) // 1000)""".stripMargin
 
+  /** SQL VALUES literals generated from the SAME Scala constants the
+    * codec runs on (zigzag map, Annex K quantization, integer IDCT
+    * basis) — the q233 oracle replays the post-entropy arithmetic from
+    * these, so codec constants and oracle constants cannot drift. */
+  private def jpegZigzagValuesSql: String =
+    (0 until 64).map { z =>
+      val r = MediaFunctions.JpegZigzag(z)
+      s"($z, ${r % 8}, ${r / 8})"
+    }.mkString(", ")
+  private def jpegQuantValuesSql: String =
+    (for (t <- 0 to 1; v <- 0 until 8; u <- 0 until 8)
+      yield s"($t, $u, $v, ${MediaFunctions.JpegQuant(t)(v * 8 + u)})").mkString(", ")
+  private def jpegBasisValuesSql: String =
+    (for (x <- 0 until 8; u <- 0 until 8)
+      yield s"($x, $u, ${MediaFunctions.JpegIdctBasis(x)(u)})").mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    // JPEG gate: the valid class replays the coefficient-domain generator
+    // through dequantize → integer IDCT → level shift/clamp → fixed-point
+    // YCbCr→RGB → BT.601 luma → FNV, per pixel — the JFIF bytes exist
+    // only Spark-side, so any marker/Huffman/stuffing/prediction bug is a
+    // checksum_xor mismatch. Every integer step uses the nonneg-offset
+    // shift so // here equals the JVM's >> there. Poison kinds must
+    // quarantine to the last record; quarantined checksums (raw-byte
+    // FNV of encoder output) are excluded from the xor on BOTH sides,
+    // exactly as q231 does.
+    "q233_jpeg_pipeline" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h,
+         |    (8 + doc_id % 13 + 7) // 8 AS bw, (8 + doc_id % 11 + 7) // 8 AS bh
+         |  FROM documents
+         |), comps AS (
+         |  SELECT doc_id, w, h, bw, CAST(ub.b AS BIGINT) AS bi, CAST(uc.c AS BIGINT) AS c
+         |  FROM d, UNNEST(range(0, bw * bh)) AS ub(b), UNNEST(range(0, 3)) AS uc(c)
+         |), coef AS (
+         |  SELECT doc_id, bi, c, CAST(0 AS BIGINT) AS z,
+         |    ((doc_id * 7 + c * 11 + bi * 5) % 64) - 32 AS v FROM comps
+         |  UNION ALL
+         |  SELECT doc_id, bi, c, 1 + ((doc_id + bi + 3 * c) % 20),
+         |    ((doc_id * 3 + bi * (c + 2)) % 9) - 4 FROM comps
+         |  UNION ALL
+         |  SELECT doc_id, bi, c, 24 + ((doc_id * 5 + bi * 3 + c) % 38),
+         |    ((doc_id + bi + c * 7) % 5) - 2 FROM comps
+         |), zig(z, uu, vv) AS (VALUES $jpegZigzagValuesSql),
+         |qt(tab, uu, vv, q) AS (VALUES $jpegQuantValuesSql),
+         |basis(x, u, bv) AS (VALUES $jpegBasisValuesSql),
+         |dq AS (
+         |  SELECT f.doc_id, f.bi, f.c, zg.uu, zg.vv, f.v * qt.q AS dqv
+         |  FROM coef f JOIN zig zg ON f.z = zg.z
+         |  JOIN qt ON qt.tab = CASE WHEN f.c = 0 THEN 0 ELSE 1 END
+         |         AND qt.uu = zg.uu AND qt.vv = zg.vv
+         |  WHERE f.v != 0
+         |), psum AS (
+         |  SELECT dq.doc_id, dq.bi, dq.c, bx.x AS x, by.x AS y,
+         |    sum(dq.dqv * bx.bv * by.bv) AS s
+         |  FROM dq JOIN basis bx ON bx.u = dq.uu JOIN basis by ON by.u = dq.vv
+         |  GROUP BY 1, 2, 3, 4, 5
+         |), grid AS (
+         |  SELECT doc_id, w, h, bw, bi, c, CAST(ux.x AS BIGINT) AS x, CAST(uy.y AS BIGINT) AS y
+         |  FROM comps, UNNEST(range(0, 8)) AS ux(x), UNNEST(range(0, 8)) AS uy(y)
+         |), pix AS (
+         |  SELECT g.doc_id, g.w, g.h, g.c,
+         |    (g.bi % g.bw) * 8 + g.x AS px, (g.bi // g.bw) * 8 + g.y AS py,
+         |    least(255, greatest(0,
+         |      ((COALESCE(p.s, 0) + 524288 + 68719476736) // 1048576) - 65536 + 128)) AS val
+         |  FROM grid g LEFT JOIN psum p
+         |    ON p.doc_id = g.doc_id AND p.bi = g.bi AND p.c = g.c
+         |   AND p.x = g.x AND p.y = g.y
+         |), ycc AS (
+         |  SELECT doc_id, w, h, px, py,
+         |    max(CASE WHEN c = 0 THEN val END) AS yy,
+         |    max(CASE WHEN c = 1 THEN val END) AS cb,
+         |    max(CASE WHEN c = 2 THEN val END) AS cr
+         |  FROM pix WHERE px < w AND py < h
+         |  GROUP BY 1, 2, 3, 4, 5
+         |), rgb AS (
+         |  SELECT doc_id, px, py,
+         |    least(255, greatest(0, yy + ((91881 * (cr - 128) + 32768 + 67108864) // 65536) - 1024)) AS r,
+         |    least(255, greatest(0, yy + ((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 67108864) // 65536) - 1024)) AS g,
+         |    least(255, greatest(0, yy + ((116130 * (cb - 128) + 32768 + 67108864) // 65536) - 1024)) AS b
+         |  FROM ycc
+         |), lists AS (
+         |  SELECT doc_id,
+         |    list((299 * r + 587 * g + 114 * b) // 1000 ORDER BY py, px) AS ls
+         |  FROM rgb GROUP BY doc_id
+         |), cks AS (
+         |  SELECT doc_id, ${fnvListSql("list_transform(ls, e -> e::HUGEINT)")} AS cksum
+         |  FROM lists
+         |), valid AS (
+         |  SELECT 'valid' AS kind, count(*) AS n_records, 0 AS n_quarantined,
+         |    sum(d.w * d.h) AS total_pixels, bit_xor(c.cksum) AS checksum_xor
+         |  FROM cks c JOIN d ON c.doc_id = d.doc_id
+         |), poison AS (
+         |  SELECT CASE (doc_id // 5) % 4 WHEN 0 THEN 'progressive'
+         |           WHEN 1 THEN 'dqt16' WHEN 2 THEN 'subsampled'
+         |           ELSE 'truncated' END AS kind,
+         |    count(*) AS n_records, count(*) AS n_quarantined,
+         |    0 AS total_pixels, 0 AS checksum_xor
+         |  FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+         |)
+         |SELECT kind, CAST(n_records AS BIGINT) AS n_records,
+         |  CAST(n_quarantined AS BIGINT) AS n_quarantined,
+         |  CAST(total_pixels AS BIGINT) AS total_pixels,
+         |  CAST(checksum_xor AS BIGINT) AS checksum_xor
+         |FROM (SELECT * FROM valid UNION ALL SELECT * FROM poison)
+         |ORDER BY kind""".stripMargin,
     // real-decode gate: width/height/checksum predicted from the raster
     // generator alone — the PPM bytes only exist on the Spark side
     "q214_image_decode" ->
