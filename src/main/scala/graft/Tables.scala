@@ -77,6 +77,22 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = canon(p(s, d, "embeddings"),
     "vec_id" -> LongType, "embedding" -> ArrayType(FloatType), "label" -> IntegerType)
 
+  /** Cardinality of `<dir>/<table>.parquet`, memoized per JVM. The
+    * corpus-sized plans (q19/q20/q50's band ladders, q232's refine
+    * rounds) derive from this count on EVERY execution; it is a
+    * zero-column parquet-metadata read, but each un-memoized call is
+    * still a full Spark job (~10 cs at local[32]) — measured as the
+    * r17 q67/q175 mover (+26/+10 cs: two counts vs one). A production
+    * engine reads this from catalog statistics; the per-process memo
+    * is the local stand-in. Safe because a corpus regen at the same
+    * path is already out of scope for a LIVE process (the artifact
+    * fingerprints that guard regens are computed per-process too).
+    */
+  private val countCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def rowCount(s: SparkSession, d: String, table: String): Long =
+    countCache.computeIfAbsent(s"$d/$table",
+      _ => s.read.parquet(s"$d/$table.parquet").count()).longValue()
+
   /** `events.ts` has shipped under two generator layouts, so the loader
     * adapts to whichever schema the scan reports rather than assuming one:
     *

@@ -58,7 +58,7 @@ object DedupQueries {
     * would force a second pass over a non-metadata count.
     */
   private[graft] def docMinhashPlan(s: SparkSession, dir: String): (Int, Int) =
-    scaledMinhashPlan(Tables.documents(s, dir).count())
+    scaledMinhashPlan(Tables.rowCount(s, dir, "documents"))
 
   /** DuckDB twins of [[scaledMinhashPlan]] — generated from the same
     * ladder constants so the q20/q50 oracles adjudicate the identical

@@ -183,7 +183,7 @@ object VectorQueries {
     */
   def q19AnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val b = scaledBandBits(Tables.embeddings(s, dir).count())
+    val b = scaledBandBits(Tables.rowCount(s, dir, "embeddings"))
     val e = withNorm(Tables.embeddings(s, dir))
       .withColumn("bucket", scaledBucketT($"embedding", 0, b))
     val pairs = e.as("a").join(e.as("b"),
@@ -408,7 +408,7 @@ object VectorQueries {
   def q230LshCotuned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = withNorm(Tables.embeddings(s, dir))
-    val b = scaledBandBits(Tables.embeddings(s, dir).count())
+    val b = scaledBandBits(Tables.rowCount(s, dir, "embeddings"))
     val ea = e.select($"vec_id", $"embedding".as("a_emb"), $"nrm".as("a_nrm"))
     val eb = e.select($"vec_id".as("nn_id"), $"embedding".as("b_emb"), $"nrm".as("b_nrm"))
     cotunedPairs(s, dir, b).join(ea, "vec_id").join(eb, "nn_id")
@@ -693,7 +693,7 @@ object VectorQueries {
 
   private[graft] def refinedGraphEdges(s: SparkSession, dir: String): DataFrame = {
     val rounds = scaledRefineRounds(
-      Tables.embeddings(s, dir).count(), RefinedDegree)
+      Tables.rowCount(s, dir, "embeddings"), RefinedDegree)
     val root = refinedGraphRoot(dir, rounds)
     graft.Scratch.publishOnce(root, "_graphbuilt") { staging =>
       builtGraphEdgesRefinedD(s, dir, RefinedDegree, rounds)
@@ -724,7 +724,7 @@ object VectorQueries {
     */
   def q232GraphAnnRefined(s: SparkSession, dir: String): DataFrame = {
     val rounds = scaledRefineRounds(
-      Tables.embeddings(s, dir).count(), RefinedDegree)
+      Tables.rowCount(s, dir, "embeddings"), RefinedDegree)
     beamServe(s, dir, refinedGraphEdges(s, dir), BeamRounds)
       .withColumn("refine_rounds", lit(rounds).cast("long"))
   }
