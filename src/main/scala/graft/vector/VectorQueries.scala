@@ -842,6 +842,41 @@ object VectorQueries {
 
   private[graft] val IvfCells = 8
   private[graft] val IvfIters = 2
+
+  /** PQ codebook size — a STORAGE-FORMAT constant (8 codes = one 3-bit
+    * code per subspace), NOT an occupancy parameter: codebook size sets
+    * the compression/recall trade of the codec, and growing it with the
+    * corpus would change the on-disk code format. Per-vector coding cost
+    * is linear in n regardless, so the q26-style "fixed is load-bearing"
+    * argument applies — unlike the coarse cell count below, which
+    * controls per-cell occupancy and MUST scale.
+    */
+  private[graft] val PqCodes = 8
+
+  /** Coarse cell count for a corpus of `n` vectors: k doubles per 4×
+    * corpus growth from the floor [[IvfCells]] (8 at n ≤ 1000), capped at
+    * 1024 — the integer-ladder spelling of the standard nlist ≈ √n rule
+    * (k = 8·2^⌈log₄(n/1000)⌉ ∈ [8√(n/1000), 16√(n/1000))). Why it must
+    * scale: per-probe search work is nprobe·n/k and SemDeDup's intra-cell
+    * pruning is Σ|cell|² ≈ n²/k — with a FIXED k both grow linearly/
+    * quadratically in n (exactly the fixed-band defect q230 fixed for the
+    * LSH tier, VERDICT r16 #1), while k ∝ √n holds them to √n-per-probe
+    * and n^1.5 total. The cap bounds the training fan-out (k·n distance
+    * evaluations per Lloyd round) and the broadcast centroid table; past
+    * it a deployment trains hierarchically (IVF on IVF), which is a
+    * different recipe version. Integer ladder, no floating log: both
+    * engines must derive the IDENTICAL k from the identical count, and
+    * the only input is the corpus CARDINALITY (a zero-column metadata
+    * count, memoized per JVM — [[Tables.rowCount]]). At the tested
+    * corpora: sf0.001/sf0.01 (n=500) → 8 (the pre-ladder setting, so the
+    * sf0.01 correctness gate also certifies backward agreement),
+    * sf0.1 (n=2000) → 16, the 10× replicas (n=20000) → 64.
+    */
+  private[graft] def scaledIvfCells(n: Long): Int = {
+    var k = IvfCells
+    while (k < 1024 && n > 1000L * (k / 8L) * (k / 8L)) k *= 2
+    k
+  }
   // means are quantized to 2⁻²⁰ before averaging (the q60 trick): integer
   // sums are order-independent, so both engines derive bit-identical
   // centroids — a plain float mean drifts with partition count
@@ -884,22 +919,26 @@ object VectorQueries {
     * integers, then narrowed to float — so the DuckDB oracle replays the
     * identical training unrolled, and VectorLawsSpec asserts the Lloyd
     * SSE-descent law. Empty cells keep their previous centroid
-    * (deterministic left-join + coalesce). At 100 TB: k grows ≈ √n, the
-    * per-round cost stays one linear pass, and the trained table is 8
-    * rows — always broadcastable.
+    * (deterministic left-join + coalesce). k comes from the
+    * [[scaledIvfCells]] ladder on the corpus cardinality (round 17 —
+    * previously a fixed 8 whose docstring merely PROMISED k ≈ √n), so
+    * the per-round cost stays one linear pass over the corpus and the
+    * trained table stays ≤ 1024 rows — always broadcastable.
     */
   private[graft] def trainedCentroids(s: SparkSession, dir: String,
       iters: Int = IvfIters): DataFrame =
-    lloyd(withN2(Tables.embeddings(s, dir)), iters)
+    lloyd(withN2(Tables.embeddings(s, dir)), iters,
+      scaledIvfCells(Tables.rowCount(s, dir, "embeddings")))
 
   /** The Lloyd loop itself, over any (vec_id, embedding, n2) relation —
-    * the IVF quantizer trains it on full vectors, the PQ codebooks (q138)
-    * on 16-dim subvector slices. Seeds = the vec_id < IvfCells rows.
+    * the IVF quantizer trains it on full vectors with the ladder-derived
+    * k, the PQ codebooks (q138) on 16-dim subvector slices with the
+    * [[PqCodes]] format constant. Seeds = the vec_id < k rows.
     */
-  private[graft] def lloyd(e: DataFrame, iters: Int): DataFrame = {
+  private[graft] def lloyd(e: DataFrame, iters: Int, k: Int): DataFrame = {
     import e.sparkSession.implicits._
     var cents = withC2(
-      e.filter($"vec_id" < IvfCells)
+      e.filter($"vec_id" < k)
         .select($"vec_id".cast("long").as("cell"), $"embedding".as("c_emb")))
     for (_ <- 1 to iters) {
       val means = assignCells(e, cents)
@@ -917,6 +956,22 @@ object VectorQueries {
           .localCheckpoint())
     }
     cents
+  }
+
+  /** Intra-cell candidate-pair total after training with k cells — the
+    * Σ |cell|·(|cell|−1)/2 that q189's prune join actually evaluates.
+    * Shared with VectorLawsSpec's ladder law, which compares the
+    * ladder-derived k against the fixed [[IvfCells]] floor on the same
+    * corpus: fewer pairs is the entire point of scaling k.
+    */
+  private[graft] def intraCellPairs(s: SparkSession, dir: String, k: Int): Long = {
+    import s.implicits._
+    val e = withN2(Tables.embeddings(s, dir))
+    assignCells(e, lloyd(e, IvfIters, k))
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      // integer arithmetic end-to-end (Spark's `/` returns DOUBLE);
+      // n·(n−1) is even, so halving in the driver is exact
+      .agg(sum($"n" * ($"n" - 1)).as("twice")).collect()(0).getLong(0) / 2
   }
 
   /** Σ d2 to the assigned centroid after `iters` training rounds — the
@@ -937,8 +992,14 @@ object VectorQueries {
   def q35IvfAssign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = withN2(Tables.embeddings(s, dir))
+    // the derived cell count rides the result as a hash-checked column
+    // (the q230 pattern): the oracle re-derives k from count(*) via the
+    // same ladder, so the SIZING arithmetic is adjudicated, not just the
+    // assignment it produced
+    val k = scaledIvfCells(Tables.rowCount(s, dir, "embeddings"))
     assignCells(e, trainedCentroids(s, dir))
-      .select($"vec_id", $"cell", round($"d2", 4).as("d2"))
+      .select($"vec_id", $"cell", round($"d2", 4).as("d2"),
+        lit(k).cast("long").as("ncells"))
       .orderBy($"vec_id")
   }
 
@@ -993,8 +1054,10 @@ object VectorQueries {
     * cluster, then prune intra-cluster cosine neighbors.
     *
     * Scale shape: candidates come from the CELL equi-join, never a global
-    * all-pairs — per-cell cost is Σ|cell|², and at 100 TB k grows ≈ √n so
-    * E|cell| stays bounded (the exact argument the IVF tier documents);
+    * all-pairs — per-cell cost is Σ|cell|², and k now actually grows ≈ √n
+    * via the [[scaledIvfCells]] ladder (round 17 — previously a fixed 8
+    * this docstring only promised would scale), holding total prune work
+    * to ~n^1.5 instead of the n²/8 a fixed k gives;
     * the oracle replays training + assignment + prune bit-identically, so
     * a cell-assignment drift or a missed intra-cell pair fails the hash.
     */
@@ -1022,7 +1085,12 @@ object VectorQueries {
       .join(dupOf.withColumnRenamed("a_id", "vec_id"), Seq("vec_id"), "left")
       .select($"vec_id", $"cell",
         $"dup_of".isNotNull.cast("long").as("pruned"),
-        coalesce($"dup_of", lit(-1L)).as("dup_of"))
+        coalesce($"dup_of", lit(-1L)).as("dup_of"),
+        // hash-checked plan column (q230 pattern): q189 is the query the
+        // cell LADDER exists for — fixed k makes its intra-cell pruning
+        // n²/k — so the oracle adjudicates the k derivation itself
+        lit(scaledIvfCells(Tables.rowCount(s, dir, "embeddings")))
+          .cast("long").as("ncells"))
       .orderBy($"vec_id")
   }
 
@@ -1122,7 +1190,7 @@ object VectorQueries {
       Seq("full" -> raw, "base" -> raw.filter(!isIncrement($"vec_id")))
     variants.map { case (tag, trainSet) =>
       (0 until PqSubspaces).map { m =>
-        assignCells(subspaceOf(raw, m), lloyd(subspaceOf(trainSet, m), PqIters))
+        assignCells(subspaceOf(raw, m), lloyd(subspaceOf(trainSet, m), PqIters, PqCodes))
           .select(lit(tag).as("train"), lit(m.toLong).as("m"), $"vec_id", $"cell")
       }.reduce(_ unionByName _)
     }.reduce(_ unionByName _)
@@ -1262,7 +1330,7 @@ object VectorQueries {
     import s.implicits._
     val spaces = (0 until PqSubspaces).map { m =>
       val e = subspace(s, dir, m)
-      (m, e, lloyd(e, PqIters))
+      (m, e, lloyd(e, PqIters, PqCodes))
     }
     val vecCodes = spaces.map { case (m, e, cb) =>
       assignCells(e, cb).select($"vec_id", lit(m).as("m"), $"cell")
@@ -1318,7 +1386,7 @@ object VectorQueries {
       .select($"probe_id", $"cell")
     val spaces = (0 until PqSubspaces).map { m =>
       val se = subspace(s, dir, m)
-      (m, se, lloyd(se, PqIters))
+      (m, se, lloyd(se, PqIters, PqCodes))
     }
     val vecCodes = spaces.map { case (m, se, cb) =>
       assignCells(se, cb).select($"vec_id", lit(m).as("m"), $"cell".as("code"))
@@ -1367,9 +1435,11 @@ object VectorQueries {
   /** Bump when the INDEX RECIPE changes (quantizer counts, iteration
     * budgets, coding layout …): the artifact is shared across processes,
     * so a recipe change without a version bump would silently serve a
-    * stale index.
+    * stale index. v2: coarse cell count moved from fixed 8 to the
+    * [[scaledIvfCells]] corpus ladder (round 17) — a v1 index's cell
+    * space no longer matches what the serve path would train.
     */
-  private[graft] val AnnIndexVersion = 1
+  private[graft] val AnnIndexVersion = 2
 
   /** Index root for q148/q151 artifacts — PID-FREE (VERDICT r14 #1): the
     * whole point of a lake artifact is that a NEW session/cluster serves
@@ -1393,9 +1463,13 @@ object VectorQueries {
     * maintenance (q151) exists to NOT repeat per batch.
     */
   private[graft] def trainIndexArtifacts(s: SparkSession, root: String, raw: DataFrame): Unit = {
-    lloyd(withN2(raw), IvfIters).write.mode("overwrite").parquet(s"$root/centroids")
+    // coarse k sized to the corpus this index actually covers (for the
+    // incremental root that is the BASE slice, not the full table) — one
+    // count job, amortized over the train-once lifetime of the artifact
+    lloyd(withN2(raw), IvfIters, scaledIvfCells(raw.count()))
+      .write.mode("overwrite").parquet(s"$root/centroids")
     (0 until PqSubspaces).foreach { m =>
-      lloyd(subspaceOf(raw, m), PqIters)
+      lloyd(subspaceOf(raw, m), PqIters, PqCodes)
         .write.mode("overwrite").parquet(s"$root/codebook_$m")
     }
   }
@@ -1918,7 +1992,7 @@ object VectorQueries {
     * Empty cells coalesce to the previous centroid, as in Scala.
     */
   private def kmeansCtesFor(p: String, sliceSql: String, iters: Int,
-      where: String = ""): String = {
+      where: String = "", kSql: String = PqCodes.toString): String = {
     // Every CTE is AS MATERIALIZED: the chain references each relation
     // more than once (c_{i-1} feeds both a_i and c_i; emb0 feeds every
     // round; code/lut consumers join 4+4 ways), and DuckDB's default
@@ -1935,7 +2009,7 @@ object VectorQueries {
          |  FROM embeddings $where
          |), ${p}c0 AS MATERIALIZED (
          |  SELECT CAST(vec_id AS BIGINT) AS cell, emb AS ce, n2 AS cn2
-         |  FROM ${p}emb0 WHERE vec_id < $IvfCells
+         |  FROM ${p}emb0 WHERE vec_id < $kSql
          |)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s""", ${p}a$i AS MATERIALIZED (
@@ -1964,8 +2038,32 @@ object VectorQueries {
     init + rounds
   }
 
+  /** DuckDB twin of [[scaledIvfCells]] — GENERATED from the same ladder
+    * constants (k doubles per 4× from the 8-at-n≤1000 floor, cap 1024)
+    * so every coarse-quantizer oracle adjudicates the identical sizing
+    * arithmetic; a ladder drift in either engine is a hash mismatch on
+    * the emitted ncells column (q35/q189) or on every cell id (the seed
+    * set changes with k). Expects a relation exposing `n` = count(*).
+    */
+  private val scaledIvfCellsSqlCase: String = {
+    val rungs = Iterator.iterate(IvfCells)(_ * 2).takeWhile(_ < 1024)
+      .map(k => s"WHEN n <= ${1000L * (k / 8L) * (k / 8L)} THEN $k")
+      .mkString(" ")
+    s"CASE $rungs ELSE 1024 END"
+  }
+
+  /** The ladder-derived coarse k as a 1-row oracle relation; every coarse
+    * training chain seeds `vec_id < (SELECT k FROM ivfk)`.
+    */
+  private val ivfkCte: String =
+    s"""ivfk AS MATERIALIZED (
+       |  SELECT $scaledIvfCellsSqlCase AS k
+       |  FROM (SELECT count(*) AS n FROM embeddings)
+       |)""".stripMargin
+
   private val kmeansCtes: String =
-    kmeansCtesFor("", "CAST(embedding AS DOUBLE[])", IvfIters)
+    ivfkCte + ", " + kmeansCtesFor("", "CAST(embedding AS DOUBLE[])", IvfIters,
+      kSql = "(SELECT k FROM ivfk)")
 
   /** Fragments shared by the q54 (IVF flat) and q140 (IVF-PQ) oracles —
     * both derive from the same trained coarse quantizer.
@@ -2482,7 +2580,9 @@ object VectorQueries {
     "q35_ivf_assign" -> {
       val d2 = d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")
       s"""WITH $kmeansCtes
-         |SELECT vec_id, cell, round(d2, 4) AS d2 FROM (
+         |SELECT vec_id, cell, round(d2, 4) AS d2,
+         |  CAST((SELECT k FROM ivfk) AS BIGINT) AS ncells
+         |FROM (
          |  SELECT e.vec_id, c.cell, $d2 AS d2,
          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2, c.cell) AS rn
          |  FROM emb0 e CROSS JOIN c$IvfIters c
@@ -2542,7 +2642,8 @@ object VectorQueries {
          |)
          |SELECT i.vec_id, i.cell,
          |  CAST(dup.dup_of IS NOT NULL AS BIGINT) AS pruned,
-         |  coalesce(dup.dup_of, -1) AS dup_of
+         |  coalesce(dup.dup_of, -1) AS dup_of,
+         |  CAST((SELECT k FROM ivfk) AS BIGINT) AS ncells
          |FROM idx i LEFT JOIN dup ON dup.a_id = i.vec_id
          |ORDER BY i.vec_id""".stripMargin,
     "q27_cosine_top_pairs" ->

@@ -10,10 +10,16 @@ class VectorLawsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val sf = "/root/testdata/sf0.001"
 
+  /** ncells at the spec corpus, via the same ladder the queries use — the
+    * degeneracy laws must probe EVERY cell, whatever the ladder derives.
+    */
+  private def ncellsHere: Int = vector.VectorQueries.scaledIvfCells(
+    Tables.rowCount(spark, sf, "embeddings"))
+
   test("IVF search with nprobe = ncells degenerates to exact kNN (== q18)") {
     val exact = vector.VectorQueries.q18KnnTopk(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    val ivfAll = vector.VectorQueries.ivfSearch(spark, sf, nprobe = 8)
+    val ivfAll = vector.VectorQueries.ivfSearch(spark, sf, nprobe = ncellsHere)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(exact.nonEmpty)
     assert(ivfAll == exact,
@@ -71,7 +77,7 @@ class VectorLawsSpec extends AnyFunSuite {
   test("IVF-SQ with nprobe = ncells degenerates to exhaustive SQ-ADC (== q193)") {
     val exhaustive = vector.VectorQueries.q193Sq8Search(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-    val allCells = vector.VectorQueries.ivfSqSearch(spark, sf, nprobe = 8)
+    val allCells = vector.VectorQueries.ivfSqSearch(spark, sf, nprobe = ncellsHere)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(exhaustive.nonEmpty)
     assert(allCells == exhaustive,
@@ -89,6 +95,30 @@ class VectorLawsSpec extends AnyFunSuite {
         s"SSE rose at round $i: ${sse.mkString(" -> ")}")
     }
     assert(sse.last < sse.head, s"training should improve on the raw seeds: $sse")
+  }
+
+  test("IVF cell ladder: pinned rungs, doubling per 4x, cap — and it cuts intra-cell pair work vs the fixed floor (sf0.1)") {
+    // the arithmetic itself (both engines must derive the identical k;
+    // the oracle twin is generated from the same constants)
+    import vector.VectorQueries.{scaledIvfCells => k}
+    assert(k(1) == 8 && k(500) == 8 && k(1000) == 8)       // spec/gate corpora
+    assert(k(1001) == 16 && k(2000) == 16 && k(4000) == 16) // sf0.1 rung
+    assert(k(4001) == 32 && k(16000) == 32)
+    assert(k(20000) == 64)                                  // the 10x replica rung
+    assert(k(Long.MaxValue) == 1024, "cap: past it the recipe is hierarchical training")
+    for (n <- Seq(500L, 2000L, 8000L, 32000L))              // k ∝ √n: double per 4x
+      assert(k(4 * n) == 2 * k(n), s"no doubling at n=$n")
+    // and what the ladder buys on real data: at sf0.1 the ladder rung is
+    // above the floor, and Σ|cell|² pair work — q189's prune-join cost,
+    // the term a FIXED k lets grow quadratically — strictly shrinks
+    val sf01 = "/root/testdata/sf0.1"
+    val rung = k(Tables.rowCount(spark, sf01, "embeddings"))
+    assert(rung > vector.VectorQueries.IvfCells, "law vacuous: ladder == floor at sf0.1")
+    val pairsLadder = vector.VectorQueries.intraCellPairs(spark, sf01, rung)
+    val pairsFloor = vector.VectorQueries.intraCellPairs(spark, sf01,
+      vector.VectorQueries.IvfCells)
+    assert(pairsLadder < pairsFloor,
+      s"ladder k=$rung pairs $pairsLadder should undercut floor-8 pairs $pairsFloor")
   }
 
   test("multi-table LSH recall beats single-table and clears the floor (sf0.01)") {
