@@ -877,6 +877,26 @@ object VectorQueries {
     while (k < 1024 && n > 1000L * (k / 8L) * (k / 8L)) k *= 2
     k
   }
+
+  /** Probes per query for a k-cell index: ⌊√k⌋, clamped below at 2 — the
+    * co-tuning [[scaledIvfCells]] needs, exactly as q230's L = b − 2
+    * completes its band-depth ladder. A FIXED nprobe while k grows
+    * shrinks the probed fraction (2/8 = 25% of cells at the floor, 3% at
+    * k=64) and silently degrades recall with corpus growth; a constant
+    * FRACTION (nprobe ∝ k) puts per-probe work back to ∝ n and cancels
+    * the point of the index. nprobe = √k holds per-probe candidates to
+    * nprobe·n/k = n/√k ∝ n^¾ — sublinear — while the probed cells are
+    * the √k CLOSEST of a finer partition, which is how recall at the
+    * deeper rungs is paid for (the standard IVF operating rule: FAISS
+    * tuning guidance starts nprobe at √nlist). Integer loop, no floating
+    * sqrt: both engines derive the identical value, and the ladder k is
+    * always a power of two so the oracle twin enumerates the rungs.
+    */
+  private[graft] def scaledNprobe(k: Int): Int = {
+    var p = 2
+    while ((p + 1) * (p + 1) <= k) p += 1
+    p
+  }
   // means are quantized to 2⁻²⁰ before averaging (the q60 trick): integer
   // sums are order-independent, so both engines derive bit-identical
   // centroids — a plain float mean drifts with partition count
@@ -1006,16 +1026,25 @@ object VectorQueries {
   /** IVF search end-to-end — the scale path q35's assignment feeds. Train
     * centroids, build the inverted index (nearest trained cell per
     * vector), rank cells per probe by the same L2 metric, then search ONLY
-    * the nprobe=2 best cells via an equi-join on the cell id: the scan per
-    * probe is nprobe/ncells of the corpus, not all of it, and the
-    * per-probe candidate stream is reduced map-side by TopKByScore (≤5
-    * rows per partition per probe reach the shuffle). Centroids and
+    * the [[scaledNprobe]] best cells via an equi-join on the cell id: the
+    * scan per probe is nprobe/ncells = 1/√k of the corpus, not all of it,
+    * and the per-probe candidate stream is reduced map-side by TopKByScore
+    * (≤5 rows per partition per probe reach the shuffle). Centroids and
     * probe-cell pairs are broadcast (both bounded: k rows, MaxProbes·nprobe
-    * rows). Final ranking is cosine — the q18 metric, so the nprobe=ncells
+    * rows). (ncells, nprobe) are CO-TUNED from the corpus count (round 17)
+    * and ride the result as hash-checked columns — the oracle re-derives
+    * both from count(*), so the operating point itself is adjudicated.
+    * Final ranking is cosine — the q18 metric, so the nprobe=ncells
     * degeneracy law against exact kNN holds exactly.
     */
-  def q54IvfSearch(s: SparkSession, dir: String): DataFrame =
-    ivfSearch(s, dir, nprobe = 2)
+  def q54IvfSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = scaledIvfCells(Tables.rowCount(s, dir, "embeddings"))
+    val np = scaledNprobe(k)
+    ivfSearch(s, dir, nprobe = np)
+      .withColumn("ncells", lit(k).cast("long"))
+      .withColumn("nprobe", lit(np).cast("long"))
+  }
 
   /** Metadata-filtered ANN — the production retrieval shape (every vector
     * store pairs a payload filter with the similarity search): the q54 IVF
@@ -1033,7 +1062,9 @@ object VectorQueries {
     val keep = Tables.documents(s, dir)
       .filter($"lang" === "en" && $"n_chars" >= 200)
       .select($"doc_id".as("vec_id"))
-    ivfSearch(s, dir, nprobe = 2, keepCandidates = Some(keep))
+    ivfSearch(s, dir,
+      nprobe = scaledNprobe(scaledIvfCells(Tables.rowCount(s, dir, "embeddings"))),
+      keepCandidates = Some(keep))
   }
 
   /** q189's prune threshold: pairs at or above this cosine inside one
@@ -1285,8 +1316,8 @@ object VectorQueries {
 
   /** IVF-SQ search — the composition the q193 Scaladoc promises, mirroring
     * exactly how q140 composes IVF-PQ: the trained coarse quantizer
-    * restricts each probe's scan to its nprobe=2 best cells (q54's
-    * machinery verbatim), and candidates inside those cells score by
+    * restricts each probe's scan to its co-tuned nprobe = √ncells best
+    * cells (q54's machinery verbatim), and candidates inside those cells score by
     * q193's SQ8 ADC reconstruction instead of raw floats. Per probe the
     * cost is (nprobe/ncells)·n reconstructions-worth of 64-byte codes —
     * the memory-bound regime a 100 TB embedding lake actually serves
@@ -1294,7 +1325,8 @@ object VectorQueries {
     * probe-cell pairs, 1-row SQ bounds).
     */
   def q195IvfSqSearch(s: SparkSession, dir: String): DataFrame =
-    ivfSqSearch(s, dir, nprobe = 2)
+    ivfSqSearch(s, dir,
+      nprobe = scaledNprobe(scaledIvfCells(Tables.rowCount(s, dir, "embeddings"))))
 
   /** The parameterized core — with nprobe = ncells every cell is probed
     * and the result must equal q193's exhaustive SQ-ADC search exactly
@@ -1362,7 +1394,7 @@ object VectorQueries {
 
   /** IVF-PQ search — the production ANN composition (FAISS's default
     * index shape): the trained coarse quantizer (q35/q54's machinery)
-    * restricts the scan to the probes' nprobe=2 cells, and PQ codes
+    * restricts the scan to the probes' co-tuned nprobe = √ncells cells, and PQ codes
     * (q138's machinery) make the scan itself 16× cheaper — candidates are
     * scored from 4 code bytes via the broadcast LUT, never from raw
     * vectors. Scale shape: the only corpus-sized relations that move are
@@ -1380,9 +1412,10 @@ object VectorQueries {
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
     val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
+    val np = scaledNprobe(scaledIvfCells(Tables.rowCount(s, dir, "embeddings")))
     val probeCells = probes.crossJoin(broadcast(centroids))
       .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
-      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= np)
       .select($"probe_id", $"cell")
     val spaces = (0 until PqSubspaces).map { m =>
       val se = subspace(s, dir, m)
@@ -1567,12 +1600,16 @@ object VectorQueries {
     import s.implicits._
     val e = withN2(Tables.embeddings(s, dir))
     val cents = s.read.parquet(s"$root/centroids")
+    // nprobe co-tuned to the cell count the PERSISTED index actually has
+    // (an incremental root's k is sized to its base slice, not the full
+    // table) — counting the ≤1024-row centroid table is a metadata read
+    val np = scaledNprobe(cents.count().toInt)
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
     val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
     val probeCells = probes.crossJoin(broadcast(cents))
       .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
-      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= 2)
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= np)
       .select($"probe_id", $"cell")
     val lut = (0 until PqSubspaces).map { m =>
         subspace(s, dir, m).filter(probePredicate($"vec_id"))
@@ -2052,13 +2089,27 @@ object VectorQueries {
     s"CASE $rungs ELSE 1024 END"
   }
 
-  /** The ladder-derived coarse k as a 1-row oracle relation; every coarse
-    * training chain seeds `vec_id < (SELECT k FROM ivfk)`.
+  /** DuckDB twin of [[scaledNprobe]] — the ladder k is always a power of
+    * two, so the twin ENUMERATES the rungs (k → ⌊√k⌋) from the same Scala
+    * function instead of trusting a floating sqrt to floor identically.
+    */
+  private val scaledNprobeSqlCase: String = {
+    val rungs = Iterator.iterate(IvfCells)(_ * 2).takeWhile(_ <= 1024)
+      .map(k => s"WHEN k = $k THEN ${scaledNprobe(k)}").mkString(" ")
+    s"CASE $rungs END"
+  }
+
+  /** The ladder-derived coarse k (and its co-tuned nprobe) as 1-row
+    * oracle relations; every coarse training chain seeds
+    * `vec_id < (SELECT k FROM ivfk)` and every probe-cell ranking cuts at
+    * `rn <= (SELECT np FROM ivfnp)`.
     */
   private val ivfkCte: String =
     s"""ivfk AS MATERIALIZED (
        |  SELECT $scaledIvfCellsSqlCase AS k
        |  FROM (SELECT count(*) AS n FROM embeddings)
+       |), ivfnp AS MATERIALIZED (
+       |  SELECT $scaledNprobeSqlCase AS np FROM ivfk
        |)""".stripMargin
 
   private val kmeansCtes: String =
@@ -2086,7 +2137,7 @@ object VectorQueries {
        |        ORDER BY ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")}, c.cell) AS rn
        |    FROM emb0 p CROSS JOIN c$IvfIters c
        |    WHERE ${probePredicateSql("p.vec_id")}
-       |  ) WHERE rn <= 2
+       |  ) WHERE rn <= (SELECT np FROM ivfnp)
        |)""".stripMargin
 
   /** Fragments shared by the q138 (exhaustive ADC) and q140 (IVF-PQ)
@@ -2682,7 +2733,9 @@ object VectorQueries {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
          |  FROM scored
          |)
-         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
+         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim,
+         |  CAST((SELECT k FROM ivfk) AS BIGINT) AS ncells,
+         |  CAST((SELECT np FROM ivfnp) AS BIGINT) AS nprobe
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // quantized exact mean: floor(v·2^20) summed as integers — order-
     // independent, so the compare cannot flake on float-sum associativity

@@ -121,6 +121,30 @@ class VectorLawsSpec extends AnyFunSuite {
       s"ladder k=$rung pairs $pairsLadder should undercut floor-8 pairs $pairsFloor")
   }
 
+  test("(ncells, nprobe) co-tuning: rungs pinned; at sf0.1 the co-tuned nprobe strictly beats the fixed floor's recall") {
+    // ⌊√k⌋ clamped at 2 — enumerated so the oracle twin (a generated CASE
+    // over the power-of-two rungs) can never drift via a floating sqrt
+    import vector.VectorQueries.{scaledNprobe => np}
+    assert(np(8) == 2 && np(16) == 4 && np(32) == 5 && np(64) == 8)
+    assert(np(128) == 11 && np(256) == 16 && np(512) == 22 && np(1024) == 32)
+    // and what it buys: at the sf0.1 rung (k=16) probing √k=4 cells must
+    // strictly beat the old fixed nprobe=2 on recall@5 vs exact kNN and
+    // clear an absolute floor (measured 0.61 co-tuned vs 0.40 fixed)
+    val sf01 = "/root/testdata/sf0.1"
+    val k = vector.VectorQueries.scaledIvfCells(Tables.rowCount(spark, sf01, "embeddings"))
+    assert(np(k) > 2, "law vacuous: co-tuned nprobe == floor at sf0.1")
+    val exact = vector.VectorQueries.q18KnnTopk(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val got = vector.VectorQueries.ivfSearch(spark, sf01, nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val co = recallAt(np(k)); val fixed = recallAt(2)
+    assert(co > fixed, s"co-tuned recall $co should beat fixed-nprobe recall $fixed")
+    assert(co >= 0.5, s"co-tuned recall floor: $co < 0.5")
+  }
+
   test("multi-table LSH recall beats single-table and clears the floor (sf0.01)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
