@@ -93,6 +93,16 @@ object Tables {
     countCache.computeIfAbsent(s"$d/$table",
       _ => s.read.parquet(s"$d/$table.parquet").count()).longValue()
 
+  /** Same memo for an arbitrary parquet path (no `.parquet`-suffix
+    * convention) — used for the ≤1024-row persisted centroid tables whose
+    * cardinality sizes the serve path's nprobe. Safe for the same reason
+    * as [[rowCount]], and doubly so here: published artifact roots are
+    * immutable once their completion marker lands (Scratch.publishOnce),
+    * so the memo can never serve a stale figure within a process.
+    */
+  def pathCount(s: SparkSession, path: String): Long =
+    countCache.computeIfAbsent(path, _ => s.read.parquet(path).count()).longValue()
+
   /** `events.ts` has shipped under two generator layouts, so the loader
     * adapts to whichever schema the scan reports rather than assuming one:
     *

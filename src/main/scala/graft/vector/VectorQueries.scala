@@ -1602,8 +1602,8 @@ object VectorQueries {
     val cents = s.read.parquet(s"$root/centroids")
     // nprobe co-tuned to the cell count the PERSISTED index actually has
     // (an incremental root's k is sized to its base slice, not the full
-    // table) — counting the ≤1024-row centroid table is a metadata read
-    val np = scaledNprobe(cents.count().toInt)
+    // table) — memoized per process like every other sizing count
+    val np = scaledNprobe(Tables.pathCount(s, s"$root/centroids").toInt)
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
     val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
