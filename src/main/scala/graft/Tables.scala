@@ -93,15 +93,22 @@ object Tables {
     countCache.computeIfAbsent(s"$d/$table",
       _ => s.read.parquet(s"$d/$table.parquet").count()).longValue()
 
-  /** Same memo for an arbitrary parquet path (no `.parquet`-suffix
-    * convention) — used for the ≤1024-row persisted centroid tables whose
-    * cardinality sizes the serve path's nprobe. Safe for the same reason
-    * as [[rowCount]], and doubly so here: published artifact roots are
-    * immutable once their completion marker lands (Scratch.publishOnce),
-    * so the memo can never serve a stale figure within a process.
+  /** Same memo, but ONLY for tables under a published (immutable)
+    * artifact root — the ≤1024-row persisted centroid tables whose
+    * cardinality sizes the serve path's nprobe. The memo is safe
+    * precisely because publishOnce roots never change after their
+    * completion marker lands, so the marker is ASSERTED before caching
+    * (ADVICE r17: the old any-path name invited reuse on mutable paths —
+    * e.g. the hive-appended codes/cells dirs — where a stale count would
+    * silently mis-size nprobe). `markerPath` is the completion-marker
+    * FILE of the publishOnce root that owns `path`.
     */
-  def pathCount(s: SparkSession, path: String): Long =
-    countCache.computeIfAbsent(path, _ => s.read.parquet(path).count()).longValue()
+  def publishedArtifactCount(s: SparkSession, path: String, markerPath: String): Long =
+    countCache.computeIfAbsent(path, _ => {
+      require(new java.io.File(markerPath).exists(),
+        s"refusing to memoize a count under an unpublished root: $markerPath absent")
+      s.read.parquet(path).count()
+    }).longValue()
 
   /** `events.ts` has shipped under two generator layouts, so the loader
     * adapts to whichever schema the scan reports rather than assuming one:

@@ -17,10 +17,11 @@ object PipelineQueries {
 
   // portable 60-bit md5 bucket in [0, mod): Spark conv(substring(md5)) ==
   // DuckDB CAST('0x'||substr). The ONE copy of this construction — q57's
-  // split, q59's sampling, and q179's ppm-rate resampler all use it, so
-  // the Spark side can never drift from the oracles'
+  // split, q59's sampling, q179's ppm-rate resampler, and the vector
+  // tier's quantizer training sample (VectorQueries.trainSlice) all use
+  // it, so the Spark side can never drift from the oracles'
   // character-for-character hash recipe.
-  private[text] def hashMod(salt: String, key: org.apache.spark.sql.Column, mod: Long) =
+  private[graft] def hashMod(salt: String, key: org.apache.spark.sql.Column, mod: Long) =
     pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long"), lit(mod))
 

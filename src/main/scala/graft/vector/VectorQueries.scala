@@ -897,6 +897,53 @@ object VectorQueries {
     while ((p + 1) * (p + 1) <= k) p += 1
     p
   }
+
+  /** Lloyd training-set budget, in points per centroid (VERDICT r17 next
+    * #1): a k-code quantizer trains on ≤ ~2·[[TrainPointsPerCell]]·k
+    * vectors, never the whole corpus. FAISS's Clustering subsamples at
+    * max_points_per_centroid = 256 by default and warns below 39; 128
+    * sits inside that accepted band one corpus-doubling more aggressive
+    * than the default, which is what lets the cap engage at the corpora
+    * this repo can actually measure. Why it must exist: Lloyd costs
+    * k·n_train·iters distance evaluations, and with the [[scaledIvfCells]]
+    * ladder k ∝ √n a full-corpus training grows ∝ n^1.5 — the one cost
+    * curve the round-17 migration left unbent (q54/q195 were its only
+    * 10× regressions). With the cap, training cost is ≤ 256·k² — corpus-
+    * independent once the k-cap (1024) binds — while ASSIGNMENT stays
+    * full-corpus, exactly FAISS's train/add split.
+    */
+  private[graft] val TrainPointsPerCell = 128
+
+  /** Sample modulus for the training slice of an n-vector corpus and a
+    * k-code quantizer: the largest power of two m with ⌊n/m⌋ ≥
+    * [[TrainPointsPerCell]]·k, i.e. keep-1-in-m leaves the sample in
+    * [128·k, 256·k). Integer ladder, no floating log — both engines must
+    * derive the IDENTICAL m from the identical count (the scaledIvfCells
+    * discipline), and m = 1 (no sampling, no filter in the plan) until
+    * the corpus clears 256·k, so the sub-threshold corpora train exactly
+    * as before the cap existed.
+    */
+  private[graft] def trainSampleMod(n: Long, k: Int): Int = {
+    var m = 1
+    while (n >= 2L * TrainPointsPerCell * k * m) m *= 2
+    m
+  }
+
+  /** The bounded deterministic training slice itself: keep vec_ids whose
+    * portable 60-bit md5 bucket (PipelineQueries.hashMod — the ONE hash
+    * construction q57/q59 sample with, so the DuckDB oracles replay the
+    * identical predicate character-for-character) lands on 0 mod
+    * [[trainSampleMod]](n, k). At m = 1 this is the identity — no filter
+    * node enters the plan, so sub-threshold corpora keep their exact
+    * round-17 plans — and at m > 1 the slice is corpus-spread (hash, not
+    * prefix), stable across runs and cluster layouts, and free of the
+    * probe/increment predicates' structure.
+    */
+  private[graft] def trainSlice(e: DataFrame, n: Long, k: Int): DataFrame = {
+    val m = trainSampleMod(n, k)
+    if (m == 1) e
+    else e.filter(graft.text.PipelineQueries.hashMod("ivftrain:", col("vec_id"), m) === 0)
+  }
   // means are quantized to 2⁻²⁰ before averaging (the q60 trick): integer
   // sums are order-independent, so both engines derive bit-identical
   // centroids — a plain float mean drifts with partition count
@@ -905,7 +952,7 @@ object VectorQueries {
   /** (vec_id, embedding, n2) — n2 = x·x via the native kernel, computed
     * once per row; d2 and cosine both derive from it.
     */
-  private def withN2(df: DataFrame): DataFrame =
+  private[graft] def withN2(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
       dotF(col("embedding"), col("embedding")).as("n2"))
 
@@ -946,19 +993,27 @@ object VectorQueries {
     * trained table stays ≤ 1024 rows — always broadcastable.
     */
   private[graft] def trainedCentroids(s: SparkSession, dir: String,
-      iters: Int = IvfIters): DataFrame =
-    lloyd(withN2(Tables.embeddings(s, dir)), iters,
-      scaledIvfCells(Tables.rowCount(s, dir, "embeddings")))
+      iters: Int = IvfIters): DataFrame = {
+    val n = Tables.rowCount(s, dir, "embeddings")
+    val k = scaledIvfCells(n)
+    lloyd(trainSlice(withN2(Tables.embeddings(s, dir)), n, k), iters, k)
+  }
 
   /** The Lloyd loop itself, over any (vec_id, embedding, n2) relation —
-    * the IVF quantizer trains it on full vectors with the ladder-derived
-    * k, the PQ codebooks (q138) on 16-dim subvector slices with the
-    * [[PqCodes]] format constant. Seeds = the vec_id < k rows.
+    * the IVF quantizer trains it on the [[trainSlice]] of full vectors
+    * with the ladder-derived k, the PQ codebooks (q138) on 16-dim
+    * subvector slices with the [[PqCodes]] format constant. Seeds = the
+    * k SMALLEST vec_ids PRESENT in the training relation (cell id = the
+    * seed's vec_id): on a dense 0..n-1 corpus this is exactly the old
+    * `vec_id < k` seed set, but it stays k-strong when the train relation
+    * has id gaps — a hash sample, or q151's base slice once the ladder k
+    * grows past an increment id (ADVICE r17 #1: `vec_id < 16` on the
+    * base slice seeded only 15 cells).
     */
   private[graft] def lloyd(e: DataFrame, iters: Int, k: Int): DataFrame = {
     import e.sparkSession.implicits._
     var cents = withC2(
-      e.filter($"vec_id" < k)
+      e.orderBy($"vec_id").limit(k)
         .select($"vec_id".cast("long").as("cell"), $"embedding".as("c_emb")))
     for (_ <- 1 to iters) {
       val means = assignCells(e, cents)
@@ -1132,10 +1187,11 @@ object VectorQueries {
     * before any distance evaluation.
     */
   private[graft] def ivfSearch(s: SparkSession, dir: String, nprobe: Int,
-      keepCandidates: Option[DataFrame] = None): DataFrame = {
+      keepCandidates: Option[DataFrame] = None,
+      centroidsOverride: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val e = withN2(Tables.embeddings(s, dir))
-    val centroids = trainedCentroids(s, dir)
+    val centroids = centroidsOverride.getOrElse(trainedCentroids(s, dir))
     val index = keepCandidates.foldLeft(assignCells(e, centroids))(
         (idx, keep) => idx.join(keep, Seq("vec_id"), "left_semi"))
       .select($"vec_id", $"embedding", sqrt($"n2").as("nrm"), $"cell")
@@ -1217,11 +1273,17 @@ object VectorQueries {
   def q176PqCodeChecksum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = Tables.embeddings(s, dir)
-    val variants: Seq[(String, DataFrame)] =
-      Seq("full" -> raw, "base" -> raw.filter(!isIncrement($"vec_id")))
-    variants.map { case (tag, trainSet) =>
+    // each variant's sample modulus derives from ITS OWN train-set
+    // cardinality (the base slice is ~90% of the corpus, so its m can sit
+    // one rung below full's near a ladder boundary); both counts are
+    // memoized per process like every other sizing count
+    val variants: Seq[(String, DataFrame, Long)] = Seq(
+      ("full", raw, Tables.rowCount(s, dir, "embeddings")),
+      ("base", raw.filter(!isIncrement($"vec_id")), baseSliceCount(s, dir)))
+    variants.map { case (tag, trainSet, n) =>
       (0 until PqSubspaces).map { m =>
-        assignCells(subspaceOf(raw, m), lloyd(subspaceOf(trainSet, m), PqIters, PqCodes))
+        assignCells(subspaceOf(raw, m),
+            lloyd(trainSlice(subspaceOf(trainSet, m), n, PqCodes), PqIters, PqCodes))
           .select(lit(tag).as("train"), lit(m.toLong).as("m"), $"vec_id", $"cell")
       }.reduce(_ unionByName _)
     }.reduce(_ unionByName _)
@@ -1266,7 +1328,19 @@ object VectorQueries {
     * before the shuffle. Compose with q35's cells for the IVF-SQ variant,
     * exactly as q140 composes IVF-PQ.
     */
-  /** The trained SQ8 bounds: one row of per-dim (mins, maxs) arrays. */
+  /** The trained SQ8 bounds: one row of per-dim (mins, maxs) arrays.
+    *
+    * DECLARED full-corpus, exempt from the [[trainSlice]] sampling the
+    * Lloyd trainers got (VERDICT r17 next #1 asked about all three
+    * families): SQ "training" is a single map-side-partial min/max
+    * aggregation with 128 values of state — one corpus scan with no k·
+    * iters factor, the same asymptotic cost as the coding pass that must
+    * scan everything anyway — so sampling buys no complexity class and
+    * would ADD failure surface (out-of-sample extremes reconstruct
+    * outside [min, max] and need a clamp the exact-replay oracle would
+    * have to mirror). The Lloyd trainers were sampled because they cost
+    * k·n·iters; this one is n.
+    */
   private def sqBounds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
@@ -1360,9 +1434,10 @@ object VectorQueries {
 
   def q138PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val nCorpus = Tables.rowCount(s, dir, "embeddings")
     val spaces = (0 until PqSubspaces).map { m =>
       val e = subspace(s, dir, m)
-      (m, e, lloyd(e, PqIters, PqCodes))
+      (m, e, lloyd(trainSlice(e, nCorpus, PqCodes), PqIters, PqCodes))
     }
     val vecCodes = spaces.map { case (m, e, cb) =>
       assignCells(e, cb).select($"vec_id", lit(m).as("m"), $"cell")
@@ -1412,14 +1487,15 @@ object VectorQueries {
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
     val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
-    val np = scaledNprobe(scaledIvfCells(Tables.rowCount(s, dir, "embeddings")))
+    val nCorpus = Tables.rowCount(s, dir, "embeddings")
+    val np = scaledNprobe(scaledIvfCells(nCorpus))
     val probeCells = probes.crossJoin(broadcast(centroids))
       .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= np)
       .select($"probe_id", $"cell")
     val spaces = (0 until PqSubspaces).map { m =>
       val se = subspace(s, dir, m)
-      (m, se, lloyd(se, PqIters, PqCodes))
+      (m, se, lloyd(trainSlice(se, nCorpus, PqCodes), PqIters, PqCodes))
     }
     val vecCodes = spaces.map { case (m, se, cb) =>
       assignCells(se, cb).select($"vec_id", lit(m).as("m"), $"cell".as("code"))
@@ -1470,9 +1546,12 @@ object VectorQueries {
     * so a recipe change without a version bump would silently serve a
     * stale index. v2: coarse cell count moved from fixed 8 to the
     * [[scaledIvfCells]] corpus ladder (round 17) — a v1 index's cell
-    * space no longer matches what the serve path would train.
+    * space no longer matches what the serve path would train. v3: Lloyd
+    * trains on the bounded [[trainSlice]] hash sample with k-smallest-
+    * present seeding (round 18) — identical artifacts below the sample
+    * threshold, but a different trained space above it.
     */
-  private[graft] val AnnIndexVersion = 2
+  private[graft] val AnnIndexVersion = 3
 
   /** Index root for q148/q151 artifacts — PID-FREE (VERDICT r14 #1): the
     * whole point of a lake artifact is that a NEW session/cluster serves
@@ -1496,13 +1575,16 @@ object VectorQueries {
     * maintenance (q151) exists to NOT repeat per batch.
     */
   private[graft] def trainIndexArtifacts(s: SparkSession, root: String, raw: DataFrame): Unit = {
-    // coarse k sized to the corpus this index actually covers (for the
-    // incremental root that is the BASE slice, not the full table) — one
-    // count job, amortized over the train-once lifetime of the artifact
-    lloyd(withN2(raw), IvfIters, scaledIvfCells(raw.count()))
+    // coarse k AND every sample modulus sized to the corpus this index
+    // actually covers (for the incremental root that is the BASE slice,
+    // not the full table) — one count job, amortized over the train-once
+    // lifetime of the artifact
+    val n = raw.count()
+    val k = scaledIvfCells(n)
+    lloyd(trainSlice(withN2(raw), n, k), IvfIters, k)
       .write.mode("overwrite").parquet(s"$root/centroids")
     (0 until PqSubspaces).foreach { m =>
-      lloyd(subspaceOf(raw, m), PqIters, PqCodes)
+      lloyd(trainSlice(subspaceOf(raw, m), n, PqCodes), PqIters, PqCodes)
         .write.mode("overwrite").parquet(s"$root/codebook_$m")
     }
   }
@@ -1603,7 +1685,8 @@ object VectorQueries {
     // nprobe co-tuned to the cell count the PERSISTED index actually has
     // (an incremental root's k is sized to its base slice, not the full
     // table) — memoized per process like every other sizing count
-    val np = scaledNprobe(Tables.pathCount(s, s"$root/centroids").toInt)
+    val np = scaledNprobe(
+      Tables.publishedArtifactCount(s, s"$root/centroids", s"$root/_trained").toInt)
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
     val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
@@ -1643,11 +1726,25 @@ object VectorQueries {
   // ---- q151: incremental maintenance of the persisted index -------------
 
   /** The new-arrivals slice a production vector store ingests daily —
-    * disjoint from the Lloyd seeds (vec_id < 8) and the probe set
-    * (vec_id % 100 == 0), so training and querying are unaffected by
-    * whether these rows were present at build time.
+    * disjoint from the probe set (vec_id % 100 == 0), so querying is
+    * unaffected by whether these rows were present at build time. It
+    * need NOT dodge the Lloyd seeds (ADVICE r17 #1: the old fixed
+    * `vec_id < k` seed range overlapped this predicate once the ladder
+    * raised k past 9, silently seeding k−1 cells): [[lloyd]] now seeds
+    * from the k smallest vec_ids PRESENT in its training relation, so a
+    * base slice with id gaps still seeds exactly k cells.
     */
   private[graft] def isIncrement(vecId: Column): Column = vecId % 10 === 9
+
+  /** Cardinality of the non-increment (base) slice, memoized per process
+    * like [[Tables.rowCount]] — q176's base-trained chain sizes its
+    * training sample from it on every execution.
+    */
+  private val sliceCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def baseSliceCount(s: SparkSession, dir: String): Long =
+    sliceCountCache.computeIfAbsent(dir, _ =>
+      Tables.embeddings(s, dir).filter(!isIncrement(col("vec_id"))).count()).longValue()
 
   /** Incremental ANN index update — what a production vector store does
     * daily (VERDICT r7 missing #3): the q148 index is TRAINED once on the
@@ -2029,7 +2126,8 @@ object VectorQueries {
     * Empty cells coalesce to the previous centroid, as in Scala.
     */
   private def kmeansCtesFor(p: String, sliceSql: String, iters: Int,
-      where: String = "", kSql: String = PqCodes.toString): String = {
+      where: String = "", kSql: String = PqCodes.toString,
+      modSql: String = "1"): String = {
     // Every CTE is AS MATERIALIZED: the chain references each relation
     // more than once (c_{i-1} feeds both a_i and c_i; emb0 feeds every
     // round; code/lut consumers join 4+4 ways), and DuckDB's default
@@ -2039,14 +2137,27 @@ object VectorQueries {
     // each training round once: measured 400+ s → 1.8 s at sf0.1,
     // bit-identical output (deterministic expressions, same in-CTE
     // evaluation order — only the evaluation COUNT changes).
+    // t0 = the bounded training slice (trainSlice's md5 predicate,
+    // spelled exactly like q57/q59's portable bucket; modSql = 1 keeps
+    // every row). Seeds = the k smallest vec_ids PRESENT in t0 — on a
+    // dense corpus with m = 1 this is the old `vec_id < k`, but it stays
+    // k-strong on gapped train relations (the base slice, a hash sample).
+    // Training rounds assign t0; downstream consumers (full-corpus
+    // assignment, codes, LUTs) keep reading emb0.
     val init =
       s"""${p}emb0 AS MATERIALIZED (
          |  SELECT vec_id, $sliceSql AS emb,
          |    list_dot_product($sliceSql, $sliceSql) AS n2
          |  FROM embeddings $where
+         |), ${p}t0 AS MATERIALIZED (
+         |  SELECT vec_id, emb, n2 FROM ${p}emb0
+         |  WHERE CAST('0x' || substr(md5('ivftrain:' || CAST(vec_id AS VARCHAR)), 1, 15)
+         |          AS BIGINT) % $modSql = 0
          |), ${p}c0 AS MATERIALIZED (
          |  SELECT CAST(vec_id AS BIGINT) AS cell, emb AS ce, n2 AS cn2
-         |  FROM ${p}emb0 WHERE vec_id < $kSql
+         |  FROM (SELECT vec_id, emb, n2,
+         |          row_number() OVER (ORDER BY vec_id) AS seed_rn FROM ${p}t0)
+         |  WHERE seed_rn <= $kSql
          |)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s""", ${p}a$i AS MATERIALIZED (
@@ -2054,7 +2165,7 @@ object VectorQueries {
          |    SELECT e.vec_id, e.emb, c.cell,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
-         |    FROM ${p}emb0 e CROSS JOIN ${p}c${i - 1} c
+         |    FROM ${p}t0 e CROSS JOIN ${p}c${i - 1} c
          |  ) WHERE rn = 1
          |), ${p}m$i AS MATERIALIZED (
          |  SELECT cell, j, count(*) AS n,
@@ -2099,9 +2210,26 @@ object VectorQueries {
     s"CASE $rungs END"
   }
 
-  /** The ladder-derived coarse k (and its co-tuned nprobe) as 1-row
-    * oracle relations; every coarse training chain seeds
-    * `vec_id < (SELECT k FROM ivfk)` and every probe-cell ranking cuts at
+  /** DuckDB twin of [[trainSampleMod]] — GENERATED from the same ladder
+    * constants (m doubles while n ≥ 2·[[TrainPointsPerCell]]·k·m) so the
+    * training-sample sizing arithmetic is hash-adjudicated exactly like
+    * the cell-count ladder: a modulus drift in either engine moves a
+    * training row, which moves a centroid, which fails every downstream
+    * hash. Expects a relation exposing `n` (train-set count) and a `k`
+    * column/reference for the codebook size.
+    */
+  private def trainSampleModSqlCase(kSql: String): String = {
+    val step = 2L * TrainPointsPerCell
+    val rungs = (0 until 40).map(t =>
+      s"WHEN n < ${step * (1L << t)} * ($kSql) THEN ${1L << t}")
+    s"CASE ${rungs.mkString(" ")} ELSE ${1L << 40} END"
+  }
+
+  /** The ladder-derived coarse k (its co-tuned nprobe, and the coarse
+    * training-sample modulus) as 1-row oracle relations; every coarse
+    * training chain seeds from the k smallest sampled vec_ids
+    * (`seed_rn <= (SELECT k FROM ivfk)`), slices its training set at
+    * `% (SELECT m FROM ivfm) = 0`, and every probe-cell ranking cuts at
     * `rn <= (SELECT np FROM ivfnp)`.
     */
   private val ivfkCte: String =
@@ -2110,11 +2238,14 @@ object VectorQueries {
        |  FROM (SELECT count(*) AS n FROM embeddings)
        |), ivfnp AS MATERIALIZED (
        |  SELECT $scaledNprobeSqlCase AS np FROM ivfk
+       |), ivfm AS MATERIALIZED (
+       |  SELECT ${trainSampleModSqlCase("k")} AS m
+       |  FROM (SELECT count(*) AS n FROM embeddings), ivfk
        |)""".stripMargin
 
   private val kmeansCtes: String =
     ivfkCte + ", " + kmeansCtesFor("", "CAST(embedding AS DOUBLE[])", IvfIters,
-      kSql = "(SELECT k FROM ivfk)")
+      kSql = "(SELECT k FROM ivfk)", modSql = "(SELECT m FROM ivfm)")
 
   /** Fragments shared by the q54 (IVF flat) and q140 (IVF-PQ) oracles —
     * both derive from the same trained coarse quantizer.
@@ -2144,10 +2275,20 @@ object VectorQueries {
     * oracles: the four subspace trainings, per-vector codes, and the
     * probe-to-code distance LUTs.
     */
-  private lazy val pqChains: String = (0 until PqSubspaces).map { m =>
-    val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
-    kmeansCtesFor(s"s$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters)
-  }.mkString(", ")
+  private lazy val pqChains: String = {
+    // the PQ training-sample modulus: k is the PqCodes format constant,
+    // n the full corpus — one shared 1-row relation for all 4 subspaces
+    val pqm =
+      s"""pqm AS MATERIALIZED (
+         |  SELECT ${trainSampleModSqlCase(PqCodes.toString)} AS m
+         |  FROM (SELECT count(*) AS n FROM embeddings)
+         |)""".stripMargin
+    pqm + ", " + (0 until PqSubspaces).map { m =>
+      val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+      kmeansCtesFor(s"s$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters,
+        modSql = "(SELECT m FROM pqm)")
+    }.mkString(", ")
+  }
 
   private lazy val pqCodeCtes: String = (0 until PqSubspaces).map { m =>
     s"""code$m AS MATERIALIZED (
@@ -2324,10 +2465,17 @@ object VectorQueries {
     // q151's build input), but aggregates instead of searching, so it
     // adjudicates at sf0.1 too
     "q176_pq_code_checksum" -> {
-      val baseChains = (0 until PqSubspaces).map { m =>
+      // the base variant's sample modulus derives from the BASE-slice
+      // count (mirrors the Spark side's baseSliceCount)
+      val bpqm =
+        s"""bpqm AS MATERIALIZED (
+           |  SELECT ${trainSampleModSqlCase(PqCodes.toString)} AS m
+           |  FROM (SELECT count(*) AS n FROM embeddings WHERE vec_id % 10 != 9)
+           |)""".stripMargin
+      val baseChains = bpqm + ", " + (0 until PqSubspaces).map { m =>
         val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
         kmeansCtesFor(s"b$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters,
-          "WHERE vec_id % 10 != 9")
+          "WHERE vec_id % 10 != 9", modSql = "(SELECT m FROM bpqm)")
       }.mkString(", ")
       // base-trained codebooks code the WHOLE corpus (the s-prefix emb0
       // relations are unfiltered) — exactly codeIntoIndex's base ∪ b1
@@ -2661,8 +2809,8 @@ object VectorQueries {
          |SELECT probe_id, CAST(rn AS BIGINT) AS rank, vec_id,
          |  round(score, 4) AS score
          |FROM r WHERE rn <= 5 ORDER BY probe_id, rank""".stripMargin,
-    // kmeans training + cell assignment + nprobe=2 probe cells (the
-    // q54 fragments) composed with q193's SQ reconstruction
+    // kmeans training + cell assignment + co-tuned nprobe probe cells
+    // (the q54 fragments) composed with q193's SQ reconstruction
     "q195_ivf_sq_search" ->
       s"""WITH $kmeansCtes, $ivfAssignCte, $ivfProbeCellsCte, ${sqBoundsCte("emb0")},
          |sqc AS MATERIALIZED (
