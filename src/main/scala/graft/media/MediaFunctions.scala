@@ -632,15 +632,16 @@ object MediaFunctions {
     Some(DecodedImage(w, h, rgb))
   }
 
-  // ---- JPEG: baseline sequential DCT, 4:4:4 (ITU-T T.81) ---------------
+  // ---- JPEG: baseline sequential DCT, 4:4:4 + 4:2:0 (ITU-T T.81) -------
   //
-  // The compressed-DCT boundary decided (VERDICT r16 #4): this engine
-  // DECODES baseline JFIF — SOI/APP0/DQT/DHT/SOF0/SOS marker grammar,
-  // canonical Huffman entropy decode with DC prediction and byte
-  // stuffing, dequantization, an INTEGER 8×8 IDCT, and fixed-point
-  // BT.601 YCbCr→RGB — and QUARANTINES everything outside that tier
-  // loudly (progressive SOF2, 16-bit DQT, subsampled chroma, restart
-  // intervals, arithmetic coding, truncation, trailing bytes). The q231
+  // The compressed-DCT boundary decided (VERDICT r16 #4, widened r17
+  // next #4): this engine DECODES baseline JFIF — SOI/APP0/DQT/DHT/SOF0/
+  // [DRI/]SOS marker grammar, canonical Huffman entropy decode with DC
+  // prediction, byte stuffing and RSTn sequence checking, dequantization,
+  // an INTEGER 8×8 IDCT, replication chroma upsampling for 4:2:0, and
+  // fixed-point BT.601 YCbCr→RGB — and QUARANTINES everything outside
+  // that tier loudly (progressive SOF2, 16-bit DQT, 4:2:2/4:1:1 sampling,
+  // arithmetic coding, truncation, trailing bytes). The q231
   // discipline: the in-engine encoder exists to make fixtures whose
   // decoded pixels an independent SQL oracle can predict; JPEG is lossy,
   // so fixtures are defined IN THE COEFFICIENT DOMAIN (the quantized
@@ -801,7 +802,22 @@ object MediaFunctions {
     * coefficients (see the section comment); blocks are raster-ordered
     * MCUs of one block per component.
     */
-  def encodeJpeg(width: Int, height: Int, coef: (Int, Int) => Array[Int]): Array[Byte] = {
+  def encodeJpeg(width: Int, height: Int, coef: (Int, Int) => Array[Int]): Array[Byte] =
+    encodeJpegImpl(width, height, coef, s420 = false, restartInterval = 0)
+
+  /** 4:2:0 variant (round 18): luma at 2×2 sampling (four 8×8 blocks per
+    * MCU), chroma quarter-resolution, optional DRI/RSTn restart markers
+    * every `restartInterval` MCUs (0 = none). `coef(c, blockIndex)`
+    * indexes blocks by their RASTER position in component c's mcu-padded
+    * plane (luma plane is 2·mcuW blocks wide), which is also how the
+    * oracle twin addresses them.
+    */
+  def encodeJpeg420(width: Int, height: Int, coef: (Int, Int) => Array[Int],
+      restartInterval: Int): Array[Byte] =
+    encodeJpegImpl(width, height, coef, s420 = true, restartInterval)
+
+  private[graft] def encodeJpegImpl(width: Int, height: Int, coef: (Int, Int) => Array[Int],
+      s420: Boolean, restartInterval: Int): Array[Byte] = {
     require(width >= 1 && height >= 1 && width < 4096 && height < 4096)
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
@@ -817,13 +833,16 @@ object MediaFunctions {
       for (z <- 0 until 64) dqt(65 * t + 1 + z) = JpegQuant(t)(JpegZigzag(z)).toByte
     }
     seg(0xdb, dqt)
+    val lumaSamp: Byte = if (s420) 0x22 else 0x11
     seg(0xc0, Array[Byte](8, (height >> 8).toByte, (height & 0xff).toByte,
       (width >> 8).toByte, (width & 0xff).toByte, 3,
-      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+      1, lumaSamp, 0, 2, 0x11, 1, 3, 0x11, 1))
     val dht = Array(0x00, 0x10, 0x01, 0x11).zip(JpegHuffSpecs).flatMap {
       case (tc, (bits, vals)) => (tc +: bits).map(_.toByte) ++ vals.map(_.toByte)
     }
     seg(0xc4, dht)
+    if (restartInterval > 0)
+      seg(0xdd, Array[Byte]((restartInterval >> 8).toByte, (restartInterval & 0xff).toByte))
     seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
     // entropy-coded segment: MSB-first bits, 0xFF byte-stuffed, 1-padded
     var acc = 0
@@ -839,13 +858,14 @@ object MediaFunctions {
         i -= 1
       }
     }
-    val bw = (width + 7) / 8
-    val bh = (height + 7) / 8
+    def flushPad(): Unit = while (nbits != 0) { // 1-pad to the byte boundary
+      acc = (acc << 1) | 1; nbits += 1
+      if (nbits == 8) { out.write(acc); if (acc == 0xff) out.write(0x00); acc = 0; nbits = 0 }
+    }
     val pred = Array(0, 0, 0)
     val dcT = Array(JpegEncTables(0), JpegEncTables(2), JpegEncTables(2))
     val acT = Array(JpegEncTables(1), JpegEncTables(3), JpegEncTables(3))
-    for (bi <- 0 until bw * bh; c <- 0 until 3) {
-      val zz = coef(c, bi)
+    def encodeBlock(c: Int, zz: Array[Int]): Unit = {
       val diff = zz(0) - pred(c)
       pred(c) = zz(0)
       val t = jpegCat(diff)
@@ -868,23 +888,54 @@ object MediaFunctions {
       }
       if (lastNz < 63) { val (ec, el) = acT(c)(0x00); putBits(ec, el) }
     }
-    while (nbits != 0) { // 1-pad the final byte
-      acc = (acc << 1) | 1; nbits += 1
-      if (nbits == 8) { out.write(acc); if (acc == 0xff) out.write(0x00); acc = 0; nbits = 0 }
+    if (!s420) {
+      val bw = (width + 7) / 8
+      val bh = (height + 7) / 8
+      for (mcu <- 0 until bw * bh) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          flushPad()
+          marker(0xd0 + ((mcu / restartInterval - 1) % 8))
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        for (c <- 0 until 3) encodeBlock(c, coef(c, mcu))
+      }
+    } else {
+      val mcuW = (width + 15) / 16
+      val mcuH = (height + 15) / 16
+      for (mcu <- 0 until mcuW * mcuH) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          flushPad()
+          marker(0xd0 + ((mcu / restartInterval - 1) % 8))
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        val mx = mcu % mcuW; val my = mcu / mcuW
+        for (v <- 0 to 1; u <- 0 to 1)
+          encodeBlock(0, coef(0, (my * 2 + v) * (2 * mcuW) + (mx * 2 + u)))
+        encodeBlock(1, coef(1, mcu))
+        encodeBlock(2, coef(2, mcu))
+      }
     }
+    flushPad()
     marker(0xd9) // EOI
     out.toByteArray
   }
 
   /** Decode a baseline JFIF payload. Total like the other codecs — None,
     * never throw. DECODES only the declared tier: SOF0, 8-bit precision,
-    * 3 components all at 1×1 sampling (4:4:4), 8-bit DQT, Huffman
-    * entropy coding, no restart intervals. Everything else — progressive
+    * 3 components at 4:4:4 (all 1×1 sampling) OR 4:2:0 (luma 2×2, both
+    * chroma 1×1 — round 18, VERDICT r17 next #4: the dominant form of
+    * real camera/web JPEGs), 8-bit DQT, Huffman entropy coding, restart
+    * intervals (DRI + in-stream RSTn with sequence checking — common in
+    * the same camera files). Chroma upsampling is sample replication
+    * (c(x, y) = plane(x/2, y/2)): JFIF does not mandate a
+    * reconstruction filter, and replication is the one both engines
+    * replay with pure integer arithmetic. Everything else — progressive
     * / extended / lossless / arithmetic SOFs, 16-bit quantization
-    * tables, subsampled chroma, DRI/RSTn, DNL — QUARANTINES (the q227
-    * discipline). Entropy data is decoded with full bounds checks: an
-    * invalid Huffman code, a coefficient index past 63, bit starvation
-    * mid-MCU, a missing EOI, or bytes trailing EOI all reject.
+    * tables, 4:2:2/4:1:1 or any other sampling, DNL — QUARANTINES (the
+    * q227 discipline). Entropy data is decoded with full bounds checks:
+    * an invalid Huffman code, a coefficient index past 63, bit
+    * starvation mid-MCU, a missing/mis-sequenced RSTn, a missing EOI,
+    * or bytes trailing EOI all reject.
     */
   private def decodeJpeg(b: Array[Byte]): Option[DecodedImage] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -900,6 +951,8 @@ object MediaFunctions {
     val huffVal = Array.fill(2, 4)(null: Array[Int])
     var w = 0; var h = 0
     var compQ: Array[Int] = null // quant table id per component
+    var compH: Array[Int] = null; var compV: Array[Int] = null // sampling
+    var restartInt = 0 // DRI: MCUs per restart interval (0 = none)
     var sosAt = -1
     var compDc: Array[Int] = null; var compAc: Array[Int] = null
     // ---- marker segment walk up to SOS ----
@@ -916,16 +969,25 @@ object MediaFunctions {
           if (u8(off + 4) != 8) return None // precision
           h = u16(off + 5); w = u16(off + 7)
           val nf = u8(off + 9)
-          if (w < 1 || h < 1 || nf != 3) return None // tier: 3-comp 4:4:4 JFIF
+          if (w < 1 || h < 1 || nf != 3) return None // tier: 3-comp JFIF
           if (3L * w * h > (1L << 26)) return None
           if (len != 8 + 3 * nf) return None
           compQ = new Array[Int](nf)
+          compH = new Array[Int](nf); compV = new Array[Int](nf)
           for (i <- 0 until nf) {
             val base = off + 10 + 3 * i
-            if (u8(base + 1) != 0x11) return None // 4:4:4 only
+            compH(i) = u8(base + 1) >> 4; compV(i) = u8(base + 1) & 0x0f
             compQ(i) = u8(base + 2)
             if (compQ(i) > 3) return None
           }
+          // tier: 4:4:4 (1,1,1 × 1,1,1) or 4:2:0 (2×2 luma, 1×1 chroma)
+          val s444 = (0 until nf).forall(i => compH(i) == 1 && compV(i) == 1)
+          val s420 = compH(0) == 2 && compV(0) == 2 &&
+            (1 until nf).forall(i => compH(i) == 1 && compV(i) == 1)
+          if (!s444 && !s420) return None
+        case 0xdd => // DRI — restart interval in MCUs
+          if (len != 4) return None
+          restartInt = u16(off + 4)
         case 0xc4 => // DHT (possibly several tables)
           var p = off + 4
           while (p < pEnd) {
@@ -979,7 +1041,7 @@ object MediaFunctions {
           sosAt = pEnd
         case 0xe0 | 0xe1 | 0xe2 | 0xe3 | 0xe4 | 0xe5 | 0xe6 | 0xe7 | 0xe8 |
             0xe9 | 0xea | 0xeb | 0xec | 0xed | 0xee | 0xef | 0xfe => () // APPn/COM: skip
-        case _ => return None // SOF1/2/…, DRI, DNL, DAC, unknown: out of tier
+        case _ => return None // SOF1/2/…, DNL, DAC, unknown: out of tier
       }
       off = pEnd
     }
@@ -1026,59 +1088,95 @@ object MediaFunctions {
       if (starved) return 0
       if (t > 0 && v < (1 << (t - 1))) v - (1 << t) + 1 else v
     }
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val planes = Array.fill(nc)(new Array[Int](bw * bh * 64))
+    // MCU geometry from the sampling factors (T.81 A.2.4): hMax/vMax is 1
+    // (4:4:4) or 2 (4:2:0); each component's plane is mcu-padded, so a
+    // 17-px-wide 4:2:0 image carries 4 luma block columns (2 MCUs × 2),
+    // not ceil(17/8) = 3 — the crop below discards the padding
+    val hMax = compH.max; val vMax = compV.max
+    val mcuW = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcuH = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeBw = Array.tabulate(nc)(c => mcuW * compH(c))
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeBw(c) * mcuH * compV(c) * 64))
     val pred = new Array[Int](nc)
     val dq = new Array[Long](64)
-    var bi = 0
-    while (bi < bw * bh) {
+    def decodeBlock(c: Int, blockIdx: Int): Boolean = {
+      java.util.Arrays.fill(dq, 0L)
+      val q = quant(compQ(c))
+      val t = decodeSym(0, compDc(c))
+      if (t < 0 || t > 11) return false
+      pred(c) += receiveExtend(t)
+      if (starved) return false
+      dq(0) = pred(c).toLong * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeSym(1, compAc(c))
+        if (rs < 0) return false
+        val r = rs >> 4; val s = rs & 0x0f
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else eob = true      // EOB (r must be 0 in baseline; others invalid)
+          if (r != 15 && r != 0) return false
+        } else {
+          k += r
+          if (k > 63) return false // run past the block
+          val raster = JpegZigzag(k)
+          dq(raster) = receiveExtend(s).toLong * q(raster)
+          if (starved) return false
+          k += 1
+        }
+      }
+      System.arraycopy(jpegIdctBlock(dq), 0, planes(c), blockIdx * 64, 64)
+      true
+    }
+    var mcu = 0
+    val nMcu = mcuW * mcuH
+    while (mcu < nMcu) {
+      // restart boundary: byte-align (padding bits discarded), expect the
+      // NEXT RSTn in the 0..7 cycle, reset every DC predictor (T.81 F.2.1.3.1)
+      if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+        nbits = 0
+        val want = 0xd0 + ((mcu / restartInt - 1) % 8)
+        if (pos + 2 > b.length || u8(pos) != 0xff || u8(pos + 1) != want) return None
+        pos += 2
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcuW; val my = mcu / mcuW
       var c = 0
       while (c < nc) {
-        java.util.Arrays.fill(dq, 0L)
-        val q = quant(compQ(c))
-        val t = decodeSym(0, compDc(c))
-        if (t < 0 || t > 11) return None
-        pred(c) += receiveExtend(t)
-        if (starved) return None
-        dq(0) = pred(c).toLong * q(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = decodeSym(1, compAc(c))
-          if (rs < 0) return None
-          val r = rs >> 4; val s = rs & 0x0f
-          if (s == 0) {
-            if (r == 15) k += 16 // ZRL
-            else eob = true      // EOB (r must be 0 in baseline; others invalid)
-            if (r != 15 && r != 0) return None
-          } else {
-            k += r
-            if (k > 63) return None // run past the block
-            val raster = JpegZigzag(k)
-            dq(raster) = receiveExtend(s).toLong * q(raster)
-            if (starved) return None
-            k += 1
+        var v = 0
+        while (v < compV(c)) {
+          var u = 0
+          while (u < compH(c)) {
+            val blockIdx = (my * compV(c) + v) * planeBw(c) + (mx * compH(c) + u)
+            if (!decodeBlock(c, blockIdx)) return None
+            u += 1
           }
+          v += 1
         }
-        val px = jpegIdctBlock(dq)
-        System.arraycopy(px, 0, planes(c), bi * 64, 64)
         c += 1
       }
-      bi += 1
+      mcu += 1
     }
     // padding bits of the final byte are discarded; EOI must follow and
     // end the payload exactly (the PNG trailing-bytes discipline)
     if (pos + 2 != b.length || u8(pos) != 0xff || u8(pos + 1) != 0xd9) return None
     val rgb = new Array[Byte](3 * w * h)
+    def sampleAt(c: Int, px: Int, py: Int): Int = {
+      // replication downscale: source sample of pixel (px, py) in a
+      // possibly-subsampled plane is (px·Hc/hMax, py·Vc/vMax) — identity
+      // for full-resolution components, x/2 for 4:2:0 chroma
+      val sx = px * compH(c) / hMax
+      val sy = py * compV(c) / vMax
+      planes(c)(((sy / 8) * planeBw(c) + (sx / 8)) * 64 + (sy % 8) * 8 + (sx % 8))
+    }
     var py = 0
     while (py < h) {
       var px = 0
       while (px < w) {
-        val blockAt = ((py / 8) * bw + (px / 8)) * 64 + (py % 8) * 8 + (px % 8)
         val p = 3 * (py * w + px)
         val (r, g, bb) = jpegYccToRgb(
-          planes(0)(blockAt), planes(1)(blockAt), planes(2)(blockAt))
+          sampleAt(0, px, py), sampleAt(1, px, py), sampleAt(2, px, py))
         rgb(p) = r.toByte; rgb(p + 1) = g.toByte; rgb(p + 2) = bb.toByte
         px += 1
       }

@@ -664,8 +664,10 @@ object MediaQueries {
     * declared baseline tier: `progressive` (SOF0→SOF2 marker byte — the
     * frame-type gate), `dqt16` (DQT precision nibble set to 1 — the
     * 16-bit-table gate; the segment is otherwise untouched and the gate
-    * fires on the Pq field itself), `subsampled` (Y sampling 1×1→2×1 —
-    * the 4:4:4 gate, rejected at SOF before any entropy work), and
+    * fires on the Pq field itself), `subsampled` (Y sampling 1×1→2×1,
+    * i.e. 4:2:2 — the sampling-tier gate, rejected at SOF before any
+    * entropy work; still out of tier after round 18's 4:2:0 extension,
+    * which accepts only 2×2 luma), and
     * `truncated` (4 entropy bytes cut before EOI — bit starvation
     * mid-MCU; padding is < 1 byte so a 4-byte cut always removes real
     * payload).
@@ -749,8 +751,140 @@ object MediaQueries {
     valid.unionByName(poison).orderBy($"kind")
   }
 
+  // ---- q234: 4:2:0 JPEG pipeline (VERDICT r17 next #4 — the dominant
+  // ---- real-world sampling form, plus DRI/RSTn restart markers) --------
+
+  /** Fixture dims for q234: 16–36 × 16–34 px — 1 to 3 MCU columns/rows,
+    * most dims not multiples of 16, so the luma plane is mcu-padded WIDER
+    * than ceil(w/8) blocks (e.g. w=17 carries 4 luma block columns, not
+    * 3) and the crop gate is always exercised.
+    */
+  private[graft] def jpeg420Dims(id: Long): (Int, Int) =
+    ((16 + id % 21).toInt, (16 + id % 19).toInt)
+
+  /** Restart interval per doc: 0 (no DRI segment at all) through 4 MCUs.
+    * The stream layout varies per doc but the decoded pixels cannot —
+    * restarts only reset DC prediction and realign bytes — so the
+    * ri-INDEPENDENT oracle below adjudicates restart handling for free:
+    * a mis-handled RSTn shifts every later coefficient and lands in
+    * checksum_xor.
+    */
+  private[graft] def jpeg420Ri(id: Long): Int = (id % 5).toInt
+
+  /** Real 4:2:0 baseline-JFIF bytes per doc ([[jpegQuantCoefs]] spectra —
+    * the same coefficient-domain generator as q233, indexed over the
+    * larger 4:2:0 block grid). Map-side typed work.
+    */
+  private def jpeg420Records(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      val (w, h) = jpeg420Dims(id)
+      MediaFunctions.MediaRecord(
+        id, MediaFunctions.encodeJpeg420(w, h, jpegQuantCoefs(id), jpeg420Ri(id)), "jpg")
+    }
+  }
+
+  /** Marker surgery on a VALID [[MediaFunctions.encodeJpeg420]] output —
+    * four corrupt variants, each isolating ONE rejection gate of the
+    * extended tier: `rst_drop` (first RSTn removed — the decoder expects
+    * the marker at the interval boundary; entropy bytes can never fake
+    * one because in-stream 0xFF is always 0x00-stuffed), `rst_reseq`
+    * (first RSTn's index bumped — the 0..7 sequence check), `s422` (luma
+    * sampling 2×2→2×1 — 4:2:2 stays out of tier), and `dri_len` (DRI
+    * segment length 4→3 — the malformed-segment gate). Poison fixtures
+    * use FIXED dims/interval (40×24, ri=2 → 6 MCUs, restarts after MCU 2
+    * and 4) so the rst poisons always have a marker to corrupt.
+    */
+  private[graft] def jpeg420Poison(kind: String, jpg: Array[Byte]): Array[Byte] = {
+    def markerAt(m: Int): Int = {
+      var off = 2
+      while (!((jpg(off) & 0xff) == 0xff && (jpg(off + 1) & 0xff) == m))
+        off += 2 + (((jpg(off + 2) & 0xff) << 8) | (jpg(off + 3) & 0xff))
+      off
+    }
+    // first in-stream restart marker: FF inside entropy data is always
+    // stuffed (FF 00), so the first FF D0..D7 past SOS IS a restart
+    def firstRst: Int = {
+      var off = markerAt(0xda)
+      off += 2 + (((jpg(off + 2) & 0xff) << 8) | (jpg(off + 3) & 0xff))
+      while (!((jpg(off) & 0xff) == 0xff &&
+        (jpg(off + 1) & 0xff) >= 0xd0 && (jpg(off + 1) & 0xff) <= 0xd7)) off += 1
+      off
+    }
+    kind match {
+      case "rst_drop" =>
+        val at = firstRst
+        val out = new Array[Byte](jpg.length - 2)
+        System.arraycopy(jpg, 0, out, 0, at)
+        System.arraycopy(jpg, at + 2, out, at, jpg.length - at - 2)
+        out
+      case "rst_reseq" =>
+        val o = jpg.clone(); val at = firstRst
+        o(at + 1) = (0xd0 + (((o(at + 1) & 0x0f) + 1) % 8)).toByte; o
+      case "s422" =>
+        val o = jpg.clone(); o(markerAt(0xc0) + 11) = 0x21.toByte; o
+      case _ => // dri_len
+        val o = jpg.clone(); o(markerAt(0xdd) + 3) = 3.toByte; o
+    }
+  }
+
+  private[graft] val Jpeg420PoisonKinds =
+    Array("rst_drop", "rst_reseq", "s422", "dri_len")
+
+  /** One poisoned 4:2:0 JPEG per doc (callers pre-filter doc_id % 5 = 0);
+    * kind rotates by (doc_id / 5) % 4, replayable with integer division.
+    */
+  private def jpeg420PoisonRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id").as[Long].map { id =>
+      val good = MediaFunctions.encodeJpeg420(40, 24, jpegQuantCoefs(id), 2)
+      MediaFunctions.MediaRecord(
+        id, jpeg420Poison(Jpeg420PoisonKinds(((id / 5) % 4).toInt), good), "jpg")
+    }
+  }
+
+  /** REAL 4:2:0 JPEG decode under the oracle gate (VERDICT r17 next #4):
+    * per doc, a 2×2-luma MCU stream with per-doc restart intervals,
+    * decoded by the extended codec (MCU walk over four luma + two chroma
+    * blocks, RSTn sequence checking with DC-prediction reset, replication
+    * chroma upsampling), with the oracle replaying the generator spectra
+    * through the identical integer post-entropy arithmetic over the
+    * 4:2:0 geometry — luma addressed on the 2·mcuW-wide padded plane,
+    * chroma fetched at (px/2, py/2). The JFIF bytes exist only
+    * Spark-side; the oracle is restart-interval-independent, so any
+    * RSTn/DRI mishandling lands in checksum_xor. Four poison kinds must
+    * quarantine to the last record. All decode work is map-side typed
+    * iteration; the only shuffle is the rollup.
+    */
+  def q234Jpeg420Pipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val valid = MediaFunctions.decodeFrames(jpeg420Records(docs)).toDF()
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"width" === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum($"n_pixels").as("total_pixels"),
+        coalesce(expr("bit_xor(CASE WHEN width > 0 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+      .select(lit("valid").as("kind"), $"n_records", $"n_quarantined",
+        $"total_pixels", $"checksum_xor")
+    val poison = MediaFunctions.decodeFrames(
+        jpeg420PoisonRecords(docs.filter($"doc_id" % 5 === 0))).toDF()
+      .groupBy(element_at(
+        typedLit(Jpeg420PoisonKinds.toSeq), (expr("(id div 5) % 4") + 1).cast("int"))
+        .as("kind"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"width" === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum($"n_pixels").as("total_pixels"),
+        coalesce(expr("bit_xor(CASE WHEN width > 0 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+    valid.unionByName(poison).orderBy($"kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_jpeg_pipeline" -> (q233JpegPipeline _),
+    "q234_jpeg420_pipeline" -> (q234Jpeg420Pipeline _),
     "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
     "q23_binary_metadata" -> (q23BinaryMetadata _),
@@ -917,6 +1051,99 @@ object MediaQueries {
          |  SELECT CASE (doc_id // 5) % 4 WHEN 0 THEN 'progressive'
          |           WHEN 1 THEN 'dqt16' WHEN 2 THEN 'subsampled'
          |           ELSE 'truncated' END AS kind,
+         |    count(*) AS n_records, count(*) AS n_quarantined,
+         |    0 AS total_pixels, 0 AS checksum_xor
+         |  FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
+         |)
+         |SELECT kind, CAST(n_records AS BIGINT) AS n_records,
+         |  CAST(n_quarantined AS BIGINT) AS n_quarantined,
+         |  CAST(total_pixels AS BIGINT) AS total_pixels,
+         |  CAST(checksum_xor AS BIGINT) AS checksum_xor
+         |FROM (SELECT * FROM valid UNION ALL SELECT * FROM poison)
+         |ORDER BY kind""".stripMargin,
+    // 4:2:0 gate: q233's replay chain over the subsampled geometry — the
+    // luma plane is 2·mw blocks wide and mcu-PADDED (a 17-px row carries
+    // 4 luma block columns), chroma planes are mw wide and fetched by
+    // replication at (px//2, py//2). The oracle carries NO restart
+    // interval: DRI/RSTn only re-arrange the byte stream, so a decoder
+    // that mishandles them diverges from this prediction (checksum_xor).
+    "q234_jpeg420_pipeline" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, 16 + doc_id % 21 AS w, 16 + doc_id % 19 AS h,
+         |    (16 + doc_id % 21 + 15) // 16 AS mw, (16 + doc_id % 19 + 15) // 16 AS mh
+         |  FROM documents
+         |), comps AS (
+         |  SELECT doc_id, w, h, mw, CAST(ub.b AS BIGINT) AS bi, CAST(0 AS BIGINT) AS c
+         |  FROM d, UNNEST(range(0, 4 * mw * mh)) AS ub(b)
+         |  UNION ALL
+         |  SELECT doc_id, w, h, mw, CAST(ub.b AS BIGINT), CAST(uc.c AS BIGINT)
+         |  FROM d, UNNEST(range(0, mw * mh)) AS ub(b), UNNEST(range(1, 3)) AS uc(c)
+         |), coef AS (
+         |  SELECT doc_id, bi, c, CAST(0 AS BIGINT) AS z,
+         |    ((doc_id * 7 + c * 11 + bi * 5) % 64) - 32 AS v FROM comps
+         |  UNION ALL
+         |  SELECT doc_id, bi, c, 1 + ((doc_id + bi + 3 * c) % 20),
+         |    ((doc_id * 3 + bi * (c + 2)) % 9) - 4 FROM comps
+         |  UNION ALL
+         |  SELECT doc_id, bi, c, 24 + ((doc_id * 5 + bi * 3 + c) % 38),
+         |    ((doc_id + bi + c * 7) % 5) - 2 FROM comps
+         |), zig(z, uu, vv) AS (VALUES $jpegZigzagValuesSql),
+         |qt(tab, uu, vv, q) AS (VALUES $jpegQuantValuesSql),
+         |basis(x, u, bv) AS (VALUES $jpegBasisValuesSql),
+         |dq AS (
+         |  SELECT f.doc_id, f.bi, f.c, zg.uu, zg.vv, f.v * qt.q AS dqv
+         |  FROM coef f JOIN zig zg ON f.z = zg.z
+         |  JOIN qt ON qt.tab = CASE WHEN f.c = 0 THEN 0 ELSE 1 END
+         |         AND qt.uu = zg.uu AND qt.vv = zg.vv
+         |  WHERE f.v != 0
+         |), psum AS (
+         |  SELECT dq.doc_id, dq.bi, dq.c, bx.x AS x, by.x AS y,
+         |    sum(dq.dqv * bx.bv * by.bv) AS s
+         |  FROM dq JOIN basis bx ON bx.u = dq.uu JOIN basis by ON by.u = dq.vv
+         |  GROUP BY 1, 2, 3, 4, 5
+         |), grid AS (
+         |  SELECT doc_id, w, h, mw, bi, c, CAST(ux.x AS BIGINT) AS x, CAST(uy.y AS BIGINT) AS y
+         |  FROM comps, UNNEST(range(0, 8)) AS ux(x), UNNEST(range(0, 8)) AS uy(y)
+         |), pix AS (
+         |  SELECT g.doc_id, g.w, g.h, g.c,
+         |    CASE WHEN g.c = 0 THEN (g.bi % (2 * g.mw)) * 8 + g.x
+         |         ELSE (g.bi % g.mw) * 8 + g.x END AS px,
+         |    CASE WHEN g.c = 0 THEN (g.bi // (2 * g.mw)) * 8 + g.y
+         |         ELSE (g.bi // g.mw) * 8 + g.y END AS py,
+         |    least(255, greatest(0,
+         |      ((COALESCE(p.s, 0) + 524288 + 68719476736) // 1048576) - 65536 + 128)) AS val
+         |  FROM grid g LEFT JOIN psum p
+         |    ON p.doc_id = g.doc_id AND p.bi = g.bi AND p.c = g.c
+         |   AND p.x = g.x AND p.y = g.y
+         |), ycc AS (
+         |  SELECT y0.doc_id, y0.px, y0.py, y0.val AS yy, c1.val AS cb, c2.val AS cr
+         |  FROM pix y0
+         |  JOIN pix c1 ON c1.doc_id = y0.doc_id AND c1.c = 1
+         |    AND c1.px = y0.px // 2 AND c1.py = y0.py // 2
+         |  JOIN pix c2 ON c2.doc_id = y0.doc_id AND c2.c = 2
+         |    AND c2.px = y0.px // 2 AND c2.py = y0.py // 2
+         |  WHERE y0.c = 0 AND y0.px < y0.w AND y0.py < y0.h
+         |), rgb AS (
+         |  SELECT doc_id, px, py,
+         |    least(255, greatest(0, yy + ((91881 * (cr - 128) + 32768 + 67108864) // 65536) - 1024)) AS r,
+         |    least(255, greatest(0, yy + ((-22554 * (cb - 128) - 46802 * (cr - 128) + 32768 + 67108864) // 65536) - 1024)) AS g,
+         |    least(255, greatest(0, yy + ((116130 * (cb - 128) + 32768 + 67108864) // 65536) - 1024)) AS b
+         |  FROM ycc
+         |), lists AS (
+         |  SELECT doc_id,
+         |    list((299 * r + 587 * g + 114 * b) // 1000 ORDER BY py, px) AS ls
+         |  FROM rgb GROUP BY doc_id
+         |), cks AS (
+         |  SELECT doc_id, ${fnvListSql("list_transform(ls, e -> e::HUGEINT)")} AS cksum
+         |  FROM lists
+         |), valid AS (
+         |  SELECT 'valid' AS kind, count(*) AS n_records, 0 AS n_quarantined,
+         |    sum(d.w * d.h) AS total_pixels, bit_xor(c.cksum) AS checksum_xor
+         |  FROM cks c JOIN d ON c.doc_id = d.doc_id
+         |), poison AS (
+         |  SELECT CASE (doc_id // 5) % 4 WHEN 0 THEN 'rst_drop'
+         |           WHEN 1 THEN 'rst_reseq' WHEN 2 THEN 's422'
+         |           ELSE 'dri_len' END AS kind,
          |    count(*) AS n_records, count(*) AS n_quarantined,
          |    0 AS total_pixels, 0 AS checksum_xor
          |  FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
