@@ -34,10 +34,44 @@ Rules:
     The st gate stays the 1x gate; io is opt-in because io probes are
     noisier (the 25% band is wider than st's 5% for that reason).
 
+  * a DRIVER artifact (BENCH_r{N}.json, the {"tail": ...} shape) is
+    accepted as an input since round 18: graft.Bench emits the probe
+    pairs on its parsed final line, so the artifact is self-adjudicating.
+    Its per-query map may be front-truncated by the 2000-char tail
+    window, so it participates in the probe gates and the totals table
+    as PROBE+TOTAL evidence only — per-query MINs come from full run
+    files (at least one required).
+
 Usage: certify.py [--force] [--io-gate] out.json run1.json run2.json [...]
 """
 import json
 import sys
+
+
+def load_run(p: str) -> dict:
+    with open(p) as f:
+        d = json.load(f)
+    if "tail" in d and "queries" not in d:
+        # driver BENCH_r{N}.json: gate on the final parsed line's probes
+        lines = [l for l in d["tail"].splitlines()
+                 if l.startswith('{"metric"')]
+        if not lines:
+            sys.exit(f"refuse: {p} is a driver artifact without a parsable "
+                     "final bench line (pre-r18 Bench? no probe evidence)")
+        t = json.loads(lines[-1])
+        if not t.get("st"):
+            sys.exit(f"refuse: {p}'s final line carries no st probe "
+                     "(pre-r18 Bench)")
+        return {"path": p, "probe": min(t["st"]),
+                "probes": {"st": t.get("st"), "mt": t.get("mt"),
+                           "io": t.get("io")},
+                "queries": None, "total_sec": t.get("value"),
+                "sf": t.get("sf")}
+    st = d.get("cpu_probe_sec")
+    return {"path": p, "probe": min(st) if st else float("nan"),
+            "probes": {"st": st, "mt": d.get("cpu_probe_mt_sec"),
+                       "io": d.get("io_probe_sec")},
+            "queries": d["queries"], "total_sec": None, "sf": d.get("sf")}
 
 
 def main() -> int:
@@ -45,20 +79,16 @@ def main() -> int:
     io_gate = "--io-gate" in sys.argv
     args = [a for a in sys.argv[1:] if a not in ("--force", "--io-gate")]
     out_path, run_paths = args[0], args[1:]
-    runs = []
-    for p in run_paths:
-        with open(p) as f:
-            d = json.load(f)
-        st = d.get("cpu_probe_sec")
-        runs.append({"path": p, "probe": min(st) if st else float("nan"),
-                     "probes": {"st": st, "mt": d.get("cpu_probe_mt_sec"),
-                                "io": d.get("io_probe_sec")},
-                     "queries": d["queries"], "sf": d.get("sf")})
+    runs = [load_run(p) for p in run_paths]
 
-    keysets = {frozenset(r["queries"]) for r in runs}
+    full = [r for r in runs if r["queries"] is not None]
+    if not full:
+        sys.exit("refuse: no full per-query run file among the inputs "
+                 "(driver artifacts carry probes+total only)")
+    keysets = {frozenset(r["queries"]) for r in full}
     if len(keysets) != 1:
         sys.exit("refuse: runs cover different query sets: "
-                 + ", ".join(f"{r['path']}:{len(r['queries'])}q" for r in runs))
+                 + ", ".join(f"{r['path']}:{len(r['queries'])}q" for r in full))
 
     probes = [r["probe"] for r in runs if r["probe"] == r["probe"]]
     if not probes:
@@ -90,25 +120,32 @@ def main() -> int:
                             "st": r["probes"]["st"], "io": r["probes"]["io"]})
         else:
             kept.append(r)
-    if not kept:
-        sys.exit("refuse: every run was outside the probe band; --force to override")
+    kept_full = [r for r in kept if r["queries"] is not None]
+    if not kept_full:
+        sys.exit("refuse: every full run was outside the probe band; "
+                 "--force to override")
 
-    names = sorted(kept[0]["queries"])
-    merged = {q: min((r["queries"][q] for r in kept if r["queries"][q] >= 0),
+    names = sorted(kept_full[0]["queries"])
+    merged = {q: min((r["queries"][q] for r in kept_full if r["queries"][q] >= 0),
                      default=-1) for q in names}
     # ADVICE r16: a probe-less run kept under --force has probe=NaN;
     # NaN * anything is NaN and json.dump would emit a bare NaN token
     # (non-standard JSON). Emit null for its normalized total instead.
+    def raw_total(r):
+        if r["queries"] is None:
+            return r["total_sec"]
+        return round(sum(v for v in r["queries"].values() if v >= 0) / 100, 2)
     run_rows = [{"path": r["path"], "probes": r["probes"],
-                 "raw_total_sec": round(sum(v for v in r["queries"].values() if v >= 0) / 100, 2),
-                 "norm_total_sec": (None if r["probe"] != r["probe"] else
-                                    round(sum(v for v in r["queries"].values() if v >= 0)
-                                          / 100 * p_ref / r["probe"], 2))}
+                 **({"probe_and_total_only": True} if r["queries"] is None else {}),
+                 "raw_total_sec": raw_total(r),
+                 "norm_total_sec": (None if r["probe"] != r["probe"]
+                                    or raw_total(r) is None else
+                                    round(raw_total(r) * p_ref / r["probe"], 2))}
                 for r in kept]
     gate_desc = "st+io-probe-gated" if io_gate else "st-probe-gated"
     out = {"method": f"per-query MIN over {len(kept)} {gate_desc} runs; "
                      "norm_total = raw * p_ref/p_run (p = min cpu_probe_sec)",
-           "qunit": "cs", "sf": kept[0]["sf"], "nq": len(names),
+           "qunit": "cs", "sf": kept_full[0]["sf"], "nq": len(names),
            "probe_ref_sec": p_ref,
            **({"io_probe_ref_sec": io_ref} if io_gate else {}),
            "runs": run_rows,
