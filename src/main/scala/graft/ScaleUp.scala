@@ -84,6 +84,26 @@ object ScaleUp {
 
   def buildNovel(s: SparkSession, src: String): String = buildImpl(s, src, "novel")
 
+  /** EMBEDDINGS-ONLY novel replica — the organic-scale recall fixture
+    * (VERDICT r17 next #2): the exact 10× replica degenerates to recall
+    * 1.0 (each probe's true top-5 sits in its own duplicate block), so
+    * the deep IVF rungs (k=64, nprobe=8 at n=20,000) were extrapolated,
+    * never measured. This builds just the one table the recall laws read
+    * (seconds, not the full-corpus minutes), with the same novel-vector
+    * recipe as [[buildNovel]] — block 0 = the organic sf0.1 corpus,
+    * blocks 1–9 = deterministic synthetic vectors — so
+    * VectorLawsSpec can measure recall at the k=64 rung in-suite.
+    */
+  def novelEmbDir(src: String): String =
+    Scratch.path(s"sfx${Blocks}ne_${Scratch.tag(src)}")
+
+  def buildNovelEmbeddings(s: SparkSession, src: String): String =
+    Scratch.buildOnce(novelEmbDir(src)) {
+      replicateTable(s, src, "embeddings", keyCols("embeddings"), "novel")
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"${novelEmbDir(src)}/embeddings.parquet")
+    }
+
   private def outDir(src: String, mode: String): String = mode match {
     case "jitter" => jitterDir(src)
     case "novel" => novelDir(src)
@@ -98,37 +118,45 @@ object ScaleUp {
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
       keyCols.foreach { case (t, keys) =>
-        // raw read (no canon casts): the replica must carry the SOURCE
-        // dtypes so Tables' canonicalization sees the same inputs
-        val raw = s.read.parquet(s"$src/$t.parquet")
-        val blocks = s.range(Blocks).select((col("id") * Shift).as("_shift"))
-        val replicated = raw.crossJoin(broadcast(blocks))
-          .select(raw.columns.map { c =>
-            if (keys.contains(c)) (col(c) + col("_shift")).as(c)
-            else if (mode == "jitter" && t == "embeddings" && c == "embedding")
-              // ±0.005 ABSOLUTE deterministic element noise (≈0.5% of the
-              // [-1,1] element range, NOT multiplicative), block 0 exact: the
-              // hash is over (vec_id-pre-shift, element, block) so every
-              // replica of a vector perturbs differently; FLOAT cast
-              // keeps the source dtype
-              expr("""transform(embedding, (x, j) ->
-                  |  CAST(x + CASE WHEN _shift = 0 THEN 0.0
-                  |    ELSE (pmod(hash(vec_id, j, _shift), 1001) - 500) / 100000.0
-                  |  END AS FLOAT))""".stripMargin).as(c)
-            else if (mode == "novel" && t == "embeddings" && c == "embedding")
-              // replicas become fully synthetic uniform[-1,1] vectors
-              // (deterministic hash floats), block 0 the source corpus
-              expr("""transform(embedding, (x, j) ->
-                  |  CAST(CASE WHEN _shift = 0 THEN x
-                  |    ELSE (pmod(hash(vec_id, j, _shift, 42), 2001) - 1000) / 1000.0
-                  |  END AS FLOAT))""".stripMargin).as(c)
-            else col(c)
-          }: _*)
-        replicated
+        replicateTable(s, src, t, keys, mode)
           .repartition(32)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
     }
+
+  /** One table's Blocks× key-shifted replication under `mode` — shared by
+    * the full-corpus builds and the embeddings-only recall fixture so the
+    * novel-vector recipe can never fork between them.
+    */
+  private def replicateTable(s: SparkSession, src: String, t: String,
+      keys: Seq[String], mode: String): DataFrame = {
+    // raw read (no canon casts): the replica must carry the SOURCE
+    // dtypes so Tables' canonicalization sees the same inputs
+    val raw = s.read.parquet(s"$src/$t.parquet")
+    val blocks = s.range(Blocks).select((col("id") * Shift).as("_shift"))
+    raw.crossJoin(broadcast(blocks))
+      .select(raw.columns.map { c =>
+        if (keys.contains(c)) (col(c) + col("_shift")).as(c)
+        else if (mode == "jitter" && t == "embeddings" && c == "embedding")
+          // ±0.005 ABSOLUTE deterministic element noise (≈0.5% of the
+          // [-1,1] element range, NOT multiplicative), block 0 exact: the
+          // hash is over (vec_id-pre-shift, element, block) so every
+          // replica of a vector perturbs differently; FLOAT cast
+          // keeps the source dtype
+          expr("""transform(embedding, (x, j) ->
+              |  CAST(x + CASE WHEN _shift = 0 THEN 0.0
+              |    ELSE (pmod(hash(vec_id, j, _shift), 1001) - 500) / 100000.0
+              |  END AS FLOAT))""".stripMargin).as(c)
+        else if (mode == "novel" && t == "embeddings" && c == "embedding")
+          // replicas become fully synthetic uniform[-1,1] vectors
+          // (deterministic hash floats), block 0 the source corpus
+          expr("""transform(embedding, (x, j) ->
+              |  CAST(CASE WHEN _shift = 0 THEN x
+              |    ELSE (pmod(hash(vec_id, j, _shift, 42), 2001) - 1000) / 1000.0
+              |  END AS FLOAT))""".stripMargin).as(c)
+        else col(c)
+      }: _*)
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
