@@ -517,6 +517,10 @@ class VectorLawsSpec extends AnyFunSuite {
     val raw = Tables.embeddings(spark, sf)
     vector.VectorQueries.trainIndexArtifacts(spark, root2, raw.filter($"vec_id" % 10 =!= 9))
     vector.VectorQueries.codeIntoIndex(spark, root2, raw, "full")
+    // the spec is this root's single writer and the artifact is complete
+    // here — stamp the completion marker the serve path's memoized count
+    // now requires (publishedArtifactCount refuses unpublished roots)
+    new java.io.File(s"$root2/_trained").createNewFile()
     val rebuilt = rows(vector.VectorQueries.serveFromArtifacts(spark, sf, root2))
     assert(incremental == rebuilt)
   }
