@@ -964,7 +964,7 @@ object VectorQueries {
     (n2a + n2b) - lit(2.0) * dotF(aEmb, bEmb)
 
   /** Nearest trained cell per vector (ties → lower cell id), carrying d2. */
-  private def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
     val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
     e.crossJoin(broadcast(cents))
@@ -1223,7 +1223,7 @@ object VectorQueries {
   private[graft] val PqIters = 1
 
   /** Subspace m of a (vec_id, embedding) relation: 16-dim slices + n2. */
-  private def subspaceOf(df: DataFrame, m: Int): DataFrame = {
+  private[graft] def subspaceOf(df: DataFrame, m: Int): DataFrame = {
     import df.sparkSession.implicits._
     withN2(df.select($"vec_id", slice($"embedding", m * PqSubDim + 1, PqSubDim).as("embedding")))
   }
