@@ -1247,7 +1247,11 @@ object VectorQueries {
     * 4-term ADC sum is pivoted to columns and added in PINNED order —
     * a plain `sum()` over the m-rows would re-associate the doubles and
     * break the cross-engine hash. VectorLawsSpec measures ADC recall vs
-    * exact top-5.
+    * exact top-5. Measured envelope (round 18, SCALING.md): at the 20k
+    * organic replica the 4×3-bit format is under-resolved (recall ≈
+    * chance, full-trained control included) — this tier is the
+    * 16×-compression EXTREME of the menu; at that density serve through
+    * SQ8 (recall law ≥ 0.8) or co-tuned IVF-flat instead.
     */
   /** Cross-engine adjudication of the PQ code VALUES themselves (ADVICE
     * r9: q151's audit oracle sees coverage, not codes — the code values
