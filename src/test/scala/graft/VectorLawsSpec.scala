@@ -182,6 +182,15 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(co >= 0.38, f"deep-rung recall floor: $co%.3f < 0.38")
   }
 
+  test("publishedArtifactCount refuses unpublished roots (ADVICE r17: no memoized counts off mutable paths)") {
+    val d = java.nio.file.Files.createTempDirectory("unpub").toFile
+    d.deleteOnExit()
+    val ex = intercept[IllegalArgumentException] {
+      Tables.publishedArtifactCount(spark, s"${d.getPath}/centroids", s"${d.getPath}/_trained")
+    }
+    assert(ex.getMessage.contains("unpublished root"))
+  }
+
   test("training-sample ladder: pinned moduli, sample bounded in [128k, 256k), identity below threshold") {
     // the arithmetic both engines must derive identically (the oracle twin
     // is a generated CASE over the same constants — trainSampleModSqlCase)
