@@ -820,9 +820,19 @@ object MediaQueries {
     * and 4) so the rst poisons always have a marker to corrupt.
     */
   private[graft] def jpeg420Poison(kind: String, jpg: Array[Byte]): Array[Byte] = {
+    // callers guarantee the markers by construction (fixed 40×24, ri=2),
+    // so a scan running off the end means a broken FIXTURE — fail with a
+    // named diagnostic instead of an executor-side
+    // ArrayIndexOutOfBoundsException (ADVICE r18 #3)
+    def require2(off: Int, what: String): Unit =
+      if (off + 1 >= jpg.length)
+        throw new IllegalArgumentException(
+          s"jpeg420Poison: no $what marker before byte ${jpg.length} — " +
+            "input is not an encodeJpeg420 fixture")
     def markerAt(m: Int): Int = {
       var off = 2
-      while (!((jpg(off) & 0xff) == 0xff && (jpg(off + 1) & 0xff) == m))
+      while ({ require2(off, f"FF$m%02X")
+        !((jpg(off) & 0xff) == 0xff && (jpg(off + 1) & 0xff) == m) })
         off += 2 + (((jpg(off + 2) & 0xff) << 8) | (jpg(off + 3) & 0xff))
       off
     }
@@ -831,8 +841,9 @@ object MediaQueries {
     def firstRst: Int = {
       var off = markerAt(0xda)
       off += 2 + (((jpg(off + 2) & 0xff) << 8) | (jpg(off + 3) & 0xff))
-      while (!((jpg(off) & 0xff) == 0xff &&
-        (jpg(off + 1) & 0xff) >= 0xd0 && (jpg(off + 1) & 0xff) <= 0xd7)) off += 1
+      while ({ require2(off, "RSTn")
+        !((jpg(off) & 0xff) == 0xff &&
+          (jpg(off + 1) & 0xff) >= 0xd0 && (jpg(off + 1) & 0xff) <= 0xd7) }) off += 1
       off
     }
     kind match {

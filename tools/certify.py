@@ -42,7 +42,21 @@ Rules:
     as PROBE+TOTAL evidence only — per-query MINs come from full run
     files (at least one required).
 
-Usage: certify.py [--force] [--io-gate] out.json run1.json run2.json [...]
+  * with --movers prev_certified.json (VERDICT r18 wrong #1: a movers
+    disposition that says "everything else" must enumerate everything
+    else): the output carries a "movers" table listing EVERY query whose
+    silicon-normalized ratio vs the previous certified artifact exceeds
+    1.2x — ratio_norm = (new/prev) * (p_prev_ref/p_new_ref) — with both
+    absolute cs values, so smallness argues for itself instead of being
+    summarized away.
+
+  * with --note "...": the sentence is appended to the generated method
+    string. Round-18 lesson (ADVICE r18 #1): hand-editing the narrative
+    after adding runs desynced the run count from the prose; the note
+    flag keeps commentary inside the generator so counts can't drift.
+
+Usage: certify.py [--force] [--io-gate] [--movers prev.json]
+       [--note "..."] out.json run1.json run2.json [...]
 """
 import json
 import sys
@@ -58,7 +72,13 @@ def load_run(p: str) -> dict:
         if not lines:
             sys.exit(f"refuse: {p} is a driver artifact without a parsable "
                      "final bench line (pre-r18 Bench? no probe evidence)")
-        t = json.loads(lines[-1])
+        try:
+            t = json.loads(lines[-1])
+        except json.JSONDecodeError as e:
+            # ADVICE r18 #2: a corrupt / window-truncated metric line must
+            # produce the same clean diagnostic as every other refusal
+            sys.exit(f"refuse: {p}'s final bench line is unparsable "
+                     f"({e}) — corrupt or truncated driver artifact")
         if not t.get("st"):
             sys.exit(f"refuse: {p}'s final line carries no st probe "
                      "(pre-r18 Bench)")
@@ -74,10 +94,53 @@ def load_run(p: str) -> dict:
             "queries": d["queries"], "total_sec": None, "sf": d.get("sf")}
 
 
+def movers_table(prev_path: str, merged: dict, p_ref: float) -> dict:
+    """EVERY shared query whose silicon-normalized ratio vs the previous
+    certified artifact exceeds 1.2x, with absolute cs on both sides —
+    the complete enumeration VERDICT r18 wrong #1 requires. Normalization:
+    ratio_norm = (new/prev) * (p_prev_ref/p_new_ref), i.e. both rounds
+    restated on the previous round's silicon.
+    """
+    with open(prev_path) as f:
+        prev = json.load(f)
+    p_prev = prev.get("probe_ref_sec")
+    if not p_prev:
+        sys.exit(f"refuse: --movers {prev_path} carries no probe_ref_sec "
+                 "(pre-r15 certified artifact — no silicon evidence)")
+    pq = prev["queries"]
+    shared = [q for q in merged if q in pq and merged[q] > 0 and pq[q] > 0]
+    rows = []
+    for q in shared:
+        ratio_raw = merged[q] / pq[q]
+        ratio_norm = ratio_raw * p_prev / p_ref
+        if ratio_norm > 1.2:
+            rows.append({"q": q, "prev_cs": pq[q], "new_cs": merged[q],
+                         "ratio_raw": round(ratio_raw, 2),
+                         "ratio_norm": round(ratio_norm, 2)})
+    rows.sort(key=lambda r: -r["ratio_norm"])
+    tot_new = sum(merged[q] for q in shared)
+    tot_prev = sum(pq[q] for q in shared)
+    return {"prev": prev_path, "prev_probe_ref_sec": p_prev,
+            "n_shared": len(shared),
+            "shared_total_ratio_raw": round(tot_new / tot_prev, 3),
+            "shared_total_ratio_norm": round(tot_new / tot_prev * p_prev / p_ref, 3),
+            "threshold_norm": 1.2,
+            "over_threshold": rows}
+
+
 def main() -> int:
     force = "--force" in sys.argv
     io_gate = "--io-gate" in sys.argv
     args = [a for a in sys.argv[1:] if a not in ("--force", "--io-gate")]
+    movers_prev = note = None
+    if "--movers" in args:
+        i = args.index("--movers")
+        movers_prev = args[i + 1]
+        del args[i:i + 2]
+    if "--note" in args:
+        i = args.index("--note")
+        note = args[i + 1]
+        del args[i:i + 2]
     out_path, run_paths = args[0], args[1:]
     runs = [load_run(p) for p in run_paths]
 
@@ -143,14 +206,19 @@ def main() -> int:
                                     round(raw_total(r) * p_ref / r["probe"], 2))}
                 for r in kept]
     gate_desc = "st+io-probe-gated" if io_gate else "st-probe-gated"
-    out = {"method": f"per-query MIN over {len(kept)} {gate_desc} runs; "
-                     "norm_total = raw * p_ref/p_run (p = min cpu_probe_sec)",
+    method = (f"per-query MIN over {len(kept)} {gate_desc} runs; "
+              "norm_total = raw * p_ref/p_run (p = min cpu_probe_sec)")
+    if note:
+        method += " — " + note
+    out = {"method": method,
            "qunit": "cs", "sf": kept_full[0]["sf"], "nq": len(names),
            "probe_ref_sec": p_ref,
            **({"io_probe_ref_sec": io_ref} if io_gate else {}),
            "runs": run_rows,
            "refused_or_flagged": flagged,
            "merged_total_sec": round(sum(v for v in merged.values() if v >= 0) / 100, 2),
+           **({"movers_vs_prev": movers_table(movers_prev, merged, p_ref)}
+              if movers_prev else {}),
            "queries": merged}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
