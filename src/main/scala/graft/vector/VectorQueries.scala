@@ -853,6 +853,21 @@ object VectorQueries {
     */
   private[graft] val PqCodes = 8
 
+  /** FAISS-standard 8-bit PQ codebook size (256 codes per subspace) — the
+    * SECOND PQ format tier (round 19, VERDICT r18 next #1). Same 4-byte
+    * on-disk code layout as the 3-bit tier (one code byte per subspace),
+    * but using the full byte range: round 18's organic 20k instrument
+    * measured the 4×[[PqCodes]] codec at ≈ chance recall at realistic
+    * density (SCALING.md), so the serving menu needed a rung between SQ8
+    * and that declared compression extreme. 256 is `nbits = 8`, the FAISS
+    * ProductQuantizer default — the codebook a production store actually
+    * trains. Like [[PqCodes]] this is a STORAGE-FORMAT constant, never an
+    * occupancy parameter; training stays bounded by the same
+    * [[trainSlice]] ladder (sample in [128·256, 256·256) once the corpus
+    * clears 65,536 vectors — cost ≤ 256·k², corpus-independent).
+    */
+  private[graft] val Pq8Codes = 256
+
   /** Coarse cell count for a corpus of `n` vectors: k doubles per 4×
     * corpus growth from the floor [[IvfCells]] (8 at n ≤ 1000), capped at
     * 1024 — the integer-ladder spelling of the standard nlist ≈ √n rule
@@ -1216,6 +1231,108 @@ object VectorQueries {
       .orderBy($"probe_id", $"rank")
   }
 
+  // ---- q236: recall-TARGETED nprobe (closing the open-loop √k rule) -----
+
+  /** Recall target for the tuned serve, in TENTHS (an integer, so both
+    * engines pick the threshold with exact arithmetic — `10·covered ≥
+    * 6·total` — never a float compare). 6 = the recall ≥ 0.6 operating
+    * point VERDICT r18 next #2 names; the deep organic rung measured
+    * 0.44 under the open-loop `nprobe = ⌊√k⌋` rule this closes.
+    */
+  private[graft] val TunedRecallTenths = 6
+
+  /** The tuned nprobe as a 1-row relation — derived from a MEASURED
+    * recall audit instead of k alone (VERDICT r18 next #2). Key identity
+    * making the audit one bounded pass instead of a per-rung re-search:
+    * IVF-flat serves exact-cosine candidates from probed cells, so an
+    * exact top-5 neighbor is served IFF its assigned cell is among the
+    * probe's nprobe closest cells (a true-top-5 member present in the
+    * candidate set can only be displaced by other true-top-5 members).
+    * recall(nprobe) is therefore the cumulative distribution of each
+    * exact neighbor's CELL RANK in its probe's cell ordering — computed
+    * once: exact top-5 (the q181-audit pass, MaxProbes probes × corpus,
+    * the bounded tuning cost a production store pays at build time),
+    * join to the assignment, join to the full probe-cell ranking, then
+    * the smallest rank whose cumulative coverage clears
+    * [[TunedRecallTenths]]/10. Everything is deterministic (pinned L2
+    * ordering, integer threshold), so the DuckDB oracle replays the
+    * whole tuning loop. The cumulative window is global but over ≤
+    * ncells ≤ 1024 rows by construction (one row per distinct cell
+    * rank).
+    */
+  private[graft] def tunedNprobeDf(s: SparkSession, dir: String,
+      cents: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = withN2(Tables.embeddings(s, dir))
+    val exact = q18KnnTopk(s, dir).select($"probe_id", $"vec_id")
+    val assign = assignCells(e, cents).select($"vec_id", $"cell")
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+    val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
+    val cellRank = probes.crossJoin(broadcast(cents))
+      .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
+      .withColumn("crn", row_number().over(wProbe))
+      .select($"probe_id", $"cell", $"crn")
+    val pairs = exact.join(assign, "vec_id")
+      .join(broadcast(cellRank), Seq("probe_id", "cell"))
+      .select($"probe_id", $"crn")
+    val wCum = Window.orderBy($"crn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs.groupBy($"crn").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum($"c").over(wCum))
+      .crossJoin(pairs.agg(count(lit(1)).as("tot")))
+      .filter($"cum" * 10 >= $"tot" * TunedRecallTenths)
+      .agg(coalesce(min($"crn"), lit(2)).cast("long").as("tuned_np"))
+  }
+
+  /** IVF search at the recall-TUNED nprobe — the closed-loop serve mode
+    * next to q54's open-loop ⌊√k⌋ (VERDICT r18 next #2: the √k rule is a
+    * starting point, not a contract — FAISS's own tuning guidance sweeps
+    * nprobe against a measured recall target, which is exactly what
+    * [[tunedNprobeDf]] replays relationally). The serve body is q54's
+    * shape with the rank cut taken against the 1-row tuned relation (a
+    * broadcast — the plan stays fully declarative, no driver round-trip);
+    * (tuned_np, ncells) ride the result as hash-checked columns (the
+    * q230 pattern), so the oracle adjudicates the TUNING ARITHMETIC
+    * itself, not just the serve it produced. Cost: the audit is one
+    * bounded-probe corpus scan amortized train-once; the serve pays
+    * (tuned_np/ncells)·n per probe — the price the declared recall
+    * target actually costs, instead of a silent recall slide as the
+    * ladder deepens (the 0.44 measured at k=64).
+    */
+  def q236TunedIvfSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withN2(Tables.embeddings(s, dir))
+    val centroids = trainedCentroids(s, dir)
+    val k = scaledIvfCells(Tables.rowCount(s, dir, "embeddings"))
+    // the 1-row audit result feeds two consumers (the rank cut and the
+    // output column) — localCheckpoint evaluates the audit pass once
+    val tuned = tunedNprobeDf(s, dir, centroids).localCheckpoint()
+    val index = assignCells(e, centroids)
+      .select($"vec_id", $"embedding", sqrt($"n2").as("nrm"), $"cell")
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+    val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
+      .withColumn("rn", row_number().over(wProbe))
+      .crossJoin(broadcast(tuned))
+      .filter($"rn" <= $"tuned_np")
+      .select($"probe_id", $"p_emb", sqrt($"p_n2").as("p_nrm"), $"cell")
+    val topk = udaf(TopKByScore(5))
+    index.join(broadcast(probeCells), Seq("cell"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id",
+        cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
+      .groupBy($"probe_id").agg(topk($"sim", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round($"col._1", 4).as("sim"))
+      .crossJoin(broadcast(tuned))
+      .withColumn("ncells", lit(k).cast("long"))
+      .orderBy($"probe_id", $"rank")
+  }
+
   // ---- PQ: product quantization + ADC search ----------------------------
 
   private[graft] val PqSubspaces = 4
@@ -1553,9 +1670,12 @@ object VectorQueries {
     * space no longer matches what the serve path would train. v3: Lloyd
     * trains on the bounded [[trainSlice]] hash sample with k-smallest-
     * present seeding (round 18) — identical artifacts below the sample
-    * threshold, but a different trained space above it.
+    * threshold, but a different trained space above it. v4: the index
+    * additionally carries the [[Pq8Codes]] 8-bit codebooks + codes
+    * (round 19) — a v3 root lacks the tables q229/q235's recall stage
+    * reads.
     */
-  private[graft] val AnnIndexVersion = 3
+  private[graft] val AnnIndexVersion = 4
 
   /** Index root for q148/q151 artifacts — PID-FREE (VERDICT r14 #1): the
     * whole point of a lake artifact is that a NEW session/cluster serves
@@ -1590,6 +1710,11 @@ object VectorQueries {
     (0 until PqSubspaces).foreach { m =>
       lloyd(trainSlice(subspaceOf(raw, m), n, PqCodes), PqIters, PqCodes)
         .write.mode("overwrite").parquet(s"$root/codebook_$m")
+      // the 8-bit tier's codebooks (round 19): same trainer, same bounded
+      // slice (its modulus derives from Pq8Codes, so the cap engages 32×
+      // later), 256 seeds — both tiers train from one corpus pass shape
+      lloyd(trainSlice(subspaceOf(raw, m), n, Pq8Codes), PqIters, Pq8Codes)
+        .write.mode("overwrite").parquet(s"$root/codebook8_$m")
     }
   }
 
@@ -1612,6 +1737,11 @@ object VectorQueries {
           .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
       }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/codes/batch=$batch")
+    (0 until PqSubspaces).map { m =>
+        assignCells(subspaceOf(raw, m), s.read.parquet(s"$root/codebook8_$m"))
+          .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
+      }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$root/codes8/batch=$batch")
   }
 
   def q148AnnIndexRoundtrip(s: SparkSession, dir: String): DataFrame =
@@ -1638,8 +1768,8 @@ object VectorQueries {
   }
 
   /** Two-stage retrieval — the production serving pattern the index menu
-    * was missing: a cheap RECALL stage over the compressed index (q148's
-    * persisted IVF-PQ artifacts, ADC top-20 per probe — reads codes, not
+    * was missing: a cheap RECALL stage over the compressed index (the
+    * persisted IVF-PQ8 artifacts, ADC top-20 per probe — reads codes, not
     * vectors) followed by an exact RERANK that fetches ONLY the ≤20
     * candidate vectors per probe by sparse id join and rescores them
     * with true cosine. At 100 TB the full-precision vectors are touched
@@ -1647,15 +1777,27 @@ object VectorQueries {
     * recall, full-precision precision. Stage-1 candidates are
     * probe-bounded (≤ 20·MaxProbes rows); the rerank join is an id
     * equi-join against that bounded relation with the probe side
-    * broadcast. Oracle: q140's replay chain extended with the rerank
+    * broadcast. Oracle: the PQ8 replay chain extended with the rerank
     * (rank ≤ 20 → exact cosine → top-5); VectorLawsSpec states the
     * within-candidates optimality law — the served 5 ARE the exact-cosine
     * top-5 of the stage-1 candidate set, per probe.
+    *
+    * Stage 1 reads the [[Pq8Codes]] tier (round 19 — VERDICT r18 next #1
+    * / wrong #2): the 4×3-bit tier it read through round 18 measured ≈
+    * chance recall on the 20k organic replica (rerank 0.040 — the exact
+    * stage cannot recover what stage 1 never surfaces), so "production
+    * serving pattern" was untrue at realistic density. With 256-code
+    * codebooks the recall stage resolves the corpus the coarse probes
+    * admit; VectorLawsSpec pins recall@5 on the same 20k replica.
+    * Density steering: below ~10³ vectors/cell the 3-bit tier (q140/q148)
+    * is for COMPRESSION anchoring only — serve through THIS query, or
+    * through IVF-SQ (q195) / IVF-flat (q54) when even 8-bit PQ error is
+    * too coarse.
     */
   def q229RerankedAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = ensureAnnIndex(s, dir)
-    val cand = adcTopKFromArtifacts(s, dir, root, 20)
+    val cand = adcTopKFromArtifacts(s, dir, root, 20, tier = "8")
       .select($"probe_id", $"vec_id")
     val e = withNorm(Tables.embeddings(s, dir))
     val probes = e.filter(probePredicate($"vec_id"))
@@ -1671,18 +1813,37 @@ object VectorQueries {
       .orderBy($"probe_id", $"rank")
   }
 
+  /** IVF-PQ8 search from persisted artifacts — the [[Pq8Codes]] tier's own
+    * registered serve (round 19, VERDICT r18 next #1): q148's exact shape
+    * (coarse probe restriction + ADC over persisted codes, raw corpus
+    * untouched) with the 8-bit codebooks/codes instead of the 3-bit ones.
+    * Same 4 code bytes per vector on disk, 32× the codebook resolution —
+    * the FAISS-default IVFPQ operating point, and the menu rung between
+    * SQ8 (64 bytes/vector, recall ≥0.8) and the 3-bit compression extreme
+    * (recall ≈ chance at 20k organic density). Scale shape identical to
+    * q148: bounded broadcasts (≤1024-row centroids, 4×256-row codebooks,
+    * probe LUT ≤ MaxProbes·4·256 rows), candidate work nprobe/ncells of
+    * the corpus × 4 LUT lookups. The oracle replays coarse + all four
+    * 256-code trainings and the cell-restricted pinned-order ADC.
+    */
+  def q235Pq8Search(s: SparkSession, dir: String): DataFrame =
+    adcTopKFromArtifacts(s, dir, ensureAnnIndex(s, dir), 5, tier = "8")
+
   /** Serve half shared by q148/q151: answer the q140 search reading ONLY
     * the artifacts under `root` plus the probe vectors.
     */
   private[graft] def serveFromArtifacts(s: SparkSession, dir: String, root: String): DataFrame =
     adcTopKFromArtifacts(s, dir, root, 5)
 
-  /** The artifact serve parameterized over k — q148/q151 return the ADC
-    * top-5 directly; q229's RECALL STAGE takes the top-20 as candidates
-    * for the exact rerank.
+  /** The artifact serve parameterized over k and code TIER — q148/q151
+    * return the 3-bit tier's ADC top-5 directly; q235 serves the 8-bit
+    * tier's top-5; q229's RECALL STAGE takes the 8-bit top-20 as
+    * candidates for the exact rerank. `tier` selects which persisted
+    * codebook/code family is read ("" = codebook_m/codes, "8" =
+    * codebook8_m/codes8); cells and centroids are shared.
     */
   private[graft] def adcTopKFromArtifacts(s: SparkSession, dir: String, root: String,
-      k: Int): DataFrame = {
+      k: Int, tier: String = ""): DataFrame = {
     import s.implicits._
     val e = withN2(Tables.embeddings(s, dir))
     val cents = s.read.parquet(s"$root/centroids")
@@ -1701,7 +1862,7 @@ object VectorQueries {
     val lut = (0 until PqSubspaces).map { m =>
         subspace(s, dir, m).filter(probePredicate($"vec_id"))
           .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
-          .crossJoin(broadcast(s.read.parquet(s"$root/codebook_$m")))
+          .crossJoin(broadcast(s.read.parquet(s"$root/codebook${tier}_$m")))
           .select($"probe_id", lit(m).as("m"), $"cell".as("code"),
             dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
       }.reduce(_ unionByName _)
@@ -1710,7 +1871,7 @@ object VectorQueries {
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id")
     val topk = udaf(TopKByScore(k))
-    cand.join(s.read.parquet(s"$root/codes"), Seq("vec_id"))
+    cand.join(s.read.parquet(s"$root/codes$tier"), Seq("vec_id"))
       .join(broadcast(lut), Seq("probe_id", "m", "code"))
       .groupBy($"probe_id", $"vec_id")
       .agg(
@@ -1946,6 +2107,7 @@ object VectorQueries {
     "q140_ivf_pq_search" -> (q140IvfPqSearch _),
     "q148_ann_index_roundtrip" -> (q148AnnIndexRoundtrip _),
     "q229_reranked_ann" -> (q229RerankedAnn _),
+    "q235_pq8_search" -> (q235Pq8Search _),
     "q149_filtered_ann" -> (q149FilteredAnn _),
     "q151_incremental_ann" -> (q151IncrementalAnnAudit _),
     "q27_cosine_top_pairs" -> (q27CosineTopPairs _),
@@ -1960,6 +2122,7 @@ object VectorQueries {
     "q193_sq8_search" -> (q193Sq8Search _),
     "q195_ivf_sq_search" -> (q195IvfSqSearch _),
     "q54_ivf_search" -> (q54IvfSearch _),
+    "q236_tuned_ivf_search" -> (q236TunedIvfSearch _),
     "q60_label_centroids" -> (q60LabelCentroids _),
   )
 
@@ -2314,19 +2477,65 @@ object VectorQueries {
        |)""".stripMargin
   }.mkString(", ")
 
-  /** The 4-term pinned-order ADC join shared by q138/q140 scored CTEs.
-    * Aliases are k0..k3 — c0..c3 would collide with the full-vector
-    * k-means chain's CTE names when both appear in one query (q140).
+  /** The [[Pq8Codes]] tier's oracle fragments (q229/q235): the same four
+    * subspace training chains / code assignments / probe LUTs as the
+    * 3-bit pqChains machinery, generated with kSql = 256 and its OWN
+    * sample-modulus relation (the [128·256, 256·256) slice band) — chain
+    * prefix "u", so both tiers could appear in one query without CTE-name
+    * collision (each chain carries its own u{m}emb0 subspace slice; the
+    * q229/q235 oracles use ONLY the 8-bit chains, so nothing is scanned
+    * twice).
     */
-  private def adcJoinSql(vecIdExpr: String, probeIdExpr: String): String =
-    s"""  JOIN code0 k0 ON k0.vec_id = $vecIdExpr
-       |  JOIN code1 k1 ON k1.vec_id = $vecIdExpr
-       |  JOIN code2 k2 ON k2.vec_id = $vecIdExpr
-       |  JOIN code3 k3 ON k3.vec_id = $vecIdExpr
-       |  JOIN lut0 l0 ON l0.cell = k0.cell AND l0.probe_id = $probeIdExpr
-       |  JOIN lut1 l1 ON l1.cell = k1.cell AND l1.probe_id = $probeIdExpr
-       |  JOIN lut2 l2 ON l2.cell = k2.cell AND l2.probe_id = $probeIdExpr
-       |  JOIN lut3 l3 ON l3.cell = k3.cell AND l3.probe_id = $probeIdExpr""".stripMargin
+  private lazy val pq8Chains: String = {
+    val pqm =
+      s"""pq8m AS MATERIALIZED (
+         |  SELECT ${trainSampleModSqlCase(Pq8Codes.toString)} AS m
+         |  FROM (SELECT count(*) AS n FROM embeddings)
+         |)""".stripMargin
+    pqm + ", " + (0 until PqSubspaces).map { m =>
+      val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
+      kmeansCtesFor(s"u$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters,
+        kSql = Pq8Codes.toString, modSql = "(SELECT m FROM pq8m)")
+    }.mkString(", ")
+  }
+
+  private lazy val pq8CodeCtes: String = (0 until PqSubspaces).map { m =>
+    s"""ucode$m AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${d2Sql("e.n2", "c.cn2", "e.emb", "c.ce")}, c.cell) AS rn
+       |    FROM u${m}emb0 e CROSS JOIN u${m}c$PqIters c
+       |  ) WHERE rn = 1
+       |)""".stripMargin
+  }.mkString(", ")
+
+  private lazy val pq8LutCtes: String = (0 until PqSubspaces).map { m =>
+    s"""ulut$m AS MATERIALIZED (
+       |  SELECT p.vec_id AS probe_id, c.cell,
+       |    ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")} AS pd2
+       |  FROM u${m}emb0 p CROSS JOIN u${m}c$PqIters c
+       |  WHERE ${probePredicateSql("p.vec_id")}
+       |)""".stripMargin
+  }.mkString(", ")
+
+  /** The 4-term pinned-order ADC join shared by q138/q140 (and, with the
+    * "u" prefix, q229/q235's PQ8) scored CTEs. Aliases are k0..k3 —
+    * c0..c3 would collide with the full-vector k-means chain's CTE names
+    * when both appear in one query (q140). `pfx` selects the code/lut CTE
+    * family ("" = the 3-bit tier's code0../lut0.., "u" = the 8-bit
+    * tier's ucode0../ulut0..).
+    */
+  private def adcJoinSql(vecIdExpr: String, probeIdExpr: String,
+      pfx: String = ""): String =
+    s"""  JOIN ${pfx}code0 k0 ON k0.vec_id = $vecIdExpr
+       |  JOIN ${pfx}code1 k1 ON k1.vec_id = $vecIdExpr
+       |  JOIN ${pfx}code2 k2 ON k2.vec_id = $vecIdExpr
+       |  JOIN ${pfx}code3 k3 ON k3.vec_id = $vecIdExpr
+       |  JOIN ${pfx}lut0 l0 ON l0.cell = k0.cell AND l0.probe_id = $probeIdExpr
+       |  JOIN ${pfx}lut1 l1 ON l1.cell = k1.cell AND l1.probe_id = $probeIdExpr
+       |  JOIN ${pfx}lut2 l2 ON l2.cell = k2.cell AND l2.probe_id = $probeIdExpr
+       |  JOIN ${pfx}lut3 l3 ON l3.cell = k3.cell AND l3.probe_id = $probeIdExpr""".stripMargin
 
   private def bucketSqlT(t: Int): String =
     ComparatorPlanes.map { case (a, b) => (a + t, b + t) }.zipWithIndex.map {
@@ -2538,16 +2747,18 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(adc, 4) AS adc
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
-    // q140's replay chain with the cut at rank ≤ 20, then the exact-cosine
-    // rerank — the two-stage serving pattern under one hash
+    // the PQ8 replay chain (coarse + four 256-code trainings) with the cut
+    // at rank ≤ 20, then the exact-cosine rerank — the two-stage serving
+    // pattern under one hash; stage 1 moved from the 3-bit to the 8-bit
+    // tier in round 19 (VERDICT r18 next #1)
     "q229_reranked_ann" ->
-      s"""WITH $kmeansCtes, $pqChains, $ivfAssignCte, $ivfProbeCellsCte,
-         |$pqCodeCtes, $pqLutCtes, scored AS (
+      s"""WITH $kmeansCtes, $pq8Chains, $ivfAssignCte, $ivfProbeCellsCte,
+         |$pq8CodeCtes, $pq8LutCtes, scored AS (
          |  SELECT pc.probe_id, a.vec_id,
          |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
          |  FROM pc
          |  JOIN assign a ON pc.cell = a.cell
-         |${adcJoinSql("a.vec_id", "pc.probe_id")}
+         |${adcJoinSql("a.vec_id", "pc.probe_id", pfx = "u")}
          |  WHERE a.vec_id != pc.probe_id
          |), ranked AS (
          |  SELECT probe_id, vec_id,
@@ -2567,6 +2778,25 @@ object VectorQueries {
          |)
          |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
          |FROM rr WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // the 8-bit tier's own serve: q140's IVF-ADC shape with the 256-code
+    // chains — coarse + four Pq8Codes trainings replayed, cell-restricted
+    // pinned-order ADC, top-5
+    "q235_pq8_search" ->
+      s"""WITH $kmeansCtes, $pq8Chains, $ivfAssignCte, $ivfProbeCellsCte,
+         |$pq8CodeCtes, $pq8LutCtes, scored AS (
+         |  SELECT pc.probe_id, a.vec_id,
+         |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
+         |  FROM pc
+         |  JOIN assign a ON pc.cell = a.cell
+         |${adcJoinSql("a.vec_id", "pc.probe_id", pfx = "u")}
+         |  WHERE a.vec_id != pc.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, rank, vec_id, round(adc, 4) AS adc
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     // q18's exact-top-5 CTEs ∘ q134's band relation, joined into per-probe
     // hit counts — recall is a ratio of exact integers
     "q181_ann_recall" -> {
@@ -2873,6 +3103,52 @@ object VectorQueries {
          |  FROM scored
          |)
          |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim
+         |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
+    // the whole tuning loop replayed: full probe-cell ranking (no cut),
+    // exact top-5, each neighbor's cell rank, cumulative coverage, the
+    // smallest rank clearing the integer threshold — then q54's serve at
+    // that rank with (tuned_np, ncells) under the hash
+    "q236_tuned_ivf_search" ->
+      s"""WITH $kmeansCtes, $ivfAssignCte, pcr AS MATERIALIZED (
+         |  SELECT p.vec_id AS probe_id, p.emb AS p_emb, p.n2 AS p_n2, c.cell,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")}, c.cell) AS rn
+         |  FROM emb0 p CROSS JOIN c$IvfIters c
+         |  WHERE ${probePredicateSql("p.vec_id")}
+         |), exact AS MATERIALIZED (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT p.vec_id AS probe_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY list_dot_product(p.emb, e.emb) / (sqrt(p.n2) * sqrt(e.n2)) DESC,
+         |          e.vec_id) AS rnk
+         |    FROM emb0 p JOIN emb0 e ON e.vec_id != p.vec_id
+         |    WHERE ${probePredicateSql("p.vec_id")}
+         |  ) WHERE rnk <= 5
+         |), pairs AS (
+         |  SELECT x.probe_id, r.rn AS crn
+         |  FROM exact x
+         |  JOIN assign a ON x.vec_id = a.vec_id
+         |  JOIN pcr r ON r.probe_id = x.probe_id AND r.cell = a.cell
+         |), tuned AS MATERIALIZED (
+         |  SELECT CAST(coalesce(min(crn), 2) AS BIGINT) AS np FROM (
+         |    SELECT crn, sum(c) OVER (ORDER BY crn) AS cum FROM (
+         |      SELECT crn, count(*) AS c FROM pairs GROUP BY crn
+         |    )
+         |  ), (SELECT count(*) AS tot FROM pairs)
+         |  WHERE cum * 10 >= tot * $TunedRecallTenths
+         |), scored AS (
+         |  SELECT r.probe_id, a.vec_id,
+         |    list_dot_product(r.p_emb, a.emb) / (sqrt(r.p_n2) * sqrt(a.n2)) AS sim
+         |  FROM pcr r JOIN assign a ON r.cell = a.cell, tuned
+         |  WHERE r.rn <= tuned.np AND a.vec_id != r.probe_id
+         |), ranked AS (
+         |  SELECT probe_id, vec_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim,
+         |  (SELECT np FROM tuned) AS tuned_np,
+         |  CAST((SELECT k FROM ivfk) AS BIGINT) AS ncells
          |FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin,
     "q54_ivf_search" ->
       s"""WITH $kmeansCtes, $ivfAssignCte, $ivfProbeCellsCte, scored AS (

@@ -417,7 +417,8 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(fromArtifacts.nonEmpty)
     val root = new java.io.File(vector.VectorQueries.annIndexRoot(sf))
     val parts = root.listFiles().map(_.getName).toSet
-    assert(Seq("centroids", "cells", "codes", "codebook_0", "codebook_3")
+    assert(Seq("centroids", "cells", "codes", "codebook_0", "codebook_3",
+        "codes8", "codebook8_0", "codebook8_3")
       .forall(parts.contains), s"missing artifacts in $parts")
   }
 
@@ -485,8 +486,9 @@ class VectorLawsSpec extends AnyFunSuite {
     // the law that defines a two-stage retriever: stage 2 may not lose
     // precision WITHIN the recall stage's candidate set — per probe, the
     // served 5 must equal the brute-force cosine top-5 of the ADC top-20
+    // (stage 1 reads the PQ8 tier since round 19)
     val root = vector.VectorQueries.ensureAnnIndex(spark, sf)
-    val cand = vector.VectorQueries.adcTopKFromArtifacts(spark, sf, root, 20)
+    val cand = vector.VectorQueries.adcTopKFromArtifacts(spark, sf, root, 20, tier = "8")
       .collect().groupBy(_.getLong(0)).view
       .mapValues(_.map(_.getLong(2)).toSet).toMap
     val served = vector.VectorQueries.q229RerankedAnn(spark, sf)
