@@ -635,13 +635,18 @@ object MediaFunctions {
   // ---- JPEG: baseline sequential DCT, 4:4:4 + 4:2:0 (ITU-T T.81) -------
   //
   // The compressed-DCT boundary decided (VERDICT r16 #4, widened r17
-  // next #4): this engine DECODES baseline JFIF — SOI/APP0/DQT/DHT/SOF0/
-  // [DRI/]SOS marker grammar, canonical Huffman entropy decode with DC
-  // prediction, byte stuffing and RSTn sequence checking, dequantization,
-  // an INTEGER 8×8 IDCT, replication chroma upsampling for 4:2:0, and
-  // fixed-point BT.601 YCbCr→RGB — and QUARANTINES everything outside
-  // that tier loudly (progressive SOF2, 16-bit DQT, 4:2:2/4:1:1 sampling,
-  // arithmetic coding, truncation, trailing bytes). The q231
+  // next #4 and again r18 next #4): this engine DECODES baseline JFIF —
+  // SOI/APP0/DQT/DHT/SOF0/[DRI/]SOS marker grammar, canonical Huffman
+  // entropy decode with DC prediction, byte stuffing and RSTn sequence
+  // checking, dequantization, an INTEGER 8×8 IDCT, replication chroma
+  // upsampling for 4:2:0, and fixed-point BT.601 YCbCr→RGB — AND
+  // PROGRESSIVE JFIF (SOF2, round 19) at 4:4:4: multi-scan spectral
+  // selection + successive approximation per T.81 G.1.2 (DC DPCM over
+  // shifted values + bit refinements, AC EOB-run coding + correction-bit
+  // refinements), with the scan-structure/continuity gates B.2.3 implies.
+  // QUARANTINES everything outside that tier loudly (progressive +
+  // subsampling or + DRI, 16-bit DQT, 4:2:2/4:1:1 sampling, arithmetic
+  // coding, truncation, trailing bytes). The q231
   // discipline: the in-engine encoder exists to make fixtures whose
   // decoded pixels an independent SQL oracle can predict; JPEG is lossy,
   // so fixtures are defined IN THE COEFFICIENT DOMAIN (the quantized
@@ -920,6 +925,211 @@ object MediaFunctions {
     out.toByteArray
   }
 
+  /** One scan of a progressive script: component INDEXES (0..2), the
+    * spectral band [ss, se], and the successive-approximation pair
+    * (ah, al). T.81 constraints the encoder asserts: DC scans (ss = 0)
+    * have se = 0 and may interleave components; AC scans are
+    * single-component; a first scan has ah = 0; a refinement has
+    * ah = al + 1.
+    */
+  private[graft] case class ProgScan(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int)
+
+  /** AC Huffman table for progressive scans: the Annex K baseline AC
+    * tables carry no EOBn symbols (r<<4 with 1 ≤ r ≤ 14 — the run-length
+    * codes for EOB runs spanning 2..32767 blocks, the heart of
+    * progressive AC coding), so progressive streams need their own
+    * table. All 176 symbols (EOB0..EOB14, ZRL, every (r, s≤10)) at a
+    * flat 8 bits — canonically valid (176 ≤ 256 leaves) and trivially
+    * derivable in both the encoder and any conformant decoder.
+    */
+  private lazy val JpegProgAcSpec: (Array[Int], Array[Int]) = {
+    val syms = (0 to 14).map(_ << 4) ++ Seq(0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)
+    (Array.tabulate(16)(i => if (i == 7) syms.length else 0), syms.toArray)
+  }
+  private lazy val JpegProgAcCodes: Map[Int, (Int, Int)] = jpegHuffCodes(JpegProgAcSpec)
+
+  /** Encode a PROGRESSIVE (SOF2) JFIF: 3 components at 4:4:4, Annex K
+    * quantization, the coefficient spectrum delivered across `script`'s
+    * scans — spectral selection (per-scan [ss, se] bands) and successive
+    * approximation (bit-plane splits ah/al, DC by arithmetic shift, AC
+    * by point transform `v / 2^al` toward zero, per T.81 G.1.2) both
+    * supported. DC first/refinement scans use the Annex K DC tables; AC
+    * first/refinement scans use [[JpegProgAcSpec]] (DHT id 2) because
+    * EOB-run symbols don't exist in the baseline tables. The decoded
+    * image is script-INDEPENDENT (every script delivers the same
+    * spectrum), which is what lets the q237 oracle replay generator
+    * spectra without modeling scan structure.
+    */
+  private[graft] def encodeJpegProgressive(width: Int, height: Int,
+      coef: (Int, Int) => Array[Int], script: Seq[ProgScan]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width < 4096 && height < 4096)
+    val bw = (width + 7) / 8
+    val bh = (height + 7) / 8
+    // materialize the spectrum once: script scans revisit blocks
+    val zz = Array.tabulate(3, bw * bh)((c, bi) => coef(c, bi))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, p: Array[Byte]): Unit = {
+      marker(m); out.write((p.length + 2) >> 8); out.write((p.length + 2) & 0xff)
+      out.write(p, 0, p.length)
+    }
+    marker(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    val dqt = new Array[Byte](2 * 65)
+    for (t <- 0 to 1) {
+      dqt(65 * t) = t.toByte
+      for (z <- 0 until 64) dqt(65 * t + 1 + z) = JpegQuant(t)(JpegZigzag(z)).toByte
+    }
+    seg(0xdb, dqt)
+    seg(0xc2, Array[Byte](8, (height >> 8).toByte, (height & 0xff).toByte,
+      (width >> 8).toByte, (width & 0xff).toByte, 3,
+      1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    val dht = (Array(0x00, 0x10, 0x01, 0x11).zip(JpegHuffSpecs) :+
+        (0x12 -> JpegProgAcSpec)).flatMap {
+      case (tc, (bits, vals)) => (tc +: bits).map(_.toByte) ++ vals.map(_.toByte)
+    }
+    seg(0xc4, dht)
+    // per-scan entropy state
+    var acc = 0
+    var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc); if (acc == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushPad(): Unit = while (nbits != 0) {
+      acc = (acc << 1) | 1; nbits += 1
+      if (nbits == 8) { out.write(acc); if (acc == 0xff) out.write(0x00); acc = 0; nbits = 0 }
+    }
+    val dcT = Array(JpegEncTables(0), JpegEncTables(2), JpegEncTables(2))
+    for (scan <- script) {
+      val ProgScan(comps, ss, se, ah, al) = scan
+      require(comps.nonEmpty && comps.forall(c => c >= 0 && c < 3))
+      require(if (ss == 0) se == 0 else comps.size == 1 && ss <= se && se <= 63)
+      require(if (ah > 0) ah == al + 1 else true)
+      // SOS: DC scans name the Annex K DC tables; AC scans table 2
+      val compBytes = comps.flatMap { c =>
+        val td = if (ss == 0) (if (c == 0) 0 else 1) else 0
+        val ta = if (ss == 0) 0 else 2
+        Seq((c + 1).toByte, ((td << 4) | ta).toByte)
+      }
+      seg(0xda, (comps.size.toByte +: compBytes :+
+        ss.toByte :+ se.toByte :+ ((ah << 4) | al).toByte).toArray)
+      if (ss == 0 && ah == 0) { // DC first: DPCM over dc >> al
+        val pred = Array(0, 0, 0)
+        for (bi <- 0 until bw * bh; c <- comps) {
+          val v = zz(c)(bi)(0) >> al // arithmetic shift per G.1.2.1
+          val diff = v - pred(c)
+          pred(c) = v
+          val t = jpegCat(diff)
+          val (dc, dl) = dcT(c)(t)
+          putBits(dc, dl)
+          if (t > 0) putBits(jpegExtendBits(diff, t), t)
+        }
+      } else if (ss == 0) { // DC refinement: one raw bit per block
+        for (bi <- 0 until bw * bh; c <- comps)
+          putBits((zz(c)(bi)(0) >> al) & 1, 1)
+      } else if (ah == 0) { // AC first scan (G.1.2.2): EOB runs + values
+        val c = comps.head
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val (ec, el) = JpegProgAcCodes(nb << 4)
+          putBits(ec, el)
+          if (nb > 0) putBits(eobrun - (1 << nb), nb)
+          eobrun = 0
+        }
+        for (bi <- 0 until bw * bh) {
+          var run = 0
+          var emitted = false
+          for (k <- ss to se) {
+            val t = zz(c)(bi)(k) / (1 << al) // point transform: toward zero
+            if (t == 0) run += 1
+            else {
+              if (!emitted) flushEob()
+              emitted = true
+              while (run > 15) {
+                val (zc, zl) = JpegProgAcCodes(0xf0); putBits(zc, zl); run -= 16
+              }
+              val s = jpegCat(t)
+              val (ac, alen) = JpegProgAcCodes((run << 4) | s)
+              putBits(ac, alen)
+              putBits(jpegExtendBits(t, s), s)
+              run = 0
+            }
+          }
+          if (!emitted || run > 0) {
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          }
+        }
+        flushEob()
+      } else { // AC refinement (G.1.2.3): corrections + newly-significant
+        val c = comps.head
+        var eobrun = 0
+        val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+        def flushEob(): Unit = {
+          if (eobrun > 0) {
+            val nb = 31 - Integer.numberOfLeadingZeros(eobrun)
+            val (ec, el) = JpegProgAcCodes(nb << 4)
+            putBits(ec, el)
+            if (nb > 0) putBits(eobrun - (1 << nb), nb)
+            eobrun = 0
+          }
+          pending.foreach(putBits(_, 1))
+          pending.clear()
+        }
+        for (bi <- 0 until bw * bh) {
+          val tv = Array.tabulate(se + 1)(k =>
+            if (k < ss) 0 else zz(c)(bi)(k) / (1 << al))
+          // last NEWLY-significant index: runs past it fold into the EOB
+          var lastNew = ss - 1
+          for (k <- ss to se) if (math.abs(tv(k)) == 1) lastNew = k
+          var run = 0
+          val corr = scala.collection.mutable.ArrayBuffer.empty[Int]
+          for (k <- ss to se) {
+            val t = tv(k)
+            if (t == 0) {
+              run += 1
+              while (run > 15 && k < lastNew) {
+                flushEob()
+                val (zc, zl) = JpegProgAcCodes(0xf0); putBits(zc, zl)
+                run -= 16
+                corr.foreach(putBits(_, 1)); corr.clear()
+              }
+            } else if (math.abs(t) > 1) {
+              corr += (t & 1) // history-nonzero: correction bit, run unchanged
+            } else {
+              flushEob()
+              val (ac, alen) = JpegProgAcCodes((run << 4) | 1)
+              putBits(ac, alen)
+              putBits(if (t > 0) 1 else 0, 1)
+              corr.foreach(putBits(_, 1)); corr.clear()
+              run = 0
+            }
+          }
+          if (run > 0 || corr.nonEmpty) {
+            eobrun += 1
+            pending ++= corr
+            if (eobrun == 0x7fff) flushEob()
+          }
+        }
+        flushEob()
+      }
+      flushPad()
+      acc = 0; nbits = 0
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Decode a baseline JFIF payload. Total like the other codecs — None,
     * never throw. DECODES only the declared tier: SOF0, 8-bit precision,
     * 3 components at 4:4:4 (all 1×1 sampling) OR 4:2:0 (luma 2×2, both
@@ -929,10 +1139,15 @@ object MediaFunctions {
     * the same camera files). Chroma upsampling is sample replication
     * (c(x, y) = plane(x/2, y/2)): JFIF does not mandate a
     * reconstruction filter, and replication is the one both engines
-    * replay with pure integer arithmetic. Everything else — progressive
-    * / extended / lossless / arithmetic SOFs, 16-bit quantization
-    * tables, 4:2:2/4:1:1 or any other sampling, DNL — QUARANTINES (the
-    * q227 discipline). Entropy data is decoded with full bounds checks:
+    * replay with pure integer arithmetic. PROGRESSIVE (SOF2) decodes at
+    * 4:4:4 only (round 19): spectral selection + successive
+    * approximation per T.81 G.1.2, with scan-structure gates — DC band
+    * = {0}, AC scans single-component, refinement continuity Al = Ah−1
+    * against per-coefficient history, DC-before-AC, no DRI. Everything
+    * else — extended / lossless / arithmetic SOFs, 16-bit quantization
+    * tables, 4:2:2/4:1:1 or any other sampling, progressive+subsampled,
+    * DNL — QUARANTINES (the q227 discipline). Entropy data is decoded
+    * with full bounds checks:
     * an invalid Huffman code, a coefficient index past 63, bit
     * starvation mid-MCU, a missing/mis-sequenced RSTn, a missing EOI,
     * or bytes trailing EOI all reject.
@@ -952,9 +1167,43 @@ object MediaFunctions {
     var w = 0; var h = 0
     var compQ: Array[Int] = null // quant table id per component
     var compH: Array[Int] = null; var compV: Array[Int] = null // sampling
+    var compId: Array[Int] = null // frame component ids (progressive SOS maps by id)
     var restartInt = 0 // DRI: MCUs per restart interval (0 = none)
+    var progressive = false // SOF2 (round 19) — multi-scan coefficient build-up
+    var progSosOff = -1 // marker offset of the FIRST progressive SOS
     var sosAt = -1
     var compDc: Array[Int] = null; var compAc: Array[Int] = null
+    // DHT parsing, shared by the pre-SOS walk and the progressive
+    // between-scan walk (progressive encoders may redefine tables per scan)
+    def parseDht(from: Int, pEnd: Int): Boolean = {
+      var p = from
+      while (p < pEnd) {
+        if (p + 17 > pEnd) return false
+        val tc = u8(p) >> 4; val th = u8(p) & 0x0f
+        if (tc > 1 || th > 3) return false
+        val bits = Array.tabulate(16)(i => u8(p + 1 + i))
+        val n = bits.sum
+        if (n == 0 || n > 256 || p + 17 + n > pEnd) return false
+        val vals = Array.tabulate(n)(i => u8(p + 17 + i))
+        // canonical decode tables (T.81 F.2.2.3)
+        val mincode = new Array[Int](17)
+        val maxcode = Array.fill(17)(-1)
+        val valptr = new Array[Int](17)
+        var code = 0; var k = 0
+        for (l <- 1 to 16) {
+          if (bits(l - 1) > 0) {
+            valptr(l) = k; mincode(l) = code
+            code += bits(l - 1); k += bits(l - 1)
+            maxcode(l) = code - 1
+          }
+          code <<= 1
+        }
+        huffMax(tc)(th) = maxcode; huffMin(tc)(th) = mincode
+        huffPtr(tc)(th) = valptr; huffVal(tc)(th) = vals
+        p += 17 + n
+      }
+      true
+    }
     // ---- marker segment walk up to SOS ----
     while (sosAt < 0) {
       if (off + 4 > b.length || u8(off) != 0xff) return None
@@ -964,7 +1213,8 @@ object MediaFunctions {
       if (len < 2 || off + 2 + len > b.length) return None
       val pEnd = off + 2 + len
       m match {
-        case 0xc0 => // SOF0 — the only accepted frame type
+        case 0xc0 | 0xc2 => // SOF0 baseline | SOF2 progressive (round 19)
+          progressive = m == 0xc2
           if (w != 0 || len < 8) return None
           if (u8(off + 4) != 8) return None // precision
           h = u16(off + 5); w = u16(off + 7)
@@ -974,47 +1224,28 @@ object MediaFunctions {
           if (len != 8 + 3 * nf) return None
           compQ = new Array[Int](nf)
           compH = new Array[Int](nf); compV = new Array[Int](nf)
+          compId = new Array[Int](nf)
           for (i <- 0 until nf) {
             val base = off + 10 + 3 * i
+            compId(i) = u8(base)
             compH(i) = u8(base + 1) >> 4; compV(i) = u8(base + 1) & 0x0f
             compQ(i) = u8(base + 2)
             if (compQ(i) > 3) return None
           }
-          // tier: 4:4:4 (1,1,1 × 1,1,1) or 4:2:0 (2×2 luma, 1×1 chroma)
+          // tier: 4:4:4 (1,1,1 × 1,1,1) or — baseline only — 4:2:0
+          // (2×2 luma, 1×1 chroma). Progressive + subsampling stays a
+          // DECLARED quarantine boundary (SURVEY §2.12): the scan loop's
+          // non-interleaved block geometry is only wired for the
+          // plane-grid == block-grid case.
           val s444 = (0 until nf).forall(i => compH(i) == 1 && compV(i) == 1)
           val s420 = compH(0) == 2 && compV(0) == 2 &&
             (1 until nf).forall(i => compH(i) == 1 && compV(i) == 1)
-          if (!s444 && !s420) return None
+          if (!s444 && !(s420 && !progressive)) return None
         case 0xdd => // DRI — restart interval in MCUs
           if (len != 4) return None
           restartInt = u16(off + 4)
         case 0xc4 => // DHT (possibly several tables)
-          var p = off + 4
-          while (p < pEnd) {
-            if (p + 17 > pEnd) return None
-            val tc = u8(p) >> 4; val th = u8(p) & 0x0f
-            if (tc > 1 || th > 3) return None
-            val bits = Array.tabulate(16)(i => u8(p + 1 + i))
-            val n = bits.sum
-            if (n == 0 || n > 256 || p + 17 + n > pEnd) return None
-            val vals = Array.tabulate(n)(i => u8(p + 17 + i))
-            // canonical decode tables (T.81 F.2.2.3)
-            val mincode = new Array[Int](17)
-            val maxcode = Array.fill(17)(-1)
-            val valptr = new Array[Int](17)
-            var code = 0; var k = 0
-            for (l <- 1 to 16) {
-              if (bits(l - 1) > 0) {
-                valptr(l) = k; mincode(l) = code
-                code += bits(l - 1); k += bits(l - 1)
-                maxcode(l) = code - 1
-              }
-              code <<= 1
-            }
-            huffMax(tc)(th) = maxcode; huffMin(tc)(th) = mincode
-            huffPtr(tc)(th) = valptr; huffVal(tc)(th) = vals
-            p += 17 + n
-          }
+          if (!parseDht(off + 4, pEnd)) return None
         case 0xdb => // DQT (possibly several tables)
           var p = off + 4
           while (p < pEnd) {
@@ -1028,28 +1259,37 @@ object MediaFunctions {
           }
         case 0xda => // SOS
           if (w == 0) return None // no frame header yet
-          val ns = u8(off + 4)
-          if (ns != compQ.length || len != 6 + 2 * ns) return None
-          compDc = new Array[Int](ns); compAc = new Array[Int](ns)
-          for (i <- 0 until ns) {
-            compDc(i) = u8(off + 6 + 2 * i) >> 4
-            compAc(i) = u8(off + 6 + 2 * i) & 0x0f
+          if (progressive) {
+            // the scan loop below owns SOS parsing (multiple scans, each
+            // with its own band/approximation header)
+            progSosOff = off
+            sosAt = pEnd
+          } else {
+            val ns = u8(off + 4)
+            if (ns != compQ.length || len != 6 + 2 * ns) return None
+            compDc = new Array[Int](ns); compAc = new Array[Int](ns)
+            for (i <- 0 until ns) {
+              compDc(i) = u8(off + 6 + 2 * i) >> 4
+              compAc(i) = u8(off + 6 + 2 * i) & 0x0f
+            }
+            // baseline full-spectrum scan only
+            if (u8(off + 5 + 2 * ns) != 0 || u8(off + 6 + 2 * ns) != 63 ||
+              u8(off + 7 + 2 * ns) != 0) return None
+            sosAt = pEnd
           }
-          // baseline full-spectrum scan only
-          if (u8(off + 5 + 2 * ns) != 0 || u8(off + 6 + 2 * ns) != 63 ||
-            u8(off + 7 + 2 * ns) != 0) return None
-          sosAt = pEnd
         case 0xe0 | 0xe1 | 0xe2 | 0xe3 | 0xe4 | 0xe5 | 0xe6 | 0xe7 | 0xe8 |
             0xe9 | 0xea | 0xeb | 0xec | 0xed | 0xee | 0xef | 0xfe => () // APPn/COM: skip
         case _ => return None // SOF1/2/…, DNL, DAC, unknown: out of tier
       }
       off = pEnd
     }
-    // table presence for every scan component
+    // table presence for every scan component (progressive checks its
+    // Huffman tables per scan — tables may be redefined between scans)
     val nc = compQ.length
     for (i <- 0 until nc) {
       if (quant(compQ(i)) == null) return None
-      if (huffVal(0)(compDc(i)) == null || huffVal(1)(compAc(i)) == null) return None
+      if (!progressive &&
+        (huffVal(0)(compDc(i)) == null || huffVal(1)(compAc(i)) == null)) return None
     }
     // ---- entropy decode (T.81 F.2): bit reader with stuffing removal ----
     var pos = sosAt
@@ -1087,6 +1327,13 @@ object MediaFunctions {
       while (i < t) { v = (v << 1) | bit(); i += 1 }
       if (starved) return 0
       if (t > 0 && v < (1 << (t - 1))) v - (1 << t) + 1 else v
+    }
+    // plain t raw bits, no sign extension — EOB-run lengths (G.1.2.2)
+    def receive(t: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < t) { v = (v << 1) | bit(); i += 1 }
+      v
     }
     // MCU geometry from the sampling factors (T.81 A.2.4): hMax/vMax is 1
     // (4:4:4) or 2 (4:2:0); each component's plane is mcu-padded, so a
@@ -1129,38 +1376,272 @@ object MediaFunctions {
       System.arraycopy(jpegIdctBlock(dq), 0, planes(c), blockIdx * 64, 64)
       true
     }
-    var mcu = 0
-    val nMcu = mcuW * mcuH
-    while (mcu < nMcu) {
-      // restart boundary: byte-align (padding bits discarded), expect the
-      // NEXT RSTn in the 0..7 cycle, reset every DC predictor (T.81 F.2.1.3.1)
-      if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
-        nbits = 0
-        val want = 0xd0 + ((mcu / restartInt - 1) % 8)
-        if (pos + 2 > b.length || u8(pos) != 0xff || u8(pos + 1) != want) return None
-        pos += 2
-        java.util.Arrays.fill(pred, 0)
+    if (!progressive) {
+      var mcu = 0
+      val nMcu = mcuW * mcuH
+      while (mcu < nMcu) {
+        // restart boundary: byte-align (padding bits discarded), expect the
+        // NEXT RSTn in the 0..7 cycle, reset every DC predictor (T.81 F.2.1.3.1)
+        if (restartInt > 0 && mcu > 0 && mcu % restartInt == 0) {
+          nbits = 0
+          val want = 0xd0 + ((mcu / restartInt - 1) % 8)
+          if (pos + 2 > b.length || u8(pos) != 0xff || u8(pos + 1) != want) return None
+          pos += 2
+          java.util.Arrays.fill(pred, 0)
+        }
+        val mx = mcu % mcuW; val my = mcu / mcuW
+        var c = 0
+        while (c < nc) {
+          var v = 0
+          while (v < compV(c)) {
+            var u = 0
+            while (u < compH(c)) {
+              val blockIdx = (my * compV(c) + v) * planeBw(c) + (mx * compH(c) + u)
+              if (!decodeBlock(c, blockIdx)) return None
+              u += 1
+            }
+            v += 1
+          }
+          c += 1
+        }
+        mcu += 1
       }
-      val mx = mcu % mcuW; val my = mcu / mcuW
+      // padding bits of the final byte are discarded; EOI must follow and
+      // end the payload exactly (the PNG trailing-bytes discipline)
+      if (pos + 2 != b.length || u8(pos) != 0xff || u8(pos + 1) != 0xd9) return None
+    } else {
+      // ---- progressive scan loop (SOF2, round 19 — T.81 G.1.2) ----
+      // 4:4:4 only, so every component's block grid IS the mcu grid.
+      // Coefficients accumulate across scans in ZIGZAG order, one Int
+      // array per component; alState tracks the successive-approximation
+      // depth each coefficient has been coded to (-1 = uncoded), which is
+      // what gates band re-coding, refinement continuity (Al = Ah − 1,
+      // history at Ah), and AC-before-DC order.
+      if (restartInt > 0) return None // progressive + DRI: declared out of tier
+      val bw = mcuW; val bh = mcuH
+      val coefs = Array.fill(nc)(new Array[Int](bw * bh * 64))
+      val alState = Array.fill(nc, 64)(-1)
+      var scanOff = progSosOff
+      var sawEoi = false
+      while (!sawEoi) {
+        // SOS header of this scan
+        if (scanOff + 4 > b.length || u8(scanOff) != 0xff || u8(scanOff + 1) != 0xda)
+          return None
+        val sLen = u16(scanOff + 2)
+        if (sLen < 2 || scanOff + 2 + sLen > b.length) return None
+        val ns = u8(scanOff + 4)
+        if (ns < 1 || ns > nc || sLen != 6 + 2 * ns) return None
+        val scanComps = new Array[Int](ns)
+        val scanDc = new Array[Int](ns); val scanAc = new Array[Int](ns)
+        for (i <- 0 until ns) {
+          val ci = compId.indexOf(u8(scanOff + 5 + 2 * i))
+          if (ci < 0 || scanComps.take(i).contains(ci)) return None
+          scanComps(i) = ci
+          scanDc(i) = u8(scanOff + 6 + 2 * i) >> 4
+          scanAc(i) = u8(scanOff + 6 + 2 * i) & 0x0f
+          if (scanDc(i) > 3 || scanAc(i) > 3) return None
+        }
+        val ss = u8(scanOff + 5 + 2 * ns); val se = u8(scanOff + 6 + 2 * ns)
+        val ah = u8(scanOff + 7 + 2 * ns) >> 4
+        val al = u8(scanOff + 7 + 2 * ns) & 0x0f
+        // progressive scan-structure gates (T.81 B.2.3 + G.1): DC scans
+        // are the band {0} alone (this is what still rejects q233's
+        // SOF2-flipped baseline stream — its scan says Ss=0, Se=63); AC
+        // scans are single-component; refinements go exactly one bit
+        // deeper on a band whose history is at Ah; first scans hit only
+        // uncoded bands; a component's AC never precedes its DC.
+        if (ss == 0 && se != 0) return None
+        if (ss > 0 && (ns != 1 || ss > se || se > 63)) return None
+        if (al > 13 || ah > 13) return None
+        if (ah == 0) {
+          for (i <- 0 until ns; k <- ss to se)
+            if (alState(scanComps(i))(k) != -1) return None
+        } else {
+          if (al != ah - 1) return None
+          for (i <- 0 until ns; k <- ss to se)
+            if (alState(scanComps(i))(k) != ah) return None
+        }
+        if (ss > 0 && alState(scanComps(0))(0) == -1) return None
+        for (i <- 0 until ns) {
+          if (ss == 0 && ah == 0 && huffVal(0)(scanDc(i)) == null) return None
+          if (ss > 0 && huffVal(1)(scanAc(i)) == null) return None
+        }
+        // entropy-decode this scan
+        pos = scanOff + 2 + sLen
+        nbits = 0
+        val nBlocks = bw * bh
+        if (ss == 0 && ah == 0) { // DC first: DPCM over dc >> al
+          java.util.Arrays.fill(pred, 0)
+          var bi = 0
+          while (bi < nBlocks) {
+            var i = 0
+            while (i < ns) {
+              val c = scanComps(i)
+              val t = decodeSym(0, scanDc(i))
+              if (t < 0 || t > 11) return None
+              pred(c) += receiveExtend(t)
+              if (starved) return None
+              coefs(c)(bi * 64) = pred(c) << al
+              i += 1
+            }
+            bi += 1
+          }
+        } else if (ss == 0) { // DC refinement: one raw bit per block
+          var bi = 0
+          while (bi < nBlocks) {
+            var i = 0
+            while (i < ns) {
+              val c = scanComps(i)
+              val b1 = bit()
+              if (starved) return None
+              if (b1 == 1) coefs(c)(bi * 64) |= (1 << al)
+              i += 1
+            }
+            bi += 1
+          }
+        } else if (ah == 0) { // AC first scan (G.1.2.2)
+          val c = scanComps(0); val th = scanAc(0)
+          var eobrun = 0
+          var bi = 0
+          while (bi < nBlocks) {
+            if (eobrun > 0) eobrun -= 1
+            else {
+              val base = bi * 64
+              var k = ss
+              var brk = false
+              while (k <= se && !brk) {
+                val rs = decodeSym(1, th)
+                if (rs < 0) return None
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << r) - 1 // current block consumed here
+                    if (r > 0) { eobrun += receive(r); if (starved) return None }
+                    brk = true
+                  }
+                } else {
+                  k += r
+                  if (k > se) return None
+                  val v = receiveExtend(s)
+                  if (starved) return None
+                  coefs(c)(base + k) = v << al
+                  k += 1
+                }
+              }
+            }
+            bi += 1
+          }
+          if (eobrun != 0) return None // EOB run past the scan's last block
+        } else { // AC refinement (G.1.2.3)
+          val c = scanComps(0); val th = scanAc(0)
+          val p1 = 1 << al
+          def correct(base: Int, k: Int): Boolean = {
+            val cur = coefs(c)(base + k)
+            if (cur != 0) {
+              val b1 = bit()
+              if (starved) return false
+              if (b1 == 1 && (cur & p1) == 0)
+                coefs(c)(base + k) = cur + (if (cur >= 0) p1 else -p1)
+            }
+            true
+          }
+          var eobrun = 0
+          var bi = 0
+          while (bi < nBlocks) {
+            val base = bi * 64
+            var k = ss
+            if (eobrun == 0) {
+              var brk = false
+              while (k <= se && !brk) {
+                val rs = decodeSym(1, th)
+                if (rs < 0) return None
+                var r = rs >> 4; val s = rs & 15
+                var sv = 0
+                if (s != 0) {
+                  if (s != 1) return None // newly-significant is ±1·2^al
+                  sv = if (bit() == 1) p1 else -p1
+                  if (starved) return None
+                } else if (r != 15) {
+                  eobrun = 1 << r
+                  if (r > 0) { eobrun += receive(r); if (starved) return None }
+                  brk = true
+                }
+                if (!brk) {
+                  // advance over r zero-HISTORY positions, correcting
+                  // nonzero-history coefficients passed over
+                  var adv = true
+                  while (adv && k <= se) {
+                    if (coefs(c)(base + k) != 0) {
+                      if (!correct(base, k)) return None
+                      k += 1
+                    } else {
+                      r -= 1
+                      if (r < 0) adv = false
+                      else k += 1
+                    }
+                  }
+                  if (sv != 0) {
+                    if (k > se) return None
+                    coefs(c)(base + k) = sv
+                  }
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) {
+              while (k <= se) {
+                if (!correct(base, k)) return None
+                k += 1
+              }
+              eobrun -= 1
+            }
+            bi += 1
+          }
+          if (eobrun != 0) return None
+        }
+        // band coded to Al
+        for (i <- 0 until ns; k <- ss to se) alState(scanComps(i))(k) = al
+        // byte-align, then walk to the next SOS or EOI (DHT may be
+        // redefined between scans; COM/APPn skip; anything else rejects)
+        nbits = 0
+        var walking = true
+        while (walking) {
+          if (pos + 2 > b.length || u8(pos) != 0xff) return None
+          val mm = u8(pos + 1)
+          if (mm == 0xd9) {
+            if (pos + 2 != b.length) return None
+            sawEoi = true; walking = false
+          } else if (mm == 0xda) {
+            scanOff = pos; walking = false
+          } else if (mm == 0xc4 || mm == 0xfe || (mm >= 0xe0 && mm <= 0xef)) {
+            if (pos + 4 > b.length) return None
+            val l2 = u16(pos + 2)
+            if (l2 < 2 || pos + 2 + l2 > b.length) return None
+            if (mm == 0xc4 && !parseDht(pos + 4, pos + 2 + l2)) return None
+            pos += 2 + l2
+          } else return None
+        }
+      }
+      // dequantize + IDCT every block into the shared planes
       var c = 0
       while (c < nc) {
-        var v = 0
-        while (v < compV(c)) {
-          var u = 0
-          while (u < compH(c)) {
-            val blockIdx = (my * compV(c) + v) * planeBw(c) + (mx * compH(c) + u)
-            if (!decodeBlock(c, blockIdx)) return None
-            u += 1
+        val q = quant(compQ(c))
+        var bi = 0
+        while (bi < bw * bh) {
+          java.util.Arrays.fill(dq, 0L)
+          var k = 0
+          while (k < 64) {
+            val v = coefs(c)(bi * 64 + k)
+            if (v != 0) { val raster = JpegZigzag(k); dq(raster) = v.toLong * q(raster) }
+            k += 1
           }
-          v += 1
+          System.arraycopy(jpegIdctBlock(dq), 0, planes(c), bi * 64, 64)
+          bi += 1
         }
         c += 1
       }
-      mcu += 1
     }
-    // padding bits of the final byte are discarded; EOI must follow and
-    // end the payload exactly (the PNG trailing-bytes discipline)
-    if (pos + 2 != b.length || u8(pos) != 0xff || u8(pos + 1) != 0xd9) return None
     val rgb = new Array[Byte](3 * w * h)
     def sampleAt(c: Int, px: Int, py: Int): Int = {
       // replication downscale: source sample of pixel (px, py) in a

@@ -685,8 +685,12 @@ object MediaQueries {
 
   /** Marker surgery on a VALID [[MediaFunctions.encodeJpeg]] output —
     * four corrupt variants, each isolating ONE rejection gate of the
-    * declared baseline tier: `progressive` (SOF0→SOF2 marker byte — the
-    * frame-type gate), `dqt16` (DQT precision nibble set to 1 — the
+    * declared baseline tier: `progressive` (SOF0→SOF2 marker byte —
+    * through round 18 the frame-type gate; since round 19 SOF2 itself is
+    * in tier, and this stream now rejects on the progressive
+    * SCAN-STRUCTURE gate instead: a baseline full-spectrum scan claims
+    * Ss=0 WITH Se=63, which no progressive scan may), `dqt16` (DQT
+    * precision nibble set to 1 — the
     * 16-bit-table gate; the segment is otherwise untouched and the gate
     * fires on the Pq field itself), `subsampled` (Y sampling 1×1→2×1,
     * i.e. 4:2:2 — the sampling-tier gate, rejected at SOF before any
@@ -765,6 +769,175 @@ object MediaQueries {
         jpegPoisonRecords(docs.filter($"doc_id" % 5 === 0))).toDF()
       .groupBy(element_at(
         typedLit(JpegPoisonKinds.toSeq), (expr("(id div 5) % 4") + 1).cast("int"))
+        .as("kind"))
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"width" === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum($"n_pixels").as("total_pixels"),
+        coalesce(expr("bit_xor(CASE WHEN width > 0 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+    valid.unionByName(poison).orderBy($"kind")
+  }
+
+  // ---- q237: PROGRESSIVE JPEG pipeline (VERDICT r18 next #4 — the
+  // ---- second-most-common real-world coding, decided as DECODE) --------
+
+  /** Fixture dims for q237: 8–24 × 8–22 px, 1–3 block columns/rows, most
+    * not multiples of 8 so the crop gate is exercised. Distinct from
+    * q233's grid so the two queries replay different spectra.
+    */
+  private[graft] def jpegProgDims(id: Long): (Int, Int) =
+    ((8 + id % 17).toInt, (8 + id % 15).toInt)
+
+  /** Per-doc progressive scan SCRIPT (id % 4): spectral-selection-only,
+    * full successive approximation, mixed bands + approximation, and a
+    * two-level approximation chain (Al 2 → 1 → 0). The decoded pixels
+    * are script-INDEPENDENT — every script delivers the same quantized
+    * spectrum — which is exactly what lets the oracle replay generator
+    * coefficients without modeling scan structure: any EOB-run /
+    * refinement / band-assembly bug lands in checksum_xor (the q234
+    * ri-independence trick, applied to scan scripts).
+    */
+  private[graft] def jpegProgScript(id: Long): Seq[MediaFunctions.ProgScan] = {
+    import MediaFunctions.ProgScan
+    def firstScans(al: Int) = Seq(
+      ProgScan(Seq(0, 1, 2), 0, 0, 0, al),
+      ProgScan(Seq(0), 1, 63, 0, al),
+      ProgScan(Seq(1), 1, 63, 0, al), ProgScan(Seq(2), 1, 63, 0, al))
+    def refines(ah: Int) = Seq(
+      ProgScan(Seq(0, 1, 2), 0, 0, ah, ah - 1),
+      ProgScan(Seq(0), 1, 63, ah, ah - 1),
+      ProgScan(Seq(1), 1, 63, ah, ah - 1), ProgScan(Seq(2), 1, 63, ah, ah - 1))
+    (id % 4) match {
+      case 0 => Seq( // spectral selection only, split luma bands
+        ProgScan(Seq(0, 1, 2), 0, 0, 0, 0),
+        ProgScan(Seq(0), 1, 5, 0, 0), ProgScan(Seq(0), 6, 63, 0, 0),
+        ProgScan(Seq(1), 1, 63, 0, 0), ProgScan(Seq(2), 1, 63, 0, 0))
+      case 1 => firstScans(1) ++ refines(1)
+      case 2 => Seq( // mixed: split luma bands under approximation
+        MediaFunctions.ProgScan(Seq(0, 1, 2), 0, 0, 0, 1),
+        ProgScan(Seq(0), 1, 20, 0, 1), ProgScan(Seq(0), 21, 63, 0, 1),
+        ProgScan(Seq(1), 1, 63, 0, 1), ProgScan(Seq(2), 1, 63, 0, 1),
+        ProgScan(Seq(0, 1, 2), 0, 0, 1, 0),
+        ProgScan(Seq(0), 1, 20, 1, 0), ProgScan(Seq(0), 21, 63, 1, 0),
+        ProgScan(Seq(1), 1, 63, 1, 0), ProgScan(Seq(2), 1, 63, 1, 0))
+      case _ => firstScans(2) ++ refines(2) ++ refines(1)
+    }
+  }
+
+  /** Real progressive-JFIF bytes per doc — [[jpegQuantCoefs]] spectra
+    * (distinct dims grid) delivered across [[jpegProgScript]]'s scans.
+    */
+  private def jpegProgRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docIds(docs).map { id =>
+      val (w, h) = jpegProgDims(id)
+      MediaFunctions.MediaRecord(
+        id, MediaFunctions.encodeJpegProgressive(w, h, jpegQuantCoefs(id),
+          jpegProgScript(id)), "jpg")
+    }
+  }
+
+  /** Marker surgery on a VALID progressive fixture — four corrupt
+    * variants, each isolating ONE gate of the progressive tier:
+    * `s422p` (SOF2 luma sampling 1×1→2×1 — progressive + subsampling is
+    * a DECLARED boundary, and this poison keeps it a TESTED one),
+    * `band_overlap` (an AC scan's Ss 1→0, making its band claim the DC
+    * coefficient — the scan-structure gate; this is also exactly why
+    * q233's SOF2-flipped baseline stream still quarantines), `ah_skip`
+    * (a refinement scan's Ah/Al 1,0→2,1 — the successive-approximation
+    * continuity gate against per-coefficient history), and `truncated`
+    * (4 entropy bytes cut before EOI — bit starvation / marker-walk
+    * misalignment in the scan chain). Poison fixtures use FIXED dims
+    * (24×16) and the full-approximation script so every scan the
+    * surgery targets exists by construction.
+    */
+  private[graft] def jpegProgPoison(kind: String, jpg: Array[Byte]): Array[Byte] = {
+    def fail(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"jpegProgPoison: no $what before byte ${jpg.length} — " +
+          "input is not an encodeJpegProgressive fixture")
+    def markerAt(m: Int): Int = {
+      var off = 2
+      while (off + 3 < jpg.length &&
+        !((jpg(off) & 0xff) == 0xff && (jpg(off + 1) & 0xff) == m))
+        off += 2 + (((jpg(off + 2) & 0xff) << 8) | (jpg(off + 3) & 0xff))
+      if (off + 3 >= jpg.length) fail(f"FF$m%02X marker")
+      off
+    }
+    // nth (0-based) SOS marker: FF DA never occurs inside entropy data
+    // (in-stream 0xFF is always 0x00-stuffed), so a byte scan is exact
+    def sosAt(nth: Int): Int = {
+      var cnt = 0
+      var i = 2
+      while (i + 1 < jpg.length) {
+        if ((jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xda) {
+          if (cnt == nth) return i
+          cnt += 1
+        }
+        i += 1
+      }
+      fail(s"SOS #$nth")
+    }
+    kind match {
+      case "s422p" =>
+        val o = jpg.clone(); o(markerAt(0xc2) + 11) = 0x21.toByte; o
+      case "band_overlap" => // 2nd scan = AC first, comp 0: Ss 1 → 0
+        val o = jpg.clone(); o(sosAt(1) + 7) = 0; o
+      case "ah_skip" => // 6th scan = AC refine, comp 0: (Ah,Al) 1,0 → 2,1
+        val o = jpg.clone(); o(sosAt(5) + 9) = 0x21.toByte; o
+      case _ => // truncated
+        require(jpg.length > 12)
+        val out = new Array[Byte](jpg.length - 4)
+        System.arraycopy(jpg, 0, out, 0, jpg.length - 6)
+        out(out.length - 2) = 0xff.toByte
+        out(out.length - 1) = 0xd9.toByte
+        out
+    }
+  }
+
+  private[graft] val JpegProgPoisonKinds =
+    Array("s422p", "band_overlap", "ah_skip", "truncated")
+
+  /** One poisoned progressive JPEG per doc (callers pre-filter doc_id %
+    * 5 = 0); kind rotates by (doc_id / 5) % 4.
+    */
+  private def jpegProgPoisonRecords(docs: DataFrame) = {
+    import docs.sparkSession.implicits._
+    docIds(docs).map { id =>
+      val good = MediaFunctions.encodeJpegProgressive(
+        24, 16, jpegQuantCoefs(id), jpegProgScript(1))
+      MediaFunctions.MediaRecord(
+        id, jpegProgPoison(JpegProgPoisonKinds(((id / 5) % 4).toInt), good), "jpg")
+    }
+  }
+
+  /** REAL progressive-JPEG decode under the oracle gate (VERDICT r18
+    * next #4): per doc, the coefficient spectrum delivered across a
+    * per-doc scan script — spectral selection, successive approximation
+    * (DC bit refinements, AC correction-bit refinements), EOB runs —
+    * decoded by the extended codec and adjudicated against the
+    * script-INDEPENDENT oracle (the same q233-family integer replay of
+    * the generator spectra, on q237's dims grid). Four poison kinds
+    * must quarantine to the last record. All decode work is map-side
+    * typed iteration; the only shuffle is the rollup.
+    */
+  def q237JpegProgressivePipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val valid = MediaFunctions.decodeFrames(jpegProgRecords(docs)).toDF()
+      .agg(
+        count(lit(1)).as("n_records"),
+        sum(when($"width" === 0, 1L).otherwise(0L)).as("n_quarantined"),
+        sum($"n_pixels").as("total_pixels"),
+        coalesce(expr("bit_xor(CASE WHEN width > 0 THEN checksum END)"), lit(0L))
+          .as("checksum_xor"))
+      .select(lit("valid").as("kind"), $"n_records", $"n_quarantined",
+        $"total_pixels", $"checksum_xor")
+    val poison = MediaFunctions.decodeFrames(
+        jpegProgPoisonRecords(docs.filter($"doc_id" % 5 === 0))).toDF()
+      .groupBy(element_at(
+        typedLit(JpegProgPoisonKinds.toSeq), (expr("(id div 5) % 4") + 1).cast("int"))
         .as("kind"))
       .agg(
         count(lit(1)).as("n_records"),
@@ -920,6 +1093,7 @@ object MediaQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_jpeg_pipeline" -> (q233JpegPipeline _),
     "q234_jpeg420_pipeline" -> (q234Jpeg420Pipeline _),
+    "q237_jpeg_progressive_pipeline" -> (q237JpegProgressivePipeline _),
     "q147_image_neardup" -> (q147ImageNearDup _),
     "q75_media_features" -> (q75MediaFeatures _),
     "q23_binary_metadata" -> (q23BinaryMetadata _),
@@ -1006,22 +1180,21 @@ object MediaQueries {
     (for (x <- 0 until 8; u <- 0 until 8)
       yield s"($x, $u, ${MediaFunctions.JpegIdctBasis(x)(u)})").mkString(", ")
 
-  val oracles: Map[String, String] = Map(
-    // JPEG gate: the valid class replays the coefficient-domain generator
-    // through dequantize → integer IDCT → level shift/clamp → fixed-point
-    // YCbCr→RGB → BT.601 luma → FNV, per pixel — the JFIF bytes exist
-    // only Spark-side, so any marker/Huffman/stuffing/prediction bug is a
-    // checksum_xor mismatch. Every integer step uses the nonneg-offset
-    // shift so // here equals the JVM's >> there. Poison kinds must
-    // quarantine to the last record; quarantined checksums (raw-byte
-    // FNV of encoder output) are excluded from the xor on BOTH sides,
-    // exactly as q231 does.
-    "q233_jpeg_pipeline" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, 8 + doc_id % 13 AS w, 8 + doc_id % 11 AS h,
-         |    (8 + doc_id % 13 + 7) // 8 AS bw, (8 + doc_id % 11 + 7) // 8 AS bh
-         |  FROM documents
-         |), comps AS (
+  /** The 4:4:4 JPEG pipeline oracle, shared by q233 (baseline) and q237
+    * (progressive): replays the coefficient-domain generator through
+    * dequantize -> integer IDCT -> level shift/clamp -> fixed-point
+    * YCbCr->RGB -> BT.601 luma -> FNV per pixel, on the (wSql, hSql)
+    * dims grid, with poisonCaseSql naming the quarantined kinds. The
+    * JFIF bytes (and, for q237, the scan scripts) exist only
+    * Spark-side — the replay is marker- and scan-structure-blind.
+    */
+  private def jpeg444PipelineOracle(wSql: String, hSql: String,
+      poisonCaseSql: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $wSql AS w, $hSql AS h,
+       |    ($wSql + 7) // 8 AS bw, ($hSql + 7) // 8 AS bh
+       |  FROM documents
+       |), comps AS (
          |  SELECT doc_id, w, h, bw, CAST(ub.b AS BIGINT) AS bi, CAST(uc.c AS BIGINT) AS c
          |  FROM d, UNNEST(range(0, bw * bh)) AS ub(b), UNNEST(range(0, 3)) AS uc(c)
          |), coef AS (
@@ -1083,9 +1256,7 @@ object MediaQueries {
          |    sum(d.w * d.h) AS total_pixels, bit_xor(c.cksum) AS checksum_xor
          |  FROM cks c JOIN d ON c.doc_id = d.doc_id
          |), poison AS (
-         |  SELECT CASE (doc_id // 5) % 4 WHEN 0 THEN 'progressive'
-         |           WHEN 1 THEN 'dqt16' WHEN 2 THEN 'subsampled'
-         |           ELSE 'truncated' END AS kind,
+         |  SELECT $poisonCaseSql AS kind,
          |    count(*) AS n_records, count(*) AS n_quarantined,
          |    0 AS total_pixels, 0 AS checksum_xor
          |  FROM documents WHERE doc_id % 5 = 0 GROUP BY 1
@@ -1095,7 +1266,33 @@ object MediaQueries {
          |  CAST(total_pixels AS BIGINT) AS total_pixels,
          |  CAST(checksum_xor AS BIGINT) AS checksum_xor
          |FROM (SELECT * FROM valid UNION ALL SELECT * FROM poison)
-         |ORDER BY kind""".stripMargin,
+         |ORDER BY kind""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // JPEG gate: the valid class replays the coefficient-domain generator
+    // through dequantize → integer IDCT → level shift/clamp → fixed-point
+    // YCbCr→RGB → BT.601 luma → FNV, per pixel — the JFIF bytes exist
+    // only Spark-side, so any marker/Huffman/stuffing/prediction bug is a
+    // checksum_xor mismatch. Every integer step uses the nonneg-offset
+    // shift so // here equals the JVM's >> there. Poison kinds must
+    // quarantine to the last record; quarantined checksums (raw-byte
+    // FNV of encoder output) are excluded from the xor on BOTH sides,
+    // exactly as q231 does.
+    "q233_jpeg_pipeline" -> jpeg444PipelineOracle(
+      "8 + doc_id % 13", "8 + doc_id % 11",
+      """CASE (doc_id // 5) % 4 WHEN 0 THEN 'progressive'
+        |           WHEN 1 THEN 'dqt16' WHEN 2 THEN 'subsampled'
+        |           ELSE 'truncated' END""".stripMargin),
+    // progressive gate: the SAME 4:4:4 integer replay on q237's dims grid
+    // — the oracle is deliberately blind to scan scripts (scripts only
+    // re-order spectrum delivery), so EOB-run / refinement / band bugs
+    // land in checksum_xor exactly as q234's ri-independence does for
+    // restart handling
+    "q237_jpeg_progressive_pipeline" -> jpeg444PipelineOracle(
+      "8 + doc_id % 17", "8 + doc_id % 15",
+      """CASE (doc_id // 5) % 4 WHEN 0 THEN 's422p'
+        |           WHEN 1 THEN 'band_overlap' WHEN 2 THEN 'ah_skip'
+        |           ELSE 'truncated' END""".stripMargin),
     // 4:2:0 gate: q233's replay chain over the subsampled geometry — the
     // luma plane is 2·mw blocks wide and mcu-PADDED (a 17-px row carries
     // 4 luma block columns), chroma planes are mw wide and fetched by
