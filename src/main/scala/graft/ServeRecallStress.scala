@@ -57,8 +57,7 @@ object ServeRecallStress {
     // codebooks, all cells — isolates codec resolution from coarse recall
     locally {
       val root = ensureAnnIndex(spark, dir)
-      val rows = adcTopKFromArtifacts(spark, dir, root,
-        5, tier = "8")  // IVF-restricted — measured below as q235
+      val rows = adcTopK8FromArtifacts(spark, dir, root, 5) // the q235 serve
       val (collected, sec) = timed(rows.collect())
       println(f"""{"tier":"q235_ivfpq8","recall5":${recallOf(collected)}%.3f,"sec":$sec%.1f}""")
       val (rr, sec2) = timed(q229RerankedAnn(spark, dir).collect())

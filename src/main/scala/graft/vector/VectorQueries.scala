@@ -853,20 +853,35 @@ object VectorQueries {
     */
   private[graft] val PqCodes = 8
 
-  /** FAISS-standard 8-bit PQ codebook size (256 codes per subspace) — the
-    * SECOND PQ format tier (round 19, VERDICT r18 next #1). Same 4-byte
-    * on-disk code layout as the 3-bit tier (one code byte per subspace),
-    * but using the full byte range: round 18's organic 20k instrument
-    * measured the 4×[[PqCodes]] codec at ≈ chance recall at realistic
-    * density (SCALING.md), so the serving menu needed a rung between SQ8
-    * and that declared compression extreme. 256 is `nbits = 8`, the FAISS
-    * ProductQuantizer default — the codebook a production store actually
-    * trains. Like [[PqCodes]] this is a STORAGE-FORMAT constant, never an
-    * occupancy parameter; training stays bounded by the same
+  /** FAISS-standard 8-bit PQ tier (round 19, VERDICT r18 next #1): 256
+    * codes per subspace, SIXTEEN 4-dim subspaces over the NORMALIZED
+    * corpus — 16 code bytes per vector, 16× compression vs float32.
+    * Every piece of that geometry is measurement-forced (PqGeomStress on
+    * the 20k organic replica, SCALING.md round 19):
+    *
+    *  - The verdict's hypothesis — 256 codes on the existing 4×16-dim
+    *    layout — measured recall@5 ≈ 0.02, barely above the 3-bit tier:
+    *    codebook SIZE was not the binding variable.
+    *  - Two stacked OBJECTIVE mismatches were: ADC ranks by L2, the
+    *    serve target is cosine, and on unnormalized near-uniform vectors
+    *    those top-5 sets barely overlap (the m=64 scalar-quantizer
+    *    control scored 0.000 vs dot but 0.81 vs exact-L2 — instrument
+    *    and codec both fine, metric wrong). NORMALIZING first (FAISS's
+    *    cosine-via-L2 recipe) re-aligns them.
+    *  - On the normalized corpus the exhaustive curve is bits/dim:
+    *    m=4 → 0.13, m=8 → 0.20, m=16 → 0.55 recall@5, with the ADC
+    *    top-20 containing 0.88 of the exact top-5 at m=16 — the
+    *    rerank-recoverable operating point q229 needs. d/m = 4 at
+    *    nbits = 8 is squarely FAISS-standard PQ geometry.
+    *
+    * Like [[PqCodes]] these are STORAGE-FORMAT constants, never
+    * occupancy parameters; training stays bounded by the same
     * [[trainSlice]] ladder (sample in [128·256, 256·256) once the corpus
     * clears 65,536 vectors — cost ≤ 256·k², corpus-independent).
     */
   private[graft] val Pq8Codes = 256
+  private[graft] val Pq8Subspaces = 16
+  private[graft] val Pq8SubDim = 4 // 64 dims / 16 subspaces
 
   /** Coarse cell count for a corpus of `n` vectors: k doubles per 4×
     * corpus growth from the floor [[IvfCells]] (8 at n ≤ 1000), capped at
@@ -1349,6 +1364,29 @@ object VectorQueries {
   private def subspace(s: SparkSession, dir: String, m: Int): DataFrame =
     subspaceOf(Tables.embeddings(s, dir), m)
 
+  /** The NORMALIZED corpus x/|x|, elements narrowed to FLOAT — the PQ8
+    * tier's input (see [[Pq8Codes]]: ADC is an L2 ranker, and only on
+    * the unit sphere does L2 order agree with the cosine serve target).
+    * Double-divide then float-narrow is the sqRecon cast discipline, so
+    * the DuckDB twin (CASE WHEN n2 = 0 … / sqrt(n2), CAST REAL, CAST
+    * DOUBLE) reproduces every element bit-for-bit; zero vectors map to
+    * the zero vector instead of NaN in both engines.
+    */
+  private[graft] def normalizedEmb(df: DataFrame): DataFrame = {
+    val n2 = dotF(col("embedding"), col("embedding"))
+    df.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        when(n2 === 0.0, lit(0.0)).otherwise(x.cast("double") / sqrt(n2))
+          .cast("float")).as("embedding"))
+  }
+
+  /** PQ8 subspace m: 4-dim slices of the NORMALIZED corpus, with n2. */
+  private[graft] def subspace8Of(df: DataFrame, m: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    withN2(normalizedEmb(df)
+      .select($"vec_id", slice($"embedding", m * Pq8SubDim + 1, Pq8SubDim).as("embedding")))
+  }
+
   /** Product quantization + asymmetric-distance (ADC) search — the
     * compression standard behind IVF-PQ (Jégou et al. '11): split vectors
     * into 4 independent 16-dim subspaces, Lloyd-train an 8-code codebook
@@ -1670,12 +1708,13 @@ object VectorQueries {
     * space no longer matches what the serve path would train. v3: Lloyd
     * trains on the bounded [[trainSlice]] hash sample with k-smallest-
     * present seeding (round 18) — identical artifacts below the sample
-    * threshold, but a different trained space above it. v4: the index
-    * additionally carries the [[Pq8Codes]] 8-bit codebooks + codes
-    * (round 19) — a v3 root lacks the tables q229/q235's recall stage
-    * reads.
+    * threshold, but a different trained space above it. v4/v5: the
+    * [[Pq8Codes]] 8-bit codebook/code family added (round 19) — a v3
+    * root lacks the tables q229/q235's recall stage reads. v4 was the
+    * intra-round 4×16-dim intermediate whose measured ≈0.02 recall
+    * forced the 16×4-dim normalized geometry v5 carries.
     */
-  private[graft] val AnnIndexVersion = 4
+  private[graft] val AnnIndexVersion = 5
 
   /** Index root for q148/q151 artifacts — PID-FREE (VERDICT r14 #1): the
     * whole point of a lake artifact is that a NEW session/cluster serves
@@ -1710,10 +1749,12 @@ object VectorQueries {
     (0 until PqSubspaces).foreach { m =>
       lloyd(trainSlice(subspaceOf(raw, m), n, PqCodes), PqIters, PqCodes)
         .write.mode("overwrite").parquet(s"$root/codebook_$m")
-      // the 8-bit tier's codebooks (round 19): same trainer, same bounded
-      // slice (its modulus derives from Pq8Codes, so the cap engages 32×
-      // later), 256 seeds — both tiers train from one corpus pass shape
-      lloyd(trainSlice(subspaceOf(raw, m), n, Pq8Codes), PqIters, Pq8Codes)
+    }
+    // the 8-bit tier's codebooks (round 19): same Lloyd trainer over the
+    // NORMALIZED 4-dim subspaces, same bounded slice discipline (the
+    // modulus derives from Pq8Codes, so the cap engages 32× later)
+    (0 until Pq8Subspaces).foreach { m =>
+      lloyd(trainSlice(subspace8Of(raw, m), n, Pq8Codes), PqIters, Pq8Codes)
         .write.mode("overwrite").parquet(s"$root/codebook8_$m")
     }
   }
@@ -1737,8 +1778,8 @@ object VectorQueries {
           .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
       }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/codes/batch=$batch")
-    (0 until PqSubspaces).map { m =>
-        assignCells(subspaceOf(raw, m), s.read.parquet(s"$root/codebook8_$m"))
+    (0 until Pq8Subspaces).map { m =>
+        assignCells(subspace8Of(raw, m), s.read.parquet(s"$root/codebook8_$m"))
           .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
       }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$root/codes8/batch=$batch")
@@ -1797,7 +1838,7 @@ object VectorQueries {
   def q229RerankedAnn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = ensureAnnIndex(s, dir)
-    val cand = adcTopKFromArtifacts(s, dir, root, 20, tier = "8")
+    val cand = adcTopK8FromArtifacts(s, dir, root, 20)
       .select($"probe_id", $"vec_id")
     val e = withNorm(Tables.embeddings(s, dir))
     val probes = e.filter(probePredicate($"vec_id"))
@@ -1816,18 +1857,20 @@ object VectorQueries {
   /** IVF-PQ8 search from persisted artifacts — the [[Pq8Codes]] tier's own
     * registered serve (round 19, VERDICT r18 next #1): q148's exact shape
     * (coarse probe restriction + ADC over persisted codes, raw corpus
-    * untouched) with the 8-bit codebooks/codes instead of the 3-bit ones.
-    * Same 4 code bytes per vector on disk, 32× the codebook resolution —
-    * the FAISS-default IVFPQ operating point, and the menu rung between
-    * SQ8 (64 bytes/vector, recall ≥0.8) and the 3-bit compression extreme
-    * (recall ≈ chance at 20k organic density). Scale shape identical to
-    * q148: bounded broadcasts (≤1024-row centroids, 4×256-row codebooks,
-    * probe LUT ≤ MaxProbes·4·256 rows), candidate work nprobe/ncells of
-    * the corpus × 4 LUT lookups. The oracle replays coarse + all four
-    * 256-code trainings and the cell-restricted pinned-order ADC.
+    * untouched) with the measurement-forced 8-bit geometry — SIXTEEN
+    * 4-dim subspaces over the NORMALIZED corpus, 256 codes each (see
+    * [[Pq8Codes]] for the sweep that picked it). 16 code bytes per
+    * vector = 16× compression — the menu rung between SQ8 (64 bytes,
+    * recall ≥0.8) and the 3-bit compression extreme (declared
+    * under-resolved at organic density). Scale shape identical to q148:
+    * bounded broadcasts (≤1024-row centroids, 16×256-row codebooks,
+    * probe LUT ≤ MaxProbes·16·256 rows), candidate work nprobe/ncells of
+    * the corpus × 16 LUT lookups. The oracle replays the normalization,
+    * the coarse training and ALL SIXTEEN 256-code trainings, then the
+    * cell-restricted pinned-order 16-term ADC.
     */
   def q235Pq8Search(s: SparkSession, dir: String): DataFrame =
-    adcTopKFromArtifacts(s, dir, ensureAnnIndex(s, dir), 5, tier = "8")
+    adcTopK8FromArtifacts(s, dir, ensureAnnIndex(s, dir), 5)
 
   /** Serve half shared by q148/q151: answer the q140 search reading ONLY
     * the artifacts under `root` plus the probe vectors.
@@ -1835,15 +1878,12 @@ object VectorQueries {
   private[graft] def serveFromArtifacts(s: SparkSession, dir: String, root: String): DataFrame =
     adcTopKFromArtifacts(s, dir, root, 5)
 
-  /** The artifact serve parameterized over k and code TIER — q148/q151
-    * return the 3-bit tier's ADC top-5 directly; q235 serves the 8-bit
-    * tier's top-5; q229's RECALL STAGE takes the 8-bit top-20 as
-    * candidates for the exact rerank. `tier` selects which persisted
-    * codebook/code family is read ("" = codebook_m/codes, "8" =
-    * codebook8_m/codes8); cells and centroids are shared.
+  /** The artifact serve parameterized over k — q148/q151 return the ADC
+    * top-5 directly ([[adcTopK8FromArtifacts]] is the 8-bit twin; q229's
+    * RECALL STAGE takes its top-20 as candidates for the exact rerank).
     */
   private[graft] def adcTopKFromArtifacts(s: SparkSession, dir: String, root: String,
-      k: Int, tier: String = ""): DataFrame = {
+      k: Int): DataFrame = {
     import s.implicits._
     val e = withN2(Tables.embeddings(s, dir))
     val cents = s.read.parquet(s"$root/centroids")
@@ -1862,7 +1902,7 @@ object VectorQueries {
     val lut = (0 until PqSubspaces).map { m =>
         subspace(s, dir, m).filter(probePredicate($"vec_id"))
           .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
-          .crossJoin(broadcast(s.read.parquet(s"$root/codebook${tier}_$m")))
+          .crossJoin(broadcast(s.read.parquet(s"$root/codebook_$m")))
           .select($"probe_id", lit(m).as("m"), $"cell".as("code"),
             dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
       }.reduce(_ unionByName _)
@@ -1871,7 +1911,7 @@ object VectorQueries {
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id")
     val topk = udaf(TopKByScore(k))
-    cand.join(s.read.parquet(s"$root/codes$tier"), Seq("vec_id"))
+    cand.join(s.read.parquet(s"$root/codes"), Seq("vec_id"))
       .join(broadcast(lut), Seq("probe_id", "m", "code"))
       .groupBy($"probe_id", $"vec_id")
       .agg(
@@ -1881,6 +1921,62 @@ object VectorQueries {
         sum(when($"m" === 3, $"pd2")).as("d3"))
       .select($"probe_id", $"vec_id",
         ((($"d0" + $"d1") + $"d2") + $"d3").as("adc"))
+      .groupBy($"probe_id").agg(topk(-$"adc", $"vec_id").as("nn"))
+      .select($"probe_id", posexplode($"nn"))
+      .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
+        $"col._2".as("vec_id"), round(-$"col._1", 4).as("adc"))
+      .orderBy($"probe_id", $"rank")
+  }
+
+  /** The 8-bit tier's artifact serve (see [[Pq8Codes]] for the measured
+    * geometry): probes are sliced from the NORMALIZED corpus, candidates
+    * come from the same shared coarse cells, and the ADC is the 16-term
+    * pinned-order sum of per-subspace code distances from the broadcast
+    * LUT (≤ MaxProbes·16·256 rows). Per candidate the scan touches 16
+    * code bytes — the 16×-compressed relation a 100 TB lake serves from.
+    */
+  private[graft] def adcTopK8FromArtifacts(s: SparkSession, dir: String, root: String,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val e = withN2(Tables.embeddings(s, dir))
+    val cents = s.read.parquet(s"$root/centroids")
+    val np = scaledNprobe(
+      Tables.publishedArtifactCount(s, s"$root/centroids", s"$root/_trained").toInt)
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+    val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
+    val probeCells = probes.crossJoin(broadcast(cents))
+      .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
+      .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= np)
+      .select($"probe_id", $"cell")
+    // ONE probe-side corpus scan, not sixteen: the probe predicate is a
+    // modulo — not parquet-pushdownable — so building each subspace LUT
+    // straight off `embeddings` would re-scan the corpus per subspace at
+    // 100 TB for a ≤ MaxProbes-row relation. Materialize the normalized
+    // probe vectors once and slice the 16 subspaces from those rows.
+    val nprobes = normalizedEmb(Tables.embeddings(s, dir))
+      .filter(probePredicate($"vec_id")).localCheckpoint()
+    val lut = (0 until Pq8Subspaces).map { m =>
+        withN2(nprobes.select($"vec_id",
+            slice($"embedding", m * Pq8SubDim + 1, Pq8SubDim).as("embedding")))
+          .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+          .crossJoin(broadcast(s.read.parquet(s"$root/codebook8_$m")))
+          .select($"probe_id", lit(m).as("m"), $"cell".as("code"),
+            dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
+      }.reduce(_ unionByName _)
+    val cand = s.read.parquet(s"$root/cells")
+      .join(broadcast(probeCells), Seq("cell"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id")
+    val topk = udaf(TopKByScore(k))
+    val sums = (0 until Pq8Subspaces).map(m =>
+      sum(when($"m" === m, $"pd2")).as(s"d$m"))
+    cand.join(s.read.parquet(s"$root/codes8"), Seq("vec_id"))
+      .join(broadcast(lut), Seq("probe_id", "m", "code"))
+      .groupBy($"probe_id", $"vec_id")
+      .agg(sums.head, sums.tail: _*)
+      .select($"probe_id", $"vec_id",
+        (0 until Pq8Subspaces).map(m => col(s"d$m")).reduce(_ + _).as("adc"))
       .groupBy($"probe_id").agg(topk(-$"adc", $"vec_id").as("nn"))
       .select($"probe_id", posexplode($"nn"))
       .select($"probe_id", ($"pos" + 1).cast("long").as("rank"),
@@ -2294,7 +2390,7 @@ object VectorQueries {
     */
   private def kmeansCtesFor(p: String, sliceSql: String, iters: Int,
       where: String = "", kSql: String = PqCodes.toString,
-      modSql: String = "1"): String = {
+      modSql: String = "1", relSql: String = "embeddings"): String = {
     // Every CTE is AS MATERIALIZED: the chain references each relation
     // more than once (c_{i-1} feeds both a_i and c_i; emb0 feeds every
     // round; code/lut consumers join 4+4 ways), and DuckDB's default
@@ -2315,7 +2411,7 @@ object VectorQueries {
       s"""${p}emb0 AS MATERIALIZED (
          |  SELECT vec_id, $sliceSql AS emb,
          |    list_dot_product($sliceSql, $sliceSql) AS n2
-         |  FROM embeddings $where
+         |  FROM $relSql $where
          |), ${p}t0 AS MATERIALIZED (
          |  SELECT vec_id, emb, n2 FROM ${p}emb0
          |  WHERE CAST('0x' || substr(md5('ivftrain:' || CAST(vec_id AS VARCHAR)), 1, 15)
@@ -2477,29 +2573,40 @@ object VectorQueries {
        |)""".stripMargin
   }.mkString(", ")
 
-  /** The [[Pq8Codes]] tier's oracle fragments (q229/q235): the same four
-    * subspace training chains / code assignments / probe LUTs as the
-    * 3-bit pqChains machinery, generated with kSql = 256 and its OWN
-    * sample-modulus relation (the [128·256, 256·256) slice band) — chain
-    * prefix "u", so both tiers could appear in one query without CTE-name
-    * collision (each chain carries its own u{m}emb0 subspace slice; the
-    * q229/q235 oracles use ONLY the 8-bit chains, so nothing is scanned
-    * twice).
+  /** The [[Pq8Codes]] tier's oracle fragments (q229/q235): one shared
+    * NORMALIZED-corpus CTE (the [[normalizedEmb]] twin — double divide,
+    * REAL narrow, DOUBLE widen, zero vectors to zero), then SIXTEEN
+    * 4-dim subspace training chains / code assignments / probe LUTs via
+    * the same generated kmeans machinery as the 3-bit tier, with
+    * kSql = 256 and the tier's OWN sample-modulus relation (the
+    * [128·256, 256·256) slice band). Chain prefix "u", so both tiers can
+    * appear in one query without CTE-name collision.
     */
   private lazy val pq8Chains: String = {
-    val pqm =
+    val head =
       s"""pq8m AS MATERIALIZED (
          |  SELECT ${trainSampleModSqlCase(Pq8Codes.toString)} AS m
          |  FROM (SELECT count(*) AS n FROM embeddings)
+         |), nemb AS MATERIALIZED (
+         |  SELECT vec_id, CAST(CAST(list_transform(e, x ->
+         |      CASE WHEN nn = 0 THEN 0 ELSE x / sqrt(nn) END)
+         |    AS REAL[]) AS DOUBLE[]) AS embedding
+         |  FROM (
+         |    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |      list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                       CAST(embedding AS DOUBLE[])) AS nn
+         |    FROM embeddings
+         |  )
          |)""".stripMargin
-    pqm + ", " + (0 until PqSubspaces).map { m =>
-      val lo = m * PqSubDim + 1; val hi = (m + 1) * PqSubDim
-      kmeansCtesFor(s"u$m", s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]", PqIters,
-        kSql = Pq8Codes.toString, modSql = "(SELECT m FROM pq8m)")
+    head + ", " + (0 until Pq8Subspaces).map { m =>
+      val lo = m * Pq8SubDim + 1; val hi = (m + 1) * Pq8SubDim
+      kmeansCtesFor(s"u$m", s"embedding[$lo:$hi]", PqIters,
+        kSql = Pq8Codes.toString, modSql = "(SELECT m FROM pq8m)",
+        relSql = "nemb")
     }.mkString(", ")
   }
 
-  private lazy val pq8CodeCtes: String = (0 until PqSubspaces).map { m =>
+  private lazy val pq8CodeCtes: String = (0 until Pq8Subspaces).map { m =>
     s"""ucode$m AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT e.vec_id, c.cell,
@@ -2510,7 +2617,7 @@ object VectorQueries {
        |)""".stripMargin
   }.mkString(", ")
 
-  private lazy val pq8LutCtes: String = (0 until PqSubspaces).map { m =>
+  private lazy val pq8LutCtes: String = (0 until Pq8Subspaces).map { m =>
     s"""ulut$m AS MATERIALIZED (
        |  SELECT p.vec_id AS probe_id, c.cell,
        |    ${d2Sql("p.n2", "c.cn2", "p.emb", "c.ce")} AS pd2
@@ -2519,23 +2626,34 @@ object VectorQueries {
        |)""".stripMargin
   }.mkString(", ")
 
-  /** The 4-term pinned-order ADC join shared by q138/q140 (and, with the
-    * "u" prefix, q229/q235's PQ8) scored CTEs. Aliases are k0..k3 —
-    * c0..c3 would collide with the full-vector k-means chain's CTE names
-    * when both appear in one query (q140). `pfx` selects the code/lut CTE
-    * family ("" = the 3-bit tier's code0../lut0.., "u" = the 8-bit
-    * tier's ucode0../ulut0..).
+  /** Generated 16-subspace ADC join ([[adcJoinSql]]'s PQ8 twin). */
+  private def pq8AdcJoinSql(vecIdExpr: String, probeIdExpr: String): String =
+    ((0 until Pq8Subspaces).map(m =>
+      s"  JOIN ucode$m k$m ON k$m.vec_id = $vecIdExpr") ++
+     (0 until Pq8Subspaces).map(m =>
+      s"  JOIN ulut$m l$m ON l$m.cell = k$m.cell AND l$m.probe_id = $probeIdExpr"))
+      .mkString("\n")
+
+  /** Left-associated 16-term pinned-order ADC sum — the exact shape the
+    * Spark side's `reduce(_ + _)` folds.
     */
-  private def adcJoinSql(vecIdExpr: String, probeIdExpr: String,
-      pfx: String = ""): String =
-    s"""  JOIN ${pfx}code0 k0 ON k0.vec_id = $vecIdExpr
-       |  JOIN ${pfx}code1 k1 ON k1.vec_id = $vecIdExpr
-       |  JOIN ${pfx}code2 k2 ON k2.vec_id = $vecIdExpr
-       |  JOIN ${pfx}code3 k3 ON k3.vec_id = $vecIdExpr
-       |  JOIN ${pfx}lut0 l0 ON l0.cell = k0.cell AND l0.probe_id = $probeIdExpr
-       |  JOIN ${pfx}lut1 l1 ON l1.cell = k1.cell AND l1.probe_id = $probeIdExpr
-       |  JOIN ${pfx}lut2 l2 ON l2.cell = k2.cell AND l2.probe_id = $probeIdExpr
-       |  JOIN ${pfx}lut3 l3 ON l3.cell = k3.cell AND l3.probe_id = $probeIdExpr""".stripMargin
+  private val pq8AdcSumSql: String =
+    (1 until Pq8Subspaces).foldLeft("l0.pd2")((acc, m) => s"($acc + l$m.pd2)")
+
+  /** The 4-term pinned-order ADC join shared by q138/q140 scored CTEs.
+    * Aliases are k0..k3 — c0..c3 would collide with the full-vector
+    * k-means chain's CTE names when both appear in one query (q140).
+    * ([[pq8AdcJoinSql]] is the generated 16-subspace twin.)
+    */
+  private def adcJoinSql(vecIdExpr: String, probeIdExpr: String): String =
+    s"""  JOIN code0 k0 ON k0.vec_id = $vecIdExpr
+       |  JOIN code1 k1 ON k1.vec_id = $vecIdExpr
+       |  JOIN code2 k2 ON k2.vec_id = $vecIdExpr
+       |  JOIN code3 k3 ON k3.vec_id = $vecIdExpr
+       |  JOIN lut0 l0 ON l0.cell = k0.cell AND l0.probe_id = $probeIdExpr
+       |  JOIN lut1 l1 ON l1.cell = k1.cell AND l1.probe_id = $probeIdExpr
+       |  JOIN lut2 l2 ON l2.cell = k2.cell AND l2.probe_id = $probeIdExpr
+       |  JOIN lut3 l3 ON l3.cell = k3.cell AND l3.probe_id = $probeIdExpr""".stripMargin
 
   private def bucketSqlT(t: Int): String =
     ComparatorPlanes.map { case (a, b) => (a + t, b + t) }.zipWithIndex.map {
@@ -2755,10 +2873,10 @@ object VectorQueries {
       s"""WITH $kmeansCtes, $pq8Chains, $ivfAssignCte, $ivfProbeCellsCte,
          |$pq8CodeCtes, $pq8LutCtes, scored AS (
          |  SELECT pc.probe_id, a.vec_id,
-         |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
+         |    $pq8AdcSumSql AS adc
          |  FROM pc
          |  JOIN assign a ON pc.cell = a.cell
-         |${adcJoinSql("a.vec_id", "pc.probe_id", pfx = "u")}
+         |${pq8AdcJoinSql("a.vec_id", "pc.probe_id")}
          |  WHERE a.vec_id != pc.probe_id
          |), ranked AS (
          |  SELECT probe_id, vec_id,
@@ -2785,10 +2903,10 @@ object VectorQueries {
       s"""WITH $kmeansCtes, $pq8Chains, $ivfAssignCte, $ivfProbeCellsCte,
          |$pq8CodeCtes, $pq8LutCtes, scored AS (
          |  SELECT pc.probe_id, a.vec_id,
-         |    ((l0.pd2 + l1.pd2) + l2.pd2) + l3.pd2 AS adc
+         |    $pq8AdcSumSql AS adc
          |  FROM pc
          |  JOIN assign a ON pc.cell = a.cell
-         |${adcJoinSql("a.vec_id", "pc.probe_id", pfx = "u")}
+         |${pq8AdcJoinSql("a.vec_id", "pc.probe_id")}
          |  WHERE a.vec_id != pc.probe_id
          |), ranked AS (
          |  SELECT probe_id, vec_id, adc,
