@@ -409,10 +409,13 @@ class ScaleSpec extends AnyFunSuite {
       // broadcast (≤ MaxProbes rows by construction; q221's carries the
       // probe's lang for the inequality filter)
       "q220_rrf_fusion", "q221_hard_negatives",
-      // q229's recall stage is q148's serve verbatim (8-row persisted
-      // centroid/codebook broadcast crosses); the rerank joins are plain
-      // equi-joins against the probe-bounded candidate relation
-      "q229_reranked_ann",
+      // q229's recall stage is the PQ8 artifact serve (bounded persisted
+      // centroid/codebook broadcast crosses, a <= MaxProbes-row
+      // checkpointed probe relation); the rerank joins are plain
+      // equi-joins against the probe-bounded candidate relation. q235 is
+      // that serve registered directly; q236 adds the 1-row tuned-nprobe
+      // broadcast cross (a global aggregate) to q54's audited shape
+      "q229_reranked_ann", "q235_pq8_search", "q236_tuned_ivf_search",
       // q85 (round-16 rewrite): the three per-column distinct counts are
       // GLOBAL aggregates — each build side is exactly ONE row by the
       // aggregate's output type, broadcast-crossed into the 1-row base
@@ -466,7 +469,12 @@ class ScaleSpec extends AnyFunSuite {
       "q189_semantic_dedup", "q195_ivf_sq_search",
       // q204 broadcasts each BPE round's checkpointed best-pair relation —
       // ≤ one row per language by construction (a per-lang argmax)
-      "q204_bpe_train")
+      "q204_bpe_train",
+      // the PQ8 serve (q235, and q229's recall stage) checkpoints the
+      // normalized probe relation — <= MaxProbes rows by the id-cap
+      // predicate, materialized once so 16 subspace LUTs don't re-scan
+      // the corpus; q236 checkpoints the 1-row tuned-nprobe aggregate
+      "q229_reranked_ann", "q235_pq8_search", "q236_tuned_ivf_search")
     val modPat = """% \d+\)? ?= \d+""".r
     val capPat = """< \d+""".r
     def leavesBounded(name: String, p: LogicalPlan): Boolean = p.collectLeaves().forall {
