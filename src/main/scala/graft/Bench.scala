@@ -85,6 +85,41 @@ object Bench {
     } finally f.delete()
   }
 
+  /** Random-access scratch-I/O probe (round 19): 2048 random-offset 4 KiB
+    * writes + fsync + 2048 random 4 KiB reads over a 64 MiB scratch file,
+    * wall seconds. Why a FOURTH probe: the r19 io-parity re-measure found
+    * the state-store family (q187/q146/q155) at 1.2–1.5× normalized vs
+    * r17 while the registry median sat at 1.06× and all THREE existing
+    * probes read parity — the sequential io probe cannot see random/
+    * small-file pressure, which is exactly what a state store and a
+    * many-small-file lake layout pay. Deterministic LCG offsets, so the
+    * probe measures the same access pattern every run.
+    */
+  private def ioRandProbe(): Double = {
+    val f = new java.io.File(Scratch.path(s"_iorprobe_p${ProcessHandle.current().pid()}"))
+    f.getParentFile.mkdirs()
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    try {
+      val size = 64L << 20
+      raf.setLength(size)
+      val buf = new Array[Byte](4096)
+      var i = 0
+      while (i < buf.length) { buf(i) = (i * 7 + 3).toByte; i += 1 }
+      var seed = 0x9e3779b97f4a7c15L
+      def nextOff(): Long = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ((seed >>> 17) % (size - 4096)) & ~4095L
+      }
+      val t0 = System.nanoTime()
+      var k = 0
+      while (k < 2048) { raf.seek(nextOff()); raf.write(buf); k += 1 }
+      raf.getFD.sync()
+      k = 0
+      while (k < 2048) { raf.seek(nextOff()); raf.readFully(buf); k += 1 }
+      (System.nanoTime() - t0) / 1e9
+    } finally { raf.close(); f.delete() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -133,6 +168,7 @@ object Bench {
     val probePre = cpuProbe()
     val probeMtPre = cpuProbeMt()
     val probeIoPre = ioProbe()
+    val probeIorPre = ioRandProbe()
     warm(SparkEntry.entry(spark).count())
     // q40 additionally warms the langid regexps + anti-join codegen paths
     Seq("q20_dedup_minhash", "q18_knn_topk", "q12_events_hourly", "q40_corpus_clean")
@@ -202,6 +238,7 @@ object Bench {
     val probePost = cpuProbe()
     val probeMtPost = cpuProbeMt()
     val probeIoPost = ioProbe()
+    val probeIorPost = ioRandProbe()
     spark.stop()
     // sf basename only: the full path spends 16 line chars repeating
     // "/root/testdata/" that the driver already knows.
@@ -213,12 +250,13 @@ object Bench {
     val stJ = s"[${fmt(probePre, 3)},${fmt(probePost, 3)}]"
     val mtJ = s"[${fmt(probeMtPre, 3)},${fmt(probeMtPost, 3)}]"
     val ioJ = s"[${fmt(probeIoPre, 3)},${fmt(probeIoPost, 3)}]"
+    val iorJ = s"[${fmt(probeIorPre, 3)},${fmt(probeIorPost, 3)}]"
     // probes AFTER the queries map: the driver keeps only the LAST ~2000
     // chars of stdout, truncating this line from the FRONT — trailing
     // fields survive in the tail, leading ones (where the probes sat
     // through r17) do not
     val perQueryJson =
-      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"queries":$qs,"cpu_probe_sec":$stJ,"cpu_probe_mt_sec":$mtJ,"io_probe_sec":$ioJ}"""
+      s"""{"qunit":"cs","sf":"$sf","reps":$reps,"queries":$qs,"cpu_probe_sec":$stJ,"cpu_probe_mt_sec":$mtJ,"io_probe_sec":$ioJ,"io_rand_probe_sec":$iorJ}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File(s"bench_perquery_$sf.json").getAbsolutePath)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), perQueryJson + "\n")
@@ -237,6 +275,6 @@ object Bench {
     // st/mt/io probe pairs ride the PARSED line too (short and complete in
     // any tail window), so BENCH_r{N}.json is self-adjudicating and
     // tools/certify.py can gate on the driver artifact directly
-    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","nq":${results.size},"st":$stJ,"mt":$mtJ,"io":$ioJ,"perquery":"$outPathJson"$errs,"sf":"$sf"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","nq":${results.size},"st":$stJ,"mt":$mtJ,"io":$ioJ,"ior":$iorJ,"perquery":"$outPathJson"$errs,"sf":"$sf"}""")
   }
 }

@@ -84,13 +84,16 @@ def load_run(p: str) -> dict:
                      "(pre-r18 Bench)")
         return {"path": p, "probe": min(t["st"]),
                 "probes": {"st": t.get("st"), "mt": t.get("mt"),
-                           "io": t.get("io")},
+                           "io": t.get("io"), "ior": t.get("ior")},
                 "queries": None, "total_sec": t.get("value"),
                 "sf": t.get("sf")}
     st = d.get("cpu_probe_sec")
     return {"path": p, "probe": min(st) if st else float("nan"),
             "probes": {"st": st, "mt": d.get("cpu_probe_mt_sec"),
-                       "io": d.get("io_probe_sec")},
+                       "io": d.get("io_probe_sec"),
+                       # round 19: random-4KiB scratch probe (reported,
+                       # never a gate yet — no cross-round baseline)
+                       "ior": d.get("io_rand_probe_sec")},
             "queries": d["queries"], "total_sec": None, "sf": d.get("sf")}
 
 
