@@ -16,6 +16,13 @@ every run artifact (all [pre, post] around the measured loop):
                       Catches storage/writeback pressure (r16: the
                       shuffle-heavy family's 10x times moved 3-4x on
                       identical code with both CPU probes at parity).
+  io_rand_probe_sec — random-offset 4 KiB write/fsync/read over a
+                      64 MiB scratch file (round 19). Catches the
+                      state-store / small-file pressure the sequential
+                      probe cannot see (r19: q187/q146/q155 at 1.2-1.5x
+                      normalized with st+mt+io ALL at parity). Reported
+                      per run ("ior"); not yet a gate — no cross-round
+                      baseline exists before r19.
 
 Rules:
   * every run must cover the same query set (a partial run is a
