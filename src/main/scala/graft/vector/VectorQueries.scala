@@ -583,14 +583,34 @@ object VectorQueries {
   private[graft] def graphBeamSearch(s: SparkSession, dir: String, rounds: Int): DataFrame =
     beamServe(s, dir, graphEdges(s, dir), rounds)
 
+  /** Seed cap per probe for the band-mate entry set (round 19): the
+    * probe's LSH band mates grow ∝ occupancy·L with the corpus under the
+    * fixed 12-bit bands, so the seed-SCORING work must be cut to a
+    * bounded set before any distance is paid. The cut is by smallest
+    * vec_id — deterministic, oracle-replayable, and unbiased within the
+    * bucket (mates are already similarity-biased by the LSH property;
+    * ids are uncorrelated with geometry).
+    */
+  private[graft] val BeamSeedCap = 4 * BeamWidth
+
   /** The SERVE half, over any edge relation — shared by the full-build
     * (q213) and incremental (q224) indexes.
+    *
+    * Beam entry (round 19 — the fix for the measured 0.000 at 20k
+    * organic, SCALING.md): the beam seeds from each probe's OWN LSH band
+    * mates (≤ [[BeamSeedCap]], id-cut) UNION the min-id entry vertex —
+    * start where the banding already says the neighborhood is, instead
+    * of navigating from one arbitrary vertex across a noise-dominated
+    * graph. The min-id entry stays in the seed set, so probes with zero
+    * band mates still search (and the old behavior is a strict subset of
+    * the new seed set). This is the standard LSH-seeded graph-search
+    * hybrid; HNSW's top-layer descent plays the same role.
     */
   private[graft] def beamServe(s: SparkSession, dir: String, edges: DataFrame,
       rounds: Int): DataFrame = {
     import s.implicits._
     val e = withNorm(Tables.embeddings(s, dir))
-    // ---- serve: beam search from the deterministic entry point
+    // ---- serve: beam search from the band-seeded entry set
     val probes = e.filter(probePredicate($"vec_id"))
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"nrm".as("p_nrm"))
     def score(cand: DataFrame): DataFrame =
@@ -598,9 +618,20 @@ object VectorQueries {
         .join(broadcast(probes), "probe_id")
         .select($"probe_id", $"vec_id",
           cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
+    val banded = bandedOf(Tables.embeddings(s, dir))
+    val probeBands = banded.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"tbl", $"bucket")
+    val wSeed = Window.partitionBy($"probe_id").orderBy($"vec_id")
+    val mates = banded.join(broadcast(probeBands), Seq("tbl", "bucket"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id").distinct()
+      .withColumn("srn", row_number().over(wSeed)).filter($"srn" <= BeamSeedCap)
+      .select($"probe_id", $"vec_id")
     val entry = e.agg(min($"vec_id").as("vec_id")) // 1-row broadcast agg
-    var seen = score(probes.select($"probe_id").crossJoin(entry))
-      .localCheckpoint()
+    val seeds = mates
+      .unionByName(probes.select($"probe_id").crossJoin(broadcast(entry)))
+      .distinct()
+    var seen = score(seeds).localCheckpoint()
     val wBeam = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
     for (i <- 1 to rounds) {
       val frontier = seen
@@ -2289,9 +2320,27 @@ object VectorQueries {
        |  SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings
        |  WHERE ${probePredicateSql("vec_id")}
        |), entry AS (SELECT min(vec_id) AS vec_id FROM embeddings),
-       |seen0 AS MATERIALIZED (
-       |  SELECT p.probe_id, en.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
-       |  FROM probes p CROSS JOIN entry en JOIN embeddings e ON en.vec_id = e.vec_id
+       |seedm AS (
+       |  SELECT probe_id, vec_id FROM (
+       |    SELECT probe_id, vec_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY vec_id) AS srn
+       |    FROM (
+       |      SELECT DISTINCT pb.vec_id AS probe_id, bx.vec_id
+       |      FROM b pb JOIN b bx
+       |        ON bx.tbl = pb.tbl AND bx.bucket = pb.bucket
+       |       AND bx.vec_id != pb.vec_id
+       |      WHERE ${probePredicateSql("pb.vec_id")}
+       |    )
+       |  ) WHERE srn <= $BeamSeedCap
+       |), seeds AS (
+       |  SELECT probe_id, vec_id FROM seedm
+       |  UNION
+       |  SELECT p.probe_id, en.vec_id FROM probes p CROSS JOIN entry en
+       |), seen0 AS MATERIALIZED (
+       |  SELECT s.probe_id, s.vec_id, ${cosSql("p.p_emb", "e.embedding")} AS sim
+       |  FROM seeds s
+       |  JOIN probes p ON s.probe_id = p.probe_id
+       |  JOIN embeddings e ON s.vec_id = e.vec_id
        |)$rounds
        |SELECT probe_id, rank, vec_id, round(sim, 4) AS sim$extraCols FROM (
        |  SELECT probe_id, vec_id, sim,
@@ -3025,7 +3074,7 @@ object VectorQueries {
     // each seen_i feeds three consumers. Build + serve fragments are
     // single-sourced with the q224 incremental oracle.
     "q213_graph_ann_beam" -> graphServeSql(
-      s"""b AS (
+      s"""b AS MATERIALIZED (
          |  $graphBandsSql
          |), pairs AS MATERIALIZED (
          |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
@@ -3065,7 +3114,7 @@ object VectorQueries {
            |  SELECT CASE WHEN ${4 * RefinedDegree * RefinedDegree} >= n
            |              THEN 1 ELSE 2 END AS rounds
            |  FROM (SELECT count(*) AS n FROM embeddings)
-           |), b AS (
+           |), b AS MATERIALIZED (
            |  $graphBandsSql
            |), pairs AS MATERIALIZED (
            |  SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst

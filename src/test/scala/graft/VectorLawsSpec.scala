@@ -196,10 +196,13 @@ class VectorLawsSpec extends AnyFunSuite {
     //    (the open-loop sqrt(k) = 8 rule measured 0.44); the law is the
     //    target itself: achieved recall >= TunedRecallTenths/10 at the
     //    depth the audit picked, with tuned_np <= ncells.
-    //  - graph tier (next #5): the plain LSH-band beam measured 0.00 at
-    //    this density (documented envelope — SCALING.md) while the
-    //    NN-Descent-refined build measured 0.19; floor 0.15 pins that
-    //    the refinement rounds are what keep the graph tier alive here.
+    //  - graph tier (next #5): with the min-id single entry the plain
+    //    band beam measured 0.00 at this density and the refined build
+    //    0.19 (the round's first measurement — SCALING.md). BAND-SEEDED
+    //    entry (each probe's LSH mates as the seed set) lifted them to
+    //    0.19 / 0.46; floors 0.15 / 0.38 pin the seeded serve, and the
+    //    plain-vs-refined gap pins that refinement still carries the
+    //    tier at noise-dominated density.
     val dir = ScaleUp.buildNovelEmbeddings(spark, "/root/testdata/sf0.1")
     val k = scaledIvfCells(Tables.rowCount(spark, dir, "embeddings"))
     val exact = q18KnnTopk(spark, dir).collect()
@@ -216,14 +219,18 @@ class VectorLawsSpec extends AnyFunSuite {
     val tuned = recallOf(tunedRows)
     val tunedNp = tunedRows.head.getLong(4)
     val refined = recallOf(q232GraphAnnRefined(spark, dir).collect())
+    val beam = recallOf(q213GraphAnnBeam(spark, dir).collect())
     info(f"20k organic recall@5: q229 $rerank%.3f, q235 $pq8%.3f, " +
-      f"q236 $tuned%.3f (np=$tunedNp), q232 $refined%.3f")
+      f"q236 $tuned%.3f (np=$tunedNp), q213 $beam%.3f, q232 $refined%.3f")
     assert(rerank >= 0.30, f"PQ8 rerank floor: $rerank%.3f < 0.30")
     assert(pq8 >= 0.25, f"IVF-PQ8 floor: $pq8%.3f < 0.25")
     assert(tuned * 10 >= TunedRecallTenths.toDouble,
       f"tuned serve must meet its own target: $tuned%.3f < ${TunedRecallTenths / 10.0}")
     assert(tunedNp >= 1 && tunedNp <= k, s"tuned_np $tunedNp outside [1, $k]")
-    assert(refined >= 0.15, f"refined-graph floor: $refined%.3f < 0.15")
+    assert(beam >= 0.15, f"band-seeded beam floor: $beam%.3f < 0.15")
+    assert(refined >= 0.38, f"refined-graph floor: $refined%.3f < 0.38")
+    assert(refined > beam,
+      f"refinement must still carry the tier here: q232 $refined%.3f vs q213 $beam%.3f")
   }
 
   test("q236 tuned serve == ivfSearch at the audit-chosen nprobe; meets target at sf0.1 too") {
