@@ -606,6 +606,33 @@ object VectorQueries {
     * the new seed set). This is the standard LSH-seeded graph-search
     * hybrid; HNSW's top-layer descent plays the same role.
     */
+  /** The band-seeded entry set: (probe_id, vec_id) pairs to score before
+    * round 1. Extracted from [[beamServe]] so its PHYSICAL plan is
+    * assertable in the suite — the eager `localCheckpoint` in the serve
+    * loop executes this subplan at construction time, which hides it
+    * from the final plan (and therefore from PlanDigestSpec's golden).
+    * Shape that must hold at scale: the full-corpus band relation joins
+    * a BROADCAST probe-band side (probes are capped by probePredicate),
+    * and the per-probe id cut runs as a group-limit, not a full sort.
+    */
+  private[graft] def beamSeeds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val probes = e.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"))
+    val banded = bandedOf(Tables.embeddings(s, dir))
+    val probeBands = banded.filter(probePredicate($"vec_id"))
+      .select($"vec_id".as("probe_id"), $"tbl", $"bucket")
+    val wSeed = Window.partitionBy($"probe_id").orderBy($"vec_id")
+    val mates = banded.join(broadcast(probeBands), Seq("tbl", "bucket"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id").distinct()
+      .withColumn("srn", row_number().over(wSeed)).filter($"srn" <= BeamSeedCap)
+      .select($"probe_id", $"vec_id")
+    val entry = e.agg(min($"vec_id").as("vec_id")) // 1-row broadcast agg
+    mates.unionByName(probes.crossJoin(broadcast(entry))).distinct()
+  }
+
   private[graft] def beamServe(s: SparkSession, dir: String, edges: DataFrame,
       rounds: Int): DataFrame = {
     import s.implicits._
@@ -618,20 +645,7 @@ object VectorQueries {
         .join(broadcast(probes), "probe_id")
         .select($"probe_id", $"vec_id",
           cosine($"p_emb", $"embedding", $"p_nrm", $"nrm").as("sim"))
-    val banded = bandedOf(Tables.embeddings(s, dir))
-    val probeBands = banded.filter(probePredicate($"vec_id"))
-      .select($"vec_id".as("probe_id"), $"tbl", $"bucket")
-    val wSeed = Window.partitionBy($"probe_id").orderBy($"vec_id")
-    val mates = banded.join(broadcast(probeBands), Seq("tbl", "bucket"))
-      .filter($"vec_id" =!= $"probe_id")
-      .select($"probe_id", $"vec_id").distinct()
-      .withColumn("srn", row_number().over(wSeed)).filter($"srn" <= BeamSeedCap)
-      .select($"probe_id", $"vec_id")
-    val entry = e.agg(min($"vec_id").as("vec_id")) // 1-row broadcast agg
-    val seeds = mates
-      .unionByName(probes.select($"probe_id").crossJoin(broadcast(entry)))
-      .distinct()
-    var seen = score(seeds).localCheckpoint()
+    var seen = score(beamSeeds(s, dir)).localCheckpoint()
     val wBeam = Window.partitionBy($"probe_id").orderBy($"sim".desc, $"vec_id")
     for (i <- 1 to rounds) {
       val frontier = seen

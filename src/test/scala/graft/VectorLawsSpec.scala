@@ -940,4 +940,42 @@ class VectorLawsSpec extends AnyFunSuite {
     // only prunes, never invents)
     assert(persisted.forall { case (a, b) => a != b })
   }
+
+  test("beam seed subplan: probe bands broadcast, per-probe cut is a group-limit, no cartesian product") {
+    // the seed plan executes EAGERLY inside beamServe's first
+    // localCheckpoint, so neither PlanDigestSpec's golden nor Explain's
+    // final-plan dump ever sees it — this is its only plan-shape gate.
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val df = vector.VectorQueries.beamSeeds(spark, sf)
+    assert(df.collect().nonEmpty)
+    val nodes = PlanWalk.allNodes(df.queryExecution.executedPlan)
+    // the full-corpus band relation must stream past a BROADCAST build
+    // side holding the probe-filtered bands (the % probe cap marks it) —
+    // a shuffle join here would shuffle n·L band rows per serve
+    val probeSideBroadcast = nodes.collect { case b: BroadcastHashJoinExec => b }
+      .exists { b =>
+        val build = b.buildSide match {
+          case BuildLeft => b.left
+          case BuildRight => b.right
+        }
+        PlanWalk.allNodes(build).exists {
+          case f: FilterExec => f.condition.toString.contains("%")
+          case _ => false
+        }
+      }
+    assert(probeSideBroadcast,
+      s"band-mates join must broadcast the probe-band side:\n${df.queryExecution.executedPlan}")
+    // the BeamSeedCap id cut must run as a rank group-limit (top-cap per
+    // probe inside each partition before the window), not a full
+    // materialize-then-filter of every mate
+    assert(nodes.exists(_.isInstanceOf[WindowGroupLimitExec]),
+      s"seed cap lost its WindowGroupLimit:\n${df.queryExecution.executedPlan}")
+    // the only product is the 1-row min-id entry (broadcast NLJ); a
+    // CartesianProductExec would mean an unpriced scan×scan
+    assert(!nodes.exists(_.isInstanceOf[CartesianProductExec]),
+      s"unpriced cartesian product in the seed plan:\n${df.queryExecution.executedPlan}")
+  }
 }
