@@ -174,6 +174,39 @@ object NativeKernels {
   def bpeEncode(lang: Column, word: Column, table: BpeMergeTable): Column =
     c(BpeEncode(ColumnBridge.expression(lang), ColumnBridge.expression(word), table))
 
+  /** Adjacent symbol pairs of a [[graft.text.PipelineQueries.BpeSep]]-
+    * delimited BPE word state — `array<struct<l,r>>`, empty below 2
+    * symbols. Replaces the trainer's per-row interpreted HOF chain
+    * (`split` → `transform(sequence(...), j -> named_struct(...))`): one
+    * byte-walk per row inside codegen, no regex, no interpreted lambda
+    * per symbol (the round-19 optimization measured the lambda as the
+    * BPE trainer's dominant per-round cost). Exactly equivalent to
+    * `transform(sequence(1, size(a)-1), j -> struct(a[j], a[j+1]))` over
+    * `a = split(substring(seq, 2, length(seq)-2), sep||sep)` — the
+    * sentinel is a single 0x01 byte that cannot occur inside a UTF-8
+    * multibyte sequence, so the byte walk splits exactly where the regex
+    * split did.
+    */
+  def bpePairs(seq: Column, sep: Char): Column =
+    c(BpePairs(ColumnBridge.expression(seq), sep))
+
+  /** Nearest centroid of an embedding against a (cell, c_emb, c_n2) struct
+    * array — the map-side argmin that replaces the crossJoin → sort →
+    * row_number assignment shuffle (guide §2.4: remove shuffles outright).
+    * Scans the centroid array once per row computing the PINNED
+    * `(n2 + c_n2) − 2·dotF(emb, c_emb)` distance and keeps the minimum
+    * under the exact total order the window version sorted by —
+    * `(d2 ASC NULLS FIRST, cell ASC NULLS FIRST)` with Spark's own
+    * double comparator — so the selected (cell, d2) pair is bit-identical
+    * to `row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) = 1`,
+    * with ZERO exchange: the n·k candidate rows never materialize, never
+    * sort, never shuffle. Returns NULL for a NULL/empty centroid array
+    * (the crossJoin-with-empty-build semantics).
+    */
+  def nearestCell(emb: Column, n2: Column, cents: Column): Column =
+    c(NearestCell(ColumnBridge.expression(emb), ColumnBridge.expression(n2),
+      ColumnBridge.expression(cents)))
+
   /** Byte-alias map: each UTF-8 byte b of the input becomes the single
     * codepoint U+0100 + b. The injective reduction that turns BYTE-LEVEL
     * BPE (GPT-2's variant — arbitrary bytes, no unknown tokens) into
@@ -550,6 +583,19 @@ object KernelOps {
     out
   }
 
+  /** ASCII "mh:<j>:" digest prefixes, cached per j — the md5 input is
+    * the BYTE concatenation prefix ++ shingle-UTF-8, so feeding the
+    * digest incrementally is bit-identical to hashing the concatenated
+    * string while allocating neither the string nor its re-encoded bytes
+    * (round-19 optimization: the concat build was ~half the kernel's
+    * allocation volume at k=32 per shingle).
+    */
+  private val mhPrefixes =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Byte]]()
+  private def mhPrefix(j: Int): Array[Byte] =
+    mhPrefixes.computeIfAbsent(j, jj =>
+      ("mh:" + jj + ":").getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+
   /** Portable MinHash: mins(j) = min over shingles s of
     * h60("mh:<j>:" + s). Unlike [[minhashSignature]] (xxhash64, fast,
     * Spark-only) this derivation is md5-based so a SQL oracle can
@@ -559,13 +605,21 @@ object KernelOps {
   def minhashPortable(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(k)(Long.MaxValue)
+    val d = md5.get()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i).toString
+        val sBytes = arr.getUTF8String(i).getBytes
         var j = 0
         while (j < k) {
-          val h = h60(UTF8String.fromString("mh:" + j + ":" + s))
+          d.reset()
+          d.update(mhPrefix(j))
+          d.update(sBytes)
+          val digest = d.digest()
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+          val h = v >>> 4
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -726,6 +780,105 @@ object KernelOps {
       t += 1
     }
     new GenericArrayData(ids)
+  }
+
+  /** The [[NativeKernels.bpePairs]] byte walk: symbols lie between
+    * sentinel bytes (`·s1··s2·…·sk·`), so adjacent pairs are the spans
+    * around each interior double-sentinel. Matches the split+transform
+    * recipe on every input it can receive, including the degenerate
+    * single-symbol state (empty result).
+    */
+  def bpePairs(seq: UTF8String, sep: Byte): ArrayData = {
+    val bytes = seq.getBytes
+    val n = bytes.length
+    // boundaries: interior "sep sep" positions split inner into symbols
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    // collect symbol byte-spans of inner = bytes[1, n-1)
+    val starts = new java.util.ArrayList[Int]()
+    val ends = new java.util.ArrayList[Int]()
+    var symStart = 1
+    var i = 1
+    val last = n - 1
+    while (i < last) {
+      if (bytes(i) == sep && i + 1 < last && bytes(i + 1) == sep) {
+        starts.add(symStart); ends.add(i)
+        symStart = i + 2
+        i += 2
+      } else i += 1
+    }
+    starts.add(symStart); ends.add(last)
+    val k = starts.size()
+    if (k < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](k - 1)
+    var j = 0
+    var prev = UTF8String.fromBytes(bytes, starts.get(0), ends.get(0) - starts.get(0))
+    while (j < k - 1) {
+      val next = UTF8String.fromBytes(bytes, starts.get(j + 1), ends.get(j + 1) - starts.get(j + 1))
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, next))
+      prev = next
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The [[NativeKernels.nearestCell]] argmin loop. Mirrors the retired
+    * window formulation's total order EXACTLY: candidates are compared by
+    * (d2 ASC NULLS FIRST, cell ASC NULLS FIRST), d2 compared with Spark's
+    * SQLOrderingUtil.compareDoubles (−0.0 = 0.0, NaN greatest — the
+    * comparator SortExec used on the d2 column). A null d2 arises exactly
+    * where the old projection produced one (null emb/n2/c_emb/c_n2 or a
+    * length-mismatched dot) and sorts first, exactly as ASC NULLS FIRST
+    * did. Null/empty centroid arrays return null (the caller's build side
+    * guarantees non-empty; the crossJoin-with-empty semantics was zero
+    * rows).
+    */
+  def nearestCell(emb: ArrayData, n2: java.lang.Double,
+      cents: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (cents == null) return null
+    val k = cents.numElements()
+    if (k == 0) return null
+    var found = false
+    var bestCellNull = false
+    var bestCell = 0L
+    var bestD2: java.lang.Double = null
+    var i = 0
+    while (i < k) {
+      if (!cents.isNullAt(i)) {
+        val row = cents.getStruct(i, 3)
+        val cellNull = row.isNullAt(0)
+        val cell = if (cellNull) 0L else row.getLong(0)
+        var d2: java.lang.Double = null
+        if (emb != null && n2 != null && !row.isNullAt(1) && !row.isNullAt(2)) {
+          val dot = dotF(emb, row.getArray(1))
+          if (dot != null) {
+            // pinned operation order: (n2 + c_n2) − 2·dot — the dist2 recipe
+            d2 = java.lang.Double.valueOf(
+              (n2.doubleValue() + row.getDouble(2)) - 2.0 * dot.doubleValue())
+          }
+        }
+        val better =
+          if (!found) true
+          else {
+            val dc =
+              if (d2 == null && bestD2 == null) 0
+              else if (d2 == null) -1
+              else if (bestD2 == null) 1
+              else org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+                .compareDoubles(d2.doubleValue(), bestD2.doubleValue())
+            if (dc != 0) dc < 0
+            else if (cellNull && bestCellNull) false // equal nulls: keep first
+            else if (cellNull) true                  // NULLS FIRST on cell
+            else if (bestCellNull) false
+            else cell < bestCell
+          }
+        if (better) { found = true; bestCellNull = cellNull; bestCell = cell; bestD2 = d2 }
+      }
+      i += 1
+    }
+    if (!found) return null
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (bestCellNull) null else java.lang.Long.valueOf(bestCell), bestD2))
   }
 
   /** Byte → codepoint-(0x100+b) alias string (see NativeKernels.byteAlias). */
@@ -1063,6 +1216,80 @@ case class BloomMightContain(left: Expression, right: Expression) extends Binary
     defineCodeGen(ctx, ev, (b, k) => s"graft.expressions.KernelOps.bloomMightContain($b, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+case class BpePairs(child: Expression, sep: Char) extends UnaryExpression {
+  require(sep.toInt > 0 && sep.toInt < 0x80, "sentinel must be a single ASCII byte")
+  override def checkInputDataTypes(): TypeCheckResult =
+    NativeKernels.checkTypes("bpePairs", Seq(child.dataType), Seq(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("l", StringType, nullable = true),
+    StructField("r", StringType, nullable = true))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    KernelOps.bpePairs(input.asInstanceOf[UTF8String], sep.toByte)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.KernelOps.bpePairs($c, (byte) ${sep.toInt})")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** struct<cell, d2> of the nearest centroid (see
+  * [[NativeKernels.nearestCell]]). NOT null-intolerant — a null embedding
+  * must still yield the (min-cell, null-d2) row the window formulation
+  * produced, so this implements eval/doGenCode directly instead of the
+  * nullSafe helpers; the result is null ONLY for a null/empty centroid
+  * array.
+  */
+case class NearestCell(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val centsOk = third.dataType match {
+      case ArrayType(StructType(fields), _) if fields.length == 3 =>
+        DataType.equalsIgnoreNullability(fields(0).dataType, LongType) &&
+          DataType.equalsIgnoreNullability(fields(1).dataType, ArrayType(FloatType)) &&
+          DataType.equalsIgnoreNullability(fields(2).dataType, DoubleType)
+      case _ => false
+    }
+    if (centsOk)
+      NativeKernels.checkTypes("nearestCell", Seq(first.dataType, second.dataType),
+        Seq(ArrayType(FloatType), DoubleType))
+    else TypeCheckResult.TypeCheckFailure(
+      s"nearestCell expects array<struct<cell:bigint,c_emb:array<float>,c_n2:double>>, got ${third.dataType}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = true),
+    StructField("d2", DoubleType, nullable = true)))
+  override def nullable: Boolean = true
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val emb = first.eval(input)
+    val n2 = second.eval(input)
+    val cents = third.eval(input)
+    KernelOps.nearestCell(
+      emb.asInstanceOf[ArrayData],
+      if (n2 == null) null else java.lang.Double.valueOf(n2.asInstanceOf[Double]),
+      cents.asInstanceOf[ArrayData])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val e1 = first.genCode(ctx)
+    val e2 = second.genCode(ctx)
+    val e3 = third.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${e1.code}
+        ${e2.code}
+        ${e3.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.expressions.KernelOps.nearestCell(
+            ${e1.isNull} ? null : ${e1.value},
+            ${e2.isNull} ? null : java.lang.Double.valueOf(${e2.value}),
+            ${e3.isNull} ? null : ${e3.value});
+        boolean ${ev.isNull} = (${ev.value} == null);
+      """)
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 case class BpeEncode(left: Expression, right: Expression, table: BpeMergeTable)

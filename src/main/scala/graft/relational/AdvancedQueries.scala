@@ -700,13 +700,30 @@ object AdvancedQueries {
     try {
     Tables.orders(s, dir).createOrReplaceTempView("graft_v_orders")
     // (cents → n_orders) histogram, cached across the loop's probes; the
-    // uncache drops a stale entry when the sf dir changes mid-session
+    // uncache drops a stale entry when the sf dir changes mid-session.
+    // Round-19 optimization: the histogram is coalesced to ONE partition
+    // before caching — it is bounded by the price DOMAIN (≤ 2^26 distinct
+    // cent values by the bracket precondition, ≤ ~1 GB of (long, long)
+    // rows at any corpus size, usually far less), and cached plans keep
+    // their partitioning (AQE does not re-coalesce under the cache), so
+    // each of the 26 bisection probes was a 32-task scan stage over
+    // kilobytes. One cached partition makes every probe a 2-task job.
     try s.catalog.uncacheTable("graft_v_cents") catch { case _: Exception => () }
     s.sql(
-      """CREATE OR REPLACE TEMPORARY VIEW graft_v_cents AS
-        |SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, count(*) AS n
+      """SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, count(*) AS n
         |FROM graft_v_orders GROUP BY c""".stripMargin)
+      .coalesce(1)
+      .createOrReplaceTempView("graft_v_cents")
     s.catalog.cacheTable("graft_v_cents")
+    // Round-19 optimization (guide §1.2 per-task work): the loop body ran
+    // 3–4 interpreted statements per iteration (SET mid, SET iters, IF
+    // probe, SET branch) — each a parse/plan/execute round-trip, 26×2
+    // reps of them. The SAME bisection (identical mid sequence, identical
+    // probe aggregate, identical bracket updates, iters still counted BY
+    // the loop) now runs as 2 multi-assign SETs per iteration: the probe
+    // rides the branch statement as a 1-row FROM subquery feeding both
+    // CASE arms. WHILE + DECLARE + scalar-subquery assignment — the
+    // scripting surface this query exists to exercise — are unchanged.
     s.sql(
       s"""BEGIN
          |  DECLARE lo BIGINT DEFAULT 0;
@@ -724,13 +741,12 @@ object AdvancedQueries {
          |  END IF;
          |  SET target = (SELECT CAST(sum(n) AS BIGINT) div 10 FROM graft_v_cents);
          |  WHILE hi - lo > 1 DO
-         |    SET mid = (lo + hi) div 2;
-         |    SET iters = iters + 1;
-         |    IF (SELECT coalesce(sum(n), 0) FROM graft_v_cents WHERE c > mid) > target THEN
-         |      SET lo = mid;
-         |    ELSE
-         |      SET hi = mid;
-         |    END IF;
+         |    SET (mid, iters) = (SELECT (lo + hi) div 2, iters + 1);
+         |    SET (lo, hi) = (SELECT
+         |        CASE WHEN agg.above > target THEN mid ELSE lo END,
+         |        CASE WHEN agg.above > target THEN hi ELSE mid END
+         |      FROM (SELECT coalesce(sum(n), 0) AS above
+         |            FROM graft_v_cents WHERE c > mid) agg);
          |  END WHILE;
          |  SELECT o_orderpriority, count(*) AS n_orders,
          |    round(sum(o_totalprice), 2) AS revenue,

@@ -500,14 +500,19 @@ object DedupQueries {
     val maxRounds = 50
     while (!converged && rounds < maxRounds) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), $"comp")
-      val updated = labels.select($"id", $"comp").union(viaNeighbors)
-        .groupBy($"id").agg(min($"comp").as("comp"))
+        .select(edges("src").as("id"), $"comp", lit(null).cast("long").as("old"))
+      // round-19 optimization: the convergence test used to be a SECOND
+      // per-round job joining new labels against old BY id — carrying the
+      // node's previous label through the min-aggregation (each id
+      // contributes exactly one labels row, so max(old) IS that label)
+      // folds the test into the same checkpointed pass; `changed` is then
+      // a plain scan of the checkpoint, no join, no recompute.
+      val updated = labels.select($"id", $"comp", $"comp".as("old"))
+        .union(viaNeighbors)
+        .groupBy($"id").agg(min($"comp").as("comp"), max($"old").as("old"))
         .localCheckpoint()
-      val changed = updated.as("u")
-        .join(labels.select($"id", $"comp".as("old")), "id")
-        .filter($"comp" =!= $"old").count()
-      labels = updated
+      val changed = updated.filter($"comp" =!= $"old").count()
+      labels = updated.select($"id", $"comp")
       converged = changed == 0
       rounds += 1
     }
@@ -604,10 +609,17 @@ object DedupQueries {
     */
   def q127GramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // round-19 optimization (guide §2.4: two operations keyed the same way
+    // share one exchange): first_doc used to be a separate groupBy(g)
+    // aggregate joined back BY g — the gram relation was exploded twice
+    // and shuffled twice, plus a string-keyed join. min(doc_id) OVER
+    // (PARTITION BY g) is the identical value on the identical rows with
+    // ONE gram exchange and no join.
     val grams = Tables.documents(s, dir)
       .select($"doc_id", $"source", explode(wordShingles($"text", 8)).as("g"))
-    val firstSeen = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
-    grams.join(firstSeen, "g")
+    grams
+      .withColumn("first_doc", min($"doc_id").over(Window.partitionBy($"g")))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("total_grams"),
@@ -739,10 +751,18 @@ object DedupQueries {
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(1, cast(n - ${L - 1} as int)), i -> concat_ws(' ', slice(toks, i, $L)))"))
         .as(Seq("pos", "g")))
-    val dupGrams = grams.groupBy($"g")
-      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"g")
+    // round-19 optimization (guide §2.4): "held by ≥2 distinct docs" is
+    // min(doc_id) ≠ max(doc_id) within the gram's window — the same truth
+    // the countDistinct aggregate computed, but with ONE exchange of the
+    // gram relation instead of two plus a string-keyed join (the explode
+    // also ran once per consumer). Groups are buffered by WindowExec with
+    // spill, the same per-gram locality the join's shuffle imposed anyway.
+    val wG = Window.partitionBy($"g")
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val spans = grams.join(dupGrams, Seq("g"))
+    val spans = grams
+      .withColumn("mn", min($"doc_id").over(wG))
+      .withColumn("mx", max($"doc_id").over(wG))
+      .filter($"mn" =!= $"mx")
       .select($"doc_id", $"pos")
       .withColumn("brk",
         when($"pos" - lag($"pos", 1).over(w) > L, 1L).otherwise(0L))

@@ -522,9 +522,10 @@ object PipelineQueries {
   private[graft] val BpeSep = "\u0001"
 
   // the symbol list of a delimited word state — the ONE definition of how
-  // `seq` decodes back to symbols, interpolated into Spark and oracle SQL
-  private def bpeSymsSql(seq: String): String =
-    s"split(substring($seq, 2, length($seq) - 2), '$BpeSep$BpeSep')"
+  // `seq` decodes back to symbols on the ORACLE side; the Spark side
+  // decodes with the equivalent codegen'd kernels since round 19
+  // (NativeKernels.bpePairs for adjacency, sentinel-count arithmetic for
+  // symbol totals — NativeKernelsSpec pins both against this recipe)
   private def bpeSymsDuck(seq: String): String =
     s"string_split(substr($seq, 2, CAST(length($seq) AS INTEGER) - 2), '$BpeSep$BpeSep')"
 
@@ -593,33 +594,59 @@ object PipelineQueries {
       .localCheckpoint()
     val merges = Seq.newBuilder[DataFrame]
     for (i <- 1 to BpeMerges) {
+      // round-19 optimization: the pair fan-out ran as an interpreted HOF
+      // chain (split → transform(sequence) lambda — one expression-tree
+      // walk per symbol per word per round); the bpePairs kernel emits
+      // the identical array<struct<l,r>> in one codegen'd byte walk
+      // (NativeKernelsSpec pins the equivalence, incl. the <2-symbol
+      // degenerate case)
       val pairs = st
-        .withColumn("a", expr(bpeSymsSql("seq")))
-        .select($"lang", $"freq", explode(expr(
-          """if(size(a) < 2, array(),
-            |  transform(sequence(1, size(a) - 1),
-            |    j -> named_struct('l', element_at(a, j), 'r', element_at(a, j + 1))))""".stripMargin)).as("pr"))
+        .select($"lang", $"freq",
+          explode(graft.expressions.NativeKernels.bpePairs($"seq", BpeSep.charAt(0))).as("pr"))
         .groupBy($"lang", $"pr.l".as("l"), $"pr.r".as("r"))
         .agg(sum($"freq").as("n"))
       val wBest = Window.partitionBy($"lang").orderBy($"n".desc, $"l", $"r")
       val best = pairs.withColumn("rn", row_number().over(wBest))
         .filter($"rn" === 1)
         .select($"lang", $"l".as("m_l"), $"r".as("m_r"), $"n")
-        .localCheckpoint()
+      // ONE eager job per round, not two (round-19 optimization, guide
+      // §1.2 "the distributed algorithm"): the argmax and the merge apply
+      // were separate localCheckpoints — 2·BpeMerges blocking jobs per
+      // training. Folding the (≤ langs-row) best subplan into the state
+      // update's broadcast join checkpoints them together; the per-round
+      // best columns ride the checkpointed state (m_l/m_r/n, constant per
+      // lang) and are re-extracted below with a per-lang min — constant
+      // per group, so min() IS the value, and a lang whose pair relation
+      // was empty stays absent (null m_l filtered), exactly as the old
+      // checkpointed best had no row for it.
       st = st
-        .join(broadcast(best.select($"lang", $"m_l", $"m_r")), Seq("lang"), "left")
+        .join(broadcast(best), Seq("lang"), "left")
         .withColumn("seq", when($"m_l".isNull, $"seq").otherwise(expr(
           s"""replace(seq, concat('$sep', m_l, '$sep$sep', m_r, '$sep'),
              |  concat('$sep', m_l, m_r, '$sep'))""".stripMargin)))
-        .select($"lang", $"freq", $"seq")
+        .select($"lang", $"freq", $"seq", $"m_l", $"m_r", $"n")
         .localCheckpoint()
+      // n_syms via sentinel arithmetic instead of regex split + array
+      // materialization (round-19 optimization): a k-symbol state holds
+      // exactly k−1 interior double-sentinels, so replacing each `··`
+      // with `·` shortens the string by k−1 chars — size(split(inner))
+      // without allocating the array. Plain StringReplace, fully codegen.
       val tot = st.groupBy($"lang")
-        .agg(sum($"freq" * size(expr(bpeSymsSql("seq")))).as("n_syms_after"))
-      merges += best.join(tot, Seq("lang"))
+        .agg(sum($"freq" * expr(
+          s"length(seq) - length(replace(seq, '$sep$sep', '$sep')) + 1"))
+          .as("n_syms_after"))
+      // distinct(), not min()-aggregates: the best columns are constant
+      // per lang, and a min(string) aggregate's non-mutable buffer plans
+      // as SortAggregate (a sort per round) — grouping by the constant
+      // tuple is a plain HashAggregate yielding the same one row per lang
+      val bestRows = st.filter($"m_l".isNotNull)
+        .select($"lang", $"m_l", $"m_r", $"n").distinct()
+      merges += broadcast(bestRows).join(tot, Seq("lang"))
         .select($"lang", lit(i.toLong).as("rank"),
           $"m_l".as("left_sym"), $"m_r".as("right_sym"),
           concat($"m_l", $"m_r").as("merged"),
           $"n".as("pair_n"), $"n_syms_after")
+      st = st.select($"lang", $"freq", $"seq")
     }
     merges.result().reduce(_ unionByName _).orderBy($"lang", $"rank")
   }
@@ -852,11 +879,19 @@ object PipelineQueries {
   private def byteWordTable(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    // round-19 optimization (guide §2.3, shuffle fewer bytes): alias is
+    // INJECTIVE, so grouping the raw lowered words and aliasing the
+    // DISTINCT survivors afterwards yields the identical (word, freq)
+    // table — while the alias kernel runs vocab-many times instead of
+    // corpus-many, and the vocabulary shuffle carries 1-byte-per-byte raw
+    // words instead of their 2-bytes-per-byte alias expansions. The ≥2
+    // BYTES filter is octet_length on the raw word == length of its alias.
     docs.select($"lang", explode(tokens($"text")).as("w0"))
+      .select($"lang", lower($"w0").as("raw"))
+      .filter(octet_length($"raw") >= 2)
+      .groupBy($"lang", $"raw").agg(count(lit(1)).as("freq"))
       .select($"lang",
-        graft.expressions.NativeKernels.byteAlias(lower($"w0")).as("word"))
-      .filter(length($"word") >= 2)
-      .groupBy($"lang", $"word").agg(count(lit(1)).as("freq"))
+        graft.expressions.NativeKernels.byteAlias($"raw").as("word"), $"freq")
   }
 
   /** BYTE-LEVEL BPE TRAINING (q225) — GPT-2's tokenizer variant: initial

@@ -1038,14 +1038,34 @@ object VectorQueries {
   private def dist2(n2a: Column, n2b: Column, aEmb: Column, bEmb: Column): Column =
     (n2a + n2b) - lit(2.0) * dotF(aEmb, bEmb)
 
-  /** Nearest trained cell per vector (ties → lower cell id), carrying d2. */
+  /** Nearest trained cell per vector (ties → lower cell id), carrying d2.
+    *
+    * Round 19 (optimization): the original spelling — crossJoin(broadcast
+    * centroids) → row_number() OVER (PARTITION BY vec_id ORDER BY d2,
+    * cell) — materialized n·k candidate rows, SORTED them map-side, and
+    * paid a full vec_id exchange per assignment pass (guide §2.4's
+    * "remove shuffles outright" case: the argmin needs no cross-row
+    * context at all). Every trained query (q35/q54/q138/q140/q148/q149/
+    * q151/q176/q189/q195/q229/q235/q236) and every Lloyd ITERATION paid
+    * that exchange. Now the ≤1024-row centroid relation collapses to ONE
+    * broadcast array row and [[graft.expressions.NativeKernels.nearestCell]]
+    * computes the argmin per vector inside whole-stage codegen under the
+    * IDENTICAL (d2 ASC NULLS FIRST, cell ASC NULLS FIRST) total order —
+    * bit-equal output (VectorLawsSpec pins the window-equivalence law),
+    * zero exchange, zero sort, and the corpus is never blown up k×.
+    * The empty-centroids crossJoin semantics (zero output rows) is kept
+    * by filtering the 1-row build side on size(cs) > 0.
+    */
   private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     import e.sparkSession.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"d2", $"cell")
-    e.crossJoin(broadcast(cents))
-      .withColumn("d2", dist2($"n2", $"c_n2", $"embedding", $"c_emb"))
-      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .drop("rn", "c_emb", "c_n2")
+    val centsArr = cents
+      .agg(collect_list(struct($"cell", $"c_emb", $"c_n2")).as("cs"))
+      .filter(size($"cs") > 0)
+    val outCols = e.columns.toSeq.map(col)
+    e.crossJoin(broadcast(centsArr))
+      .withColumn("nc", graft.expressions.NativeKernels.nearestCell(
+        $"embedding", $"n2", $"cs"))
+      .select(outCols ++ Seq($"nc.cell".as("cell"), $"nc.d2".as("d2")): _*)
   }
 
   private def withC2(c: DataFrame): DataFrame =
@@ -1106,6 +1126,77 @@ object VectorQueries {
           .localCheckpoint())
     }
     cents
+  }
+
+  /** ALL subspaces of a (vec_id, embedding) relation in ONE corpus scan:
+    * (m, vec_id, embedding[subDim], n2). Round-19 optimization (guide
+    * §1.2 step 1): the per-subspace trainings and codings used to
+    * re-scan the corpus once PER subspace — m scans, m shuffle-feeding
+    * map stages, m eager Lloyd jobs. Keying the rows by m turns that
+    * into one scan feeding one keyed loop ([[lloydMulti]]) and one keyed
+    * coding pass ([[assignMulti]]).
+    */
+  private[graft] def subspacesAll(df: DataFrame, spaces: Int, subDim: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"vec_id", posexplode(expr(
+        s"transform(sequence(0, ${spaces - 1}), m -> slice(embedding, m * $subDim + 1, $subDim))")))
+      .select($"pos".as("m"), $"vec_id", $"col".as("embedding"))
+      .withColumn("n2", dotF($"embedding", $"embedding"))
+  }
+
+  /** Lloyd over ALL subspaces at once, keyed by m — bit-identical per m
+    * to `lloyd(subspace m, iters, k)` (VectorLawsSpec pins the law):
+    * same k-smallest-present seeds (the per-m row_number cut selects the
+    * identical id set the per-space orderBy().limit(k) did — the slice
+    * predicate is on vec_id, so every m holds the same ids), same
+    * [[graft.expressions.NativeKernels.nearestCell]] assignment, same
+    * 2⁻²⁰-quantized integer mean arithmetic per (m, cell, dim). One
+    * eager checkpoint per ITERATION instead of one per (subspace ×
+    * iteration).
+    */
+  private[graft] def lloydMulti(eM: DataFrame, iters: Int, k: Int): DataFrame = {
+    import eM.sparkSession.implicits._
+    val wSeed = Window.partitionBy($"m").orderBy($"vec_id")
+    var cents = eM
+      .select($"m", $"vec_id", $"embedding")
+      .withColumn("rn", row_number().over(wSeed)).filter($"rn" <= k)
+      .select($"m", $"vec_id".cast("long").as("cell"), $"embedding".as("c_emb"))
+      .withColumn("c_n2", dotF($"c_emb", $"c_emb"))
+    for (_ <- 1 to iters) {
+      val centsArr = cents.groupBy($"m")
+        .agg(collect_list(struct($"cell", $"c_emb", $"c_n2")).as("cs"))
+      val means = eM.join(broadcast(centsArr), Seq("m"))
+        .select($"m", graft.expressions.NativeKernels.nearestCell(
+          $"embedding", $"n2", $"cs").getField("cell").as("cell"), $"embedding")
+        .select($"m", $"cell", posexplode($"embedding"))
+        .groupBy($"m", $"cell", $"pos")
+        .agg(count(lit(1)).as("n"),
+          sum(floor($"col".cast("double") * Q).cast("long")).as("qsum"))
+        .withColumn("mv", ($"qsum".cast("double") / ($"n" * Q)).cast("float"))
+        .groupBy($"m", $"cell")
+        .agg(array_sort(collect_list(struct($"pos", $"mv"))).as("pm"))
+        .select($"m", $"cell", transform($"pm", x => x.getField("mv")).as("new_emb"))
+      cents = cents.join(means, Seq("m", "cell"), "left")
+        .select($"m", $"cell", coalesce($"new_emb", $"c_emb").as("c_emb"))
+        .localCheckpoint()
+        .withColumn("c_n2", dotF($"c_emb", $"c_emb"))
+    }
+    cents
+  }
+
+  /** Nearest cell per (m, vector) against per-m centroid tables — the
+    * keyed sibling of [[assignCells]]: one corpus pass codes EVERY
+    * subspace (round-19 optimization; the same nearestCell kernel, the
+    * per-m centroid arrays broadcast as ≤ spaces rows).
+    */
+  private def assignMulti(eM: DataFrame, cents: DataFrame): DataFrame = {
+    import eM.sparkSession.implicits._
+    val centsArr = cents.groupBy($"m")
+      .agg(collect_list(struct($"cell", $"c_emb", $"c_n2")).as("cs"))
+    eM.join(broadcast(centsArr), Seq("m"))
+      .withColumn("nc", graft.expressions.NativeKernels.nearestCell(
+        $"embedding", $"n2", $"cs"))
+      .select($"vec_id", $"m", $"nc.cell".as("cell"))
   }
 
   /** Intra-cell candidate-pair total after training with k cells — the
@@ -1481,15 +1572,18 @@ object VectorQueries {
     // cardinality (the base slice is ~90% of the corpus, so its m can sit
     // one rung below full's near a ladder boundary); both counts are
     // memoized per process like every other sizing count
+    // round-19 optimization: each variant's four subspace trainings and
+    // four full-corpus codings ran as separate scans/jobs; the keyed forms
+    // do one training loop and one coding pass per VARIANT (the lloydMulti
+    // law pins per-m bit-equality)
+    val eMFull = subspacesAll(raw, PqSubspaces, PqSubDim)
     val variants: Seq[(String, DataFrame, Long)] = Seq(
-      ("full", raw, Tables.rowCount(s, dir, "embeddings")),
-      ("base", raw.filter(!isIncrement($"vec_id")), baseSliceCount(s, dir)))
-    variants.map { case (tag, trainSet, n) =>
-      (0 until PqSubspaces).map { m =>
-        assignCells(subspaceOf(raw, m),
-            lloyd(trainSlice(subspaceOf(trainSet, m), n, PqCodes), PqIters, PqCodes))
-          .select(lit(tag).as("train"), lit(m.toLong).as("m"), $"vec_id", $"cell")
-      }.reduce(_ unionByName _)
+      ("full", eMFull, Tables.rowCount(s, dir, "embeddings")),
+      ("base", subspacesAll(raw.filter(!isIncrement($"vec_id")), PqSubspaces, PqSubDim),
+        baseSliceCount(s, dir)))
+    variants.map { case (tag, trainM, n) =>
+      assignMulti(eMFull, lloydMulti(trainSlice(trainM, n, PqCodes), PqIters, PqCodes))
+        .select(lit(tag).as("train"), $"m".cast("long").as("m"), $"vec_id", $"cell")
     }.reduce(_ unionByName _)
       .groupBy($"train", $"m")
       .agg(
@@ -1639,20 +1733,18 @@ object VectorQueries {
   def q138PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nCorpus = Tables.rowCount(s, dir, "embeddings")
-    val spaces = (0 until PqSubspaces).map { m =>
-      val e = subspace(s, dir, m)
-      (m, e, lloyd(trainSlice(e, nCorpus, PqCodes), PqIters, PqCodes))
-    }
-    val vecCodes = spaces.map { case (m, e, cb) =>
-      assignCells(e, cb).select($"vec_id", lit(m).as("m"), $"cell")
-    }.reduce(_ unionByName _)
-    val lut = spaces.map { case (m, e, cb) =>
-      e.filter(probePredicate($"vec_id"))
-        .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
-        .crossJoin(broadcast(cb))
-        .select($"probe_id", lit(m).as("m"), $"cell",
-          dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
-    }.reduce(_ unionByName _)
+    // round-19 optimization: the four per-subspace trainings/codings ran
+    // as four separate corpus scans and four eager Lloyd jobs; the keyed
+    // forms train and code all subspaces in one pass each (values
+    // bit-identical per m — the lloydMulti law)
+    val eM = subspacesAll(Tables.embeddings(s, dir), PqSubspaces, PqSubDim)
+    val cbs = lloydMulti(trainSlice(eM, nCorpus, PqCodes), PqIters, PqCodes)
+    val vecCodes = assignMulti(eM, cbs).select($"vec_id", $"m", $"cell")
+    val lut = eM.filter(probePredicate($"vec_id"))
+      .select($"m", $"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+      .join(broadcast(cbs), Seq("m"))
+      .select($"probe_id", $"m", $"cell",
+        dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
     val topk = udaf(TopKByScore(5))
     vecCodes.join(broadcast(lut), Seq("m", "cell"))
       .filter($"vec_id" =!= $"probe_id")
@@ -1697,20 +1789,16 @@ object VectorQueries {
       .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= np)
       .select($"probe_id", $"cell")
-    val spaces = (0 until PqSubspaces).map { m =>
-      val se = subspace(s, dir, m)
-      (m, se, lloyd(trainSlice(se, nCorpus, PqCodes), PqIters, PqCodes))
-    }
-    val vecCodes = spaces.map { case (m, se, cb) =>
-      assignCells(se, cb).select($"vec_id", lit(m).as("m"), $"cell".as("code"))
-    }.reduce(_ unionByName _)
-    val lut = spaces.map { case (m, se, cb) =>
-      se.filter(probePredicate($"vec_id"))
-        .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
-        .crossJoin(broadcast(cb))
-        .select($"probe_id", lit(m).as("m"), $"cell".as("code"),
-          dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
-    }.reduce(_ unionByName _)
+    // keyed subspace training/coding — one corpus pass per stage instead
+    // of one per subspace (the q138 rewrite's shape; values identical)
+    val eM = subspacesAll(Tables.embeddings(s, dir), PqSubspaces, PqSubDim)
+    val cbs = lloydMulti(trainSlice(eM, nCorpus, PqCodes), PqIters, PqCodes)
+    val vecCodes = assignMulti(eM, cbs).select($"vec_id", $"m", $"cell".as("code"))
+    val lut = eM.filter(probePredicate($"vec_id"))
+      .select($"m", $"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+      .join(broadcast(cbs), Seq("m"))
+      .select($"probe_id", $"m", $"cell".as("code"),
+        dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
     val cand = index.join(broadcast(probeCells), Seq("cell"))
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id")
@@ -1791,15 +1879,25 @@ object VectorQueries {
     val k = scaledIvfCells(n)
     lloyd(trainSlice(withN2(raw), n, k), IvfIters, k)
       .write.mode("overwrite").parquet(s"$root/centroids")
+    // round-19 optimization: both PQ tiers train ALL their subspace
+    // codebooks in one keyed loop each (4 + 16 trainings were 20 separate
+    // corpus scans and eager Lloyd jobs; values bit-identical per m —
+    // the lloydMulti law). The per-m parquet layout is unchanged: the
+    // serve paths read the same (cell, c_emb, c_n2) files.
+    val cb = lloydMulti(trainSlice(
+      subspacesAll(raw, PqSubspaces, PqSubDim), n, PqCodes), PqIters, PqCodes)
     (0 until PqSubspaces).foreach { m =>
-      lloyd(trainSlice(subspaceOf(raw, m), n, PqCodes), PqIters, PqCodes)
+      cb.filter(col("m") === m).select(col("cell"), col("c_emb"), col("c_n2"))
         .write.mode("overwrite").parquet(s"$root/codebook_$m")
     }
     // the 8-bit tier's codebooks (round 19): same Lloyd trainer over the
     // NORMALIZED 4-dim subspaces, same bounded slice discipline (the
     // modulus derives from Pq8Codes, so the cap engages 32× later)
+    val cb8 = lloydMulti(trainSlice(
+      subspacesAll(normalizedEmb(raw), Pq8Subspaces, Pq8SubDim), n, Pq8Codes),
+      PqIters, Pq8Codes)
     (0 until Pq8Subspaces).foreach { m =>
-      lloyd(trainSlice(subspace8Of(raw, m), n, Pq8Codes), PqIters, Pq8Codes)
+      cb8.filter(col("m") === m).select(col("cell"), col("c_emb"), col("c_n2"))
         .write.mode("overwrite").parquet(s"$root/codebook8_$m")
     }
   }
@@ -1818,15 +1916,16 @@ object VectorQueries {
     assignCells(withN2(raw), s.read.parquet(s"$root/centroids"))
       .select($"vec_id", $"cell")
       .write.mode("overwrite").parquet(s"$root/cells/batch=$batch")
-    (0 until PqSubspaces).map { m =>
-        assignCells(subspaceOf(raw, m), s.read.parquet(s"$root/codebook_$m"))
-          .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
-      }.reduce(_ unionByName _)
+    // round-19 optimization: one keyed coding pass per tier (the corpus
+    // was re-scanned once per subspace — 4 + 16 scans); the persisted
+    // (vec_id, m, code) rows are value-identical
+    assignMulti(subspacesAll(raw, PqSubspaces, PqSubDim),
+        readCodebooks(s, root, "codebook_", PqSubspaces))
+      .select($"vec_id", $"m", $"cell".as("code"))
       .write.mode("overwrite").parquet(s"$root/codes/batch=$batch")
-    (0 until Pq8Subspaces).map { m =>
-        assignCells(subspace8Of(raw, m), s.read.parquet(s"$root/codebook8_$m"))
-          .select($"vec_id", lit(m).as("m"), $"cell".as("code"))
-      }.reduce(_ unionByName _)
+    assignMulti(subspacesAll(normalizedEmb(raw), Pq8Subspaces, Pq8SubDim),
+        readCodebooks(s, root, "codebook8_", Pq8Subspaces))
+      .select($"vec_id", $"m", $"cell".as("code"))
       .write.mode("overwrite").parquet(s"$root/codes8/batch=$batch")
   }
 
@@ -1923,6 +2022,17 @@ object VectorQueries {
   private[graft] def serveFromArtifacts(s: SparkSession, dir: String, root: String): DataFrame =
     adcTopKFromArtifacts(s, dir, root, 5)
 
+  /** The per-m persisted codebooks as ONE keyed (m, cell, c_emb, c_n2)
+    * relation — the read-back side of [[assignMulti]]/the keyed LUT
+    * joins (round-19; the parquet layout is unchanged, only the readers
+    * union it with m attached).
+    */
+  private def readCodebooks(s: SparkSession, root: String, prefix: String,
+      spaces: Int): DataFrame =
+    (0 until spaces).map { m =>
+      s.read.parquet(s"$root/$prefix$m").withColumn("m", lit(m))
+    }.reduce(_ unionByName _)
+
   /** The artifact serve parameterized over k — q148/q151 return the ADC
     * top-5 directly ([[adcTopK8FromArtifacts]] is the 8-bit twin; q229's
     * RECALL STAGE takes its top-20 as candidates for the exact rerank).
@@ -1930,27 +2040,35 @@ object VectorQueries {
   private[graft] def adcTopKFromArtifacts(s: SparkSession, dir: String, root: String,
       k: Int): DataFrame = {
     import s.implicits._
-    val e = withN2(Tables.embeddings(s, dir))
+    // ONE probe-side corpus scan (round-19 optimization, the same move
+    // the 8-bit serve already made): the probe predicate is a modulo —
+    // not parquet-pushdownable — and the four per-subspace LUT branches
+    // each re-scanned the corpus for the same ≤ MaxProbes rows.
+    // Materialize the probe vectors once; probes and every LUT slice cut
+    // from those rows.
+    val pRaw = Tables.embeddings(s, dir)
+      .filter(probePredicate($"vec_id")).localCheckpoint()
     val cents = s.read.parquet(s"$root/centroids")
     // nprobe co-tuned to the cell count the PERSISTED index actually has
     // (an incremental root's k is sized to its base slice, not the full
     // table) — memoized per process like every other sizing count
     val np = scaledNprobe(
       Tables.publishedArtifactCount(s, s"$root/centroids", s"$root/_trained").toInt)
-    val probes = e.filter(probePredicate($"vec_id"))
+    val probes = withN2(pRaw)
       .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
     val wProbe = Window.partitionBy($"probe_id").orderBy($"pd2", $"cell")
     val probeCells = probes.crossJoin(broadcast(cents))
       .withColumn("pd2", dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb"))
       .withColumn("rn", row_number().over(wProbe)).filter($"rn" <= np)
       .select($"probe_id", $"cell")
-    val lut = (0 until PqSubspaces).map { m =>
-        subspace(s, dir, m).filter(probePredicate($"vec_id"))
-          .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
-          .crossJoin(broadcast(s.read.parquet(s"$root/codebook_$m")))
-          .select($"probe_id", lit(m).as("m"), $"cell".as("code"),
-            dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
-      }.reduce(_ unionByName _)
+    // the 16-/4-way LUT union is one keyed join now: per-m codebooks read
+    // back with their m attached, subspaces sliced from the checkpointed
+    // probe rows (values identical — same slice, same dist2)
+    val lut = subspacesAll(pRaw, PqSubspaces, PqSubDim)
+      .select($"m", $"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+      .join(broadcast(readCodebooks(s, root, "codebook_", PqSubspaces)), Seq("m"))
+      .select($"probe_id", $"m", $"cell".as("code"),
+        dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
     val cand = s.read.parquet(s"$root/cells")
       .join(broadcast(probeCells), Seq("cell"))
       .filter($"vec_id" =!= $"probe_id")
@@ -2001,14 +2119,14 @@ object VectorQueries {
     // probe vectors once and slice the 16 subspaces from those rows.
     val nprobes = normalizedEmb(Tables.embeddings(s, dir))
       .filter(probePredicate($"vec_id")).localCheckpoint()
-    val lut = (0 until Pq8Subspaces).map { m =>
-        withN2(nprobes.select($"vec_id",
-            slice($"embedding", m * Pq8SubDim + 1, Pq8SubDim).as("embedding")))
-          .select($"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
-          .crossJoin(broadcast(s.read.parquet(s"$root/codebook8_$m")))
-          .select($"probe_id", lit(m).as("m"), $"cell".as("code"),
-            dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
-      }.reduce(_ unionByName _)
+    // 16 LUT branches → one keyed join (round-19 optimization; values
+    // identical — same slices of the same checkpointed probe rows, same
+    // dist2 against the same persisted codebooks)
+    val lut = subspacesAll(nprobes, Pq8Subspaces, Pq8SubDim)
+      .select($"m", $"vec_id".as("probe_id"), $"embedding".as("p_emb"), $"n2".as("p_n2"))
+      .join(broadcast(readCodebooks(s, root, "codebook8_", Pq8Subspaces)), Seq("m"))
+      .select($"probe_id", $"m", $"cell".as("code"),
+        dist2($"p_n2", $"c_n2", $"p_emb", $"c_emb").as("pd2"))
     val cand = s.read.parquet(s"$root/cells")
       .join(broadcast(probeCells), Seq("cell"))
       .filter($"vec_id" =!= $"probe_id")

@@ -108,6 +108,35 @@ class NativeKernelsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("bpePairs == the split+transform adjacency recipe, incl. degenerate states (round-19 optimization)") {
+    import spark.implicits._
+    val sep = ""
+    // real trainer states: delimited multibyte words, plus the degenerate
+    // single-symbol and merged-run shapes the loop actually produces
+    val words = Seq("ab", "héllo", "日本語", "x", "aaaa", "ßẞ")
+      .map(w => w.toCharArray.map(ch => s"$sep$ch$sep").mkString)
+    // also post-merge shapes: multi-codepoint symbols between sentinels
+    val states = words ++ Seq(s"${sep}he$sep${sep}llo$sep", s"${sep}日本$sep${sep}語$sep", s"${sep}xyz$sep")
+    val df = states.toDF("seq")
+    // the RETIRED trainer expression, verbatim — the executable spec
+    val spec = df
+      .withColumn("a", expr(s"split(substring(seq, 2, length(seq) - 2), '$sep$sep')"))
+      .select($"seq", expr(
+        """if(size(a) < 2, array(),
+          |  transform(sequence(1, size(a) - 1),
+          |    j -> named_struct('l', element_at(a, j), 'r', element_at(a, j + 1))))""".stripMargin).as("want"))
+    val got = df.select($"seq", graft.expressions.NativeKernels.bpePairs($"seq", sep.charAt(0)).as("got"))
+    val joined = spec.join(got, "seq")
+      .select($"seq", $"want".cast("string").as("w"), $"got".cast("string").as("g"))
+      .collect()
+    joined.foreach(r => assert(r.getString(1) == r.getString(2), s"state ${r.getString(0)}"))
+    // and the sentinel-count symbol total == size(split(...)) on the same states
+    val counts = df.select(
+      expr(s"size(split(substring(seq, 2, length(seq) - 2), '$sep$sep'))").as("w"),
+      expr(s"length(seq) - length(replace(seq, '$sep$sep', '$sep')) + 1").as("g")).collect()
+    counts.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("dotF == VectorFunctions.dot (zip_with+aggregate spec) on embeddings") {
     import spark.implicits._
     val bad = Tables.embeddings(spark, sf)

@@ -467,9 +467,11 @@ class ScaleSpec extends AnyFunSuite {
       "q35_ivf_assign", "q54_ivf_search", "q138_pq_adc_search",
       "q140_ivf_pq_search", "q149_filtered_ann", "q176_pq_code_checksum",
       "q189_semantic_dedup", "q195_ivf_sq_search",
-      // q204 broadcasts each BPE round's checkpointed best-pair relation —
-      // ≤ one row per language by construction (a per-lang argmax)
-      "q204_bpe_train",
+      // q204/q225 broadcast each BPE round's best-pair rows — ≤ one row
+      // per language by construction (a per-lang argmax; since round 19
+      // extracted from the checkpointed state by distinct() over columns
+      // that are constant per lang)
+      "q204_bpe_train", "q225_bpe_byte_level",
       // the PQ8 serve (q235, and q229's recall stage) checkpoints the
       // normalized probe relation — <= MaxProbes rows by the id-cap
       // predicate, materialized once so 16 subspace LUTs don't re-scan

@@ -314,6 +314,58 @@ class VectorLawsSpec extends AnyFunSuite {
     assert(cents.count() == 8)
   }
 
+  test("assignCells argmin kernel == the retired window formulation, bit for bit (round-19 optimization)") {
+    // the optimization contract: the map-side nearestCell kernel must pick
+    // the IDENTICAL (cell, d2) pair the row_number() window picked — same
+    // pinned dist2 arithmetic, same (d2 ASC NULLS FIRST, cell ASC) total
+    // order — or every trained query's oracle hash shifts. Exact double
+    // equality in the set compare is the point.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.expressions.NativeKernels.dotF
+    val e = vector.VectorQueries.withN2(Tables.embeddings(spark, sf))
+    val cents = vector.VectorQueries.trainedCentroids(spark, sf).localCheckpoint()
+    val got = vector.VectorQueries.assignCells(e, cents)
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cell"))
+    val want = e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        (col("n2") + col("c_n2")) - lit(2.0) * dotF(col("embedding"), col("c_emb")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
+  test("lloydMulti == per-subspace lloyd, bit for bit, every m (round-19 optimization)") {
+    // the keyed trainer must reproduce each per-space training EXACTLY —
+    // same seeds (k smallest present ids), same kernel assignment, same
+    // quantized-integer means — or every PQ oracle replay fails. Exact
+    // float-array equality per (m, cell) is the assertion.
+    import org.apache.spark.sql.functions._
+    val raw = Tables.embeddings(spark, sf)
+    val n = Tables.rowCount(spark, sf, "embeddings")
+    import vector.VectorQueries.{PqSubspaces, PqSubDim, PqCodes, PqIters}
+    val multi = vector.VectorQueries.lloydMulti(
+      vector.VectorQueries.trainSlice(
+        vector.VectorQueries.subspacesAll(raw, PqSubspaces, PqSubDim), n, PqCodes),
+      PqIters, PqCodes)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Float](2).toList)).toMap
+    (0 until PqSubspaces).foreach { m =>
+      val single = vector.VectorQueries.lloyd(
+        vector.VectorQueries.trainSlice(
+          vector.VectorQueries.subspaceOf(raw, m), n, PqCodes), PqIters, PqCodes)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList)).toMap
+      assert(single.nonEmpty)
+      single.foreach { case (cell, emb) =>
+        assert(multi.get((m, cell)).contains(emb), s"m=$m cell=$cell diverged")
+      }
+      assert(multi.count(_._1._1 == m) == single.size)
+    }
+  }
+
   test("lloyd seeds k-strong on gapped ids: the base slice trains every ladder cell (ADVICE r17 #1)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
